@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local DuckDB-parity checker (mimics the driver's correctness gate).
+
+Usage: python3 tools/check_parity.py <verify_out_dir> <sf_dir> [query ...]
+
+For each query result parquet under <verify_out_dir>, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the raw tables in <sf_dir>,
+then compares: columns sorted by name, rows sorted by all columns, values
+hashed. Reports per-query MATCH / MISMATCH with a diff preview.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes: dates → iso strings, timestamps → iso, floats stay
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(lambda v: str(v) if v is not None else None)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+def compare(name, spark_df, duck_df):
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = av.astype(float); bv = bv.astype(float)
+            both_nan = av.isna() & bv.isna()
+            eq = (av == bv) | both_nan
+        else:
+            eq = (av.astype(str).fillna("<NULL>") == bv.astype(str).fillna("<NULL>"))
+        if not eq.all():
+            bad = (~eq).idxmax()
+            n_bad = int((~eq).sum())
+            return (f"VALUE MISMATCH col={c} rows_bad={n_bad} "
+                    f"first@{bad}: spark={a[c][bad]!r} duck={b[c][bad]!r}")
+    return None
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    n_ok = n_bad = 0
+    for name in sorted(oracles):
+        if only and name not in only:
+            continue
+        res_glob = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not res_glob:
+            print(f"[MISSING ] {name}: no spark result parquet"); n_bad += 1
+            continue
+        spark_df = pd.concat([pd.read_parquet(p) for p in sorted(res_glob)],
+                             ignore_index=True)
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"[ORAERR  ] {name}: {e}"); n_bad += 1
+            continue
+        err = compare(name, spark_df, duck_df)
+        if err:
+            print(f"[MISMATCH] {name}: {err}"); n_bad += 1
+        else:
+            print(f"[ok      ] {name} ({len(spark_df)} rows)"); n_ok += 1
+    # queries with no oracle: report rows-only
+    for d in sorted(os.listdir(out_dir)):
+        if os.path.isdir(os.path.join(out_dir, d)) and d not in oracles:
+            n = sum(len(pd.read_parquet(p)) for p in
+                    glob.glob(os.path.join(out_dir, d, "*.parquet")))
+            print(f"[no-oracle] {d}: {n} rows")
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()
