@@ -13,6 +13,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     graft.queries.RelationalQueries,
+    graft.queries.JoinQueries,
+    graft.queries.ScalarWindowQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join-shaped operator surface: the reference's interval self-join
+  * (sql/example_queries.sql:137-149), MERGE emulation (SURVEY §7.3), and the
+  * semi/anti primitives the MERGE rewrite is built from.
+  */
+object JoinQueries extends QueryModule {
+
+  private val dec = DecimalType(18, 2)
+
+  /** J1: equi + range (interval) self-join — trailing-60-day order history
+    * per customer. Plans as a shuffled join on the equi key (o_custkey) with
+    * the date range as residual; per-key fan-out is bounded by order counts,
+    * and AQE's skew-join split handles heavy customers at scale. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select(
+      $"o_custkey", $"o_orderkey",
+      $"o_orderdate".cast(DateType).as("od"),
+      $"o_totalprice")
+    val g  = o.as("g")
+    val g2 = o.as("g2")
+    g.join(g2,
+        $"g.o_custkey" === $"g2.o_custkey" &&
+        $"g2.od".between(date_sub($"g.od", 60), $"g.od"))
+      .groupBy($"g.o_custkey".as("cust"), $"g.o_orderkey".as("okey"))
+      .agg(
+        count(lit(1)).as("n_trailing"),
+        sum($"g2.o_totalprice".cast(dec)).cast(DoubleType).as("trailing_spend"))
+      .withColumnRenamed("cust", "o_custkey")
+      .withColumnRenamed("okey", "o_orderkey")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  private val q11Sql =
+    """SELECT g.o_custkey, g.o_orderkey,
+      |  count(*) AS n_trailing,
+      |  CAST(sum(CAST(g2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS trailing_spend
+      |FROM (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice FROM orders) g
+      |JOIN (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od, o_totalprice FROM orders) g2
+      |  ON g.o_custkey = g2.o_custkey
+      | AND g2.od BETWEEN g.od - INTERVAL 60 DAY AND g.od
+      |GROUP BY g.o_custkey, g.o_orderkey
+      |ORDER BY g.o_custkey, g.o_orderkey""".stripMargin
+
+  /** Left-semi and left-anti joins (EXISTS / NOT EXISTS) — the two halves of
+    * the MERGE rewrite. Output is a two-row summary. */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select($"o_custkey")
+    def side(label: String, joinType: String) =
+      c.join(o, $"c_custkey" === $"o_custkey", joinType)
+        .agg(count(lit(1)).as("n"))
+        .select(lit(label).as("side"), $"n")
+    side("with_orders", "left_semi")
+      .unionAll(side("without_orders", "left_anti"))
+      .orderBy($"side")
+  }
+  private val q12Sql =
+    """SELECT * FROM (
+      |  SELECT 'with_orders' AS side, count(*) AS n FROM customer
+      |    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  UNION ALL
+      |  SELECT 'without_orders', count(*) FROM customer
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) t
+      |ORDER BY side""".stripMargin
+
+  /** S6/J2: MERGE INTO emulation without Delta (SURVEY §7.3) — incoming rows
+    * win on key collision (UPDATE-all semantics), unmatched target rows are
+    * kept, unmatched incoming rows are inserts:
+    * merged = incoming ∪ (target ⟕anti incoming). Idempotent by construction.
+    * At scale this pairs with dynamic partition overwrite so only touched
+    * partitions rewrite. Summary output proves update-wins semantics. */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val target = o.filter($"o_orderdate" < lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+      .withColumn("src", lit("target"))
+    val incoming = o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .withColumn("src", lit("incoming"))
+    val merged = incoming.unionByName(
+      target.join(incoming.select($"o_orderkey".as("ik")),
+        $"o_orderkey" === $"ik", "left_anti"))
+    merged.groupBy($"src")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(dec)).cast(DoubleType).as("total"))
+      .orderBy($"src")
+  }
+  private val q13Sql =
+    """WITH target AS (
+      |  SELECT *, 'target' AS src FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      |incoming AS (
+      |  SELECT *, 'incoming' AS src FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+      |merged AS (
+      |  SELECT * FROM incoming
+      |  UNION ALL
+      |  SELECT * FROM target t
+      |  WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.o_orderkey = t.o_orderkey))
+      |SELECT src, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM merged GROUP BY src ORDER BY src""".stripMargin
+
+  /** Broadcast star join over the full dimension chain
+    * region→nation→customer→orders: every dim side is broadcast, so the only
+    * shuffle is the final aggregation. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(dec)).cast(DoubleType).as("region_sales"))
+      .orderBy($"r_name", $"n_name")
+  }
+  private val q14Sql =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS region_sales
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q11_range_self_join", q11, Some(q11Sql)),
+    QueryDef("q12_semi_anti_join", q12, Some(q12Sql)),
+    QueryDef("q13_merge_upsert", q13, Some(q13Sql)),
+    QueryDef("q14_star_broadcast_join", q14, Some(q14Sql)),
+  )
+}
