@@ -15,6 +15,8 @@ object SparkEntry {
     graft.queries.RelationalQueries,
     graft.queries.JoinQueries,
     graft.queries.ScalarWindowQueries,
+    graft.queries.TextDedupQueries,
+    graft.queries.VectorQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -1,0 +1,8 @@
+package graft
+
+/** graft-namespace facades for native expressions that must live under
+  * org.apache.spark.sql (they reference private[sql] Catalyst types).
+  */
+package object functions {
+  val vector: org.apache.spark.sql.graft.vector.type = org.apache.spark.sql.graft.vector
+}

@@ -1,0 +1,297 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data text operators over the `documents` table: token counting,
+  * language-ID heuristic, quality scoring, document fingerprinting, exact
+  * dedup, n-gram Jaccard near-dup, MinHash+LSH, and SimHash.
+  *
+  * These go beyond the reference surface (its pipeline has no text ops) and
+  * are the LLM-pipeline extensions called for by BASELINE.json's north star.
+  *
+  * Scale notes (100 TB posture):
+  *  - every per-document stage is a narrow projection — no shuffle at all
+  *    until the final ORDER BY / GROUP BY;
+  *  - the near-dup joins never pair raw documents: they join on *shingle* /
+  *    *band signature* / *simhash* keys, so the shuffle key space is small
+  *    and the candidate set is bounded (classic LSH banding — only documents
+  *    agreeing on a band collide);
+  *  - all hashing is md5-based and engine-agnostic, so results are
+  *    reproducible across engines and cluster sizes (no hash-seed drift).
+  */
+object TextDedupQueries extends QueryModule {
+
+  /** Tokens of `text` (single-space separated in this corpus). */
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+
+  /** Distinct word 3-gram shingles per document, one row per (doc, shingle).
+    * Docs shorter than 3 tokens are dropped (both sides of the oracle). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withToks(Tables.documents(s, dir))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id",
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(toks)-2), " +
+            "i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))"
+        ))).as("shingle"))
+  }
+  private val shinglesSql =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS shingle
+      |       FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** q22: token counting + quality scoring — whitespace tokens, BPE-ish
+    * regex tokens, punctuation ratio, mean token length, stopword ratio, and
+    * a composite quality score. Pure per-row projection: fully parallel, no
+    * shuffle, codegen'd end-to-end. */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = "('the','a','of','and','to','in','is','it')"
+    withToks(Tables.documents(s, dir))
+      .withColumn("n_ws_tokens", size($"toks"))
+      // BPE-ish pre-tokenizer: runs of letters, runs of digits, single other
+      .withColumn("n_bpe_tokens",
+        size(regexp_extract_all($"text", lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
+      .withColumn("n_punct", size(regexp_extract_all($"text", lit("[^a-z0-9\\s]"), lit(0))))
+      .withColumn("n_stop", expr(s"size(filter(toks, t -> t IN $stop))"))
+      .withColumn("mean_tok_len",
+        round(expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))") /
+          $"n_ws_tokens".cast("double"), 4))
+      .withColumn("stop_ratio", round($"n_stop" / $"n_ws_tokens".cast("double"), 4))
+      .withColumn("quality_score", round(
+        when($"n_chars".between(100, 400), lit(1.0)).otherwise(lit(0.5)) *
+          when($"stop_ratio" > 0.02, lit(1.0)).otherwise(lit(0.8)), 4))
+      .select($"doc_id", $"n_chars", $"n_ws_tokens", $"n_bpe_tokens", $"n_punct",
+        $"n_stop", $"mean_tok_len", $"stop_ratio", $"quality_score")
+      .orderBy($"doc_id")
+  }
+  private val q22Sql =
+    """WITH base AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks,
+      |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+      |    len(regexp_extract_all(text, '[^a-z0-9\s]')) AS n_punct,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the','a','of','and','to','in','is','it'))) AS n_stop
+      |  FROM documents),
+      |m AS (SELECT doc_id, n_chars, len(toks) AS n_ws_tokens, n_bpe_tokens, n_punct, n_stop,
+      |  round(list_reduce(list_transform(toks, t -> len(t)), (a,b) -> a+b)
+      |    / CAST(len(toks) AS DOUBLE), 4) AS mean_tok_len,
+      |  round(n_stop / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio
+      |  FROM base)
+      |SELECT doc_id, n_chars, n_ws_tokens, n_bpe_tokens, n_punct, n_stop,
+      |  mean_tok_len, stop_ratio,
+      |  round((CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1.0 ELSE 0.5 END) *
+      |        (CASE WHEN stop_ratio > 0.02 THEN 1.0 ELSE 0.8 END), 4) AS quality_score
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** q23: language-ID heuristic — marker-stopword counts per language,
+    * first-match argmax (fixed precedence on ties), confusion matrix against
+    * the labelled lang. Narrow projection + one tiny aggregation. */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val markers = Seq(
+      "en" -> "('the','a','of','and','is')",
+      "fr" -> "('le','la','et','de','un')",
+      "es" -> "('el','los','y','de','un')",
+      "de" -> "('der','die','und','das','ein')")
+    val scored = markers.foldLeft(withToks(Tables.documents(s, dir))) {
+      case (df, (lang, set)) =>
+        df.withColumn(s"s_$lang", expr(s"size(filter(toks, t -> t IN $set))"))
+    }
+    scored
+      .withColumn("predicted",
+        when($"s_en" >= greatest($"s_fr", $"s_es", $"s_de") && $"s_en" > 0, lit("en"))
+          .when($"s_fr" >= greatest($"s_es", $"s_de") && $"s_fr" > 0, lit("fr"))
+          .when($"s_es" >= $"s_de" && $"s_es" > 0, lit("es"))
+          .when($"s_de" > 0, lit("de"))
+          .otherwise(lit("unknown")))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+  private val q23Sql =
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+      |sc AS (SELECT doc_id, lang,
+      |  len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS s_en,
+      |  len(list_filter(toks, x -> x IN ('le','la','et','de','un'))) AS s_fr,
+      |  len(list_filter(toks, x -> x IN ('el','los','y','de','un'))) AS s_es,
+      |  len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS s_de
+      |  FROM t),
+      |p AS (SELECT lang,
+      |  CASE WHEN s_en >= greatest(s_fr, s_es, s_de) AND s_en > 0 THEN 'en'
+      |       WHEN s_fr >= greatest(s_es, s_de) AND s_fr > 0 THEN 'fr'
+      |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+      |       WHEN s_de > 0 THEN 'de'
+      |       ELSE 'unknown' END AS predicted
+      |  FROM sc)
+      |SELECT lang, predicted, count(*) AS n FROM p
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+
+  /** q24: document fingerprinting — md5 content hash of normalized text plus
+    * a modular polynomial rolling hash over token lengths (kept under 2^31 so
+    * the arithmetic is overflow-free and engine-portable). */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withToks(Tables.documents(s, dir))
+      .select($"doc_id",
+        md5(concat_ws(" ", expr("transform(toks, t -> lower(t))"))).as("content_md5"),
+        expr("aggregate(toks, CAST(7 AS BIGINT), " +
+          "(acc, t) -> (acc * 1000003 + length(t)) % 2147483647)").as("rolling_fp"))
+      .orderBy($"doc_id")
+  }
+  private val q24Sql =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_transform(string_split(text, ' '), t -> lower(t)), ' ')) AS content_md5,
+      |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |    list_transform(string_split(text, ' '), t -> CAST(len(t) AS BIGINT))),
+      |    (acc, t) -> (acc * 1000003 + t) % 2147483647) AS rolling_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q25: exact deduplication by content hash — hash-groupBy, deterministic
+    * canonical survivor (min doc_id). One shuffle on the 128-bit hash; at
+    * 100 TB the hash key distributes uniformly, so no skew by construction. */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(md5($"text").as("content_md5"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("canonical_doc_id"))
+      .orderBy($"canonical_doc_id")
+  }
+  private val q25Sql =
+    """SELECT md5(text) AS content_md5, count(*) AS n_copies,
+      |  min(doc_id) AS canonical_doc_id
+      |FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id""".stripMargin
+
+  /** q26: n-gram Jaccard near-dup pairs — distinct 3-gram shingles,
+    * shingle-key self-join (shuffle on shingle, never on document), exact
+    * Jaccard, threshold 0.15. The join fan-out is bounded because only
+    * documents *sharing a shingle* pair up. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh  = shingles(s, dir)
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(cnt.as("cb"), $"doc_b" === $"cb.doc_id")
+      .withColumn("jaccard", round($"inter" /
+        ($"ca.n_sh" + $"cb.n_sh" - $"inter").cast("double"), 6))
+      .filter($"jaccard" >= 0.15)
+      .select($"doc_a", $"doc_b", $"inter", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q26Sql =
+    s"""$shinglesSql,
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter,
+      |  round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) AS jaccard
+      |FROM pairs
+      |JOIN cnt ca ON doc_a = ca.doc_id
+      |JOIN cnt cb ON doc_b = cb.doc_id
+      |WHERE round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= 0.15
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q27: MinHash + LSH banding — 8 salted min-hashes per document (the band
+    * signature is the min md5 over shingles, a string min: engine-portable),
+    * candidate pairs = documents agreeing on >= 2 bands. This is the
+    * standard sub-quadratic near-dup path: the only join key is (band,
+    * signature), so candidate generation is a hash join over tiny buckets —
+    * no O(n^2) pair enumeration at scale. */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // All 8 salted hashes per shingle in one codegen'd array literal
+    // (higher-order lambdas are interpreted — too slow for the hash loop),
+    // then one narrow groupBy(doc, band) min for the signatures.
+    val salted = array((0 to 7).map(b =>
+      md5(concat(lit(s"$b|"), col("shingle")))): _*)
+    val sig = shingles(s, dir)
+      .select($"doc_id", posexplode(salted).as(Seq("band", "mh")))
+      .groupBy($"doc_id", $"band")
+      .agg(min($"mh").as("mh"))
+    sig.as("a").join(sig.as("b"),
+        $"a.band" === $"b.band" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter($"n_bands" >= 2)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q27Sql =
+    s"""$shinglesSql,
+      |bands AS (SELECT unnest(range(0, 8)) AS band),
+      |sig AS (SELECT doc_id, band,
+      |    min(md5(band::VARCHAR || '|' || shingle)) AS mh
+      |  FROM sh CROSS JOIN bands GROUP BY 1, 2)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+      |FROM sig a JOIN sig b
+      |  ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q28: SimHash — 32-bit frequency-weighted signature (bit b is the sign
+    * of the +-1 vote of every token's md5 nibble b), plus each document's
+    * hamming-nearest neighbor. Signature build is a groupBy on (doc, bit);
+    * the NN self-join here is brute-force (fine at verify SF) — at scale the
+    * same signatures feed a banded hamming index instead. */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Signature built per-row (one projection, zero shuffles): md5 each
+    // token once, then fold the 32 bit-votes over the hash array.
+    val sim = withToks(Tables.documents(s, dir))
+      .withColumn("hxs", expr("transform(toks, t -> md5(t))"))
+      .withColumn("simhash", expr(
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, bp) -> acc + " +
+          "IF(aggregate(hxs, 0, (a, h) -> a + IF(substr(h, bp+1, 1) IN " +
+          "('8','9','a','b','c','d','e','f'), 1, -1)) >= 0, " +
+          "shiftleft(CAST(1 AS BIGINT), bp), CAST(0 AS BIGINT)))"))
+      .select($"doc_id", $"simhash")
+    // Exact hamming-NN via min(struct(...)): partial-aggregable, so the
+    // n^2 candidate stream collapses map-side instead of feeding a window.
+    sim.as("a").join(broadcast(sim.as("b")), $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("doc_id"), $"a.simhash".as("simhash"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"),
+        $"b.doc_id".as("nn_doc"))
+      .groupBy($"doc_id", $"simhash")
+      .agg(min(struct($"hamming", $"nn_doc")).as("m"))
+      .select($"doc_id", $"simhash", $"m.nn_doc".as("nn_doc"), $"m.hamming".as("hamming"))
+      .orderBy($"doc_id")
+  }
+  private val q28Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+      |bits AS (SELECT doc_id, bp,
+      |    sum(CASE WHEN substr(hx, bp+1, 1) IN ('8','9','a','b','c','d','e','f')
+      |        THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bp) b GROUP BY 1, 2),
+      |sim AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bp) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY 1),
+      |nn AS (SELECT a.doc_id, a.simhash, b.doc_id AS nn_doc,
+      |    bit_count(xor(a.simhash, b.simhash)) AS hamming,
+      |    ROW_NUMBER() OVER (PARTITION BY a.doc_id
+      |      ORDER BY bit_count(xor(a.simhash, b.simhash)), b.doc_id) AS rn
+      |  FROM sim a JOIN sim b ON a.doc_id <> b.doc_id)
+      |SELECT doc_id, simhash, nn_doc, hamming FROM nn WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q22_token_quality", q22, Some(q22Sql)),
+    QueryDef("q23_lang_id", q23, Some(q23Sql)),
+    QueryDef("q24_fingerprint", q24, Some(q24Sql)),
+    QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
+    QueryDef("q26_ngram_jaccard", q26, Some(q26Sql)),
+    QueryDef("q27_minhash_lsh", q27, Some(q27Sql)),
+    QueryDef("q28_simhash", q28, Some(q28Sql)),
+  )
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, a sign-bit LSH
+  * bucketed variant as the sub-quadratic scale path, and cosine near-dup
+  * pair mining.
+  *
+  * Numeric determinism: every dot product is a *sequential left fold over
+  * doubles* (floats are cast to double before any multiply), identical on
+  * the Spark side (`aggregate(zip_with(...))`) and the DuckDB oracle
+  * (`list_reduce(list_transform(...))`), so results are bit-stable across
+  * engines and partitionings; cosines are additionally rounded to 6 dp
+  * before ranking so ordering can never hinge on a final ulp.
+  *
+  * Scale path (100 TB): the brute-force join is O(n^2) and exists as the
+  * correctness baseline; the LSH variant shuffles on a 256-way bucket key so
+  * each task compares only its bucket. The production upgrade is IVF: k-means
+  * centroids broadcast, vectors shuffled to nearest-centroid partitions, and
+  * probes limited to the closest few cells — same join shape as the LSH
+  * variant, with learned rather than axis-aligned cells.
+  */
+object VectorQueries extends QueryModule {
+
+  /** Vectors with precomputed double array + L2 norm (native codegen'd
+    * dot product — see graft.functions.ArrayDotProduct). */
+  private def normed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("nrm", vector.norm($"v"))
+      .select($"vec_id", $"v", $"nrm")
+  }
+  private val normedSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e)""".stripMargin
+
+  private def cosSpark(implicit s: SparkSession): Column = {
+    import s.implicits._
+    vector.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")
+  }
+  private val cosDuck =
+    """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+      |    / (a.nrm * b.nrm)""".stripMargin
+
+  /** q29: brute-force cosine k-NN, k=5 — the exact baseline every ANN
+    * variant is measured against. One broadcastable side at verify SF. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val n = normed(s, dir)
+    n.as("a").join(broadcast(n.as("b")), $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nn_vec"),
+        round(cosSpark, 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"nn_vec")))
+      .filter($"rk" <= 5)
+      .select($"vec_id", $"rk", $"nn_vec", $"cos_sim")
+      .orderBy($"vec_id", $"rk")
+  }
+  private val q29Sql =
+    s"""$normedSql,
+      |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_vec,
+      |    round($cosDuck, 6) AS cos_sim
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos_sim DESC, nn_vec) AS rk FROM p)
+      |SELECT vec_id, rk, nn_vec, cos_sim FROM r WHERE rk <= 5
+      |ORDER BY vec_id, rk""".stripMargin
+
+  /** q30: LSH-bucketed ANN — 8 sign-bit axis projections give a 256-way
+    * bucket key; candidates are generated only within a bucket (top-3 each).
+    * This is the join shape that survives 100x data: shuffle on bucket,
+    * per-bucket pairing, never all-pairs. */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val bucketed = normed(s, dir).withColumn("bucket", expr(
+      "aggregate(transform(sequence(1, 8), " +
+        "j -> IF(element_at(v, j) >= 0D, shiftleft(1, j - 1), 0)), 0, (acc, x) -> acc + x)"))
+    bucketed.as("a").join(bucketed.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"a.bucket".as("bucket"),
+        $"b.vec_id".as("nn_vec"), round(cosSpark, 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"nn_vec")))
+      .filter($"rk" <= 3)
+      .select($"vec_id", $"bucket", $"rk", $"nn_vec", $"cos_sim")
+      .orderBy($"vec_id", $"rk")
+  }
+  private val q30Sql =
+    s"""$normedSql,
+      |bk AS (SELECT vec_id, v, nrm,
+      |    list_reduce(list_prepend(0, list_transform(range(1, 9),
+      |      j -> CASE WHEN v[j] >= 0 THEN (1 << (j - 1)) ELSE 0 END)),
+      |      (acc, x) -> acc + x) AS bucket
+      |  FROM n),
+      |p AS (SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS nn_vec,
+      |    round($cosDuck, 6) AS cos_sim
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos_sim DESC, nn_vec) AS rk FROM p)
+      |SELECT vec_id, bucket, rk, nn_vec, cos_sim FROM r WHERE rk <= 3
+      |ORDER BY vec_id, rk""".stripMargin
+
+  /** q31: embedding-cosine near-dup pairs (cos >= 0.4, a < b) — the
+    * embedding-space analog of q26's text Jaccard near-dup. */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val n = normed(s, dir)
+    n.as("a").join(broadcast(n.as("b")), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        round(cosSpark, 6).as("cos_sim"))
+      .filter($"cos_sim" >= 0.4)
+      .orderBy($"vec_a", $"vec_b")
+  }
+  private val q31Sql =
+    s"""$normedSql,
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    round($cosDuck, 6) AS cos_sim
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q29_knn_cosine", q29, Some(q29Sql)),
+    QueryDef("q30_ann_lsh_bucketed", q30, Some(q30Sql)),
+    QueryDef("q31_cosine_neardup", q31, Some(q31Sql)),
+  )
+}

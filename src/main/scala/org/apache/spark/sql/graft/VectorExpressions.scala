@@ -1,0 +1,70 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native (whole-stage-codegen'd) dot product over two double arrays.
+  *
+  * A Catalyst `Expression` rather than a UDF or `aggregate(zip_with(...))`
+  * chain: higher-order functions are interpreted per element and box every
+  * value, which made brute-force cosine k-NN the bench bottleneck. The
+  * generated code is a tight primitive loop inside the surrounding
+  * WholeStageCodegen stage — no boxing, no lambda dispatch.
+  *
+  * Accumulation is a strict left-to-right fold starting at 0.0, matching
+  * the DuckDB oracle's `list_reduce(list_prepend(0.0, ...), +)` exactly, so
+  * results stay bit-identical across engines.
+  *
+  * Null elements inside the arrays are not expected (embeddings are dense);
+  * a null array yields null via the standard null-safe contract.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level entry points for the native vector expressions. */
+object vector {
+  /** Dot product of two array<double> columns (array<float> auto-casts). */
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge.lift(ArrayDotProduct(ColumnBridge.unwrap(a), ColumnBridge.unwrap(b)))
+
+  /** L2 norm of an array<double> column. */
+  def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+}
