@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.ScalarWindowQueries,
     graft.queries.TextDedupQueries,
     graft.queries.VectorQueries,
+    graft.queries.DqQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** The reference's data-quality check suite (SURVEY §2.12,
+  * notebooks/gold/04_data_quality_checks.py) re-expressed over the testdata,
+  * plus the remaining scalar/date surface: to_date, datediff, date parts,
+  * JSON extraction, and D1's arbitrary-survivor dedup.
+  *
+  * Reference semantics preserved exactly:
+  *  - gap/stale checks compute a PASS/FAIL status but persist FAIL rows only
+  *    (04:68-73,118-123);
+  *  - the jump check hardcodes 'FAIL' (04:85);
+  *  - human-readable `details` strings are built with concat over casts
+  *    (04:71,88,121,138-142);
+  *  - the run summary packs scalar-subquery counts into one row (04:127-143).
+  * The staleness anchor is a fixed date rather than current_date() so the
+  * oracle compare is reproducible (the reference's current_date() is a
+  * deterministic-run hazard it papers over by running daily).
+  */
+object DqQueries extends QueryModule {
+
+  /** q32: missing-activity gap detection — LAG(date) per key, DATEDIFF,
+    * threshold CASE, emit only failures (reference 04:43-74). One window
+    * shuffle on the key; the filter prunes pre-write. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"od", $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("od", $"o_orderdate".cast(DateType))
+      .withColumn("prev_od", lag($"od", 1).over(w))
+      .withColumn("gap_days", datediff($"od", $"prev_od"))
+      .filter($"gap_days" > 365)
+      .select(
+        $"o_custkey", $"od".as("gap_end"), $"prev_od".as("gap_start"), $"gap_days",
+        lit("FAIL").as("check_status"),
+        concat(lit("gap of "), $"gap_days".cast(StringType),
+          lit(" days before "), $"od".cast(StringType)).as("details"))
+      .orderBy($"o_custkey", $"gap_end")
+  }
+  private val q32Sql =
+    """WITH d AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+      |l AS (SELECT o_custkey, od,
+      |    LAG(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS prev_od
+      |  FROM d),
+      |g AS (SELECT *, date_diff('day', prev_od, od) AS gap_days FROM l)
+      |SELECT o_custkey, od AS gap_end, prev_od AS gap_start, gap_days,
+      |  'FAIL' AS check_status,
+      |  concat('gap of ', CAST(gap_days AS VARCHAR), ' days before ',
+      |         CAST(od AS VARCHAR)) AS details
+      |FROM g WHERE gap_days > 365
+      |ORDER BY o_custkey, gap_end""".stripMargin
+
+  /** q33: stale-data check — per-key MAX(date), days since a fixed anchor,
+    * persist failures only (reference 04:95-124). */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val anchor = lit(java.sql.Date.valueOf("1998-08-02"))
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate".cast(DateType)).as("last_od"))
+      .withColumn("days_stale", datediff(anchor, $"last_od"))
+      .filter($"days_stale" > 365)
+      .select($"o_custkey", $"last_od", $"days_stale",
+        lit("FAIL").as("check_status"),
+        concat(lit("no orders for "), $"days_stale".cast(StringType),
+          lit(" days (last "), $"last_od".cast(StringType), lit(")")).as("details"))
+      .orderBy($"o_custkey")
+  }
+  private val q33Sql =
+    """WITH m AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_od
+      |  FROM orders GROUP BY 1),
+      |st AS (SELECT *, date_diff('day', last_od, DATE '1998-08-02') AS days_stale FROM m)
+      |SELECT o_custkey, last_od, days_stale, 'FAIL' AS check_status,
+      |  concat('no orders for ', CAST(days_stale AS VARCHAR), ' days (last ',
+      |         CAST(last_od AS VARCHAR), ')') AS details
+      |FROM st WHERE days_stale > 365
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q34: sudden-jump check — LAG per key, relative change beyond threshold,
+    * status hardcoded FAIL (reference 04:77-92). value_change math is
+    * per-row double arithmetic: bit-deterministic. */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_value", lag($"value", 1).over(w))
+      .withColumn("rel_change", abs($"value" / $"prev_value" - lit(1.0)))
+      .filter($"rel_change" > 50.0)
+      .select($"user_id", $"event_id", $"value", $"prev_value",
+        round($"rel_change", 6).as("rel_change"),
+        lit("FAIL").as("check_status"))
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q34Sql =
+    """WITH l AS (SELECT user_id, event_id, value,
+      |    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      |  FROM events),
+      |c AS (SELECT *, abs(value / prev_value - 1.0) AS rel_change FROM l)
+      |SELECT user_id, event_id, value, prev_value,
+      |  round(rel_change, 6) AS rel_change, 'FAIL' AS check_status
+      |FROM c WHERE rel_change > 50.0
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** q35: pipeline row-count summary — scalar-subquery counts concatenated
+    * into a single human-readable row (reference 04:127-143). */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem", "customer", "events")
+      .foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT 'row_counts' AS check_name, 'PASS' AS check_status,
+        |  concat('orders=', CAST((SELECT count(*) FROM orders) AS STRING),
+        |         ' lineitem=', CAST((SELECT count(*) FROM lineitem) AS STRING),
+        |         ' customer=', CAST((SELECT count(*) FROM customer) AS STRING),
+        |         ' events=', CAST((SELECT count(*) FROM events) AS STRING)) AS details""".stripMargin)
+  }
+  private val q35Sql =
+    """SELECT 'row_counts' AS check_name, 'PASS' AS check_status,
+      |  concat('orders=', CAST((SELECT count(*) FROM orders) AS VARCHAR),
+      |         ' lineitem=', CAST((SELECT count(*) FROM lineitem) AS VARCHAR),
+      |         ' customer=', CAST((SELECT count(*) FROM customer) AS VARCHAR),
+      |         ' events=', CAST((SELECT count(*) FROM events) AS VARCHAR)) AS details""".stripMargin
+
+  /** q36: JSON field extraction from the semi-structured `props` column —
+    * get_json_object pushdown into a grouped aggregate. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast(LongType))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+  private val q36Sql =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q37: date-part surface — to_date, year/month/day, quarter, date_add,
+    * date truncation; grouped to keep output compact. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .withColumn("od", $"o_orderdate".cast(DateType))
+      .groupBy(
+        year($"od").as("yr"),
+        quarter($"od").as("qtr"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(month($"od")).as("min_month"),
+        max(dayofmonth($"od")).as("max_dom"),
+        min(date_add($"od", 30)).as("min_plus30"),
+        max(trunc($"od", "month")).as("max_month_start"))
+      .orderBy($"yr", $"qtr")
+  }
+  private val q37Sql =
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS od FROM orders)
+      |SELECT year(od) AS yr, quarter(od) AS qtr, count(*) AS n,
+      |  min(month(od)) AS min_month,
+      |  max(day(od)) AS max_dom,
+      |  min(od + INTERVAL 30 DAY)::DATE AS min_plus30,
+      |  max(date_trunc('month', od))::DATE AS max_month_start
+      |FROM d GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+
+  /** q38: D1 arbitrary-survivor dedup — dropDuplicates on a key subset.
+    * The survivor's non-key columns are nondeterministic by contract, so
+    * the checked output is survivor-independent: key count and key sum. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .dropDuplicates("l_orderkey")
+      .agg(count(lit(1)).as("n_keys"), sum($"l_orderkey").as("sum_keys"))
+  }
+  private val q38Sql =
+    """SELECT count(*) AS n_keys, CAST(sum(l_orderkey) AS DOUBLE) AS sum_keys
+      |FROM (SELECT DISTINCT l_orderkey FROM lineitem) t""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q32_gap_detection", q32, Some(q32Sql)),
+    QueryDef("q33_stale_check", q33, Some(q33Sql)),
+    QueryDef("q34_jump_check", q34, Some(q34Sql)),
+    QueryDef("q35_pipeline_counts", q35, Some(q35Sql)),
+    QueryDef("q36_json_extract", q36, Some(q36Sql)),
+    QueryDef("q37_date_parts", q37, Some(q37Sql)),
+    QueryDef("q38_dropdup_arbitrary", q38, Some(q38Sql)),
+  )
+}
