@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators: watermarked windowed aggregation and
+  * stateful sessionization.
+  *
+  * The reference is batch-only (its config reserves a checkpoints dir that
+  * nothing consumes — SURVEY §2.10); these are the north-star streaming
+  * extensions (§7.6). Shapes chosen for scale:
+  *  - windowed aggs carry a watermark so state is bounded and late data has
+  *    a defined cutoff;
+  *  - sessionization uses flatMapGroupsWithState with processing-time
+  *    timeout: per-key state is one open session (constant size), closed
+  *    sessions are emitted incrementally — the streaming dual of the batch
+  *    lag/gap-flag/running-sum sessionize (q21).
+  */
+object StreamingOps {
+
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long)
+
+  /** Per-key state: the one open session (public — encoder codegen needs
+    * constructor/accessor visibility). */
+  final case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Tumbling-window counts/averages per event type with a watermark:
+    * late rows beyond `watermark` are dropped and their state reclaimed. */
+  def windowedStats(events: DataFrame, window: String = "1 minute",
+                    watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("avg_value"))
+
+  /** Gap-based sessionization: a session closes when `gapSeconds` of event
+    * time pass with no event for the key. Emits closed sessions; one open
+    * session per key stays in state until the watermark passes its gap
+    * horizon (event-time timeout → bounded state, late-data-safe — and the
+    * engine only reschedules batches when the watermark actually moves,
+    * unlike processing-time timeouts which busy-loop the microbatch
+    * scheduler). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the gap horizon: flush the open session
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
