@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
-import graft.functions.vector
+import graft.functions.{aggregates, vector}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -52,7 +52,10 @@ object VectorQueries extends QueryModule {
       |    / (a.nrm * b.nrm)""".stripMargin
 
   /** q29: brute-force cosine k-NN, k=5 — the exact baseline every ANN
-    * variant is measured against. One broadcastable side at verify SF. */
+    * variant is measured against. The top-k per query vector goes through
+    * the native TopKScoreId aggregate: the n² candidate stream collapses to
+    * k rows per group on the map side, so the only wide exchange carries
+    * 5·n rows — a window row_number here would shuffle and sort all n². */
   private def q29(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
@@ -60,10 +63,11 @@ object VectorQueries extends QueryModule {
     n.as("a").join(broadcast(n.as("b")), $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nn_vec"),
         round(cosSpark, 6).as("cos_sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"nn_vec")))
-      .filter($"rk" <= 5)
-      .select($"vec_id", $"rk", $"nn_vec", $"cos_sim")
+      .groupBy($"vec_id")
+      .agg(aggregates.topKByScore($"cos_sim", $"nn_vec", 5).as("top"))
+      .select($"vec_id", posexplode($"top").as(Seq("rk0", "t")))
+      .select($"vec_id", ($"rk0" + 1).as("rk"),
+        $"t.id".as("nn_vec"), $"t.score".as("cos_sim"))
       .orderBy($"vec_id", $"rk")
   }
   private val q29Sql =
@@ -90,10 +94,11 @@ object VectorQueries extends QueryModule {
         $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("vec_id"), $"a.bucket".as("bucket"),
         $"b.vec_id".as("nn_vec"), round(cosSpark, 6).as("cos_sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"nn_vec")))
-      .filter($"rk" <= 3)
-      .select($"vec_id", $"bucket", $"rk", $"nn_vec", $"cos_sim")
+      .groupBy($"vec_id", $"bucket")
+      .agg(aggregates.topKByScore($"cos_sim", $"nn_vec", 3).as("top"))
+      .select($"vec_id", $"bucket", posexplode($"top").as(Seq("rk0", "t")))
+      .select($"vec_id", $"bucket", ($"rk0" + 1).as("rk"),
+        $"t.id".as("nn_vec"), $"t.score".as("cos_sim"))
       .orderBy($"vec_id", $"rk")
   }
   private val q30Sql =
