@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Native expressions: ArrayDotProduct (codegen + interpreted paths) and
+  * the TopKScoreId aggregate vs the window formulation it replaces. */
+class NativeFunctionsSpec extends SparkTestBase {
+
+  test("dot product matches a sequential fold; null array yields null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (2L, Seq(0.5, -0.5), Seq(2.0, 2.0)))
+      .toDF("id", "a", "b")
+    val out = df.select($"id", vector.dot($"a", $"b").as("d")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 32.0 && out(2L) == 0.0)
+
+    val withNull = df.withColumn("c", when($"id" === 1, $"a"))
+    val nd = withNull.select(vector.dot($"c", $"b")).collect()
+    assert(!nd(0).isNullAt(0) && nd(1).isNullAt(0))
+  }
+
+  test("dot product auto-casts float arrays") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    assert(df.select(vector.dot($"a", $"b")).head.getDouble(0) == 11.0)
+  }
+
+  test("norm is sqrt of self-dot") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(3.0, 4.0))).toDF("v")
+    assert(df.select(vector.norm($"v")).head.getDouble(0) == 5.0)
+  }
+
+  test("topKByScore equals window row_number formulation, including ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = for {
+      g <- 0 until 20
+      i <- 0 until 50
+    } yield (g.toLong, i.toLong, math.floor(rnd.nextDouble() * 20) / 20.0) // forced ties
+    val df = rows.toDF("g", "id", "score").repartition(7) // multiple partials
+    val viaAgg = df.groupBy($"g")
+      .agg(aggregates.topKByScore($"score", $"id", 5).as("top"))
+      .select($"g", posexplode($"top").as(Seq("rk0", "t")))
+      .select($"g", ($"rk0" + 1).as("rk"), $"t.id".as("id"), $"t.score".as("score"))
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+    val viaWindow = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"g", $"rk", $"id", $"score")
+    assert(viaAgg.orderBy($"g", $"rk").collect().toSeq ==
+      viaWindow.orderBy($"g", $"rk").collect().toSeq)
+  }
+
+  test("topKByScore with fewer rows than k returns all, ordered") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 0.5), (1L, 11L, 0.9)).toDF("g", "id", "score")
+    val out = df.groupBy($"g")
+      .agg(aggregates.topKByScore($"score", $"id", 5).as("top"))
+      .select(posexplode($"top"))
+      .collect().map(_.getStruct(1)).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0.9, 11L), (0.5, 10L)))
+  }
+}
