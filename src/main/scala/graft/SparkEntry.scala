@@ -18,6 +18,7 @@ object SparkEntry {
     graft.queries.TextDedupQueries,
     graft.queries.VectorQueries,
     graft.queries.DqQueries,
+    graft.queries.AggBreadthQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

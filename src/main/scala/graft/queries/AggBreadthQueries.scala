@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multi-dimensional aggregation breadth beyond the reference's GROUP BY:
+  * rollup, cube, grouping sets, and the approximate-distinct scale path.
+  * The reference has none of these (SURVEY §2.5 notes their absence) — they
+  * are part of the engine's first-class analytics surface.
+  */
+object AggBreadthQueries extends QueryModule {
+
+  private val dec = DecimalType(18, 2)
+
+  /** q39: ROLLUP over (returnflag, linestatus) — subtotals + grand total.
+    * grouping() disambiguates real NULLs from rollup NULLs. */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity").as("sum_qty"),
+        grouping($"l_returnflag").cast("int").as("g_flag"),
+        grouping($"l_linestatus").cast("int").as("g_status"))
+      .orderBy($"g_flag", $"g_status", $"l_returnflag", $"l_linestatus")
+  }
+  private val q39Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
+  /** q40: CUBE over (orderstatus, orderpriority) — all 2^2 grouping
+    * combinations in one pass (Spark expands to a single expand+agg). */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(dec)).cast(DoubleType).as("total"),
+        grouping($"o_orderstatus").cast("int").as("g_status"),
+        grouping($"o_orderpriority").cast("int").as("g_prio"))
+      .orderBy($"g_status", $"g_prio", $"o_orderstatus", $"o_orderpriority")
+  }
+  private val q40Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin
+
+  /** q41: explicit GROUPING SETS — by-nation and by-segment marginals of
+    * the same join, one scan. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(
+      """SELECT n_name, c_mktsegment, count(*) AS n,
+        |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+        |ORDER BY g_nation, g_seg, n_name, c_mktsegment""".stripMargin)
+  }
+  private val q41Sql =
+    """SELECT n_name, c_mktsegment, count(*) AS n,
+      |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+      |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+      |ORDER BY g_nation, g_seg, n_name, c_mktsegment""".stripMargin
+
+  /** q42: approximate distinct (HLL++) next to the exact count — the scale
+    * path for A2 (SURVEY §2.5: exact distinct shuffles every key; HLL is a
+    * constant-size sketch, mergeable map-side). HLL estimates are
+    * engine-specific, so the oracle checks the EXACT column and the
+    * approx's relative-error BOUND, not the sketch value itself. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_orderkey").as("exact_nd"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_nd"))
+      .select($"l_returnflag", $"exact_nd",
+        // checked claim: the estimate lands within 5x the configured 2% rsd
+        ($"approx_nd" > $"exact_nd" * 0.9 && $"approx_nd" < $"exact_nd" * 1.1)
+          .as("approx_within_bound"))
+      .orderBy($"l_returnflag")
+  }
+  private val q42Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS exact_nd,
+      |  TRUE AS approx_within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q39_rollup", q39, Some(q39Sql)),
+    QueryDef("q40_cube", q40, Some(q40Sql)),
+    QueryDef("q41_grouping_sets", q41, Some(q41Sql)),
+    QueryDef("q42_approx_distinct", q42, Some(q42Sql)),
+  )
+}
