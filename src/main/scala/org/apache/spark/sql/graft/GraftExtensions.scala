@@ -1,0 +1,64 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point registering the graft native
+  * functions for SQL use:
+  *
+  *   spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+  *
+  * or `.withExtensions(new GraftExtensions)` on the session builder. After
+  * registration, `array_dot(a, b)` and `topk_score_id(score, id, k)` work
+  * in plain SQL text, with the same codegen/partial-agg behavior as the
+  * Column API in graft.functions.
+  */
+object GraftFunctions {
+  /** Runtime registration into an existing session (the extensions path
+    * below only applies to sessions built after the config is set). */
+  def register(spark: org.apache.spark.sql.classic.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("array_dot",
+      args => ArrayDotProduct(args(0), args(1)), "built-in")
+    reg.createOrReplaceTempFunction("topk_score_id",
+      args => {
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"topk_score_id: k must be an integer literal, got $other")
+        }
+        TopKScoreId(args(0), args(1), k)
+      }, "built-in")
+  }
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    register(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "array_dot(a, b) takes exactly 2 arguments")
+        ArrayDotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_score_id"),
+      new ExpressionInfo(classOf[TopKScoreId].getName, "topk_score_id"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "topk_score_id(score, id, k) takes exactly 3 arguments")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+          case other => throw new IllegalArgumentException(
+            s"topk_score_id: k must be an integer literal, got $other")
+        }
+        TopKScoreId(args(0), args(1), k)
+      }))
+  }
+}

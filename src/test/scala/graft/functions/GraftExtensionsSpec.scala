@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-text access to the native functions. Uses the runtime registration
+  * path (GraftFunctions.register) on the shared test session — getOrCreate
+  * would silently ignore spark.sql.extensions if another suite already
+  * built the session. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = graft.SparkTestBase.session
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    s
+  }
+
+  test("array_dot works from SQL text") {
+    val out = spark.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head.getDouble(0)
+    assert(out == 11.0)
+  }
+
+  test("topk_score_id works from SQL text as an aggregate") {
+    spark.sql("SELECT * FROM VALUES (1, 10, 0.4), (1, 11, 0.9), (1, 12, 0.7) AS t(g, id, s)")
+      .createOrReplaceTempView("scores")
+    val rows = spark.sql(
+      """SELECT g, t.id AS id, t.score AS score
+        |FROM (SELECT g, topk_score_id(CAST(s AS DOUBLE), CAST(id AS BIGINT), 2) AS top
+        |      FROM scores GROUP BY g)
+        |LATERAL VIEW explode(top) AS t
+        |ORDER BY t.score DESC""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((11L, 0.9), (12L, 0.7)))
+  }
+}
