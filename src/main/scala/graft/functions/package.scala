@@ -6,4 +6,5 @@ package graft
 package object functions {
   val vector: org.apache.spark.sql.graft.vector.type = org.apache.spark.sql.graft.vector
   val aggregates: org.apache.spark.sql.graft.aggregates.type = org.apache.spark.sql.graft.aggregates
+  val text: org.apache.spark.sql.graft.text.type = org.apache.spark.sql.graft.text
 }

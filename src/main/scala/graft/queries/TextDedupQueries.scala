@@ -246,25 +246,39 @@ object TextDedupQueries extends QueryModule {
     * same signatures feed a banded hamming index instead. */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Signature built per-row (one projection, zero shuffles): md5 each
-    // token once, then fold the 32 bit-votes over the hash array.
+    // Signature built per-row by the native SimHash32 expression (one
+    // compiled call; the SQL higher-order-function formulation ran tokens
+    // x 32 interpreted lambdas per row and dominated the whole bench).
     val sim = withToks(Tables.documents(s, dir))
-      .withColumn("hxs", expr("transform(toks, t -> md5(t))"))
-      .withColumn("simhash", expr(
-        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, bp) -> acc + " +
-          "IF(aggregate(hxs, 0, (a, h) -> a + IF(substr(h, bp+1, 1) IN " +
-          "('8','9','a','b','c','d','e','f'), 1, -1)) >= 0, " +
-          "shiftleft(CAST(1 AS BIGINT), bp), CAST(0 AS BIGINT)))"))
-      .select($"doc_id", $"simhash")
-    // Exact hamming-NN via min(struct(...)): partial-aggregable, so the
-    // n^2 candidate stream collapses map-side instead of feeding a window.
-    sim.as("a").join(broadcast(sim.as("b")), $"a.doc_id" =!= $"b.doc_id")
-      .select($"a.doc_id".as("doc_id"), $"a.simhash".as("simhash"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"),
-        $"b.doc_id".as("nn_doc"))
-      .groupBy($"doc_id", $"simhash")
-      .agg(min(struct($"hamming", $"nn_doc")).as("m"))
-      .select($"doc_id", $"simhash", $"m.nn_doc".as("nn_doc"), $"m.hamming".as("hamming"))
+      .select($"doc_id", graft.functions.text.simhash32($"toks").as("simhash"))
+    // Exact hamming-NN as a broadcast NN join: the signature table is 16
+    // bytes/doc by construction, so it broadcasts whole and each partition
+    // scans it in a primitive long/popcount loop — materializing the n^2
+    // pair stream through a relational join costs ~20s at sf0.1 where this
+    // costs milliseconds. At 100 TB signatures no longer broadcast whole:
+    // the upgrade is banded hamming (split the 32 bits into 4 bands, join
+    // on band equality — pigeonhole guarantees hamming<=3 pairs collide)
+    // with this same scan inside each band bucket.
+    val sigRows = sim.as[(Long, Long)].collect().sortBy(_._1)
+    val ids = sigRows.map(_._1)
+    val hs = sigRows.map(_._2)
+    val bc = s.sparkContext.broadcast((ids, hs))
+    sim.as[(Long, Long)].mapPartitions { it =>
+      val (bIds, bHs) = bc.value
+      it.map { case (d, h) =>
+        var best = Int.MaxValue
+        var bestId = Long.MaxValue
+        var i = 0
+        while (i < bIds.length) {
+          if (bIds(i) != d) {
+            val ham = java.lang.Long.bitCount(h ^ bHs(i))
+            if (ham < best) { best = ham; bestId = bIds(i) }
+          }
+          i += 1
+        }
+        (d, h, bestId, best)
+      }
+    }.toDF("doc_id", "simhash", "nn_doc", "hamming")
       .orderBy($"doc_id")
   }
   private val q28Sql =
