@@ -89,7 +89,7 @@ object DqQueries extends QueryModule {
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Tables.events(s, dir)
       .withColumn("prev_value", lag($"value", 1).over(w))
-      .withColumn("rel_change", abs($"value" / $"prev_value" - lit(1.0)))
+      .withColumn("rel_change", abs($"value" / nullif($"prev_value", lit(0.0)) - lit(1.0)))
       .filter($"rel_change" > 50.0)
       .select($"user_id", $"event_id", $"value", $"prev_value",
         round($"rel_change", 6).as("rel_change"),
@@ -100,7 +100,7 @@ object DqQueries extends QueryModule {
     """WITH l AS (SELECT user_id, event_id, value,
       |    LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
       |  FROM events),
-      |c AS (SELECT *, abs(value / prev_value - 1.0) AS rel_change FROM l)
+      |c AS (SELECT *, abs(value / nullif(prev_value, 0.0) - 1.0) AS rel_change FROM l)
       |SELECT user_id, event_id, value, prev_value,
       |  round(rel_change, 6) AS rel_change, 'FAIL' AS check_status
       |FROM c WHERE rel_change > 50.0

@@ -138,13 +138,15 @@ object RelationalQueries extends QueryModule {
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Tables.events(s, dir)
       .withColumn("prev_value", lag($"value", 1).over(w))
+      // nullif: zero prior values exist; ANSI mode makes x/0 an error and
+      // the reference's return semantics want NULL there anyway
       .select($"user_id", $"event_id", $"value", $"prev_value",
-        ($"value" / $"prev_value" - lit(1.0)).as("value_change"))
+        ($"value" / nullif($"prev_value", lit(0.0)) - lit(1.0)).as("value_change"))
       .orderBy($"user_id", $"event_id")
   }
   private val q05Sql =
     """SELECT user_id, event_id, value, prev_value,
-      |  value / prev_value - 1.0 AS value_change
+      |  value / nullif(prev_value, 0.0) - 1.0 AS value_change
       |FROM (
       |  SELECT user_id, event_id, value,
       |    LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
@@ -158,8 +160,11 @@ object RelationalQueries extends QueryModule {
     * Window node (CollapseWindow). */
   private def q06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // testdata carries duplicate (orderkey, linenumber) rows, so quantity
+    // joins the sort key: every frame-affecting column must be ordered or
+    // tied rows make the rolling frames engine-dependent.
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
       .rowsBetween(-19, Window.currentRow)
     Tables.lineitem(s, dir)
       .withColumn("avg_qty_20", avg($"l_quantity").over(w))
@@ -177,7 +182,7 @@ object RelationalQueries extends QueryModule {
       |    STDDEV_SAMP(l_quantity) OVER w AS sd_qty_20
       |  FROM lineitem
       |  WINDOW w AS (PARTITION BY l_suppkey
-      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) t
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
