@@ -19,6 +19,7 @@ object SparkEntry {
     graft.queries.VectorQueries,
     graft.queries.DqQueries,
     graft.queries.AggBreadthQueries,
+    graft.queries.SetSubqueryQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Set operations and subquery shapes beyond the reference's UNION ALL
+  * (SURVEY §2.7 notes INTERSECT/EXCEPT are absent from the reference):
+  * INTERSECT/EXCEPT, IN / NOT IN subqueries, and a correlated scalar
+  * subquery — each a distinct Catalyst planning path (set-op to
+  * semi/anti-join rewrites, subquery de-correlation to joins).
+  */
+object SetSubqueryQueries extends QueryModule {
+
+  /** q43: INTERSECT / EXCEPT (distinct set semantics — planned as
+    * left-semi / left-anti joins with dedup). Compares the customer-key
+    * populations of two order-status slices. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val f = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val p = o.filter($"o_orderstatus" === "P").select($"o_custkey")
+    def tag(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("set_op"), $"n")
+    tag("f_intersect_p", f.intersect(p))
+      .unionAll(tag("f_except_p", f.except(p)))
+      .unionAll(tag("p_except_f", p.except(f)))
+      .orderBy($"set_op")
+  }
+  private val q43Sql =
+    """SELECT * FROM (
+      |  SELECT 'f_intersect_p' AS set_op, count(*) AS n FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t1
+      |  UNION ALL
+      |  SELECT 'f_except_p', count(*) FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t2
+      |  UNION ALL
+      |  SELECT 'p_except_f', count(*) FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |    EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t3) u
+      |ORDER BY set_op""".stripMargin
+
+  /** q44: IN / NOT IN subqueries (semi/anti with null-aware planning). */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer").foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_with_urgent
+        |FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+  private val q44Sql =
+    """SELECT c_mktsegment, count(*) AS n_with_urgent
+      |FROM customer
+      |WHERE c_custkey IN (
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q45: correlated scalar subquery — per-customer max order value inline
+    * (Catalyst de-correlates to an aggregate + left outer join). */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer").foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer
+        |WHERE c_custkey <= 200
+        |ORDER BY c_custkey""".stripMargin)
+  }
+  private val q45Sql =
+    """SELECT c_custkey,
+      |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+      |FROM customer
+      |WHERE c_custkey <= 200
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q46: full outer join with coalesced keys — reconciliation shape (rows
+    * on either side survive; SMJ on the join key). */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySeg = Tables.customer(s, dir).groupBy($"c_mktsegment".as("seg"))
+      .agg(count(lit(1)).as("n_customers"))
+    val byStatus = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .filter($"o_orderstatus" === "P")
+      .groupBy($"c_mktsegment".as("seg2"))
+      .agg(countDistinct($"c_custkey").as("n_pending_customers"))
+    bySeg.join(byStatus, $"seg" === $"seg2", "full_outer")
+      .select(coalesce($"seg", $"seg2").as("segment"),
+        coalesce($"n_customers", lit(0L)).as("n_customers"),
+        coalesce($"n_pending_customers", lit(0L)).as("n_pending_customers"))
+      .orderBy($"segment")
+  }
+  private val q46Sql =
+    """WITH a AS (SELECT c_mktsegment AS seg, count(*) AS n_customers
+      |  FROM customer GROUP BY 1),
+      |b AS (SELECT c_mktsegment AS seg2, count(DISTINCT c_custkey) AS n_pending_customers
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderstatus = 'P' GROUP BY 1)
+      |SELECT coalesce(seg, seg2) AS segment,
+      |  coalesce(n_customers, 0) AS n_customers,
+      |  coalesce(n_pending_customers, 0) AS n_pending_customers
+      |FROM a FULL OUTER JOIN b ON seg = seg2
+      |ORDER BY segment""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q43_intersect_except", q43, Some(q43Sql)),
+    QueryDef("q44_in_subquery", q44, Some(q44Sql)),
+    QueryDef("q45_correlated_scalar", q45, Some(q45Sql)),
+    QueryDef("q46_full_outer_join", q46, Some(q46Sql)),
+  )
+}
