@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.DqQueries,
     graft.queries.AggBreadthQueries,
     graft.queries.SetSubqueryQueries,
+    graft.queries.FunctionBreadthQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

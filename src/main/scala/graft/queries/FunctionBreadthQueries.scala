@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Function-surface breadth beyond the reference's minimal scalar library:
+  * the full ranking-window family, string functions (including edit
+  * distance — useful for typo-level dedup), and array / higher-order
+  * functions. All per-row or single-shuffle shapes.
+  */
+object FunctionBreadthQueries extends QueryModule {
+
+  /** q47: ranking-window family — rank, dense_rank, ntile, lead,
+    * first/last_value, cume_dist over one shared sort (Catalyst collapses
+    * same-spec windows into one Window node). */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter($"o_custkey" <= 100)
+      .select($"o_orderstatus", $"o_orderkey", $"o_totalprice",
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        lead($"o_orderkey", 1).over(w).as("next_okey"),
+        first($"o_orderkey").over(wf).as("top_okey"),
+        last($"o_orderkey").over(wf).as("bottom_okey"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy($"o_orderstatus", $"rnk", $"o_orderkey")
+  }
+  private val q47Sql =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  RANK() OVER w AS rnk,
+      |  DENSE_RANK() OVER w AS drnk,
+      |  NTILE(4) OVER w AS quartile,
+      |  LEAD(o_orderkey) OVER w AS next_okey,
+      |  FIRST_VALUE(o_orderkey) OVER wf AS top_okey,
+      |  LAST_VALUE(o_orderkey) OVER wf AS bottom_okey,
+      |  round(CUME_DIST() OVER w, 6) AS cd
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey),
+      |  wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin
+
+  /** q48: string-function surface — pad/trim/translate/split_part/replace/
+    * position/reverse, plus levenshtein distance to a fixed probe (the
+    * edit-distance primitive behind typo-level near-dup). */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_partkey" <= 500)
+      .select($"p_partkey",
+        lpad($"p_brand", 12, "*").as("brand_pad"),
+        rtrim(rpad($"p_type", 30, " ")).as("type_rtrim"),
+        translate($"p_name", "aeiou", "AEIOU").as("name_vowels"),
+        expr("split_part(p_type, ' ', 1)").as("type_first"),
+        regexp_replace($"p_name", "\\s+", "_").as("name_snake"),
+        instr($"p_type", "BRASS").as("brass_pos"),
+        reverse($"p_brand").as("brand_rev"),
+        levenshtein($"p_brand", lit("Brand#33")).as("edit_to_b33"))
+      .orderBy($"p_partkey")
+  }
+  private val q48Sql =
+    """SELECT p_partkey,
+      |  lpad(p_brand, 12, '*') AS brand_pad,
+      |  rtrim(rpad(p_type, 30, ' ')) AS type_rtrim,
+      |  translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+      |  split_part(p_type, ' ', 1) AS type_first,
+      |  regexp_replace(p_name, '\s+', '_', 'g') AS name_snake,
+      |  CAST(instr(p_type, 'BRASS') AS INT) AS brass_pos,
+      |  reverse(p_brand) AS brand_rev,
+      |  levenshtein(p_brand, 'Brand#33') AS edit_to_b33
+      |FROM part WHERE p_partkey <= 500
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q49: array / higher-order surface — split, slice, sort, distinct,
+    * filter, transform, reduce, flatten, contains, zip-free fold — over the
+    * document token arrays. Everything stays in one projection. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        size($"toks").as("n_toks"),
+        size(array_distinct($"toks")).as("n_uniq"),
+        expr("size(filter(toks, t -> length(t) > 4))").as("n_long"),
+        expr("array_join(slice(array_sort(array_distinct(toks)), 1, 3), ',')").as("first3_sorted"),
+        expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)").as("total_len"),
+        array_contains($"toks", "spark").cast("int").as("has_spark"),
+        expr("array_position(toks, 'data')").as("data_pos"))
+      .orderBy($"doc_id")
+  }
+  private val q49Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  len(toks) AS n_toks,
+      |  len(list_distinct(toks)) AS n_uniq,
+      |  len(list_filter(toks, t -> len(t) > 4)) AS n_long,
+      |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
+      |  list_reduce(list_prepend(0, list_transform(toks, t -> len(t))), (a, x) -> a + x) AS total_len,
+      |  CAST(list_contains(toks, 'spark') AS INT) AS has_spark,
+      |  CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q47_window_ranking", q47, Some(q47Sql)),
+    QueryDef("q48_string_functions", q48, Some(q48Sql)),
+    QueryDef("q49_array_functions", q49, Some(q49Sql)),
+  )
+}
