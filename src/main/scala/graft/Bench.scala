@@ -24,15 +24,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def force(name: String): Unit = {
+    def force(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      // Unreferenced broadcasts/shuffles are only reclaimed by the
-      // ContextCleaner after a GC; without this, later queries inherit the
-      // whole run's accumulated executor memory pressure and measure GC,
-      // not themselves.
-      System.gc()
-    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // warmup: cheapest query twice — session-level one-off costs land here
@@ -41,7 +35,12 @@ object Bench {
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try force(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // GC BETWEEN queries (outside the timed section): the ContextCleaner
+      // only reclaims finished queries' broadcasts/shuffles after a GC, and
+      // without one later queries measure the whole run's memory pressure.
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
