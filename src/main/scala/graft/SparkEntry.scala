@@ -21,6 +21,7 @@ object SparkEntry {
     graft.queries.AggBreadthQueries,
     graft.queries.SetSubqueryQueries,
     graft.queries.FunctionBreadthQueries,
+    graft.queries.TimeSeriesQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

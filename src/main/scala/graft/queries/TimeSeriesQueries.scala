@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series operators the reference's daily grain never needed but any
+  * intraday market pipeline does: backward as-of join and OHLC bar
+  * resampling. The as-of oracle is DuckDB's native ASOF JOIN — our
+  * union+window composition must reproduce it exactly.
+  */
+object TimeSeriesQueries extends QueryModule {
+
+  /** q50: as-of join — each click joined to the user's latest error at or
+    * before it (graft.operators.AsOfJoin: one shuffle, no range join). */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("tsu", expr("ts div 1000"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"tsu", $"event_id", $"value")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"tsu", $"value")
+    AsOfJoin.backward(clicks, errors, key = "user_id", time = "tsu",
+        rightCols = Map("value" -> "err_value", "tsu" -> "err_tsu"))
+      .select($"user_id", $"tsu", $"event_id", $"value", $"err_value", $"err_tsu")
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q50Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type, value FROM events),
+      |clicks AS (SELECT user_id, tsu, event_id, value FROM e WHERE event_type = 'click'),
+      |errors AS (SELECT user_id, tsu, value AS err_value FROM e WHERE event_type = 'error')
+      |SELECT c.user_id, c.tsu, c.event_id, c.value, er.err_value, er.tsu AS err_tsu
+      |FROM clicks c ASOF LEFT JOIN errors er
+      |  ON c.user_id = er.user_id AND c.tsu >= er.tsu
+      |ORDER BY c.user_id, c.event_id""".stripMargin
+
+  /** q51: OHLC bar resampling — hourly bars per event type: first/last by
+    * time (min_by/max_by), high/low, volume. One partial-aggregable
+    * shuffle; the workhorse downsampling op for tick-to-bar pipelines. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("tsu", expr("ts div 1000"))
+      .withColumn("hr", expr("tsu div 3600000000"))
+      .groupBy($"event_type", $"hr")
+      .agg(
+        min_by($"value", $"tsu").as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", $"tsu").as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type", $"hr")
+  }
+  private val q51Sql =
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS tsu, value FROM events),
+      |b AS (SELECT event_type, tsu // 3600000000 AS hr, value, tsu FROM e)
+      |SELECT event_type, hr,
+      |  arg_min(value, tsu) AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  arg_max(value, tsu) AS close,
+      |  count(*) AS n_events
+      |FROM b GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q50_asof_join", q50, Some(q50Sql)),
+    QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
+  )
+}
