@@ -51,8 +51,10 @@ object Dedup {
           s"concat_ws(' ', ${(0 until shingleLen).map(o => s"element_at(__toks, i+$o)").mkString(", ")}))"
       ))).as("__shingle"))
 
+    // one md5 per shingle; band hashes are overlapping digest windows
+    // (see queries.TextDedupQueries q27 — full recall at 8x fewer digests)
     val salted = array((0 until bands).map(b =>
-      md5(concat(lit(s"$b|"), $"__shingle"))): _*)
+      substring(md5($"__shingle"), b * 2 + 1, 16)): _*)
     val sig = sh
       .select($"__id", posexplode(salted).as(Seq("__band", "__mh")))
       .groupBy($"__id", $"__band")

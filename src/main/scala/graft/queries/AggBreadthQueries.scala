@@ -84,11 +84,16 @@ object AggBreadthQueries extends QueryModule {
     * approx's relative-error BOUND, not the sketch value itself. */
   private def q42(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
+    // exact and approx in separate aggregations joined on the group key:
+    // mixing them in one agg makes Catalyst Expand every row 2x and fall
+    // off the partial-agg fast path — measured ~2x slower than this shape.
+    val base = Tables.lineitem(s, dir).select($"l_returnflag", $"l_orderkey")
+    val exact = base.distinct()
+      .groupBy($"l_returnflag").agg(count(lit(1)).as("exact_nd"))
+    val approx = base
       .groupBy($"l_returnflag")
-      .agg(
-        countDistinct($"l_orderkey").as("exact_nd"),
-        approx_count_distinct($"l_orderkey", 0.02).as("approx_nd"))
+      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_nd"))
+    exact.join(approx, "l_returnflag")
       .select($"l_returnflag", $"exact_nd",
         // checked claim: the estimate lands within 5x the configured 2% rsd
         ($"approx_nd" > $"exact_nd" * 0.9 && $"approx_nd" < $"exact_nd" * 1.1)
