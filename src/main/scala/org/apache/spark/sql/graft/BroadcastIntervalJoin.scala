@@ -1,0 +1,137 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.DoubleType
+
+/** Broadcast interval join: inner join on `point BETWEEN lo AND hi` where
+  * the interval side is small.
+  *
+  * Spark has no specialized plan for a pure range join — it falls back to
+  * BroadcastNestedLoopJoin, evaluating the full predicate against every
+  * (row, interval) pair: O(n·m) interpreted condition evals. This operator
+  * sorts the broadcast intervals by `lo` once and, per probe row, binary
+  * searches the candidate window: O(n·(log m + k)) primitive comparisons.
+  *
+  * This is the engine's one custom Strategy+SparkPlan pair — everything
+  * else in SURVEY §2 plans well on built-ins (SURVEY §4's conclusion), but
+  * here the built-in plan's asymptotics are genuinely wrong at scale.
+  * Registered by [[GraftExtensions]]; fires only when the pattern and the
+  * size threshold match, so existing plans are never hijacked unexpectedly.
+  */
+case class BroadcastIntervalJoinExec(
+    point: Expression,
+    lo: Expression,
+    hi: Expression,
+    left: SparkPlan,
+    rightRows: Seq[InternalRow],
+    rightOutput: Seq[Attribute])
+  extends UnaryExecNode {
+
+  override def child: SparkPlan = left
+  override def output: Seq[Attribute] = left.output ++ rightOutput
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(left = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val sc = session.sparkContext
+    // sort intervals by lo; keep (lo, hi, row)
+    val loBound = BindReferences.bindReference(lo, rightOutput)
+    val hiBound = BindReferences.bindReference(hi, rightOutput)
+    val sorted = rightRows.map { r =>
+      (loBound.eval(r).asInstanceOf[Double], hiBound.eval(r).asInstanceOf[Double], r.copy())
+    }.sortBy(_._1).toArray
+    val los = sorted.map(_._1)
+    val maxHiPrefix = {
+      // running max of hi up to index i: lets the scan-back stop early for
+      // non-overlapping interval sets and bounds it for nested ones
+      val a = new Array[Double](sorted.length)
+      var m = Double.NegativeInfinity
+      var i = 0
+      while (i < sorted.length) { m = math.max(m, sorted(i)._2); a(i) = m; i += 1 }
+      a
+    }
+    val bc = sc.broadcast((sorted, los, maxHiPrefix))
+    val pointBound = BindReferences.bindReference(point, left.output)
+    val outAttrs = output
+
+    left.execute().mapPartitionsInternal { iter =>
+      val (ivals, loArr, hiPrefix) = bc.value
+      val joiner = new JoinedRow
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      iter.flatMap { row =>
+        val pv = pointBound.eval(row)
+        if (pv == null) Iterator.empty
+        else {
+          val p = pv.asInstanceOf[Double]
+          // last interval with lo <= p
+          var idx = java.util.Arrays.binarySearch(loArr, p)
+          if (idx < 0) idx = -idx - 2
+          else {
+            while (idx + 1 < loArr.length && loArr(idx + 1) == p) idx += 1
+          }
+          val hits = Seq.newBuilder[InternalRow]
+          var i = idx
+          while (i >= 0 && hiPrefix(i) >= p) {
+            if (ivals(i)._2 >= p) hits += proj(joiner(row, ivals(i)._3)).copy()
+            i -= 1
+          }
+          hits.result()
+        }
+      }
+    }
+  }
+}
+
+/** Plans inner joins shaped `lo <= point AND point <= hi` (no equi keys,
+  * double-typed bounds, small right side) onto BroadcastIntervalJoinExec. */
+case class IntervalJoinStrategy(spark: SparkSession) extends SparkStrategy {
+
+  private def smallEnough(plan: LogicalPlan): Boolean =
+    plan.stats.sizeInBytes <= spark.sessionState.conf.autoBroadcastJoinThreshold
+
+  def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j @ Join(l, r, Inner, Some(cond), _) if smallEnough(r) =>
+      val lOut = l.outputSet
+      val rOut = r.outputSet
+      def fromLeft(e: Expression) = e.references.subsetOf(lOut) && e.references.nonEmpty
+      def fromRight(e: Expression) = e.references.subsetOf(rOut) && e.references.nonEmpty
+      def isDouble(e: Expression) = e.dataType == DoubleType
+
+      // match (point >= lo) AND (point <= hi) in either literal order
+      def extract(c: Expression): Option[(Expression, Expression, Expression)] = c match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+          val cmps = Seq(a, b)
+          val lower = cmps.collectFirst {
+            case GreaterThanOrEqual(p, lo) if fromLeft(p) && fromRight(lo) => (p, lo)
+            case LessThanOrEqual(lo, p) if fromLeft(p) && fromRight(lo) => (p, lo)
+          }
+          val upper = cmps.collectFirst {
+            case LessThanOrEqual(p, hi) if fromLeft(p) && fromRight(hi) => (p, hi)
+            case GreaterThanOrEqual(hi, p) if fromLeft(p) && fromRight(hi) => (p, hi)
+          }
+          (lower, upper) match {
+            case (Some((p1, lo)), Some((p2, hi))) if p1.semanticEquals(p2) && isDouble(p1) =>
+              Some((p1, lo, hi))
+            case _ => None
+          }
+        case _ => None
+      }
+
+      extract(cond) match {
+        case Some((point, lo, hi)) =>
+          val rightPlan = spark.sessionState.executePlan(r).executedPlan
+          val rightRows = rightPlan.executeCollect().toSeq
+          BroadcastIntervalJoinExec(point, lo, hi,
+            planLater(l), rightRows, r.output) :: Nil
+        case None => Nil
+      }
+    case _ => Nil
+  }
+}
