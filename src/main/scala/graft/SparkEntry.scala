@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.SetSubqueryQueries,
     graft.queries.FunctionBreadthQueries,
     graft.queries.TimeSeriesQueries,
+    graft.queries.StatsQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)
