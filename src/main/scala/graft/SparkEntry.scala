@@ -23,6 +23,7 @@ object SparkEntry {
     graft.queries.FunctionBreadthQueries,
     graft.queries.TimeSeriesQueries,
     graft.queries.StatsQueries,
+    graft.queries.MultimodalQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)
