@@ -24,6 +24,7 @@ object SparkEntry {
     graft.queries.TimeSeriesQueries,
     graft.queries.StatsQueries,
     graft.queries.MultimodalQueries,
+    graft.queries.SemiStructuredQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)
