@@ -25,6 +25,7 @@ object SparkEntry {
     graft.queries.StatsQueries,
     graft.queries.MultimodalQueries,
     graft.queries.SemiStructuredQueries,
+    graft.queries.RangeFrameQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)
