@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Results must be invariant to parallelism: the same query run with
+  * different shuffle-partition counts and scan-split sizes must produce
+  * identical rows. This is the local proxy for "the answer doesn't change
+  * on a 1000-executor cluster" — any order-dependent float accumulation or
+  * arbitrary-survivor leak shows up here.
+  */
+class DeterminismSpec extends SparkTestBase {
+
+  // mix of shapes: decimal agg, framed window, sessionization, shingle
+  // join, minhash banding, simhash NN kernel, knn kernel, stats moments
+  private val probes = Seq(
+    "q01_pricing_summary", "q06_rolling_window", "q21_sessionize",
+    "q26_ngram_jaccard", "q27_minhash_lsh", "q28_simhash",
+    "q29_knn_cosine", "q52_stats_aggregates")
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def runWith(shufflePartitions: Int, maxPartitionBytes: String,
+                      name: String): Seq[String] = {
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevMb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toString).toSeq
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMb)
+    }
+  }
+
+  probes.foreach { name =>
+    test(s"$name is invariant to partitioning") {
+      val a = runWith(shufflePartitions = 2, maxPartitionBytes = "134217728", name)
+      val b = runWith(shufflePartitions = 13, maxPartitionBytes = "65536", name)
+      assert(a.nonEmpty)
+      assert(a == b, s"$name differs across parallelism configs")
+    }
+  }
+}
