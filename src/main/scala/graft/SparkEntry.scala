@@ -26,6 +26,7 @@ object SparkEntry {
     graft.queries.MultimodalQueries,
     graft.queries.SemiStructuredQueries,
     graft.queries.RangeFrameQueries,
+    graft.queries.IntervalJoinQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)
