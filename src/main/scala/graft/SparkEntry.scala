@@ -27,6 +27,7 @@ object SparkEntry {
     graft.queries.SemiStructuredQueries,
     graft.queries.RangeFrameQueries,
     graft.queries.IntervalJoinQueries,
+    graft.queries.LateralQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)
