@@ -76,7 +76,21 @@ class PipelineSpec extends SparkTestBase {
     assert(gold(0).isNullAt(gold(0).fieldIndex("vol_20d"))) // 0 returns
     assert(gold(1).isNullAt(gold(1).fieldIndex("vol_20d"))) // 1 return: stddev_samp needs 2
     assert(!gold(2).isNullAt(gold(2).fieldIndex("vol_20d"))) // 2 returns
-    assert(!gold(0).isNullAt(gold(0).fieldIndex("avg_volume_20d")))
+
+    // ramp-up values from first principles (SURVEY §7.5: the ramp-up
+    // region must match exactly): closes 100, 112, 112.5 →
+    // returns r2=0.12, r3=112.5/112-1; vol on row 3 = stddev_samp(r2, r3)
+    val r3 = 112.5 / 112.0 - 1.0
+    val mean = (0.12 + r3) / 2.0
+    val expectedVol = math.sqrt(
+      (math.pow(0.12 - mean, 2) + math.pow(r3 - mean, 2)) / 1.0) // n-1 = 1
+    assert(math.abs(gold(2).getAs[Double]("vol_20d") - expectedVol) < 1e-12)
+    assert(math.abs(gold(2).getAs[Double]("return_1d") - r3) < 1e-12)
+
+    // avg_volume ramp-up: row 1 = its own volume; row 3 = mean of first 3
+    assert(gold(0).getAs[Double]("avg_volume_20d") == 41253900.0)
+    assert(math.abs(gold(2).getAs[Double]("avg_volume_20d") -
+      (41253900.0 + 38821400.0 + 35000000.0) / 3.0) < 1e-6)
 
     val fx = new Catalog(spark, wh).read(Schemas.tables.gold)
       .filter(col("symbol") === "EURUSD")
