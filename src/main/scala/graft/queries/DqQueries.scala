@@ -138,7 +138,7 @@ object DqQueries extends QueryModule {
   }
   private val q36Sql =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -179,7 +179,7 @@ object DqQueries extends QueryModule {
       .agg(count(lit(1)).as("n_keys"), sum($"l_orderkey").as("sum_keys"))
   }
   private val q38Sql =
-    """SELECT count(*) AS n_keys, CAST(sum(l_orderkey) AS DOUBLE) AS sum_keys
+    """SELECT count(*) AS n_keys, CAST(sum(l_orderkey) AS BIGINT) AS sum_keys
       |FROM (SELECT DISTINCT l_orderkey FROM lineitem) t""".stripMargin
 
   override def queries: Seq[QueryDef] = Seq(

@@ -37,9 +37,9 @@ object SemiStructuredQueries extends QueryModule {
       |  FROM events)
       |SELECT event_type,
       |  count(k) AS n_parsed,
-      |  sum(k) AS sum_k,
-      |  sum(k * 2) AS sum_k2,
-      |  sum(k * 3) AS sum_b,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(sum(k * 2) AS BIGINT) AS sum_k2,
+      |  CAST(sum(k * 3) AS BIGINT) AS sum_b,
       |  'k,k2' AS keys
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 

@@ -32,7 +32,18 @@ def compare(name, spark_df, duck_df):
         return f"ROWCOUNT MISMATCH spark={len(a)} duck={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
-        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+        # The driver hashes raw value representations: int64 99111 vs
+        # float64 99111.0 hash-differ even when numerically equal. Flag
+        # integer-vs-float dtype splits as a hard mismatch so local green
+        # predicts driver green (DuckDB HUGEINT sums surface as float64).
+        a_int = np.issubdtype(av.dtype, np.integer)
+        b_int = np.issubdtype(bv.dtype, np.integer)
+        a_flt = np.issubdtype(av.dtype, np.floating)
+        b_flt = np.issubdtype(bv.dtype, np.floating)
+        if (a_int and b_flt) or (a_flt and b_int):
+            return (f"DTYPE MISMATCH col={c} spark={av.dtype} duck={bv.dtype} "
+                    f"(would hash-fail on driver: int vs float repr)")
+        if a_flt or b_flt:
             av = av.astype(float); bv = bv.astype(float)
             both_nan = av.isna() & bv.isna()
             eq = (av == bv) | both_nan
