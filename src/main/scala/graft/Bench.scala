@@ -32,20 +32,30 @@ object Bench {
     // warmup: cheapest query twice — session-level one-off costs land here
     try { force("q16_distinct"); force("q16_distinct") } catch { case _: Throwable => () }
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try force(name) catch { case _: Throwable => () }
+      try force(name) catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // GC BETWEEN queries (outside the timed section): the ContextCleaner
       // only reclaims finished queries' broadcasts/shuffles after a GC, and
       // without one later queries measure the whole run's memory pressure.
       System.gc()
-      name -> dt
+      // a crashed query must not masquerade as a fast one: negative time
+      name -> (if (errors.contains(name)) -dt else dt)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\""
+    val errJson =
+      if (errors.isEmpty) ""
+      else ",\"errors\":" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ > 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

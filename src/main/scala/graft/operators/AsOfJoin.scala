@@ -24,6 +24,12 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String, time: String,
                rightCols: Map[String, String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // A destination name colliding with a left column would silently null
+    // out that left column (withColumn replaces), then the carry-forward
+    // window would destroy the left data. Refuse instead.
+    val collisions = rightCols.values.toSet.intersect(leftCols.toSet)
+    require(collisions.isEmpty,
+      s"rightCols destination names collide with left columns: $collisions")
     val taggedLeft = rightCols.values.foldLeft(
       left.withColumn("__side", lit(1))) { case (df, c) =>
       df.withColumn(c, lit(null))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.types.DoubleType
 
 /** Broadcast interval join: inner join on `point BETWEEN lo AND hi` where
@@ -30,23 +30,34 @@ case class BroadcastIntervalJoinExec(
     lo: Expression,
     hi: Expression,
     left: SparkPlan,
-    rightRows: Seq[InternalRow],
-    rightOutput: Seq[Attribute])
-  extends UnaryExecNode {
+    right: SparkPlan)
+  extends BinaryExecNode {
 
-  override def child: SparkPlan = left
-  override def output: Seq[Attribute] = left.output ++ rightOutput
-  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
-    copy(left = newChild)
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  // Collected on first execute, never at planning time: a bare explain()
+  // must not run a job, and re-planning must not re-collect a possibly
+  // non-deterministic right side. lazy val memoizes per plan instance.
+  private lazy val rightRows: Seq[InternalRow] = right.executeCollect().toSeq
 
   override protected def doExecute(): RDD[InternalRow] = {
     val sc = session.sparkContext
-    // sort intervals by lo; keep (lo, hi, row)
+    val rightOutput = right.output
+    // sort intervals by lo; keep (lo, hi, row). A null lo or hi means the
+    // BETWEEN predicate is NULL for every point — inner-join semantics say
+    // that row can never match, so drop it here instead of letting the
+    // unbox coerce null to 0.0 (which would fabricate the interval [0,0]).
     val loBound = BindReferences.bindReference(lo, rightOutput)
     val hiBound = BindReferences.bindReference(hi, rightOutput)
-    val sorted = rightRows.map { r =>
-      (loBound.eval(r).asInstanceOf[Double], hiBound.eval(r).asInstanceOf[Double], r.copy())
-    }.sortBy(_._1).toArray
+    val sorted = rightRows.iterator.flatMap { r =>
+      val lv = loBound.eval(r)
+      val hv = hiBound.eval(r)
+      if (lv == null || hv == null) Iterator.empty
+      else Iterator((lv.asInstanceOf[Double], hv.asInstanceOf[Double], r.copy()))
+    }.toArray.sortBy(_._1)
     val los = sorted.map(_._1)
     val maxHiPrefix = {
       // running max of hi up to index i: lets the scan-back stop early for
@@ -126,10 +137,8 @@ case class IntervalJoinStrategy(spark: SparkSession) extends SparkStrategy {
 
       extract(cond) match {
         case Some((point, lo, hi)) =>
-          val rightPlan = spark.sessionState.executePlan(r).executedPlan
-          val rightRows = rightPlan.executeCollect().toSeq
           BroadcastIntervalJoinExec(point, lo, hi,
-            planLater(l), rightRows, r.output) :: Nil
+            planLater(l), planLater(r)) :: Nil
         case None => Nil
       }
     case _ => Nil

@@ -30,7 +30,13 @@ case class SimHash32(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"
 
-  @transient private lazy val md: MessageDigest = MessageDigest.getInstance("MD5")
+  // Thread-confined: expression instances are usually task-local after
+  // deserialization, but driver-side eval / reused interpreted projections
+  // can share one instance across threads — a shared MessageDigest would
+  // silently corrupt digests rather than fail loudly.
+  @transient private lazy val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+  private def md: MessageDigest = mdLocal.get()
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -61,6 +61,40 @@ class IntervalJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 5L), (3L, 5L)))
   }
 
+  test("null interval bounds match nothing (not the interval [0,0])") {
+    import spark.implicits._
+    val points = Seq((1L, 0.0), (2L, 3.0)).toDF("id", "p")
+    val intervals = Seq(
+      (1L, None, Some(5.0)),          // null lo: BETWEEN is NULL for all p
+      (2L, Some(1.0), None),          // null hi: same
+      (3L, Some(-1.0), Some(1.0)))    // real interval containing 0.0
+      .toDF("iv", "lo", "hi")
+      .select($"iv", $"lo".cast("double"), $"hi".cast("double"))
+    val joined = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastIntervalJoin"))
+    val got = joined.select($"id", $"iv").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 3L)))
+  }
+
+  test("planning/explain does not execute the right side") {
+    import spark.implicits._
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    val (points, intervals) = fixtures
+    val joined = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = joined.queryExecution.executedPlan // full physical planning
+      assert(plan.toString.contains("BroadcastIntervalJoin"))
+      Thread.sleep(500) // listener bus is async; planning-time jobs land fast
+      assert(jobs == 0, s"planning ran $jobs job(s); right side must collect lazily")
+      assert(joined.count() > 0) // execution still works after deferred collect
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("does not hijack equi joins or non-range conditions") {
     import spark.implicits._
     val (points, intervals) = fixtures
