@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication operators: not analysis queries but the
@@ -9,14 +9,11 @@ import org.apache.spark.sql.functions._
   * survivor (min id) per duplicate group.
   *
   * Scale shapes: exact dedup is one hash shuffle on the content hash;
-  * near-dup finds candidate PAIRS sub-quadratically (MinHash banding — only
-  * documents agreeing on a band signature meet), then resolves groups with
-  * union-find over the pair list. The pair list is orders of magnitude
-  * smaller than the corpus (it is near-dup pairs, not all pairs), so the
-  * union-find runs driver-side and broadcasts its verdict — the same
-  * asymmetry broadcast joins exploit. At a pair list too big for one
-  * machine the upgrade is iterative label propagation (min-id exchange
-  * until fixpoint), same group semantics.
+  * near-dup finds candidate PAIRS sub-quadratically (banded LSH — only
+  * documents agreeing on a band signature ever meet), then resolves groups
+  * with distributed min-id label propagation over the pair graph. Nothing
+  * is collected to the driver at any stage, so every path here survives a
+  * pair list (or corpus) far bigger than one machine.
   */
 object Dedup {
 
@@ -30,12 +27,63 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Connected components of an undirected edge list, as (`__id`, `__lbl`)
+    * where `__lbl` is the component's minimum id.
+    *
+    * Iterative min-id label propagation: each round every node takes the
+    * minimum of its own label and its neighbors' labels; the component
+    * minimum reaches every node in O(graph diameter) rounds. Near-dup
+    * groups are dense (duplicates of one source all pair with each other),
+    * so 2–4 rounds are typical. Per round: one shuffle join + one partial
+    * aggregate; `localCheckpoint` truncates the lineage so round N does not
+    * replay rounds 1..N-1. Only ids touched by an edge appear in the output
+    * (isolated nodes are their own trivial component).
+    *
+    * Capped at `maxIters` rounds as a runaway guard: a component whose
+    * diameter exceeds the cap resolves as several sub-groups (safe for
+    * dedup — it under-merges, never over-merges).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .localCheckpoint()
+    var labels = edges.select($"__src".as("__id")).distinct()
+      .withColumn("__lbl", $"__id").localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val minNbr = edges.join(labels, $"__dst" === $"__id")
+        .groupBy($"__src").agg(min($"__lbl").as("__nbrLbl"))
+      val next = labels.join(minNbr, $"__id" === $"__src", "left")
+        .select($"__id", $"__lbl",
+          least($"__lbl", coalesce($"__nbrLbl", $"__lbl")).as("__newLbl"))
+        .localCheckpoint()
+      changed = next.filter($"__newLbl" < $"__lbl").count()
+      labels = next.select($"__id", $"__newLbl".as("__lbl"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Ids to drop (everything but the min-id survivor of each component). */
+  private def dupIds(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import pairs.sparkSession.implicits._
+    connectedComponents(pairs, aCol, bCol)
+      .filter($"__lbl" < $"__id")
+      .select($"__id".as("__dup"))
+  }
+
   /** Near-dup dedup via MinHash+LSH over word shingles of `textCol`.
     *
     * Candidate pairs: documents sharing >= `minBands` of `bands` salted
     * min-hash band signatures over `shingleLen`-gram shingles. Groups are
     * the connected components of the candidate-pair graph; each group
-    * keeps its min-id row.
+    * keeps its min-id row. Fully distributed: banded candidate join, then
+    * label propagation — no driver-side pair list.
     */
   def nearMinhash(df: DataFrame, idCol: String, textCol: String,
                   shingleLen: Int = 3, bands: Int = 8, minBands: Int = 2): DataFrame = {
@@ -67,66 +115,49 @@ object Dedup {
       .agg(count(lit(1)).as("nb"))
       .filter($"nb" >= minBands)
       .select($"ida", $"idb")
-      .as[(Long, Long)]
-      .collect()
 
-    // union-find over the (small) near-dup pair list
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent(r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-      r
-    }
-    pairs.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val canonical = parent.keys.map(k => k -> find(k)).filter { case (k, r) => k != r }.toSeq
-
-    if (canonical.isEmpty) df
-    else {
-      val dupIds = canonical.map(_._1).toDF("__dup")
-      df.join(broadcast(dupIds), col(idCol) === col("__dup"), "left_anti")
-    }
+    df.join(dupIds(pairs, "ida", "idb"), col(idCol) === col("__dup"), "left_anti")
   }
 
   /** Near-dup dedup on embedding cosine >= `threshold`; same group/survivor
-    * semantics. Brute-force kernel — pair with an LSH/IVF bucketer first at
-    * scale (see queries.VectorQueries.q30). */
+    * semantics.
+    *
+    * Candidate generation is banded sign-bit LSH (the q30 bucketer,
+    * band-ized): band `b`'s signature is the sign pattern of dims
+    * [b·bandBits, (b+1)·bandBits); vectors meet iff they agree on at least
+    * one full band, then the EXACT cosine decides. Recall for a pair at
+    * angle θ is 1-(1-(1-θ/π)^bandBits)^bands — with the 16×4 default and
+    * 64-dim vectors: ≈0.94 at cos 0.4, ≈1 at cos ≥ 0.8 (the dedup regime).
+    * Raise `bandBits` (fewer, bigger bands) for selectivity at corpus
+    * scale; the shape — shuffle on (band, signature), never all-pairs —
+    * is what survives 100×. Dims beyond bands·bandBits don't contribute to
+    * bucketing (cosine still uses them); vectors shorter than bands·bandBits
+    * hash their missing dims as sign-0.
+    */
   def nearCosine(df: DataFrame, idCol: String, vecCol: String,
-                 threshold: Double): DataFrame = {
+                 threshold: Double, bands: Int = 16, bandBits: Int = 4): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val normed = df.select(col(idCol).as("__id"),
+    val base = df.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__nrm", graft.functions.vector.norm($"__v"))
-      .as[(Long, Array[Double], Double)]
-      .collect().sortBy(_._1)
-    val ids = normed.map(_._1); val vs = normed.map(_._2); val ns = normed.map(_._3)
+    val sigs = array((0 until bands).map { b =>
+      expr(s"aggregate(transform(sequence(1, $bandBits), " +
+        s"j -> IF(element_at(__v, ${b * bandBits} + j) >= 0D, shiftleft(1, j - 1), 0)), " +
+        "0, (acc, x) -> acc + x)")
+    }: _*)
+    val banded = base.select($"__id", $"__v", $"__nrm",
+      posexplode(sigs).as(Seq("__band", "__sig")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        $"a.__band" === $"b.__band" && $"a.__sig" === $"b.__sig" &&
+          $"a.__id" < $"b.__id")
+      .select($"a.__id".as("ida"), $"b.__id".as("idb"),
+        $"a.__v".as("va"), $"b.__v".as("vb"),
+        $"a.__nrm".as("na"), $"b.__nrm".as("nb"))
+      .dropDuplicates("ida", "idb") // a pair may agree on several bands
+      .filter(graft.functions.vector.dot($"va", $"vb") / ($"na" * $"nb") >= threshold)
+      .select($"ida", $"idb")
 
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
-    }
-    var i = 0
-    while (i < ids.length) {
-      var j = i + 1
-      while (j < ids.length) {
-        var acc = 0.0; var d = 0
-        while (d < vs(i).length) { acc += vs(i)(d) * vs(j)(d); d += 1 }
-        if (acc / (ns(i) * ns(j)) >= threshold) {
-          val (ra, rb) = (find(ids(i)), find(ids(j)))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        j += 1
-      }
-      i += 1
-    }
-    val dups = parent.keys.map(k => k -> find(k)).filter { case (k, r) => k != r }
-      .map(_._1).toSeq
-    if (dups.isEmpty) df
-    else df.join(broadcast(dups.toDF("__dup")), col(idCol) === col("__dup"), "left_anti")
+    df.join(dupIds(pairs, "ida", "idb"), col(idCol) === col("__dup"), "left_anti")
   }
 }

@@ -36,4 +36,28 @@ class DedupSpec extends SparkTestBase {
     // 59 pairs above 0.4 → at least a few docs drop
     assert(removeSome.count() < emb.count())
   }
+
+  test("near-dup group resolution is distributed: no driver-collected pair list") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    // A collected pair list would surface as a LocalTableScan (driver-local
+    // rows re-parallelized); the distributed paths must not contain one.
+    val mh = Dedup.nearMinhash(docs.limit(200), "doc_id", "text")
+    assert(!mh.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "nearMinhash plan contains driver-local data")
+    val nc = Dedup.nearCosine(emb, "vec_id", "embedding", threshold = 0.4)
+    assert(!nc.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "nearCosine plan contains driver-local data")
+  }
+
+  test("connected components: min-id labels over a chain and a clique") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3) + clique {10,11,12} + isolated pair {20,21}
+    val pairs = Seq((1L,2L),(2L,3L),(3L,4L),(10L,11L),(10L,12L),(11L,12L),(20L,21L))
+      .toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L,
+      10L->10L, 11L->10L, 12L->10L, 20L->20L, 21L->20L))
+  }
 }
