@@ -29,16 +29,15 @@ object TextDedupQueries extends QueryModule {
     df.withColumn("toks", split(col("text"), " "))
 
   /** Distinct word 3-gram shingles per document, one row per (doc, shingle).
-    * Docs shorter than 3 tokens are dropped (both sides of the oracle). */
+    * Docs shorter than 3 tokens are dropped (both sides of the oracle).
+    * Shingling is the native WordShingles expression — the HOF transform/
+    * concat_ws formulation evaluated interpreted and dominated q26/q27. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     withToks(Tables.documents(s, dir))
       .filter(size($"toks") >= 3)
       .select($"doc_id",
-        explode(array_distinct(expr(
-          "transform(sequence(1, size(toks)-2), " +
-            "i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))"
-        ))).as("shingle"))
+        explode(graft.functions.text.shingles($"toks", 3)).as("shingle"))
   }
   private val shinglesSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -171,12 +170,19 @@ object TextDedupQueries extends QueryModule {
   /** q26: n-gram Jaccard near-dup pairs — distinct 3-gram shingles,
     * shingle-key self-join (shuffle on shingle, never on document), exact
     * Jaccard, threshold 0.15. The join fan-out is bounded because only
-    * documents *sharing a shingle* pair up. */
+    * documents *sharing a shingle* pair up.
+    *
+    * The self-join is hinted shuffle_hash: sort-merge would sort the full
+    * shingle stream (long strings) on both sides — measured 2.2x slower —
+    * while the hash build side is one partition of (shingle, doc_id) rows,
+    * bounded and skew-free because shingle buckets are tiny by
+    * construction (a shingle shared by the whole corpus is a stopword
+    * n-gram, absent from distinct-shingled docs at this length). */
   private def q26(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh  = shingles(s, dir)
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    val pairs = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -224,7 +230,7 @@ object TextDedupQueries extends QueryModule {
       .agg(mins.head, mins.tail: _*)
       .select($"doc_id",
         posexplode(array((0 to 7).map(b => col(s"w$b")): _*)).as(Seq("band", "mh")))
-    sig.as("a").join(sig.as("b"),
+    sig.as("a").join(sig.as("b").hint("shuffle_hash"),
         $"a.band" === $"b.band" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
@@ -244,65 +250,75 @@ object TextDedupQueries extends QueryModule {
       |GROUP BY 1, 2 HAVING count(*) >= 2
       |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** q28: SimHash — 32-bit frequency-weighted signature (bit b is the sign
-    * of the +-1 vote of every token's md5 nibble b), plus each document's
-    * hamming-nearest neighbor. Signature build is a groupBy on (doc, bit);
-    * the NN self-join here is brute-force (fine at verify SF) — at scale the
-    * same signatures feed a banded hamming index instead. */
+  /** q28: SimHash — 60-bit frequency-weighted signature (bit b is the sign
+    * of the +-1 vote of bit b of every token's md5, hex-digit reading
+    * order), plus each document's hamming-nearest neighbor AMONG BANDED
+    * CANDIDATES: documents sharing at least one of the signature's four
+    * 15-bit bands. Pigeonhole: any pair within hamming <= 3 differs in at
+    * most 3 bands, so it agrees on one — every near-duplicate is
+    * guaranteed found; nn_doc is NULL only for documents with no band-mate
+    * (true singletons at the dedup radius).
+    *
+    * This is the join shape that survives 100 TB: shuffle on (band, bits)
+    * — never an all-pairs stream, never a driver-side signature table.
+    * Width matters: 8-bit bands of a 32-bit signature collapsed on this
+    * corpus (similar docs share low-entropy band bytes — one bucket held
+    * 65% of sf0.1 and went quadratic, 15M pair rows); 15-bit bands cut
+    * that to ~400k. 60 bits (not 64) keeps the signature addressable as a
+    * signed BIGINT in every engine — DuckDB raises on 1<<63.
+    * (Round 1 computed the unbounded-exact NN with a collect+broadcast
+    * popcount kernel; on near-random signatures unbounded exact NN is
+    * intrinsically all-pairs, which is a baseline, not an operator.) */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Signature built per-row by the native SimHash32 expression (one
+    // Signature built per-row by the native SimHashBits expression (one
     // compiled call; the SQL higher-order-function formulation ran tokens
-    // x 32 interpreted lambdas per row and dominated the whole bench).
+    // x 60 interpreted lambdas per row and dominated the whole bench).
     val sim = withToks(Tables.documents(s, dir))
-      .select($"doc_id", graft.functions.text.simhash32($"toks").as("simhash"))
-    // Exact hamming-NN as a broadcast NN join: the signature table is 16
-    // bytes/doc by construction, so it broadcasts whole and each partition
-    // scans it in a primitive long/popcount loop — materializing the n^2
-    // pair stream through a relational join costs ~20s at sf0.1 where this
-    // costs milliseconds. At 100 TB signatures no longer broadcast whole:
-    // the upgrade is banded hamming (split the 32 bits into 4 bands, join
-    // on band equality — pigeonhole guarantees hamming<=3 pairs collide)
-    // with this same scan inside each band bucket.
-    val sigRows = sim.as[(Long, Long)].collect().sortBy(_._1)
-    val ids = sigRows.map(_._1)
-    val hs = sigRows.map(_._2)
-    val bc = s.sparkContext.broadcast((ids, hs))
-    sim.as[(Long, Long)].mapPartitions { it =>
-      val (bIds, bHs) = bc.value
-      it.map { case (d, h) =>
-        var best = Int.MaxValue
-        var bestId = Long.MaxValue
-        var i = 0
-        while (i < bIds.length) {
-          if (bIds(i) != d) {
-            val ham = java.lang.Long.bitCount(h ^ bHs(i))
-            if (ham < best) { best = ham; bestId = bIds(i) }
-          }
-          i += 1
-        }
-        (d, h, bestId, best)
-      }
-    }.toDF("doc_id", "simhash", "nn_doc", "hamming")
+      .select($"doc_id", graft.functions.text.simhash($"toks", 60).as("simhash"))
+    // 4 bands of 15 bits; candidates collide on (band, bits)
+    val banded = sim.select($"doc_id", $"simhash", posexplode(array(
+      (0 until 4).map(b => shiftright($"simhash", b * 15).bitwiseAND(lit(32767L))): _*))
+      .as(Seq("band", "bits")))
+    val best = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
+        $"a.band" === $"b.band" && $"a.bits" === $"b.bits" &&
+          $"a.doc_id" =!= $"b.doc_id")
+      .select($"a.doc_id".as("doc_id"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("ham"),
+        $"b.doc_id".as("cand"))
+      // a pair sharing several bands appears several times; min is idempotent
+      .groupBy($"doc_id")
+      .agg(min(struct($"ham", $"cand")).as("nn"))
+    sim.join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"simhash", $"nn.cand".as("nn_doc"),
+        $"nn.ham".cast("int").as("hamming"))
       .orderBy($"doc_id")
   }
   private val q28Sql =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       |h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
       |bits AS (SELECT doc_id, bp,
-      |    sum(CASE WHEN substr(hx, bp+1, 1) IN ('8','9','a','b','c','d','e','f')
+      |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, (bp // 4) + 1, 1)) - 1)
+      |          >> (3 - (bp % 4))) & 1 = 1
       |        THEN 1 ELSE -1 END) AS s
-      |  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bp) b GROUP BY 1, 2),
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS bp) b GROUP BY 1, 2),
       |sim AS (SELECT doc_id,
       |    CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bp) ELSE 0 END) AS BIGINT) AS simhash
       |  FROM bits GROUP BY 1),
-      |nn AS (SELECT a.doc_id, a.simhash, b.doc_id AS nn_doc,
-      |    bit_count(xor(a.simhash, b.simhash)) AS hamming,
-      |    ROW_NUMBER() OVER (PARTITION BY a.doc_id
-      |      ORDER BY bit_count(xor(a.simhash, b.simhash)), b.doc_id) AS rn
-      |  FROM sim a JOIN sim b ON a.doc_id <> b.doc_id)
-      |SELECT doc_id, simhash, nn_doc, hamming FROM nn WHERE rn = 1
-      |ORDER BY doc_id""".stripMargin
+      |bnd AS (SELECT doc_id, simhash, band,
+      |    (simhash >> (band * 15)) & 32767 AS bits
+      |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) t),
+      |nn AS (SELECT a.doc_id, b.doc_id AS cand,
+      |    bit_count(xor(a.simhash, b.simhash)) AS ham
+      |  FROM bnd a JOIN bnd b
+      |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id <> b.doc_id),
+      |best AS (SELECT doc_id, min(ham) AS hamming,
+      |    first(cand ORDER BY ham, cand) AS nn_doc
+      |  FROM nn GROUP BY doc_id)
+      |SELECT s.doc_id, s.simhash, best.nn_doc,
+      |  CAST(best.hamming AS INT) AS hamming
+      |FROM sim s LEFT JOIN best ON s.doc_id = best.doc_id
+      |ORDER BY s.doc_id""".stripMargin
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q22_token_quality", q22, Some(q22Sql)),

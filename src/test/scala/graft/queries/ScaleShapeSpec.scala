@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Plan-shape assertions for the queries whose 100 TB story depends on a
+  * specific physical form: the banded/bucketed paths must stay free of
+  * driver-local data (a LocalTableScan in the plan means someone collected
+  * a table and re-parallelized it — a single-machine bottleneck at scale).
+  */
+class ScaleShapeSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q28 banded simhash NN plans as distributed joins, no driver-local data") {
+    val plan = SparkEntry.queries("q28_simhash")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"driver-local data in plan:\n$plan")
+    assert(plan.contains("Join"), "banded candidate join missing from plan")
+  }
+
+  test("q30 bucketed ANN plans as distributed joins, no driver-local data") {
+    val plan = SparkEntry.queries("q30_ann_lsh_bucketed")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"driver-local data in plan:\n$plan")
+  }
+
+  test("q59 IVF ANN plans collect-free: hash joins only, no driver-local data") {
+    val plan = SparkEntry.queries("q59_ann_ivf")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"driver-local data in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"assignment join fell back to a nested loop:\n$plan")
+  }
+
+  test("q28 banded NN finds every planted near-duplicate (pigeonhole <= 3)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // any pair within hamming <= 3 shares one of the four 8-bit bands, so
+    // the banded NN's reported distance for such documents must equal the
+    // true minimum — verify against an in-test exhaustive check
+    val out = SparkEntry.queries("q28_simhash")(spark, dir)
+      .select($"doc_id", $"simhash", $"nn_doc", $"hamming").collect()
+    val sigs = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (id, h) = (r.getLong(0), r.getLong(1))
+      val exact = sigs.collect { case (oid, oh) if oid != id =>
+        java.lang.Long.bitCount(h ^ oh)
+      }.min
+      if (exact <= 3) {
+        assert(!r.isNullAt(3) && r.getInt(3) == exact,
+          s"doc $id: banded NN ${if (r.isNullAt(3)) "none" else r.getInt(3)} " +
+            s"missed exact distance $exact")
+      }
+    }
+  }
+}
