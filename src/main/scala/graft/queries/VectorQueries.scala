@@ -194,9 +194,97 @@ object VectorQueries extends QueryModule {
       |SELECT vec_a, vec_b, cos_sim FROM p WHERE cos_sim >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q59: IVF ANN — the production kNN path, collect-free end to end.
+    *
+    * Index build: 16 coarse cells seeded by a 4-sign-bit LSH split, then
+    * one exact Lloyd half-step — each cell's centroid is the per-dimension
+    * mean of its members. Means go through DECIMAL(20,12) sums so they are
+    * order-independent (bit-identical across partitionings and engines);
+    * only the final divide is double. Every vector is assigned to its
+    * nearest centroid (rounded cosine, ties to the lower cell) — that is
+    * the inverted list. Search: each query probes its nprobe=2 nearest
+    * centroids' lists and ranks exact rounded cosine, top-5.
+    *
+    * Scale shape: centroid table is 16 rows (broadcast by construction —
+    * model state, not data); the only big shuffles are the per-(cell,dim)
+    * partial-aggregated mean and the probe->list equi-join on cell id.
+    * Recall is approximate by design; q29 is the exactness baseline it is
+    * measured against. The assignment join keys both sides on a
+    * data-derived constant (pmod(id, 1) = 0) so it plans as a
+    * BroadcastHashJoin — a literal key would constant-fold to `true` and
+    * fall back to BroadcastNestedLoopJoin. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val celled = normed(s, dir).withColumn("cell", expr(
+      "aggregate(transform(sequence(1, 4), " +
+        "j -> IF(element_at(v, j) >= 0D, shiftleft(1, j - 1), 0)), 0, (acc, x) -> acc + x)"))
+    val cents = celled
+      .select($"cell", posexplode($"v").as(Seq("d", "x")))
+      .groupBy($"cell", $"d")
+      .agg((sum($"x".cast("decimal(20,12)")).cast("double") / count(lit(1))).as("cx"))
+      .groupBy($"cell")
+      .agg(sort_array(collect_list(struct($"d", $"cx"))).as("ds"))
+      .select($"cell".as("ccell"), expr("transform(ds, s -> s.cx)").as("cv"))
+      .withColumn("cnrm", vector.norm($"cv"))
+    val assign = celled.withColumn("one", pmod($"vec_id", lit(1L)))
+      .join(broadcast(cents.withColumn("one", pmod($"ccell", lit(1)).cast("long"))), "one")
+      .select($"vec_id", $"v", $"nrm", $"ccell",
+        round(vector.dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("ccos"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"ccell")
+    val ranked = assign.withColumn("crk", row_number().over(wAssign))
+    val members = ranked.filter($"crk" === 1)
+      .select($"ccell".as("mcell"), $"vec_id".as("mid"), $"v".as("mv"), $"nrm".as("mnrm"))
+    val probes = ranked.filter($"crk" <= 2)
+      .select($"vec_id", $"v", $"nrm", $"ccell".as("pcell"))
+    val wTop = Window.partitionBy($"vec_id").orderBy($"cos_sim".desc, $"mid")
+    probes.join(members, $"pcell" === $"mcell" && $"vec_id" =!= $"mid")
+      .select($"vec_id", $"mid",
+        round(vector.dot($"v", $"mv") / ($"nrm" * $"mnrm"), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter($"rk" <= 5)
+      .select($"vec_id", $"rk", $"mid".as("nn_vec"), $"cos_sim")
+      .orderBy($"vec_id", $"rk")
+  }
+  private val q59Sql =
+    s"""$normedSql,
+      |cl AS (SELECT vec_id, v, nrm,
+      |    list_reduce(list_prepend(0, list_transform(range(1, 5),
+      |      j -> CASE WHEN v[j] >= 0 THEN (1 << (j - 1)) ELSE 0 END)),
+      |      (a, b) -> a + b) AS cell
+      |  FROM n),
+      |cd AS (SELECT cell, dd.d AS d,
+      |    CAST(sum(CAST(v[dd.d] AS DECIMAL(20,12))) AS DOUBLE) / count(*) AS cx
+      |  FROM cl CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd GROUP BY 1, 2),
+      |cent AS (SELECT cell AS ccell, list(cx ORDER BY d) AS cv FROM cd GROUP BY cell),
+      |centn AS (SELECT ccell, cv,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS cnrm
+      |  FROM cent),
+      |asg AS (SELECT cl.vec_id, cl.v, cl.nrm, centn.ccell,
+      |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, 65), i -> cl.v[i] * centn.cv[i])),
+      |      (x, y) -> x + y) / (cl.nrm * centn.cnrm), 6) AS ccos
+      |  FROM cl CROSS JOIN centn),
+      |rkd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY ccos DESC, ccell) AS crk FROM asg),
+      |mem AS (SELECT ccell AS mcell, vec_id AS mid, v AS mv, nrm AS mnrm
+      |  FROM rkd WHERE crk = 1),
+      |prb AS (SELECT vec_id, v, nrm, ccell AS pcell FROM rkd WHERE crk <= 2),
+      |cnd AS (SELECT p.vec_id, m.mid,
+      |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, 65), i -> p.v[i] * m.mv[i])),
+      |      (x, y) -> x + y) / (p.nrm * m.mnrm), 6) AS cos_sim
+      |  FROM prb p JOIN mem m ON p.pcell = m.mcell AND p.vec_id <> m.mid),
+      |top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos_sim DESC, mid) AS rk FROM cnd)
+      |SELECT vec_id, rk, mid AS nn_vec, cos_sim FROM top WHERE rk <= 5
+      |ORDER BY vec_id, rk""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q29_knn_cosine", q29, Some(q29Sql)),
     QueryDef("q30_ann_lsh_bucketed", q30, Some(q30Sql)),
     QueryDef("q31_cosine_neardup", q31, Some(q31Sql)),
+    QueryDef("q59_ann_ivf", q59, Some(q59Sql)),
   )
 }
