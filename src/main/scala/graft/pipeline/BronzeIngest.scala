@@ -57,13 +57,24 @@ object BronzeIngest {
   }
 
   /** Ingest a CSV batch into bronze_prices. Idempotent: the upsert key is
-    * (symbol, date), incoming wins. */
+    * (symbol, date), incoming wins. A non-empty `symbols` whitelist and
+    * start/end dates (reference config.yaml `data:`) bound the batch at
+    * the edge — before the upsert touches any partition. */
   def run(spark: SparkSession, catalog: Catalog, csvDir: String,
           source: String = "stooq",
-          ingestedAt: Timestamp = new Timestamp(System.currentTimeMillis())): DataFrame = {
-    val incoming = readCsvDir(spark, csvDir, source, ingestedAt)
-    catalog.upsert(incoming, Schemas.tables.bronze,
+          ingestedAt: Timestamp = new Timestamp(System.currentTimeMillis()),
+          names: TableNames = TableNames(),
+          symbols: Seq[String] = Nil,
+          startDate: Option[java.sql.Date] = None,
+          endDate: Option[java.sql.Date] = None): DataFrame = {
+    val all = readCsvDir(spark, csvDir, source, ingestedAt)
+    val bySymbol =
+      if (symbols.isEmpty) all else all.filter(col("symbol").isin(symbols: _*))
+    val incoming = bySymbol
+      .filter(startDate.map(d => col("date") >= lit(d)).getOrElse(lit(true)))
+      .filter(endDate.map(d => col("date") <= lit(d)).getOrElse(lit(true)))
+    catalog.upsert(incoming, names.bronze,
       keys = Seq("symbol", "date"), partitionBy = Seq("symbol"))
-    catalog.read(Schemas.tables.bronze)
+    catalog.read(names.bronze)
   }
 }

@@ -13,14 +13,15 @@ import org.apache.spark.sql.functions.col
   * move to (symbol-bucket, month) composite partitioning so a single hot
   * symbol cannot produce an oversized partition.
   */
-final class Catalog(spark: SparkSession, warehouseDir: String) {
+final class Catalog(spark: SparkSession, warehouseDir: String,
+                    names: TableNames = TableNames()) {
 
   def path(table: String): String = s"$warehouseDir/$table"
 
   def exists(table: String): Boolean =
     new java.io.File(path(table)).exists()
 
-  def read(table: String): DataFrame = Schemas.of(table) match {
+  def read(table: String): DataFrame = Schemas.of(table, names) match {
     case Some(schema) => spark.read.schema(schema).parquet(path(table))
     case None => spark.read.parquet(path(table))
   }

@@ -39,9 +39,10 @@ object GoldFeatures {
   }
 
   def run(spark: SparkSession, catalog: Catalog,
-          computedAt: Timestamp = new Timestamp(System.currentTimeMillis())): DataFrame = {
-    val silver = catalog.read(Schemas.tables.silver)
-    catalog.overwrite(features(silver, computedAt), Schemas.tables.gold, Seq("symbol"))
-    catalog.read(Schemas.tables.gold)
+          computedAt: Timestamp = new Timestamp(System.currentTimeMillis()),
+          names: TableNames = TableNames()): DataFrame = {
+    val silver = catalog.read(names.silver)
+    catalog.overwrite(features(silver, computedAt), names.gold, Seq("symbol"))
+    catalog.read(names.gold)
   }
 }

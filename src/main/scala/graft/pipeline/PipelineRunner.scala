@@ -19,12 +19,24 @@ object PipelineRunner {
   def run(spark: SparkSession, warehouseDir: String, csvDir: String,
           source: String = "stooq",
           now: Timestamp = new Timestamp(System.currentTimeMillis()),
-          today: Date = new Date(System.currentTimeMillis())): RunResult = {
-    val catalog = new Catalog(spark, warehouseDir)
-    val bronze = BronzeIngest.run(spark, catalog, csvDir, source, now)
-    val (silver, rejected) = SilverTransform.run(spark, catalog)
-    val gold = GoldFeatures.run(spark, catalog, now)
-    val dq = QualityChecks.run(spark, catalog, now, today)
+          today: Date = new Date(System.currentTimeMillis())): RunResult =
+    runConfigured(spark, warehouseDir,
+      PipelineConfig(rawInputDir = csvDir, source = source), now, today)
+
+  /** Config-driven variant (reference config.yaml → PipelineConfig):
+    * paths, source, symbol whitelist, date bounds, table names, and DQ
+    * thresholds all come from the config object. */
+  def runConfigured(spark: SparkSession, warehouseDir: String,
+                    config: PipelineConfig,
+                    now: Timestamp = new Timestamp(System.currentTimeMillis()),
+                    today: Date = new Date(System.currentTimeMillis())): RunResult = {
+    val names = config.tables
+    val catalog = new Catalog(spark, warehouseDir, names)
+    val bronze = BronzeIngest.run(spark, catalog, config.rawInputDir,
+      config.source, now, names, config.symbols, config.startDate, config.endDate)
+    val (silver, rejected) = SilverTransform.run(spark, catalog, names)
+    val gold = GoldFeatures.run(spark, catalog, now, names)
+    val dq = QualityChecks.run(spark, catalog, now, today, names, config.thresholds)
     RunResult(bronze.count(), silver.count(), rejected.count(), gold.count(), dq.count())
   }
 }

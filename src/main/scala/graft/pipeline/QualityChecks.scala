@@ -28,43 +28,46 @@ object QualityChecks {
   private def row(runTs: Timestamp, layer: String, name: String) =
     Seq(lit(runTs).as("run_ts"), lit(layer).as("layer"), lit(name).as("check_name"))
 
-  def gapCheck(silver: DataFrame, runTs: Timestamp): DataFrame = {
+  def gapCheck(silver: DataFrame, runTs: Timestamp,
+               gapDays: Int = GapDaysThreshold): DataFrame = {
     val w = Window.partitionBy(col("symbol")).orderBy(col("date"))
     silver
       .withColumn("prev_date", lag(col("date"), 1).over(w))
       .withColumn("gap_days", datediff(col("date"), col("prev_date")))
-      .filter(col("gap_days") > GapDaysThreshold)
+      .filter(col("gap_days") > gapDays)
       .select(row(runTs, "silver", "missing_trading_days") ++ Seq(
         col("symbol"),
         lit("FAIL").as("check_status"),
         col("gap_days").cast("double").as("metric_value"),
-        lit(GapDaysThreshold.toDouble).as("threshold"),
+        lit(gapDays.toDouble).as("threshold"),
         concat(lit("gap of "), col("gap_days").cast("string"),
           lit(" days ending "), col("date").cast("string")).as("details")): _*)
   }
 
-  def jumpCheck(gold: DataFrame, runTs: Timestamp): DataFrame =
+  def jumpCheck(gold: DataFrame, runTs: Timestamp,
+                absReturn: Double = AbsReturnThreshold): DataFrame =
     gold
-      .filter(abs(col("return_1d")) > AbsReturnThreshold)
+      .filter(abs(col("return_1d")) > absReturn)
       .select(row(runTs, "gold", "sudden_price_jump") ++ Seq(
         col("symbol"),
         lit("FAIL").as("check_status"),
         col("return_1d").cast("double").as("metric_value"),
-        lit(AbsReturnThreshold).as("threshold"),
+        lit(absReturn).as("threshold"),
         concat(lit("return_1d="), col("return_1d").cast("string"),
           lit(" on "), col("date").cast("string")).as("details")): _*)
 
-  def staleCheck(silver: DataFrame, runTs: Timestamp, today: Date): DataFrame =
+  def staleCheck(silver: DataFrame, runTs: Timestamp, today: Date,
+                 staleDays: Int = StaleDaysThreshold): DataFrame =
     silver
       .groupBy(col("symbol"))
       .agg(max(col("date")).as("last_date"))
       .withColumn("days_stale", datediff(lit(today), col("last_date")))
-      .filter(col("days_stale") > StaleDaysThreshold)
+      .filter(col("days_stale") > staleDays)
       .select(row(runTs, "silver", "stale_data") ++ Seq(
         col("symbol"),
         lit("FAIL").as("check_status"),
         col("days_stale").cast("double").as("metric_value"),
-        lit(StaleDaysThreshold.toDouble).as("threshold"),
+        lit(staleDays.toDouble).as("threshold"),
         concat(lit("last date "), col("last_date").cast("string"),
           lit(" is "), col("days_stale").cast("string"),
           lit(" days old")).as("details")): _*)
@@ -88,15 +91,17 @@ object QualityChecks {
 
   def run(spark: SparkSession, catalog: Catalog,
           runTs: Timestamp = new Timestamp(System.currentTimeMillis()),
-          today: Date = new Date(System.currentTimeMillis())): DataFrame = {
-    val bronze = catalog.read(Schemas.tables.bronze)
-    val silver = catalog.read(Schemas.tables.silver)
-    val gold = catalog.read(Schemas.tables.gold)
-    val checks = gapCheck(silver, runTs)
-      .unionAll(jumpCheck(gold, runTs))
-      .unionAll(staleCheck(silver, runTs, today))
+          today: Date = new Date(System.currentTimeMillis()),
+          names: TableNames = TableNames(),
+          thresholds: DqThresholds = DqThresholds()): DataFrame = {
+    val bronze = catalog.read(names.bronze)
+    val silver = catalog.read(names.silver)
+    val gold = catalog.read(names.gold)
+    val checks = gapCheck(silver, runTs, thresholds.gapDays)
+      .unionAll(jumpCheck(gold, runTs, thresholds.absReturn))
+      .unionAll(staleCheck(silver, runTs, today, thresholds.staleDays))
       .unionAll(rowCountSummary(bronze, silver, gold, runTs))
-    catalog.append(checks, Schemas.tables.dq, Seq("layer"))
-    catalog.read(Schemas.tables.dq)
+    catalog.append(checks, names.dq, Seq("layer"))
+    catalog.read(names.dq)
   }
 }

@@ -62,13 +62,15 @@ object Schemas {
   }
 
   /** Declared schema per table name (lets the catalog read tables whose
-    * current image is empty — schema inference has nothing to look at). */
-  def of(table: String): Option[StructType] = table match {
-    case tables.bronze => Some(bronze)
-    case tables.silver => Some(silver)
-    case tables.silverRejected => Some(silverRejected)
-    case tables.gold => Some(gold)
-    case tables.dq => Some(dataQualityChecks)
-    case _ => None
-  }
+    * current image is empty — schema inference has nothing to look at).
+    * `names` maps configured physical names back to the logical five. */
+  def of(table: String, names: TableNames = TableNames()): Option[StructType] =
+    table match {
+      case t if t == names.bronze => Some(bronze)
+      case t if t == names.silver => Some(silver)
+      case t if t == names.silverRejected => Some(silverRejected)
+      case t if t == names.gold => Some(gold)
+      case t if t == names.dq => Some(dataQualityChecks)
+      case _ => None
+    }
 }

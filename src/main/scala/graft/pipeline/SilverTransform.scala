@@ -55,11 +55,12 @@ object SilverTransform {
     (valid, rejected)
   }
 
-  def run(spark: SparkSession, catalog: Catalog): (DataFrame, DataFrame) = {
-    val bronze = catalog.read(Schemas.tables.bronze)
+  def run(spark: SparkSession, catalog: Catalog,
+          names: TableNames = TableNames()): (DataFrame, DataFrame) = {
+    val bronze = catalog.read(names.bronze)
     val (valid, rejected) = split(dedupLatest(bronze))
-    catalog.overwrite(valid, Schemas.tables.silver, Seq("symbol"))
-    catalog.overwrite(rejected, Schemas.tables.silverRejected, Seq("symbol"))
-    (catalog.read(Schemas.tables.silver), catalog.read(Schemas.tables.silverRejected))
+    catalog.overwrite(valid, names.silver, Seq("symbol"))
+    catalog.overwrite(rejected, names.silverRejected, Seq("symbol"))
+    (catalog.read(names.silver), catalog.read(names.silverRejected))
   }
 }

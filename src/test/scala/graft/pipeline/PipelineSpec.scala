@@ -121,6 +121,65 @@ class PipelineSpec extends SparkTestBase {
     assert(counts.head.getAs[String]("details") == "bronze=8 silver=8 gold=8")
   }
 
+  test("config-driven run: symbols, date bounds, table names, DQ thresholds from file") {
+    val csvDir = tmpDir("graft-csv5")
+    val wh = tmpDir("graft-wh5")
+    writeCsvs(csvDir)
+    val cfgPath = java.nio.file.Paths.get(tmpDir("graft-cfg"), "config.yaml")
+    java.nio.file.Files.writeString(cfgPath,
+      s"""project:
+         |  name: graft-test
+         |  timezone: UTC
+         |
+         |data:
+         |  symbols:
+         |    - SPY
+         |  start_date: "2025-12-19"   # drops SPY's first row
+         |  end_date: null             # open-ended
+         |  source: "stooq"
+         |
+         |paths:
+         |  raw_input_dir: "$csvDir"
+         |  checkpoints_dir: "$wh/checkpoints"
+         |
+         |tables:
+         |  bronze_prices: "bronze_px"
+         |  silver_prices_daily: "silver_px"
+         |  gold_market_features_daily: "gold_feat"
+         |  data_quality_checks: "dq_log"
+         |
+         |quality:
+         |  gap_days: 10   # wider than the fixture's 8-day gap
+         |  abs_return: 0.10
+         |  stale_days: 7
+         |""".stripMargin)
+
+    val cfg = PipelineConfig.load(cfgPath.toString)
+    assert(cfg.projectName == "graft-test")
+    assert(cfg.symbols == Seq("SPY"))
+    assert(cfg.startDate.contains(Date.valueOf("2025-12-19")) && cfg.endDate.isEmpty)
+    assert(cfg.rawInputDir == csvDir)
+    assert(cfg.tables.bronze == "bronze_px" && cfg.tables.dq == "dq_log")
+    assert(cfg.thresholds.gapDays == 10)
+
+    val r = PipelineRunner.runConfigured(spark, wh, cfg, now = t0, today = today)
+    assert(r.bronzeRows == 4) // EURUSD filtered out; SPY 12-18 row date-bounded
+    assert(r.goldRows == 4)
+
+    // custom physical names on disk; defaults absent
+    assert(new java.io.File(s"$wh/bronze_px").exists())
+    assert(!new java.io.File(s"$wh/bronze_prices").exists())
+
+    val dq = new Catalog(spark, wh, cfg.tables).read("dq_log")
+    // gap threshold 10 > the 8-day fixture gap: no gap FAILs at all
+    assert(dq.filter(col("check_name") === "missing_trading_days").count() == 0)
+    // the 12-18→12-19 jump's base row was date-bounded away: no jump rows
+    assert(dq.filter(col("check_name") === "sudden_price_jump").count() == 0)
+    // threshold column reflects the configured value on the stale check
+    val stale = dq.filter(col("check_name") === "stale_data").collect()
+    assert(stale.nonEmpty && stale.forall(_.getAs[Double]("threshold") == 7.0))
+  }
+
   test("DQ append accumulates across runs with distinct run_ts") {
     val csvDir = tmpDir("graft-csv4")
     val wh = tmpDir("graft-wh4")
