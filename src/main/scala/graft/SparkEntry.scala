@@ -28,6 +28,7 @@ object SparkEntry {
     graft.queries.RangeFrameQueries,
     graft.queries.IntervalJoinQueries,
     graft.queries.LateralQueries,
+    graft.queries.CurationQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators a training-data pipeline runs between "raw
+  * documents" and "training shards": deterministic train/test splitting,
+  * TF-IDF term scoring, fixed-window chunking with overlap, and benchmark
+  * decontamination. All hashing is md5-based so results are identical
+  * across engines, cluster sizes, and reruns — a split that changes when
+  * the cluster resizes poisons every downstream eval.
+  *
+  * Scale notes: splitting and chunking are pure per-row projections (no
+  * shuffle); TF-IDF shuffles on (doc, term) then term; decontamination
+  * joins on the 8-gram key — the same bounded-bucket shuffle shape as the
+  * q26/q27 near-dup family, never corpus x benchmark pairs.
+  */
+object CurationQueries extends QueryModule {
+
+  /** First 4 md5 hex digits of the doc id as an integer in [0, 65536) —
+    * the deterministic bucket every split/sample decision derives from. */
+  private def hashBucket(idCol: String) =
+    conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Same value in DuckDB via digit arithmetic (no hex-cast builtin). */
+  private def duckBucket(idExpr: String) = {
+    def digit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $i, 1)) - 1)"
+    s"(${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)})"
+  }
+
+  /** q60: deterministic hash split — 10% eval / 90% train by md5 bucket of
+    * the doc id. Per-split corpus stats verify the assignment end to end.
+    * Pure projection + tiny agg: embarrassingly parallel at any scale, and
+    * the assignment is a function of the id alone (stable under resharding,
+    * re-ingest, and cluster size). */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(hashBucket("doc_id") % 100 < 10, lit("eval")).otherwise(lit("train")))
+      .withColumn("n_toks", size(split($"text", " ")).cast("long"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("sum_toks"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .orderBy($"split")
+  }
+  private def q60Sql =
+    s"""SELECT CASE WHEN ${duckBucket("doc_id")} % 100 < 10
+      |    THEN 'eval' ELSE 'train' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_toks,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** q61: TF-IDF top-5 terms per document — tf(doc, term) x ln(N/df),
+    * rounded to 6 dp before ranking so ordering never hinges on a final
+    * ulp of the two engines' ln. Shuffles: (doc, term) tf agg, term df
+    * agg, a term-key join, and the per-doc ranking window. The corpus
+    * count N joins onto the (small) vocabulary via a data-derived
+    * constant key — an equi-join the planner hashes, not a nested loop. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      .withColumn("one", pmod($"n_docs", lit(1L)))
+    val idf = df.withColumn("one", pmod($"df", lit(1L)))
+      .join(broadcast(n), "one")
+      .select($"tok", round(log($"n_docs".cast("double") / $"df"), 6).as("idf"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+    tf.join(idf, "tok")
+      .select($"doc_id", $"tok",
+        round($"tf" * $"idf", 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .select($"doc_id", $"rk", $"tok".as("term"), $"score")
+      .orderBy($"doc_id", $"rk")
+  }
+  private val q61Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |idf AS (SELECT tok,
+      |    round(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS idf
+      |  FROM df),
+      |scored AS (SELECT tf.doc_id, tf.tok, round(tf.tf * idf.idf, 6) AS score
+      |  FROM tf JOIN idf ON tf.tok = idf.tok),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, tok) AS rk FROM scored)
+      |SELECT doc_id, rk, tok AS term, score FROM rk WHERE rk <= 5
+      |ORDER BY doc_id, rk""".stripMargin
+
+  /** q62: fixed-window chunking — 100-token chunks, stride 80 (20-token
+    * overlap), keeping a chunk only when it adds new tokens (start 1, or
+    * at least 20 tokens remain past the previous chunk's coverage). A
+    * chunk is identified by its content md5 so the check proves byte-equal
+    * chunk text across engines. Pure per-row projection: no shuffle until
+    * the final ORDER BY. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("len", size($"toks"))
+      .filter($"len" >= 1)
+      .select($"doc_id", $"toks", $"len",
+        explode(expr("filter(sequence(1, len, 80), s -> s = 1 OR len >= s + 20)"))
+          .as("start"))
+      .withColumn("chunk", slice($"toks", $"start", lit(100)))
+      .select($"doc_id",
+        (($"start" - 1) / 80).cast("int").as("chunk_idx"),
+        $"start",
+        size($"chunk").as("n_toks"),
+        md5(array_join($"chunk", " ")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+  private val q62Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |st AS (SELECT doc_id, t, len(t) AS n, unnest(range(1, len(t) + 1, 80)) AS s
+      |  FROM d WHERE len(t) >= 1),
+      |kept AS (SELECT * FROM st WHERE s = 1 OR n >= s + 20)
+      |SELECT doc_id,
+      |  CAST((s - 1) // 80 AS INT) AS chunk_idx,
+      |  CAST(s AS INT) AS start,
+      |  CAST(least(s + 99, n) - s + 1 AS INT) AS n_toks,
+      |  md5(array_to_string(t[s : least(s + 99, n)], ' ')) AS chunk_md5
+      |FROM kept ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q63: benchmark decontamination — which training docs share an 8-gram
+    * with the (deterministic) holdout set (doc_id % 20 = 0, the stand-in
+    * for an eval benchmark). The contamination join runs on the 8-gram
+    * shingle key (native WordShingles, shuffle-hash join): corpus and
+    * benchmark only meet where they literally share an 8-gram, the same
+    * bounded-bucket shape as the near-dup family. Distinct-counts are
+    * computed by pre-distincting each grain and counting rows — no
+    * countDistinct Expand. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def grams(df: DataFrame) = df
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 8)
+      .select($"doc_id", explode(graft.functions.text.shingles($"toks", 8)).as("g"))
+    val docs = Tables.documents(s, dir)
+    val corpus = grams(docs.filter($"doc_id" % 20 =!= 0))
+    val holdout = grams(docs.filter($"doc_id" % 20 === 0))
+      .select($"doc_id".as("h_doc"), $"g")
+    val hits = corpus.join(holdout.hint("shuffle_hash"), "g")
+    val nGrams = hits.select($"doc_id", $"g").distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared_8grams"))
+    val nDocs = hits.select($"doc_id", $"h_doc").distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_holdout_docs"))
+    nGrams.join(nDocs, "doc_id")
+      .select($"doc_id", $"n_shared_8grams", $"n_holdout_docs")
+      .orderBy($"doc_id")
+  }
+  private val q63Sql = {
+    val g8 = (1 to 8).map(o => s"t[i+${o - 1}]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, len(t) - 6), i -> $g8))) AS g
+      |       FROM toks WHERE len(t) >= 8),
+      |corpus AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+      |holdout AS (SELECT doc_id AS h_doc, g FROM sh WHERE doc_id % 20 = 0),
+      |hits AS (SELECT c.doc_id, c.g, h.h_doc
+      |  FROM corpus c JOIN holdout h ON c.g = h.g),
+      |ng AS (SELECT doc_id, count(*) AS n_shared_8grams
+      |  FROM (SELECT DISTINCT doc_id, g FROM hits) GROUP BY 1),
+      |nd AS (SELECT doc_id, count(*) AS n_holdout_docs
+      |  FROM (SELECT DISTINCT doc_id, h_doc FROM hits) GROUP BY 1)
+      |SELECT ng.doc_id, n_shared_8grams, n_holdout_docs
+      |FROM ng JOIN nd ON ng.doc_id = nd.doc_id
+      |ORDER BY ng.doc_id""".stripMargin
+  }
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q60_hash_split", q60, Some(q60Sql)),
+    QueryDef("q61_tfidf_topk", q61, Some(q61Sql)),
+    QueryDef("q62_chunking", q62, Some(q62Sql)),
+    QueryDef("q63_decontamination", q63, Some(q63Sql)),
+  )
+}

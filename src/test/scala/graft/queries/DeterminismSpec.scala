@@ -15,7 +15,8 @@ class DeterminismSpec extends SparkTestBase {
   private val probes = Seq(
     "q01_pricing_summary", "q06_rolling_window", "q21_sessionize",
     "q26_ngram_jaccard", "q27_minhash_lsh", "q28_simhash",
-    "q29_knn_cosine", "q52_stats_aggregates", "q59_ann_ivf")
+    "q29_knn_cosine", "q52_stats_aggregates", "q59_ann_ivf",
+    "q60_hash_split", "q63_decontamination")
 
   private val dir = "/root/testdata/sf0.001"
 
