@@ -10,8 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
   *
   * or `.withExtensions(new GraftExtensions)` on the session builder. After
-  * registration, `array_dot(a, b)` and `topk_score_id(score, id, k)` work
-  * in plain SQL text, with the same codegen/partial-agg behavior as the
+  * registration, `array_dot(a, b)`, `topk_score_id(score, id, k)`,
+  * `word_shingles(tokens, n)`, and `simhash_bits(tokens, nbits)` work in
+  * plain SQL text, with the same codegen/partial-agg behavior as the
   * Column API in graft.functions.
   */
 object GraftFunctions {
@@ -31,6 +32,17 @@ object GraftFunctions {
         }
         TopKScoreId(args(0), args(1), k)
       }, "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      args => WordShingles(args(0), intLit(args(1), "word_shingles: n")), "built-in")
+    reg.createOrReplaceTempFunction("simhash_bits",
+      args => SimHashBits(args(0), intLit(args(1), "simhash_bits: nbits")), "built-in")
+  }
+
+  private[graft] def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -47,6 +59,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "array_dot(a, b) takes exactly 2 arguments")
         ArrayDotProduct(args(0), args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles(tokens, n) takes exactly 2 arguments")
+        WordShingles(args(0), GraftFunctions.intLit(args(1), "word_shingles: n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash_bits(tokens, nbits) takes exactly 2 arguments")
+        SimHashBits(args(0), GraftFunctions.intLit(args(1), "simhash_bits: nbits"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("topk_score_id"),

@@ -63,4 +63,64 @@ class NativeFunctionsSpec extends SparkTestBase {
       .collect().map(_.getStruct(1)).map(r => (r.getDouble(0), r.getLong(1)))
     assert(out.toSeq == Seq((0.9, 11L), (0.5, 10L)))
   }
+
+  test("WordShingles equals the array_distinct/transform HOF formulation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff")
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = rows.toDF("id", "toks")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val hof = df.select($"id", expr(
+        // guard: sequence(1, 0) DESCENDS in Spark, so short arrays need
+        // an explicit empty branch
+        s"IF(size(toks) < $n, array(), " +
+          s"array_distinct(transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', ${(0 until n).map(o => s"element_at(toks, i + $o)").mkString(", ")}))))"
+      ).as("sh")).collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val native = df.select($"id", text.shingles($"toks", n).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(native == hof, s"n=$n")
+    }
+  }
+
+  test("SimHashBits matches a reference MD5 bit-vote computation") {
+    import spark.implicits._
+    def ref(toks: Seq[String], nbits: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](nbits)
+      toks.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        for (bp <- 0 until nbits) {
+          val digit = Integer.parseInt(hex.charAt(bp / 4).toString, 16)
+          val bit = (digit >> (3 - (bp % 4))) & 1
+          votes(bp) += (if (bit == 1) 1 else -1)
+        }
+      }
+      (0 until nbits).foldLeft(0L)((h, bp) => if (votes(bp) >= 0) h | (1L << bp) else h)
+    }
+    val rows = Seq(
+      (1L, Seq("alpha", "beta", "gamma", "alpha")),
+      (2L, Seq("x")),
+      (3L, Seq.empty[String]))
+    val df = rows.toDF("id", "toks")
+    for (nbits <- Seq(32, 60, 63)) {
+      val got = df.select($"id", text.simhash($"toks", nbits).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (id, toks) =>
+        assert(got(id) == ref(toks, nbits), s"id=$id nbits=$nbits")
+      }
+    }
+  }
+
+  test("word_shingles and simhash_bits are callable from SQL text") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT word_shingles(array('a','b','c'), 2) AS sh, " +
+        "simhash_bits(array('a','b'), 16) AS h").head
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 16))
+  }
 }
