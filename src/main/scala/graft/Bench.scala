@@ -48,10 +48,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    def jstr(s: String) = "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ") + "\""
     val errJson =
       if (errors.isEmpty) ""
-      else ",\"errors\":" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      else ",\"errors\":" + errors
+        .map { case (k, v) => s"${JsonEscape(k)}:${JsonEscape(v)}" }
         .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")

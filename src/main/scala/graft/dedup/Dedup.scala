@@ -47,25 +47,41 @@ object Dedup {
                           maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs
+    val sc = spark.sparkContext
+    // localCheckpoint persists an RDD per round; without explicit cleanup
+    // every superseded round's labels stay pinned in the block manager
+    // until a driver GC, competing with the job for memory at exactly the
+    // corpus sizes this loop exists for. Track each checkpoint's RDD ids
+    // (diff of getPersistentRDDs around the call) and free the previous
+    // round once the new one is materialized.
+    def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    val (edges, edgeIds) = tracked(pairs
       .select(col(aCol).as("__src"), col(bCol).as("__dst"))
-      .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
-      .localCheckpoint()
-    var labels = edges.select($"__src".as("__id")).distinct()
-      .withColumn("__lbl", $"__id").localCheckpoint()
+      .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst"))))
+    var (labels, labelIds) = tracked(edges.select($"__src".as("__id")).distinct()
+      .withColumn("__lbl", $"__id"))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
       val minNbr = edges.join(labels, $"__dst" === $"__id")
         .groupBy($"__src").agg(min($"__lbl").as("__nbrLbl"))
-      val next = labels.join(minNbr, $"__id" === $"__src", "left")
+      val (next, nextIds) = tracked(labels.join(minNbr, $"__id" === $"__src", "left")
         .select($"__id", $"__lbl",
-          least($"__lbl", coalesce($"__nbrLbl", $"__lbl")).as("__newLbl"))
-        .localCheckpoint()
+          least($"__lbl", coalesce($"__nbrLbl", $"__lbl")).as("__newLbl")))
       changed = next.filter($"__newLbl" < $"__lbl").count()
+      free(labelIds)
       labels = next.select($"__id", $"__newLbl".as("__lbl"))
+      labelIds = nextIds
       iter += 1
     }
+    free(edgeIds) // the returned frame depends only on the final checkpoint
     labels
   }
 
@@ -132,7 +148,8 @@ object Dedup {
     * scale; the shape — shuffle on (band, signature), never all-pairs —
     * is what survives 100×. Dims beyond bands·bandBits don't contribute to
     * bucketing (cosine still uses them); vectors shorter than bands·bandBits
-    * hash their missing dims as sign-0.
+    * hash their missing dims as sign-0 (vector.signBits bounds-checks, so
+    * short vectors never throw under ANSI mode).
     */
   def nearCosine(df: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, bands: Int = 16, bandBits: Int = 4): DataFrame = {
@@ -142,9 +159,7 @@ object Dedup {
         col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__nrm", graft.functions.vector.norm($"__v"))
     val sigs = array((0 until bands).map { b =>
-      expr(s"aggregate(transform(sequence(1, $bandBits), " +
-        s"j -> IF(element_at(__v, ${b * bandBits} + j) >= 0D, shiftleft(1, j - 1), 0)), " +
-        "0, (acc, x) -> acc + x)")
+      graft.functions.vector.signBits($"__v", b * bandBits, bandBits)
     }: _*)
     val banded = base.select($"__id", $"__v", $"__nrm",
       posexplode(sigs).as(Seq("__band", "__sig")))

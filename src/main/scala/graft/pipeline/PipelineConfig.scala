@@ -59,6 +59,7 @@ object PipelineConfig {
     val lists = scala.collection.mutable.Map.empty[String, Vector[String]]
     var section = ""
     var listKey: Option[String] = None
+    var subIndent = -1 // indent of the first sub-key seen; deeper = nested
 
     def clean(v: String): String = {
       val t = v.trim
@@ -79,6 +80,8 @@ object PipelineConfig {
             throw new IllegalArgumentException(s"list item without a key: $line"))
           lists(key) = lists.getOrElse(key, Vector.empty) :+ clean(trimmed.drop(2))
         } else {
+          if (!trimmed.contains(":"))
+            throw new IllegalArgumentException(s"unparseable config line: $line")
           val Array(k, rest @ _*) = trimmed.split(":", 2)
           val value = rest.headOption.map(_.trim).getOrElse("")
           val key = k.trim
@@ -86,6 +89,12 @@ object PipelineConfig {
             section = key; listKey = None
             if (value.nonEmpty) entries(key) = clean(value)
           } else {
+            // only two levels are supported; a deeper-indented key would
+            // silently be attributed to the wrong section — refuse instead
+            if (subIndent < 0) subIndent = indent
+            if (indent > subIndent)
+              throw new IllegalArgumentException(
+                s"nesting deeper than two levels is not supported: $line")
             val full = s"$section.$key"
             if (value.isEmpty || clean(value).isEmpty) listKey = Some(full)
             else { entries(full) = clean(value); listKey = None }
@@ -98,8 +107,16 @@ object PipelineConfig {
       entries.get(key).filter(v => v.nonEmpty && v != "null").getOrElse(default)
     def opt(key: String): Option[String] =
       entries.get(key).filter(v => v.nonEmpty && v != "null")
+    // A malformed date must fail loudly: silently dropping the bound would
+    // ingest unbounded history while the user believes it is bounded.
     def date(key: String): Option[Date] =
-      opt(key).flatMap(v => scala.util.Try(Date.valueOf(v)).toOption)
+      opt(key).map { v =>
+        try Date.valueOf(v)
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"config key '$key': '$v' is not a yyyy-MM-dd date")
+        }
+      }
 
     val t = TableNames()
     val d = DqThresholds()

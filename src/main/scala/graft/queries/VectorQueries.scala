@@ -133,9 +133,7 @@ object VectorQueries extends QueryModule {
   private def q30(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val bucketed = normed(s, dir).withColumn("bucket", expr(
-      "aggregate(transform(sequence(1, 8), " +
-        "j -> IF(element_at(v, j) >= 0D, shiftleft(1, j - 1), 0)), 0, (acc, x) -> acc + x)"))
+    val bucketed = normed(s, dir).withColumn("bucket", vector.signBits($"v", 0, 8))
     bucketed.as("a").join(bucketed.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("vec_id"), $"a.bucket".as("bucket"),
@@ -216,9 +214,7 @@ object VectorQueries extends QueryModule {
   private def q59(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val celled = normed(s, dir).withColumn("cell", expr(
-      "aggregate(transform(sequence(1, 4), " +
-        "j -> IF(element_at(v, j) >= 0D, shiftleft(1, j - 1), 0)), 0, (acc, x) -> acc + x)"))
+    val celled = normed(s, dir).withColumn("cell", vector.signBits($"v", 0, 4))
     // The centroid table (16 rows) and the pruned assignment are
     // localCheckpointed: members, probes, and the assignment all reference
     // them, and without the cut each branch would recompute the centroid

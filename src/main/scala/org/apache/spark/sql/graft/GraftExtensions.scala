@@ -33,9 +33,15 @@ object GraftFunctions {
         TopKScoreId(args(0), args(1), k)
       }, "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
-      args => WordShingles(args(0), intLit(args(1), "word_shingles: n")), "built-in")
+      args => {
+        require(args.length == 2, "word_shingles(tokens, n) takes exactly 2 arguments")
+        WordShingles(args(0), intLit(args(1), "word_shingles: n"))
+      }, "built-in")
     reg.createOrReplaceTempFunction("simhash_bits",
-      args => SimHashBits(args(0), intLit(args(1), "simhash_bits: nbits")), "built-in")
+      args => {
+        require(args.length == 2, "simhash_bits(tokens, nbits) takes exactly 2 arguments")
+        SimHashBits(args(0), intLit(args(1), "simhash_bits: nbits"))
+      }, "built-in")
   }
 
   private[graft] def intLit(e: Expression, what: String): Int = e match {

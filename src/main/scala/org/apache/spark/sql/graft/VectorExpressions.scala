@@ -67,4 +67,20 @@ object vector {
 
   /** L2 norm of an array<double> column. */
   def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
+
+  /** Sign-bit LSH key: an integer whose bit j-1 is set iff
+    * v[offset + j] >= 0 (1-based element access), for j in 1..width.
+    * Shared by the q30 bucketer, q59's IVF cells, and Dedup.nearCosine's
+    * bands. Dimensions past the end of the vector hash as sign-0:
+    * try_element_at yields NULL out of bounds (a plain element_at would
+    * THROW under ANSI mode, Spark 4's default), and NULL coalesces to a
+    * negative sentinel. */
+  def signBits(v: Column, offset: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    aggregate(
+      transform(sequence(lit(1), lit(width)), j =>
+        when(coalesce(try_element_at(v, j + lit(offset)), lit(-1d)) >= 0d,
+          call_function("shiftleft", lit(1), j - lit(1))).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
+  }
 }

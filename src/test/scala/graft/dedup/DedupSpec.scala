@@ -60,4 +60,18 @@ class DedupSpec extends SparkTestBase {
     assert(comps == Map(1L->1L, 2L->1L, 3L->1L, 4L->1L,
       10L->10L, 11L->10L, 12L->10L, 20L->20L, 21L->20L))
   }
+
+  test("cosine near-dup handles vectors shorter than bands*bandBits (ANSI-safe)") {
+    import spark.implicits._
+    // 8-dim vectors with the 16x4 default (needs dims up to 64): missing
+    // dims must hash as sign-0, not throw INVALID_ARRAY_INDEX under ANSI
+    val df = Seq(
+      (1L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+      (2L, Array(1f, 1f, 1f, 1f, 1f, 1f, 1f, 0.9f)),
+      (3L, Array(-1f, 1f, -1f, 1f, -1f, 1f, -1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.nearCosine(df, "vec_id", "embedding", threshold = 0.95)
+    val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // 2 collapses into 1; 3 is dissimilar
+  }
 }

@@ -35,7 +35,7 @@ class ScaleShapeSpec extends SparkTestBase {
   test("q28 banded NN finds every planted near-duplicate (pigeonhole <= 3)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // any pair within hamming <= 3 shares one of the four 8-bit bands, so
+    // any pair within hamming <= 3 shares one of the four 15-bit bands, so
     // the banded NN's reported distance for such documents must equal the
     // true minimum — verify against an in-test exhaustive check
     val out = SparkEntry.queries("q28_simhash")(spark, dir)
