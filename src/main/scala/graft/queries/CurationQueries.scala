@@ -176,10 +176,88 @@ object CurationQueries extends QueryModule {
       |ORDER BY ng.doc_id""".stripMargin
   }
 
+  /** q64: stratified deterministic sample — per (lang, source) stratum
+    * keep the 3 documents with the smallest md5(doc_id), i.e. an unbiased
+    * hash-ordered subsample whose membership is a pure function of the id
+    * (stable under resharding, append-only growth changes strata
+    * membership only where new docs hash lower). One shuffle on the
+    * stratum key; the per-stratum top-k is a bounded window. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang", $"source")
+      .orderBy($"h", $"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("h", md5($"doc_id".cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"lang", $"source", $"rk", $"doc_id", $"h")
+      .orderBy($"lang", $"source", $"rk")
+  }
+  private val q64Sql =
+    """WITH h AS (SELECT lang, source, doc_id,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+      |    ORDER BY h, doc_id) AS rk FROM h)
+      |SELECT lang, source, rk, doc_id, h FROM r WHERE rk <= 3
+      |ORDER BY lang, source, rk""".stripMargin
+
+  /** q65: cross-modal agreement — q26's text near-dup pairs (3-gram
+    * Jaccard >= 0.15) joined to both endpoints' embeddings, reporting the
+    * embedding cosine next to the text Jaccard. The operator a curation
+    * pipeline runs to sanity-check that its text-dedup and its embedding
+    * space agree before trusting either at scale. Pair generation is the
+    * q26 shingle-key join; the two embedding attachments are id-key
+    * equi-joins (broadcast at small SF, shuffle at scale — unhinted). */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh  = TextDedupQueries.shingles(s, dir)
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cnt.as("ca"), $"doc_a" === $"ca.doc_id")
+      .join(cnt.as("cb"), $"doc_b" === $"cb.doc_id")
+      .withColumn("jaccard", round($"inter" /
+        ($"ca.n_sh" + $"cb.n_sh" - $"inter").cast("double"), 6))
+      .filter($"jaccard" >= 0.15)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    val e = VectorQueries.normed(s, dir)
+    pairs
+      .join(e.select($"vec_id".as("ia"), $"v".as("va"), $"nrm".as("na")), $"doc_a" === $"ia")
+      .join(e.select($"vec_id".as("ib"), $"v".as("vb"), $"nrm".as("nb")), $"doc_b" === $"ib")
+      .select($"doc_a", $"doc_b", $"jaccard",
+        round(graft.functions.vector.dot($"va", $"vb") / ($"na" * $"nb"), 6).as("cos_sim"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val q65Sql =
+    s"""${TextDedupQueries.shinglesSql},
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b,
+      |    round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) AS jaccard
+      |  FROM pr JOIN cnt ca ON doc_a = ca.doc_id
+      |  JOIN cnt cb ON doc_b = cb.doc_id
+      |  WHERE round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= 0.15),
+      |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(embedding::DOUBLE[], x -> x * x)), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings)
+      |SELECT doc_a, doc_b, jaccard,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, 65), i -> ea.v[i] * eb.v[i])), (x, y) -> x + y)
+      |    / (ea.nrm * eb.nrm), 6) AS cos_sim
+      |FROM jp JOIN ev ea ON doc_a = ea.vec_id JOIN ev eb ON doc_b = eb.vec_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q60_hash_split", q60, Some(q60Sql)),
     QueryDef("q61_tfidf_topk", q61, Some(q61Sql)),
     QueryDef("q62_chunking", q62, Some(q62Sql)),
     QueryDef("q63_decontamination", q63, Some(q63Sql)),
+    QueryDef("q64_stratified_sample", q64, Some(q64Sql)),
+    QueryDef("q65_crossmodal_agreement", q65, Some(q65Sql)),
   )
 }

@@ -32,14 +32,14 @@ object TextDedupQueries extends QueryModule {
     * Docs shorter than 3 tokens are dropped (both sides of the oracle).
     * Shingling is the native WordShingles expression — the HOF transform/
     * concat_ws formulation evaluated interpreted and dominated q26/q27. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     withToks(Tables.documents(s, dir))
       .filter(size($"toks") >= 3)
       .select($"doc_id",
         explode(graft.functions.text.shingles($"toks", 3)).as("shingle"))
   }
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |         range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS shingle

@@ -29,24 +29,24 @@ object VectorQueries extends QueryModule {
 
   /** Vectors with precomputed double array + L2 norm (native codegen'd
     * dot product — see graft.functions.ArrayDotProduct). */
-  private def normed(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def normed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .withColumn("v", $"embedding".cast("array<double>"))
       .withColumn("nrm", vector.norm($"v"))
       .select($"vec_id", $"v", $"nrm")
   }
-  private val normedSql =
+  private[queries] val normedSql =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |n AS (SELECT vec_id, v,
       |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |    list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm FROM e)""".stripMargin
 
-  private def cosSpark(implicit s: SparkSession): Column = {
+  private[queries] def cosSpark(implicit s: SparkSession): Column = {
     import s.implicits._
     vector.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm")
   }
-  private val cosDuck =
+  private[queries] val cosDuck =
     """list_reduce(list_prepend(CAST(0 AS DOUBLE),
       |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
       |    / (a.nrm * b.nrm)""".stripMargin
