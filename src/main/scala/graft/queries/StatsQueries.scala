@@ -54,8 +54,50 @@ object StatsQueries extends QueryModule {
       |  count(DISTINCT o_orderpriority) AS n_priorities
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q66: sketch-based approximate quantiles (Greenwald-Khanna via
+    * approx_percentile) next to the exact interpolated ones — the scale
+    * path for percentiles: exact needs the full sorted values per group,
+    * the sketch is constant-size and mergeable map-side. Like q42, the
+    * sketch value itself is engine-specific, so the oracle checks the
+    * EXACT columns and the approximation's relative-error CLAIM (within
+    * 1% at accuracy 10000), not the sketch output.
+    *
+    * The exact side dominates the runtime — Spark's Percentile buffers a
+    * value->count map of the whole group (fine for low-cardinality
+    * l_quantity in q52, ~100k entries/group here) — which is exactly the
+    * scale argument for the sketch: its state is constant-size
+    * regardless of group cardinality. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        // one buffered-values aggregate for both exact quantiles — two
+        // separate percentile() calls would buffer every group twice
+        expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("ex"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 10000)").as("ap"))
+      .select($"l_returnflag",
+        round(element_at($"ex", 1), 4).as("p50_exact"),
+        round(element_at($"ex", 2), 4).as("p99_exact"),
+        $"ap")
+      .select($"l_returnflag", $"p50_exact", $"p99_exact",
+        (abs(element_at($"ap", 1) - $"p50_exact") / $"p50_exact" < 0.01)
+          .as("p50_within_bound"),
+        (abs(element_at($"ap", 2) - $"p99_exact") / $"p99_exact" < 0.01)
+          .as("p99_within_bound"))
+      .orderBy($"l_returnflag")
+  }
+  private val q66Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+      |  TRUE AS p50_within_bound,
+      |  TRUE AS p99_within_bound
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q52_stats_aggregates", q52, Some(q52Sql)),
     QueryDef("q53_string_agg", q53, Some(q53Sql)),
+    QueryDef("q66_approx_quantiles", q66, Some(q66Sql)),
   )
 }
