@@ -32,6 +32,22 @@ class ScaleShapeSpec extends SparkTestBase {
       s"assignment join fell back to a nested loop:\n$plan")
   }
 
+  test("q03 plans without an Expand (distinct-count is structural, not Expand-based)") {
+    val plan = SparkEntry.queries("q03_join_revenue")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"countDistinct Expand regressed:\n$plan")
+  }
+
+  test("shingle/band self-joins hold their shuffle-hash strategy") {
+    // sort-merge on the long-string shingle stream measured 2.2x slower;
+    // guard that the hint keeps winning through planner/AQE changes
+    for (q <- Seq("q26_ngram_jaccard", "q27_minhash_lsh", "q28_simhash")) {
+      val plan = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"), s"$q lost its shuffle-hash join:\n$plan")
+    }
+  }
+
   test("q28 banded NN finds every planted near-duplicate (pigeonhole <= 3)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
