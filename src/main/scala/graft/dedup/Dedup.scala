@@ -47,20 +47,22 @@ object Dedup {
                           maxIters: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val sc = spark.sparkContext
     // localCheckpoint persists an RDD per round; without explicit cleanup
     // every superseded round's labels stay pinned in the block manager
     // until a driver GC, competing with the job for memory at exactly the
-    // corpus sizes this loop exists for. Track each checkpoint's RDD ids
-    // (diff of getPersistentRDDs around the call) and free the previous
-    // round once the new one is materialized.
-    def tracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
+    // corpus sizes this loop exists for. Ownership is identified by
+    // walking the checkpointed frame's own RDD lineage to its persisted
+    // ancestors — never by diffing global persistent-RDD state, which
+    // would race with concurrent jobs and free THEIR checkpoints.
+    def tracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
       val out = df.localCheckpoint()
-      (out, sc.getPersistentRDDs.keySet.diff(before).toSet)
+      def persisted(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] =
+        if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Seq(r)
+        else r.dependencies.flatMap(d => persisted(d.rdd))
+      (out, persisted(out.queryExecution.toRdd).distinct)
     }
-    def free(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    def free(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(_.unpersist(blocking = false))
 
     val (edges, edgeIds) = tracked(pairs
       .select(col(aCol).as("__src"), col(bCol).as("__dst"))
