@@ -72,13 +72,15 @@ object CurationQueries extends QueryModule {
     val idf = df.withColumn("one", pmod($"df", lit(1L)))
       .join(broadcast(n), "one")
       .select($"tok", round(log($"n_docs".cast("double") / $"df"), 6).as("idf"))
-    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+    // top-5 via the bounded string-id aggregate: the window form would
+    // shuffle and sort every (doc, term) row; this carries 5 rows per doc
     tf.join(idf, "tok")
-      .select($"doc_id", $"tok",
-        round($"tf" * $"idf", 6).as("score"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 5)
-      .select($"doc_id", $"rk", $"tok".as("term"), $"score")
+      .select($"doc_id", $"tok", round($"tf" * $"idf", 6).as("score"))
+      .groupBy($"doc_id")
+      .agg(graft.functions.aggregates.topKByScoreStr($"score", $"tok", 5).as("top"))
+      .select($"doc_id", posexplode($"top").as(Seq("rk0", "t")))
+      .select($"doc_id", ($"rk0" + 1).as("rk"),
+        $"t.id".as("term"), $"t.score".as("score"))
       .orderBy($"doc_id", $"rk")
   }
   private val q61Sql =

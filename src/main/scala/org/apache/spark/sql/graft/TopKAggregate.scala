@@ -100,6 +100,99 @@ case class TopKScoreId(
     copy(score = newChildren(0), id = newChildren(1))
 }
 
+/** String-id variant of [[TopKScoreId]]: exact top-k (score DESC, id ASC
+  * by binary string order — matching both engines' default collation on
+  * ASCII) with the same bounded map-side buffer. Exists for ranked-term
+  * outputs (TF-IDF top terms) where the id is a token, not a key. */
+case class TopKScoreStr(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, org.apache.spark.unsafe.types.UTF8String)]]
+  with ImplicitCastInputTypes {
+
+  require(k > 0, s"k must be positive, got $k")
+  private type S = org.apache.spark.unsafe.types.UTF8String
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType), StructField("id", StringType))))
+  override def prettyName: String = "topk_score_str"
+
+  private def better(a: (Double, S), b: (Double, S)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0)
+
+  private def trim(buf: ArrayBuffer[(Double, S)]): ArrayBuffer[(Double, S)] =
+    if (buf.length <= 2 * k) buf
+    else {
+      val kept = buf.sortWith(better).take(k)
+      buf.clear(); buf ++= kept
+    }
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, S)] = ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[(Double, S)], input: InternalRow): ArrayBuffer[(Double, S)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      // clone: the eval result may point into a reused row buffer
+      buf += ((s.asInstanceOf[Double], i.asInstanceOf[S].clone()))
+      trim(buf)
+    }
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[(Double, S)], b2: ArrayBuffer[(Double, S)]): ArrayBuffer[(Double, S)] = {
+    b1 ++= b2
+    trim(b1)
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, S)]): Any =
+    new GenericArrayData(buf.sortWith(better).take(k)
+      .map(t => InternalRow(t._1, t._2)).toArray[Any])
+
+  override def serialize(buf: ArrayBuffer[(Double, S)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (s, i) =>
+      out.writeDouble(s)
+      val bytes = i.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, S)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new ArrayBuffer[(Double, S)](n)
+    var j = 0
+    while (j < n) {
+      val s = in.readDouble()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf += ((s, org.apache.spark.unsafe.types.UTF8String.fromBytes(b)))
+      j += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKScoreStr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKScoreStr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
 /** Column-level entry points for graft aggregate expressions. */
 object aggregates {
   /** Exact top-k (score DESC, id ASC) per group; returns
@@ -107,5 +200,11 @@ object aggregates {
   def topKByScore(score: Column, id: Column, k: Int): Column =
     ColumnBridge.lift(
       TopKScoreId(ColumnBridge.unwrap(score), ColumnBridge.unwrap(id), k)
+        .toAggregateExpression())
+
+  /** Same contract with a string id (score DESC, id ASC binary order). */
+  def topKByScoreStr(score: Column, id: Column, k: Int): Column =
+    ColumnBridge.lift(
+      TopKScoreStr(ColumnBridge.unwrap(score), ColumnBridge.unwrap(id), k)
         .toAggregateExpression())
 }

@@ -123,4 +123,24 @@ class NativeFunctionsSpec extends SparkTestBase {
     assert(r.getSeq[String](0) == Seq("a b", "b c"))
     assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 16))
   }
+
+  test("topKByScoreStr equals window row_number formulation, including ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("apple", "pear", "fig", "kiwi", "plum", "date", "lime")
+    val rows = for { g <- 0 until 10; _ <- 0 until 60 } yield
+      (g.toLong, vocab(rnd.nextInt(vocab.size)) + rnd.nextInt(9),
+        math.floor(rnd.nextDouble() * 10) / 10.0)
+    val df = rows.toDF("g", "id", "score").repartition(5)
+    val viaAgg = df.groupBy($"g")
+      .agg(aggregates.topKByScoreStr($"score", $"id", 4).as("top"))
+      .select($"g", posexplode($"top").as(Seq("rk0", "t")))
+      .select($"g", ($"rk0" + 1).as("rk"), $"t.id".as("id"), $"t.score".as("score"))
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+    val viaWindow = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 4)
+      .select($"g", $"rk", $"id", $"score")
+    val a = viaAgg.orderBy("g", "rk").collect().map(_.toString).toSeq
+    val b = viaWindow.orderBy("g", "rk").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
 }
