@@ -42,6 +42,11 @@ object GraftFunctions {
         require(args.length == 2, "simhash_bits(tokens, nbits) takes exactly 2 arguments")
         SimHashBits(args(0), intLit(args(1), "simhash_bits: nbits"))
       }, "built-in")
+    reg.createOrReplaceTempFunction("topk_score_str",
+      args => {
+        require(args.length == 3, "topk_score_str(score, id, k) takes exactly 3 arguments")
+        TopKScoreStr(args(0), args(1), intLit(args(2), "topk_score_str: k"))
+      }, "built-in")
   }
 
   private[graft] def intLit(e: Expression, what: String): Int = e match {
@@ -79,6 +84,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "simhash_bits(tokens, nbits) takes exactly 2 arguments")
         SimHashBits(args(0), GraftFunctions.intLit(args(1), "simhash_bits: nbits"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_score_str"),
+      new ExpressionInfo(classOf[TopKScoreStr].getName, "topk_score_str"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "topk_score_str(score, id, k) takes exactly 3 arguments")
+        TopKScoreStr(args(0), args(1), GraftFunctions.intLit(args(2), "topk_score_str: k"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("topk_score_id"),
