@@ -254,7 +254,60 @@ object CurationQueries extends QueryModule {
       |FROM jp JOIN ev ea ON doc_a = ea.vec_id JOIN ev eb ON doc_b = eb.vec_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q67: connected components of the near-dup graph — the group-resolution
+    * step every dedup pipeline runs between "candidate pairs" and "keep one
+    * per group", exercised here through the distributed min-id label
+    * propagation in [[graft.dedup.Dedup.connectedComponents]] (O(diameter)
+    * shuffle-join rounds, nothing driver-side). Edges are q27's MinHash
+    * band pairs (>= 2 agreeing bands). The oracle computes the same
+    * components with a recursive-CTE transitive closure — tractable for the
+    * oracle's graph size, quadratic in general, which is exactly why the
+    * engine side iterates distributed joins instead. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = TextDedupQueries.shingles(s, dir)
+      .select($"doc_id", md5($"shingle").as("hx"))
+    val mins = (0 to 7).map(b =>
+      min(substring($"hx", b * 2 + 1, 16)).as(s"w$b"))
+    val sig = hashed.groupBy($"doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select($"doc_id",
+        posexplode(array((0 to 7).map(b => col(s"w$b")): _*)).as(Seq("band", "mh")))
+    val pairs = sig.as("a").join(sig.as("b").hint("shuffle_hash"),
+        $"a.band" === $"b.band" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+      .agg(count(lit(1)).as("nb"))
+      .filter($"nb" >= 2)
+      .select($"ida", $"idb")
+    graft.dedup.Dedup.connectedComponents(pairs, "ida", "idb")
+      .select($"__id".as("doc_id"), $"__lbl".as("component_root"))
+      .orderBy($"doc_id")
+  }
+  private val q67Sql =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |shl AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS shingle
+      |       FROM toks WHERE len(t) >= 3),
+      |h AS (SELECT doc_id, md5(shingle) AS hx FROM shl),
+      |bands AS (SELECT unnest(range(0, 8)) AS band),
+      |sig AS (SELECT doc_id, band, min(substr(hx, band * 2 + 1, 16)) AS mh
+      |  FROM h CROSS JOIN bands GROUP BY 1, 2),
+      |pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+      |  FROM sig a JOIN sig b
+      |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |edges AS (SELECT ida AS s, idb AS d FROM pr
+      |  UNION SELECT idb, ida FROM pr),
+      |reach AS (
+      |  SELECT s AS id, s AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+      |)
+      |SELECT id AS doc_id, min(r) AS component_root
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q67_connected_components", q67, Some(q67Sql)),
     QueryDef("q60_hash_split", q60, Some(q60Sql)),
     QueryDef("q61_tfidf_topk", q61, Some(q61Sql)),
     QueryDef("q62_chunking", q62, Some(q62Sql)),

@@ -16,7 +16,7 @@ class DeterminismSpec extends SparkTestBase {
     "q01_pricing_summary", "q06_rolling_window", "q21_sessionize",
     "q26_ngram_jaccard", "q27_minhash_lsh", "q28_simhash",
     "q29_knn_cosine", "q52_stats_aggregates", "q59_ann_ivf",
-    "q60_hash_split", "q61_tfidf_topk", "q63_decontamination", "q65_crossmodal_agreement")
+    "q60_hash_split", "q61_tfidf_topk", "q63_decontamination", "q65_crossmodal_agreement", "q67_connected_components")
 
   private val dir = "/root/testdata/sf0.001"
 
