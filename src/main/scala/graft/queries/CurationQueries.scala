@@ -24,6 +24,12 @@ object CurationQueries extends QueryModule {
   private def hashBucket(idCol: String) =
     conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long")
 
+  /** The q60 split assignment as a reusable column — a pure function of
+    * the id, so batch and streaming (StreamingOps.routeBySplit) route any
+    * given document identically, forever. */
+  def splitColumn(idCol: String, evalPct: Int = 10): org.apache.spark.sql.Column =
+    when(hashBucket(idCol) % 100 < evalPct, lit("eval")).otherwise(lit("train"))
+
   /** Same value in DuckDB via digit arithmetic (no hex-cast builtin). */
   private def duckBucket(idExpr: String) = {
     def digit(i: Int) =
@@ -39,8 +45,7 @@ object CurationQueries extends QueryModule {
   private def q60(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .withColumn("split",
-        when(hashBucket("doc_id") % 100 < 10, lit("eval")).otherwise(lit("train")))
+      .withColumn("split", splitColumn("doc_id"))
       .withColumn("n_toks", size(split($"text", " ")).cast("long"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("sum_toks"),

@@ -32,6 +32,14 @@ object StreamingOps {
     * constructor/accessor visibility). */
   final case class OpenSession(start: Long, end: Long, n: Long)
 
+  /** Streaming curation router: tags each record with its deterministic
+    * train/eval split (CurationQueries.splitColumn — a pure function of
+    * the id) so a `writeStream.partitionBy("split")` sink lands every
+    * document in the same shard batch q60 would assign it to. Stateless:
+    * no watermark, no aggregation — pure projection at any input rate. */
+  def routeBySplit(docs: DataFrame, idCol: String, evalPct: Int = 10): DataFrame =
+    docs.withColumn("split", graft.queries.CurationQueries.splitColumn(idCol, evalPct))
+
   /** Tumbling-window counts/averages per event type with a watermark:
     * late rows beyond `watermark` are dropped and their state reclaimed. */
   def windowedStats(events: DataFrame, window: String = "1 minute",
