@@ -63,7 +63,9 @@ object CurationQueries extends QueryModule {
   /** q61: TF-IDF top-5 terms per document — tf(doc, term) x ln(N/df),
     * rounded to 6 dp before ranking so ordering never hinges on a final
     * ulp of the two engines' ln. Shuffles: (doc, term) tf agg, term df
-    * agg, a term-key join, and the per-doc ranking window. The corpus
+    * agg, a term-key join, and the per-doc top-5 via the bounded
+    * TopKScoreStr aggregate (5 rows/doc cross the exchange, not the full
+    * term stream). The corpus
     * count N joins onto the (small) vocabulary via a data-derived
     * constant key — an equi-join the planner hashes, not a nested loop. */
   private def q61(s: SparkSession, dir: String): DataFrame = {
@@ -216,47 +218,24 @@ object CurationQueries extends QueryModule {
     * q26 shingle-key join; the two embedding attachments are id-key
     * equi-joins (broadcast at small SF, shuffle at scale — unhinted). */
   private def q65(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
     import s.implicits._
-    val sh  = TextDedupQueries.shingles(s, dir)
-    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
-        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cnt.as("ca"), $"doc_a" === $"ca.doc_id")
-      .join(cnt.as("cb"), $"doc_b" === $"cb.doc_id")
-      .withColumn("jaccard", round($"inter" /
-        ($"ca.n_sh" + $"cb.n_sh" - $"inter").cast("double"), 6))
-      .filter($"jaccard" >= 0.15)
-      .select($"doc_a", $"doc_b", $"jaccard")
     val e = VectorQueries.normed(s, dir)
-    pairs
-      .join(e.select($"vec_id".as("ia"), $"v".as("va"), $"nrm".as("na")), $"doc_a" === $"ia")
-      .join(e.select($"vec_id".as("ib"), $"v".as("vb"), $"nrm".as("nb")), $"doc_b" === $"ib")
+    TextDedupQueries.jaccardPairs(s, dir, 0.15)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .join(e.as("a"), $"doc_a" === $"a.vec_id")
+      .join(e.as("b"), $"doc_b" === $"b.vec_id")
       .select($"doc_a", $"doc_b", $"jaccard",
-        round(graft.functions.vector.dot($"va", $"vb") / ($"na" * $"nb"), 6).as("cos_sim"))
+        round(VectorQueries.cosSpark, 6).as("cos_sim"))
       .orderBy($"doc_a", $"doc_b")
   }
   private val q65Sql =
     s"""${TextDedupQueries.shinglesSql},
-      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |jp AS (SELECT doc_a, doc_b,
-      |    round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) AS jaccard
-      |  FROM pr JOIN cnt ca ON doc_a = ca.doc_id
-      |  JOIN cnt cb ON doc_b = cb.doc_id
-      |  WHERE round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= 0.15),
-      |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |      list_transform(embedding::DOUBLE[], x -> x * x)), (a, b) -> a + b)) AS nrm
-      |  FROM embeddings)
+      |${TextDedupQueries.jaccardPairsSqlCtes},
+      |${VectorQueries.normedSql.stripPrefix("WITH ")}
       |SELECT doc_a, doc_b, jaccard,
-      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |    list_transform(range(1, 65), i -> ea.v[i] * eb.v[i])), (x, y) -> x + y)
-      |    / (ea.nrm * eb.nrm), 6) AS cos_sim
-      |FROM jp JOIN ev ea ON doc_a = ea.vec_id JOIN ev eb ON doc_b = eb.vec_id
+      |  round(${VectorQueries.cosDuck}, 6) AS cos_sim
+      |FROM jp JOIN n a ON doc_a = a.vec_id JOIN n b ON doc_b = b.vec_id
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q67: connected components of the near-dup graph — the group-resolution
@@ -270,39 +249,17 @@ object CurationQueries extends QueryModule {
     * engine side iterates distributed joins instead. */
   private def q67(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashed = TextDedupQueries.shingles(s, dir)
-      .select($"doc_id", md5($"shingle").as("hx"))
-    val mins = (0 to 7).map(b =>
-      min(substring($"hx", b * 2 + 1, 16)).as(s"w$b"))
-    val sig = hashed.groupBy($"doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select($"doc_id",
-        posexplode(array((0 to 7).map(b => col(s"w$b")): _*)).as(Seq("band", "mh")))
-    val pairs = sig.as("a").join(sig.as("b").hint("shuffle_hash"),
-        $"a.band" === $"b.band" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
-      .agg(count(lit(1)).as("nb"))
-      .filter($"nb" >= 2)
-      .select($"ida", $"idb")
-    graft.dedup.Dedup.connectedComponents(pairs, "ida", "idb")
+    val pairs = TextDedupQueries.minhashBandPairs(s, dir, minBands = 2)
+      .select($"doc_a", $"doc_b")
+    graft.dedup.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .select($"__id".as("doc_id"), $"__lbl".as("component_root"))
       .orderBy($"doc_id")
   }
   private val q67Sql =
-    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |shl AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |         range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))) AS shingle
-      |       FROM toks WHERE len(t) >= 3),
-      |h AS (SELECT doc_id, md5(shingle) AS hx FROM shl),
-      |bands AS (SELECT unnest(range(0, 8)) AS band),
-      |sig AS (SELECT doc_id, band, min(substr(hx, band * 2 + 1, 16)) AS mh
-      |  FROM h CROSS JOIN bands GROUP BY 1, 2),
-      |pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb
-      |  FROM sig a JOIN sig b
-      |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2 HAVING count(*) >= 2),
-      |edges AS (SELECT ida AS s, idb AS d FROM pr
-      |  UNION SELECT idb, ida FROM pr),
+    s"""${TextDedupQueries.shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |${TextDedupQueries.minhashPairsSqlCtes},
+      |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+      |  UNION SELECT doc_b, doc_a FROM pr),
       |reach AS (
       |  SELECT s AS id, s AS r FROM edges
       |  UNION

@@ -178,35 +178,48 @@ object TextDedupQueries extends QueryModule {
     * bounded and skew-free because shingle buckets are tiny by
     * construction (a shingle shared by the whole corpus is a stopword
     * n-gram, absent from distinct-shingled docs at this length). */
-  private def q26(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_a, doc_b, inter, jaccard) for document pairs with 3-gram
+    * Jaccard >= `threshold` — shared by q26 and the cross-modal q65 so the
+    * near-dup definition cannot drift between them. */
+  private[queries] def jaccardPairs(s: SparkSession, dir: String,
+                                    threshold: Double): DataFrame = {
     import s.implicits._
     val sh  = shingles(s, dir)
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+    sh.as("a").join(sh.as("b").hint("shuffle_hash"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
       .join(cnt.as("ca"), $"doc_a" === $"ca.doc_id")
       .join(cnt.as("cb"), $"doc_b" === $"cb.doc_id")
       .withColumn("jaccard", round($"inter" /
         ($"ca.n_sh" + $"cb.n_sh" - $"inter").cast("double"), 6))
-      .filter($"jaccard" >= 0.15)
+      .filter($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b", $"inter", $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** SQL CTEs matching [[jaccardPairs]] at threshold 0.15 (appends to
+    * [[shinglesSql]]; exposes CTE `jp`). */
+  private[queries] val jaccardPairsSqlCtes =
+    """cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jp AS (SELECT doc_a, doc_b, inter,
+      |    round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) AS jaccard
+      |  FROM pairs
+      |  JOIN cnt ca ON doc_a = ca.doc_id
+      |  JOIN cnt cb ON doc_b = cb.doc_id
+      |  WHERE round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= 0.15)""".stripMargin
+
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jaccardPairs(s, dir, 0.15).orderBy($"doc_a", $"doc_b")
   }
   private val q26Sql =
     s"""$shinglesSql,
-      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, inter,
-      |  round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) AS jaccard
-      |FROM pairs
-      |JOIN cnt ca ON doc_a = ca.doc_id
-      |JOIN cnt cb ON doc_b = cb.doc_id
-      |WHERE round(inter / CAST(ca.n_sh + cb.n_sh - inter AS DOUBLE), 6) >= 0.15
+      |$jaccardPairsSqlCtes
+      |SELECT doc_a, doc_b, inter, jaccard FROM jp
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q27: MinHash + LSH banding — 8 salted min-hashes per document (the band
@@ -215,14 +228,19 @@ object TextDedupQueries extends QueryModule {
     * standard sub-quadratic near-dup path: the only join key is (band,
     * signature), so candidate generation is a hash join over tiny buckets —
     * no O(n^2) pair enumeration at scale. */
-  private def q27(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash-band candidate pairs (doc_a, doc_b, n_bands) agreeing on >=
+    * `minBands` of 8 salted band signatures — shared by q27 and the
+    * connected-components q67 so the edge definition cannot drift.
+    *
+    * ONE md5 per shingle; the 8 band hashes are overlapping 64-bit hex
+    * windows of that digest (offset 2b, length 16) — correlated but
+    * rank-independent enough for banding (all 25 true near-dup pairs
+    * recalled on the test corpus) at 8x fewer digests. The 8 per-band
+    * minimums aggregate as WIDE columns in one grouped pass (no x8 row
+    * explosion); the (band, mh) stack happens on the 8-per-doc output. */
+  private[queries] def minhashBandPairs(s: SparkSession, dir: String,
+                                        minBands: Int): DataFrame = {
     import s.implicits._
-    // ONE md5 per shingle; the 8 band hashes are overlapping 64-bit hex
-    // windows of that digest (offset 2b, length 16) — correlated but
-    // rank-independent enough for banding (all 25 true near-dup pairs
-    // recalled on the test corpus) at 8x fewer digests. The 8 per-band
-    // minimums aggregate as WIDE columns in one grouped pass (no x8 row
-    // explosion); the (band, mh) stack happens on the 8-per-doc output.
     val hashed = shingles(s, dir).select($"doc_id", md5($"shingle").as("hx"))
     val mins = (0 to 7).map(b =>
       min(substring($"hx", b * 2 + 1, 16)).as(s"w$b"))
@@ -234,20 +252,30 @@ object TextDedupQueries extends QueryModule {
         $"a.band" === $"b.band" && $"a.mh" === $"b.mh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_bands"))
-      .filter($"n_bands" >= 2)
-      .orderBy($"doc_a", $"doc_b")
+      .filter($"n_bands" >= minBands)
   }
-  private val q27Sql =
-    s"""$shinglesSql,
-      |h AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
+
+  /** SQL CTEs matching [[minhashBandPairs]] at minBands=2 (appends to
+    * [[shinglesSql]]; exposes CTE `pr` with doc_a, doc_b, n_bands). */
+  private[queries] val minhashPairsSqlCtes =
+    """h AS (SELECT doc_id, md5(shingle) AS hx FROM sh),
       |bands AS (SELECT unnest(range(0, 8)) AS band),
       |sig AS (SELECT doc_id, band,
       |    min(substr(hx, band * 2 + 1, 16)) AS mh
-      |  FROM h CROSS JOIN bands GROUP BY 1, 2)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-      |FROM sig a JOIN sig b
-      |  ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2 HAVING count(*) >= 2
+      |  FROM h CROSS JOIN bands GROUP BY 1, 2),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+      |  FROM sig a JOIN sig b
+      |    ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    minhashBandPairs(s, dir, minBands = 2).orderBy($"doc_a", $"doc_b")
+  }
+  private val q27Sql =
+    s"""$shinglesSql,
+      |$minhashPairsSqlCtes
+      |SELECT doc_a, doc_b, n_bands FROM pr
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q28: SimHash — 60-bit frequency-weighted signature (bit b is the sign

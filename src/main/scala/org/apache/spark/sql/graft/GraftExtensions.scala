@@ -11,8 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * or `.withExtensions(new GraftExtensions)` on the session builder. After
   * registration, `array_dot(a, b)`, `topk_score_id(score, id, k)`,
-  * `word_shingles(tokens, n)`, and `simhash_bits(tokens, nbits)` work in
-  * plain SQL text, with the same codegen/partial-agg behavior as the
+  * `topk_score_str(score, id, k)`, `word_shingles(tokens, n)`, and
+  * `simhash_bits(tokens, nbits)` work in plain SQL text, with the same codegen/partial-agg behavior as the
   * Column API in graft.functions.
   */
 object GraftFunctions {

@@ -42,8 +42,14 @@ case class TopKScoreId(
     StructField("score", DoubleType), StructField("id", LongType))))
   override def prettyName: String = "topk_score_id"
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // java.lang.Double.compare, not `>`: IEEE comparisons make NaN
+  // incomparable (better(a,b) and better(b,a) both false), which breaks
+  // sortWith's strict-weak-order contract (TimSort can throw) and
+  // diverges from the window form, whose sort treats NaN as largest.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   /** Keep the buffer small: trim to k whenever it doubles past k. */
   private def trim(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] =
@@ -123,8 +129,11 @@ case class TopKScoreStr(
     StructField("score", DoubleType), StructField("id", StringType))))
   override def prettyName: String = "topk_score_str"
 
-  private def better(a: (Double, S), b: (Double, S)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0)
+  // see TopKScoreId.better: total order via Double.compare (NaN-safe)
+  private def better(a: (Double, S), b: (Double, S)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2.compareTo(b._2) < 0)
+  }
 
   private def trim(buf: ArrayBuffer[(Double, S)]): ArrayBuffer[(Double, S)] =
     if (buf.length <= 2 * k) buf

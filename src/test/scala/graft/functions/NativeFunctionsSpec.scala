@@ -143,4 +143,22 @@ class NativeFunctionsSpec extends SparkTestBase {
     val b = viaWindow.orderBy("g", "rk").collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("topKByScore handles NaN scores like the window formulation") {
+    import spark.implicits._
+    // IEEE comparisons make NaN incomparable; the aggregate must use a
+    // total order (NaN largest, like Spark's sort) and never crash
+    val rows = (0L until 40L).map(i =>
+      (i % 2, i, if (i % 7 == 0) Double.NaN else i.toDouble / 10))
+    val df = rows.toDF("g", "id", "score").repartition(6)
+    val viaAgg = df.groupBy($"g")
+      .agg(aggregates.topKByScore($"score", $"id", 3).as("top"))
+      .select($"g", posexplode($"top").as(Seq("rk0", "t")))
+      .select($"g", ($"rk0" + 1).as("rk"), $"t.id".as("id"))
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+    val viaWindow = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"g", $"rk", $"id")
+    assert(viaAgg.orderBy("g", "rk").collect().toSeq ==
+      viaWindow.orderBy("g", "rk").collect().toSeq)
+  }
 }
