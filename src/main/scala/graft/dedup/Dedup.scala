@@ -64,9 +64,14 @@ object Dedup {
     def free(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
       rdds.foreach(_.unpersist(blocking = false))
 
-    val (edges, edgeIds) = tracked(pairs
-      .select(col(aCol).as("__src"), col(bCol).as("__dst"))
-      .union(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst"))))
+    // materialize the pair list once BEFORE symmetrizing: both branches
+    // of the union would otherwise recompute the caller's candidate
+    // pipeline (banded joins, signature aggs) in full
+    val (p0, p0Ids) = tracked(
+      pairs.select(col(aCol).as("__src"), col(bCol).as("__dst")))
+    val (edges, edgeIds) = tracked(
+      p0.union(p0.select($"__dst".as("__src"), $"__src".as("__dst"))))
+    free(p0Ids)
     var (labels, labelIds) = tracked(edges.select($"__src".as("__id")).distinct()
       .withColumn("__lbl", $"__id"))
     var changed = 1L
