@@ -33,7 +33,7 @@ object Bench {
     try { force("q16_distinct"); force("q16_distinct") } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = names.map { name =>
+    val results = names.flatMap { name =>
       val t0 = System.nanoTime()
       try force(name) catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -43,8 +43,9 @@ object Bench {
       // only reclaims finished queries' broadcasts/shuffles after a GC, and
       // without one later queries measure the whole run's memory pressure.
       System.gc()
-      // a crashed query must not masquerade as a fast one: negative time
-      name -> (if (errors.contains(name)) -dt else dt)
+      // a crashed query has no meaningful duration: failure is reported in
+      // "errors" (and the exit code), never encoded into the timing map
+      if (errors.contains(name)) None else Some(name -> dt)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -53,7 +54,7 @@ object Bench {
       else ",\"errors\":" + errors
         .map { case (k, v) => s"${JsonEscape(k)}:${JsonEscape(v)}" }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ > 0).sum
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -39,9 +39,12 @@ object Dedup {
     * replay rounds 1..N-1. Only ids touched by an edge appear in the output
     * (isolated nodes are their own trivial component).
     *
-    * Capped at `maxIters` rounds as a runaway guard: a component whose
-    * diameter exceeds the cap resolves as several sub-groups (safe for
-    * dedup — it under-merges, never over-merges).
+    * Capped at `maxIters` rounds as a runaway guard. Hitting the cap
+    * before convergence throws rather than silently under-merging: a
+    * partially-propagated labeling looks exactly like a valid one, so a
+    * silent cap would corrupt dedup output (and any oracle comparison)
+    * invisibly. Real near-dup graphs converge in 2–4 rounds; a 50-round
+    * diameter means the input is not a dedup pair graph.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 50): DataFrame = {
@@ -89,6 +92,11 @@ object Dedup {
       iter += 1
     }
     free(edgeIds) // the returned frame depends only on the final checkpoint
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing); raise maxIters — returning " +
+          "would silently under-merge components")
     labels
   }
 

@@ -59,8 +59,16 @@ object StatsQueries extends QueryModule {
     * path for percentiles: exact needs the full sorted values per group,
     * the sketch is constant-size and mergeable map-side. Like q42, the
     * sketch value itself is engine-specific, so the oracle checks the
-    * EXACT columns and the approximation's relative-error CLAIM (within
-    * 1% at accuracy 10000), not the sketch output.
+    * EXACT columns and the approximation's within-bound CLAIM, not the
+    * sketch output.
+    *
+    * The claim is RANK-based, matching what Greenwald-Khanna actually
+    * guarantees (rank error <= 1/accuracy = 1e-4 here), never a value
+    * error, which no sketch bounds on a skewed distribution: the approx
+    * value must land between the exact quantiles at q +/- 0.005 — a 50x
+    * slack over the guarantee that also absorbs interpolation-vs-discrete
+    * edge effects at small group sizes, yet is distribution-free, so the
+    * claim holds at any SF or skew.
     *
     * The exact side dominates the runtime — Spark's Percentile buffers a
     * value->count map of the whole group (fine for low-cardinality
@@ -72,18 +80,17 @@ object StatsQueries extends QueryModule {
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
-        // one buffered-values aggregate for both exact quantiles — two
-        // separate percentile() calls would buffer every group twice
-        expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("ex"),
+        // one buffered-values aggregate for all exact quantiles (targets +
+        // rank-band edges) — separate percentile() calls would buffer
+        // every group once per call
+        expr("percentile(l_extendedprice, array(0.495D, 0.5D, 0.505D, 0.985D, 0.99D, 0.995D))").as("ex"),
         expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 10000)").as("ap"))
       .select($"l_returnflag",
-        round(element_at($"ex", 1), 4).as("p50_exact"),
-        round(element_at($"ex", 2), 4).as("p99_exact"),
-        $"ap")
-      .select($"l_returnflag", $"p50_exact", $"p99_exact",
-        (abs(element_at($"ap", 1) - $"p50_exact") / $"p50_exact" < 0.01)
+        round(element_at($"ex", 2), 4).as("p50_exact"),
+        round(element_at($"ex", 5), 4).as("p99_exact"),
+        (element_at($"ap", 1).between(element_at($"ex", 1), element_at($"ex", 3)))
           .as("p50_within_bound"),
-        (abs(element_at($"ap", 2) - $"p99_exact") / $"p99_exact" < 0.01)
+        (element_at($"ap", 2).between(element_at($"ex", 4), element_at($"ex", 6)))
           .as("p99_within_bound"))
       .orderBy($"l_returnflag")
   }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.types.DoubleType
 
@@ -34,46 +35,52 @@ case class BroadcastIntervalJoinExec(
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
+  override def outputPartitioning: Partitioning = left.outputPartitioning
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
 
-  // Collected on first execute, never at planning time: a bare explain()
-  // must not run a job, and re-planning must not re-collect a possibly
-  // non-deterministic right side. lazy val memoizes per plan instance.
-  private lazy val rightRows: Seq[InternalRow] = right.executeCollect().toSeq
+  // The right side arrives through a regular BroadcastExchange (inserted by
+  // EnsureRequirements): collection happens once in the exchange's cached
+  // relation future and survives copy()/re-planning/columnar transitions —
+  // unlike a per-instance lazy val, which every withNewChildrenInternal
+  // would discard, re-running the right side. ReuseExchange also dedups an
+  // identical broadcast shared with another join for free.
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val sc = session.sparkContext
+    val bc = right.executeBroadcast[Array[InternalRow]]()
     val rightOutput = right.output
-    // sort intervals by lo; keep (lo, hi, row). A null lo or hi means the
-    // BETWEEN predicate is NULL for every point — inner-join semantics say
-    // that row can never match, so drop it here instead of letting the
-    // unbox coerce null to 0.0 (which would fabricate the interval [0,0]).
     val loBound = BindReferences.bindReference(lo, rightOutput)
     val hiBound = BindReferences.bindReference(hi, rightOutput)
-    val sorted = rightRows.iterator.flatMap { r =>
-      val lv = loBound.eval(r)
-      val hv = hiBound.eval(r)
-      if (lv == null || hv == null) Iterator.empty
-      else Iterator((lv.asInstanceOf[Double], hv.asInstanceOf[Double], r.copy()))
-    }.toArray.sortBy(_._1)
-    val los = sorted.map(_._1)
-    val maxHiPrefix = {
-      // running max of hi up to index i: lets the scan-back stop early for
-      // non-overlapping interval sets and bounds it for nested ones
-      val a = new Array[Double](sorted.length)
-      var m = Double.NegativeInfinity
-      var i = 0
-      while (i < sorted.length) { m = math.max(m, sorted(i)._2); a(i) = m; i += 1 }
-      a
-    }
-    val bc = sc.broadcast((sorted, los, maxHiPrefix))
     val pointBound = BindReferences.bindReference(point, left.output)
     val outAttrs = output
 
     left.execute().mapPartitionsInternal { iter =>
-      val (ivals, loArr, hiPrefix) = bc.value
+      // Sort intervals by lo; keep (lo, hi, row). A null lo or hi means the
+      // BETWEEN predicate is NULL for every point — inner-join semantics say
+      // that row can never match, so drop it here instead of letting the
+      // unbox coerce null to 0.0 (which would fabricate the interval [0,0]).
+      // Sorting per task is O(m log m) on a side already bounded by the
+      // broadcast threshold — noise next to shipping the broadcast itself.
+      val sorted = bc.value.iterator.flatMap { r =>
+        val lv = loBound.eval(r)
+        val hv = hiBound.eval(r)
+        if (lv == null || hv == null) Iterator.empty
+        else Iterator((lv.asInstanceOf[Double], hv.asInstanceOf[Double], r))
+      }.toArray.sortBy(_._1)
+      val loArr = sorted.map(_._1)
+      val hiPrefix = {
+        // running max of hi up to index i: lets the scan-back stop early for
+        // non-overlapping interval sets and bounds it for nested ones
+        val a = new Array[Double](sorted.length)
+        var m = Double.NegativeInfinity
+        var i = 0
+        while (i < sorted.length) { m = math.max(m, sorted(i)._2); a(i) = m; i += 1 }
+        a
+      }
+      val ivals = sorted
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       iter.flatMap { row =>

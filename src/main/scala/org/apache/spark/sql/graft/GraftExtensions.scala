@@ -24,13 +24,8 @@ object GraftFunctions {
       args => ArrayDotProduct(args(0), args(1)), "built-in")
     reg.createOrReplaceTempFunction("topk_score_id",
       args => {
-        val k = args(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
-          case other => throw new IllegalArgumentException(
-            s"topk_score_id: k must be an integer literal, got $other")
-        }
-        TopKScoreId(args(0), args(1), k)
+        require(args.length == 3, "topk_score_id(score, id, k) takes exactly 3 arguments")
+        TopKScoreId(args(0), args(1), intLit(args(2), "topk_score_id: k"))
       }, "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       args => {
@@ -49,11 +44,15 @@ object GraftFunctions {
       }, "built-in")
   }
 
+  // integral literals only — a fractional literal (word_shingles(t, 2.9))
+  // must error, not silently truncate to n=2
   private[graft] def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) if v.isValidInt => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _) => v.toInt
     case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+      s"$what must be an integral literal, got $other")
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -97,13 +96,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKScoreId].getName, "topk_score_id"),
       (args: Seq[Expression]) => {
         require(args.length == 3, "topk_score_id(score, id, k) takes exactly 3 arguments")
-        val k = args(2) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
-          case other => throw new IllegalArgumentException(
-            s"topk_score_id: k must be an integer literal, got $other")
-        }
-        TopKScoreId(args(0), args(1), k)
+        TopKScoreId(args(0), args(1), GraftFunctions.intLit(args(2), "topk_score_id: k"))
       }))
   }
 }
