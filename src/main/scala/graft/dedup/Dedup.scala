@@ -75,28 +75,46 @@ object Dedup {
     val (edges, edgeIds) = tracked(
       p0.union(p0.select($"__dst".as("__src"), $"__src".as("__dst"))))
     free(p0Ids)
-    var (labels, labelIds) = tracked(edges.select($"__src".as("__id")).distinct()
-      .withColumn("__lbl", $"__id"))
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val minNbr = edges.join(labels, $"__dst" === $"__id")
-        .groupBy($"__src").agg(min($"__lbl").as("__nbrLbl"))
-      val (next, nextIds) = tracked(labels.join(minNbr, $"__id" === $"__src", "left")
-        .select($"__id", $"__lbl",
-          least($"__lbl", coalesce($"__nbrLbl", $"__lbl")).as("__newLbl")))
-      changed = next.filter($"__newLbl" < $"__lbl").count()
+    // round 0 fused into initialization: label(v) = min(v, min neighbor)
+    // is one groupBy over the symmetric edge list — no join, and it both
+    // enumerates the node set and completes the first propagation round
+    var (labels, labelIds) = tracked(
+      edges.groupBy($"__src").agg(min($"__dst").as("__m"))
+        .select($"__src".as("__id"), least($"__src", $"__m").as("__lbl")))
+    // convergence = the sum of all labels stopped falling: labels only ever
+    // decrease, so the (exact, decimal) sum strictly decreases iff any label
+    // changed — a scan-only aggregate over the cached round output, replacing
+    // a per-round old-vs-new comparison join
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum($"__lbl".cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = lblSum(labels)
+    var converged = false
+    var iter = 1 // initialization already performed round 1
+    while (!converged && iter < maxIters) {
+      // propagate: each node takes min(own label, labels seen from
+      // neighbors); the union-then-groupBy shape needs one join and one
+      // aggregate per round (the old label rides the union branch, so no
+      // second join to re-attach it)
+      val nbr = edges.join(labels, $"__dst" === $"__id")
+        .select($"__src".as("__nid"), $"__lbl")
+      val (next, nextIds) = tracked(
+        labels.select($"__id".as("__nid"), $"__lbl").union(nbr)
+          .groupBy($"__nid").agg(min($"__lbl").as("__lbl"))
+          .select($"__nid".as("__id"), $"__lbl"))
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       free(labelIds)
-      labels = next.select($"__id", $"__newLbl".as("__lbl"))
+      labels = next
       labelIds = nextIds
       iter += 1
     }
     free(edgeIds) // the returned frame depends only on the final checkpoint
-    if (changed > 0)
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing); raise maxIters — returning " +
-          "would silently under-merge components")
+        s"connectedComponents did not converge in $maxIters rounds; raise " +
+          "maxIters — returning would silently under-merge components")
     labels
   }
 
