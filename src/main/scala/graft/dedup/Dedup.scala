@@ -30,13 +30,18 @@ object Dedup {
   /** Connected components of an undirected edge list, as (`__id`, `__lbl`)
     * where `__lbl` is the component's minimum id.
     *
-    * Iterative min-id label propagation: each round every node takes the
-    * minimum of its own label and its neighbors' labels; the component
-    * minimum reaches every node in O(graph diameter) rounds. Near-dup
-    * groups are dense (duplicates of one source all pair with each other),
-    * so 2–4 rounds are typical. Per round: one shuffle join + one partial
-    * aggregate; `localCheckpoint` truncates the lineage so round N does not
-    * replay rounds 1..N-1. Only ids touched by an edge appear in the output
+    * Iterative min-id label propagation with pointer jumping: each round
+    * every node takes the minimum of its own label, its neighbors' labels,
+    * and its current label's label (the shortcut that makes a length-d
+    * chain resolve in O(log d) rounds instead of O(d)). Near-dup groups
+    * are dense (duplicates of one source all pair with each other), so a
+    * handful of rounds is typical even on chain-shaped graphs. Each
+    * materialized round stacks TWO propagation layers (each two shuffle
+    * joins + one partial aggregate) before one lazy `localCheckpoint`
+    * whose convergence count drives the same job — so each
+    * driver-synchronized barrier advances the fixpoint twice;
+    * checkpointing truncates the lineage so round N does not replay
+    * rounds 1..N-1. Only ids touched by an edge appear in the output
     * (isolated nodes are their own trivial component).
     *
     * Capped at `maxIters` rounds as a runaway guard. Hitting the cap
@@ -57,8 +62,8 @@ object Dedup {
     // walking the checkpointed frame's own RDD lineage to its persisted
     // ancestors — never by diffing global persistent-RDD state, which
     // would race with concurrent jobs and free THEIR checkpoints.
-    def tracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val out = df.localCheckpoint()
+    def tracked(df: DataFrame, eager: Boolean = true): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val out = df.localCheckpoint(eager)
       def persisted(r: org.apache.spark.rdd.RDD[_]): Seq[org.apache.spark.rdd.RDD[_]] =
         if (r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) Seq(r)
         else r.dependencies.flatMap(d => persisted(d.rdd))
@@ -69,53 +74,86 @@ object Dedup {
 
     // materialize the pair list once BEFORE symmetrizing: both branches
     // of the union would otherwise recompute the caller's candidate
-    // pipeline (banded joins, signature aggs) in full
-    val (p0, p0Ids) = tracked(
+    // pipeline (banded joins, signature aggs) in full. The symmetric view
+    // itself stays lazy — a union of the checkpointed blocks with their
+    // column swap is a narrow re-read, not worth a second materialization.
+    val (p0, edgeIds) = tracked(
       pairs.select(col(aCol).as("__src"), col(bCol).as("__dst")))
-    val (edges, edgeIds) = tracked(
-      p0.union(p0.select($"__dst".as("__src"), $"__src".as("__dst"))))
-    free(p0Ids)
+    val edges = p0.union(p0.select($"__dst".as("__src"), $"__src".as("__dst")))
     // round 0 fused into initialization: label(v) = min(v, min neighbor)
     // is one groupBy over the symmetric edge list — no join, and it both
     // enumerates the node set and completes the first propagation round
     var (labels, labelIds) = tracked(
       edges.groupBy($"__src").agg(min($"__dst").as("__m"))
         .select($"__src".as("__id"), least($"__src", $"__m").as("__lbl")))
-    // convergence = the sum of all labels stopped falling: labels only ever
-    // decrease, so the (exact, decimal) sum strictly decreases iff any label
-    // changed — a scan-only aggregate over the cached round output, replacing
-    // a per-round old-vs-new comparison join
-    def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum($"__lbl".cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    var prevSum = lblSum(labels)
+    // One propagation layer over (__id, __lbl, __prev): each node takes the
+    // minimum of its own label, its neighbors' labels, and — pointer
+    // jumping — its label's own label. The jump branch is what makes
+    // convergence O(log diameter) instead of O(diameter): a node's reach
+    // doubles each layer by adopting whatever its current representative
+    // has already learned. Both invariants that make the shortcut safe
+    // hold inductively: every label IS a node id of the same component
+    // (so the jump join always finds a row and never crosses components),
+    // and lbl(u) <= u (so jumping only ever lowers a label, never raises
+    // it). __prev (the label at round entry) rides the __own-tagged union
+    // branch untouched, so after stacking layers the round compares
+    // first-to-last: labels only decrease, hence __lbl < __prev iff ANY
+    // stacked layer changed this node.
+    def layer(cur: DataFrame): DataFrame = {
+      val lab = cur.select($"__id", $"__lbl")
+      val nullPrev = lit(null).cast(cur.schema("__prev").dataType)
+      val nbr = edges.join(lab, $"__dst" === $"__id")
+        .select($"__src".as("__nid"), $"__lbl", nullPrev.as("__prev"),
+          lit(false).as("__own"))
+      val jump = lab.as("x")
+        .join(lab.select($"__id".as("__jid"), $"__lbl".as("__jlbl")),
+          $"x.__lbl" === $"__jid")
+        .select($"x.__id".as("__nid"), $"__jlbl".as("__lbl"),
+          nullPrev.as("__prev"), lit(false).as("__own"))
+      cur.select($"__id".as("__nid"), $"__lbl", $"__prev", lit(true).as("__own"))
+        .union(nbr).union(jump)
+        .groupBy($"__nid")
+        .agg(min($"__lbl").as("__lbl"),
+          min(when($"__own", $"__prev")).as("__prev"))
+        .select($"__nid".as("__id"), $"__lbl", $"__prev")
+    }
     var converged = false
     var iter = 1 // initialization already performed round 1
     while (!converged && iter < maxIters) {
-      // propagate: each node takes min(own label, labels seen from
-      // neighbors); the union-then-groupBy shape needs one join and one
-      // aggregate per round (the old label rides the union branch, so no
-      // second join to re-attach it)
-      val nbr = edges.join(labels, $"__dst" === $"__id")
-        .select($"__src".as("__nid"), $"__lbl")
+      // two layers per materialized round: each checkpoint + convergence
+      // check is a driver-synchronized job, so stacking layers halves the
+      // number of round-trip barriers (the dominant per-round cost both
+      // here and on a real cluster) at the price of at most one redundant
+      // layer after the fixpoint. Convergence detection is plain column
+      // comparison on the label's own type: it works identically for
+      // long, string (UUID), or any orderable id type, where a numeric
+      // cast would turn string labels into NULLs and declare convergence
+      // after one round (silent under-merge).
+      val stacked = layer(layer(labels.withColumn("__prev", $"__lbl")))
       val (next, nextIds) = tracked(
-        labels.select($"__id".as("__nid"), $"__lbl").union(nbr)
-          .groupBy($"__nid").agg(min($"__lbl").as("__lbl"))
-          .select($"__nid".as("__id"), $"__lbl"))
-      val s = lblSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+        stacked.select($"__id", $"__lbl",
+          // every __nid has exactly one __own row, so __prev is only
+          // null for a node absent from `labels` — impossible here, but
+          // count it as changed rather than converged if it ever happens
+          coalesce(($"__lbl" < $"__prev").cast("long"), lit(1L)).as("__chg")),
+        eager = false)
+      // lazy checkpoint: this one aggregate job BOTH materializes the
+      // round's labels into the block manager AND returns the changed
+      // count — one job per round, not materialize + re-scan
+      val changed = next.agg(coalesce(sum($"__chg"), lit(0L)))
+        .collect()(0).getLong(0)
+      converged = changed == 0L
       free(labelIds)
       labels = next
       labelIds = nextIds
       iter += 1
     }
-    free(edgeIds) // the returned frame depends only on the final checkpoint
+    free(edgeIds) // frees p0 — the returned frame depends only on the final checkpoint
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds; raise " +
           "maxIters — returning would silently under-merge components")
-    labels
+    labels.select($"__id", $"__lbl")
   }
 
   /** Ids to drop (everything but the min-id survivor of each component). */

@@ -241,8 +241,9 @@ object CurationQueries extends QueryModule {
   /** q67: connected components of the near-dup graph — the group-resolution
     * step every dedup pipeline runs between "candidate pairs" and "keep one
     * per group", exercised here through the distributed min-id label
-    * propagation in [[graft.dedup.Dedup.connectedComponents]] (O(diameter)
-    * shuffle-join rounds, nothing driver-side). Edges are q27's MinHash
+    * propagation in [[graft.dedup.Dedup.connectedComponents]]
+    * (pointer-jumping, O(log diameter) shuffle-join rounds, nothing
+    * driver-side). Edges are q27's MinHash
     * band pairs (>= 2 agreeing bands). The oracle computes the same
     * components with a recursive-CTE transitive closure — tractable for the
     * oracle's graph size, quadratic in general, which is exactly why the

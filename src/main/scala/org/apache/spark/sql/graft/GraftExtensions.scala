@@ -49,6 +49,8 @@ object GraftFunctions {
   private[graft] def intLit(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) if v.isValidInt => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => throw new IllegalArgumentException(
+      s"$what is out of Int range: $v")
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _) => v.toInt
     case other => throw new IllegalArgumentException(

@@ -61,6 +61,19 @@ class DedupSpec extends SparkTestBase {
       10L->10L, 11L->10L, 12L->10L, 20L->20L, 21L->20L))
   }
 
+  test("connected components propagate string (non-numeric) ids fully") {
+    import spark.implicits._
+    // A numeric-cast convergence detector turns string labels into NULLs
+    // and stops after one round; this chain needs 3 propagation rounds, so
+    // under-merge would leave 'd' labelled 'b' or 'c' instead of 'a'.
+    val pairs = Seq(("a","b"),("b","c"),("c","d"),("x","y"))
+      .toDF("u", "v")
+    val comps = Dedup.connectedComponents(pairs, "u", "v")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps == Map("a"->"a", "b"->"a", "c"->"a", "d"->"a",
+      "x"->"x", "y"->"x"))
+  }
+
   test("cosine near-dup handles vectors shorter than bands*bandBits (ANSI-safe)") {
     import spark.implicits._
     // 8-dim vectors with the 16x4 default (needs dims up to 64): missing
