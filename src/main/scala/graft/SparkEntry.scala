@@ -29,6 +29,7 @@ object SparkEntry {
     graft.queries.IntervalJoinQueries,
     graft.queries.LateralQueries,
     graft.queries.CurationQueries,
+    graft.queries.DedupGateQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -35,14 +35,13 @@ object Dedup {
     * and its current label's label (the shortcut that makes a length-d
     * chain resolve in O(log d) rounds instead of O(d)). Near-dup groups
     * are dense (duplicates of one source all pair with each other), so a
-    * handful of rounds is typical even on chain-shaped graphs. Each
-    * materialized round stacks TWO propagation layers (each two shuffle
-    * joins + one partial aggregate) before one lazy `localCheckpoint`
-    * whose convergence count drives the same job — so each
-    * driver-synchronized barrier advances the fixpoint twice;
-    * checkpointing truncates the lineage so round N does not replay
-    * rounds 1..N-1. Only ids touched by an edge appear in the output
-    * (isolated nodes are their own trivial component).
+    * handful of rounds is typical even on chain-shaped graphs. Per round:
+    * one equi-join (neighbor and jump probes unioned into a single lookup
+    * against the label table) + one partial aggregate, then a lazy
+    * `localCheckpoint` whose convergence count drives the same job (one
+    * barrier per round); checkpointing truncates the lineage so round N
+    * does not replay rounds 1..N-1. Only ids touched by an edge appear in
+    * the output (isolated nodes are their own trivial component).
     *
     * Capped at `maxIters` rounds as a runaway guard. Hitting the cap
     * before convergence throws rather than silently under-merging: a
@@ -102,34 +101,43 @@ object Dedup {
     def layer(cur: DataFrame): DataFrame = {
       val lab = cur.select($"__id", $"__lbl")
       val nullPrev = lit(null).cast(cur.schema("__prev").dataType)
-      val nbr = edges.join(lab, $"__dst" === $"__id")
-        .select($"__src".as("__nid"), $"__lbl", nullPrev.as("__prev"),
+      // Both branches are lookups INTO the label table — "what is the
+      // label of my neighbor" (probe key: edge destination) and "what is
+      // the label of my label" (probe key: own label). Unioning the probe
+      // relations BEFORE the lookup means a layer pays ONE equi-join
+      // instead of two; on an iterative operator every avoided exchange
+      // is paid back once per round, and round count x stage latency is
+      // exactly what dominates the loop (locally as AQE re-planning
+      // pauses, on a cluster as scheduler barriers).
+      val probes = edges.select($"__dst".as("__k"), $"__src".as("__nid"))
+        .union(lab.select($"__lbl".as("__k"), $"__id".as("__nid")))
+      val hits = probes
+        .join(lab.select($"__id".as("__lk"), $"__lbl"), $"__k" === $"__lk")
+        .select($"__nid", $"__lbl", nullPrev.as("__prev"),
           lit(false).as("__own"))
-      val jump = lab.as("x")
-        .join(lab.select($"__id".as("__jid"), $"__lbl".as("__jlbl")),
-          $"x.__lbl" === $"__jid")
-        .select($"x.__id".as("__nid"), $"__jlbl".as("__lbl"),
-          nullPrev.as("__prev"), lit(false).as("__own"))
       cur.select($"__id".as("__nid"), $"__lbl", $"__prev", lit(true).as("__own"))
-        .union(nbr).union(jump)
+        .union(hits)
         .groupBy($"__nid")
         .agg(min($"__lbl").as("__lbl"),
           min(when($"__own", $"__prev")).as("__prev"))
         .select($"__nid".as("__id"), $"__lbl", $"__prev")
     }
+    val dbg = sys.env.get("GRAFT_CC_DEBUG").contains("1")
     var converged = false
     var iter = 1 // initialization already performed round 1
     while (!converged && iter < maxIters) {
-      // two layers per materialized round: each checkpoint + convergence
-      // check is a driver-synchronized job, so stacking layers halves the
-      // number of round-trip barriers (the dominant per-round cost both
-      // here and on a real cluster) at the price of at most one redundant
-      // layer after the fixpoint. Convergence detection is plain column
-      // comparison on the label's own type: it works identically for
-      // long, string (UUID), or any orderable id type, where a numeric
-      // cast would turn string labels into NULLs and declare convergence
-      // after one round (silent under-merge).
-      val stacked = layer(layer(labels.withColumn("__prev", $"__lbl")))
+      val t0 = System.nanoTime()
+      // ONE propagation layer per materialized round. Stacking layers
+      // between barriers was measured and REJECTED: each layer references
+      // its input three times (own/probe/lookup), so an L-layer stack
+      // grows the unanalyzed plan ~3^L-fold and analysis+AQE planning
+      // cost eats the saved barrier several times over (2 layers: +40%
+      // wall, 4 layers: +2x on the gated graphs). Convergence detection
+      // is plain column comparison on the label's own type: it works
+      // identically for long, string (UUID), or any orderable id type,
+      // where a numeric cast would turn string labels into NULLs and
+      // declare convergence after one round (silent under-merge).
+      val stacked = layer(labels.withColumn("__prev", $"__lbl"))
       val (next, nextIds) = tracked(
         stacked.select($"__id", $"__lbl",
           // every __nid has exactly one __own row, so __prev is only
@@ -143,6 +151,7 @@ object Dedup {
       val changed = next.agg(coalesce(sum($"__chg"), lit(0L)))
         .collect()(0).getLong(0)
       converged = changed == 0L
+      if (dbg) println(f"CCDBG iter=$iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.3f s")
       free(labelIds)
       labels = next
       labelIds = nextIds
@@ -177,25 +186,29 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val toks = split(col(textCol), " ")
+    // distinct word shingles via the native WordShingles expression (the
+    // HOF transform/concat_ws formulation evaluates interpreted and
+    // dominated the pipeline) — same shingle set as queries that gate it
     val sh = df
-      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__toks"))
       .filter(size($"__toks") >= shingleLen)
-      .select($"__id", explode(array_distinct(expr(
-        s"transform(sequence(1, size(__toks)-${shingleLen - 1}), i -> " +
-          s"concat_ws(' ', ${(0 until shingleLen).map(o => s"element_at(__toks, i+$o)").mkString(", ")}))"
-      ))).as("__shingle"))
+      .select($"__id",
+        explode(graft.functions.text.shingles($"__toks", shingleLen)).as("__shingle"))
 
     // one md5 per shingle; band hashes are overlapping digest windows
-    // (see queries.TextDedupQueries q27 — full recall at 8x fewer digests)
-    val salted = array((0 until bands).map(b =>
-      substring(md5($"__shingle"), b * 2 + 1, 16)): _*)
-    val sig = sh
-      .select($"__id", posexplode(salted).as(Seq("__band", "__mh")))
-      .groupBy($"__id", $"__band")
-      .agg(min($"__mh").as("__mh"))
+    // (see queries.TextDedupQueries q27 — full recall at 8x fewer
+    // digests). The per-band minima aggregate as WIDE columns in ONE
+    // grouped pass — no bands-x row explosion through the shuffle — and
+    // stack to (band, mh) rows only on the one-row-per-doc output.
+    val hashed = sh.select($"__id", md5($"__shingle").as("__hx"))
+    val mins = (0 until bands).map(b =>
+      min(substring($"__hx", b * 2 + 1, 16)).as(s"__w$b"))
+    val sig = hashed.groupBy($"__id")
+      .agg(mins.head, mins.tail: _*)
+      .select($"__id", posexplode(array((0 until bands).map(b =>
+        col(s"__w$b")): _*)).as(Seq("__band", "__mh")))
 
-    val pairs = sig.as("a").join(sig.as("b"),
+    val pairs = sig.as("a").join(sig.as("b").hint("shuffle_hash"),
         $"a.__band" === $"b.__band" && $"a.__mh" === $"b.__mh" &&
           $"a.__id" < $"b.__id")
       .groupBy($"a.__id".as("ida"), $"b.__id".as("idb"))
@@ -232,17 +245,38 @@ object Dedup {
     val sigs = array((0 until bands).map { b =>
       graft.functions.vector.signBits($"__v", b * bandBits, bandBits)
     }: _*)
-    val banded = base.select($"__id", $"__v", $"__nrm",
-      posexplode(sigs).as(Seq("__band", "__sig")))
-    val pairs = banded.as("a").join(banded.as("b"),
+    // Candidate generation runs on ID-ONLY rows: the banded self-join
+    // never sees an array payload (the payload-through-the-shuffle
+    // variant measured 3x slower end to end). Vectors re-attach by two id
+    // equi-joins against the (far smaller) vector table — Catalyst
+    // broadcasts it when its stats allow, and degrades to an id-key
+    // shuffle join at corpus scale — and the exact cosine + threshold
+    // evaluate map-side on the attached rows.
+    // Threshold on the 6-dp ROUNDED cosine — the module-wide policy
+    // (see queries.VectorQueries): a boundary decision can then never
+    // hinge on a final ulp, so it is reproducible across engines,
+    // partitionings, and cluster sizes.
+    // A pair agreeing on several bands appears once per band and is NOT
+    // deduplicated up front: a pre-filter dropDuplicates would shuffle the
+    // full candidate stream (measured the dominant cost of the whole API
+    // — the duplicate factor is bounded by `bands` and near 1 in
+    // practice, so the dedup pays a full-stream shuffle to save a few
+    // map-side cosine re-evaluations). Instead duplicates ride through
+    // the map-side cosine (deterministic, identical result per copy) and
+    // collapse AFTER the threshold filter, when only actual near-dups
+    // remain.
+    val banded = base.select($"__id", posexplode(sigs).as(Seq("__band", "__sig")))
+    val cand = banded.as("a").join(banded.as("b").hint("shuffle_hash"),
         $"a.__band" === $"b.__band" && $"a.__sig" === $"b.__sig" &&
           $"a.__id" < $"b.__id")
-      .select($"a.__id".as("ida"), $"b.__id".as("idb"),
-        $"a.__v".as("va"), $"b.__v".as("vb"),
-        $"a.__nrm".as("na"), $"b.__nrm".as("nb"))
-      .dropDuplicates("ida", "idb") // a pair may agree on several bands
-      .filter(graft.functions.vector.dot($"va", $"vb") / ($"na" * $"nb") >= threshold)
+      .select($"a.__id".as("ida"), $"b.__id".as("idb"))
+    val pairs = cand
+      .join(base.select($"__id".as("ida"), $"__v".as("va"), $"__nrm".as("na")), "ida")
+      .join(base.select($"__id".as("idb"), $"__v".as("vb"), $"__nrm".as("nb")), "idb")
+      .filter(round(graft.functions.vector.dot($"va", $"vb") /
+        ($"na" * $"nb"), 6) >= threshold)
       .select($"ida", $"idb")
+      .dropDuplicates("ida", "idb")
 
     df.join(dupIds(pairs, "ida", "idb"), col(idCol) === col("__dup"), "left_anti")
   }

@@ -211,7 +211,10 @@ object VectorQueries extends QueryModule {
     * data-derived constant (pmod(id, 1) = 0) so it plans as a
     * BroadcastHashJoin — a literal key would constant-fold to `true` and
     * fall back to BroadcastNestedLoopJoin. */
-  private def q59(s: SparkSession, dir: String): DataFrame = {
+  /** IVF index + search, shared by q59 (the ranking) and q70 (the recall
+    * measurement): returns (ranked cell assignments with `crk`, un-sorted
+    * top-5 rows). */
+  private def ivfRankedAndTop(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     implicit val sp: SparkSession = s
     import s.implicits._
     val celled = normed(s, dir).withColumn("cell", vector.signBits($"v", 0, 4))
@@ -242,7 +245,7 @@ object VectorQueries extends QueryModule {
     val probes = ranked.select($"vec_id", $"v", $"nrm", $"ccell".as("pcell"))
     // top-5 via the native bounded-buffer aggregate (map-side collapse)
     // rather than a row_number window — no sort of the candidate stream.
-    probes.join(members, $"pcell" === $"mcell" && $"vec_id" =!= $"mid")
+    val top = probes.join(members, $"pcell" === $"mcell" && $"vec_id" =!= $"mid")
       .select($"vec_id", $"mid",
         round(vector.dot($"v", $"mv") / ($"nrm" * $"mnrm"), 6).as("cos_sim"))
       .groupBy($"vec_id")
@@ -250,9 +253,18 @@ object VectorQueries extends QueryModule {
       .select($"vec_id", posexplode($"top").as(Seq("rk0", "t")))
       .select($"vec_id", ($"rk0" + 1).as("rk"),
         $"t.id".as("nn_vec"), $"t.score".as("cos_sim"))
-      .orderBy($"vec_id", $"rk")
+    (ranked, top)
   }
-  private val q59Sql =
+
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivfRankedAndTop(s, dir)._2.orderBy($"vec_id", $"rk")
+  }
+
+  /** CTE stack replicating the IVF pipeline (exposes `rkd` with per-vector
+    * cell ranks and `top` with the ranked candidate list); shared by the
+    * q59 and q70 oracles. */
+  private val ivfCtes =
     s"""$normedSql,
       |cl AS (SELECT vec_id, v, nrm,
       |    list_reduce(list_prepend(0, list_transform(range(1, 5),
@@ -283,14 +295,91 @@ object VectorQueries extends QueryModule {
       |      (x, y) -> x + y) / (p.nrm * m.mnrm), 6) AS cos_sim
       |  FROM prb p JOIN mem m ON p.pcell = m.mcell AND p.vec_id <> m.mid),
       |top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-      |    ORDER BY cos_sim DESC, mid) AS rk FROM cnd)
+      |    ORDER BY cos_sim DESC, mid) AS rk FROM cnd)""".stripMargin
+  private val q59Sql =
+    s"""$ivfCtes
       |SELECT vec_id, rk, mid AS nn_vec, cos_sim FROM top WHERE rk <= 5
       |ORDER BY vec_id, rk""".stripMargin
+
+  /** Exact cosine top-k, fully distributed: the all-pairs comparison runs
+    * as a BroadcastHashJoin on a data-derived constant key (the q59
+    * assignment trick — a literal key would constant-fold to `true` and
+    * plan a BroadcastNestedLoopJoin), with the query side repartitioned
+    * for parallelism and the native bounded top-k aggregate collapsing
+    * candidates map-side. Same ranking semantics as q29 (rounded cosine
+    * desc, id asc) without its driver-collect kernel — this is the shape
+    * the exact side of an eval pipeline runs at scale, where "index side
+    * broadcasts whole" still holds for the evaluation SAMPLE even when
+    * the corpus itself is 100 TB. */
+  private def exactTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val n = normed(s, dir)
+    val a = n.repartition(32).withColumn("__one", pmod($"vec_id", lit(1L)))
+    val b = n.select($"vec_id".as("bid"), $"v".as("bv"), $"nrm".as("bnrm"))
+      .withColumn("__one", pmod($"bid", lit(1L)))
+    a.join(broadcast(b), "__one")
+      .filter($"vec_id" =!= $"bid")
+      .select($"vec_id", $"bid",
+        round(vector.dot($"v", $"bv") / ($"nrm" * $"bnrm"), 6).as("cos_sim"))
+      .groupBy($"vec_id")
+      .agg(aggregates.topKByScore($"cos_sim", $"bid", k).as("top"))
+      .select($"vec_id", posexplode($"top").as(Seq("rk0", "t")))
+      .select($"vec_id", ($"rk0" + 1).as("rk"),
+        $"t.id".as("nn_vec"), $"t.score".as("cos_sim"))
+  }
+
+  /** q70: measured recall@5 of the IVF index (q59) against the exact
+    * cosine ranking (q29's semantics, computed distributed) — the number
+    * an ANN deployment quotes before trusting the index at corpus scale.
+    * Output is per-IVF-cell so recall loss localizes to cells (a skewed
+    * or badly-seeded cell shows up as the low row, which is the signal
+    * that triggers re-clustering in production). The oracle recomputes
+    * both rankings and the same join in DuckDB. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (ranked, ivf) = ivfRankedAndTop(s, dir)
+    val exact = exactTopK(s, dir, 5).select($"vec_id", $"nn_vec")
+    val hits = exact
+      .join(ivf.select($"vec_id", $"nn_vec", lit(1).as("__hit")),
+        Seq("vec_id", "nn_vec"), "left")
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"__hit", lit(0))).as("n_hit"))
+    val cells = ranked.filter($"crk" === 1)
+      .select($"vec_id", $"ccell".cast("long").as("cell"))
+    cells.join(hits, "vec_id")
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum($"n_hit") / sum($"n_exact").cast("double"), 6).as("recall_at_5"))
+      .orderBy($"cell")
+  }
+  private val q70Sql =
+    s"""$ivfCtes,
+      |xp AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_vec,
+      |    round($cosDuck, 6) AS cos_sim
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |xr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos_sim DESC, nn_vec) AS rk FROM xp),
+      |ex AS (SELECT vec_id, nn_vec FROM xr WHERE rk <= 5),
+      |iv AS (SELECT vec_id, mid AS nn_vec FROM top WHERE rk <= 5),
+      |ht AS (SELECT e.vec_id, count(*) AS n_exact,
+      |    CAST(sum(CASE WHEN i.nn_vec IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |  FROM ex e LEFT JOIN iv i
+      |    ON e.vec_id = i.vec_id AND e.nn_vec = i.nn_vec
+      |  GROUP BY e.vec_id),
+      |cellmap AS (SELECT vec_id, CAST(ccell AS BIGINT) AS cell
+      |  FROM rkd WHERE crk = 1)
+      |SELECT c.cell, count(*) AS n_queries,
+      |  round(CAST(sum(h.n_hit) AS DOUBLE) / CAST(sum(h.n_exact) AS DOUBLE), 6) AS recall_at_5
+      |FROM cellmap c JOIN ht h ON c.vec_id = h.vec_id
+      |GROUP BY c.cell ORDER BY c.cell""".stripMargin
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q29_knn_cosine", q29, Some(q29Sql)),
     QueryDef("q30_ann_lsh_bucketed", q30, Some(q30Sql)),
     QueryDef("q31_cosine_neardup", q31, Some(q31Sql)),
     QueryDef("q59_ann_ivf", q59, Some(q59Sql)),
+    QueryDef("q70_ivf_recall", q70, Some(q70Sql)),
   )
 }
