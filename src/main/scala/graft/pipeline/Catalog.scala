@@ -18,13 +18,46 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
 
   def path(table: String): String = s"$warehouseDir/$table"
 
-  def exists(table: String): Boolean =
+  def exists(table: String): Boolean = {
+    heal(table)
     new java.io.File(path(table)).exists()
-
-  def read(table: String): DataFrame = Schemas.of(table, names) match {
-    case Some(schema) => spark.read.schema(schema).parquet(path(table))
-    case None => spark.read.parquet(path(table))
   }
+
+  def read(table: String): DataFrame = {
+    heal(table)
+    Schemas.of(table, names) match {
+      case Some(schema) =>
+        // Spark appends partition columns after the data columns even under
+        // a user-specified schema; re-project to the declared DDL order so
+        // readers see one stable schema regardless of physical layout.
+        spark.read.schema(schema).parquet(path(table))
+          .select(schema.fieldNames.map(col): _*)
+      case None => spark.read.parquet(path(table))
+    }
+  }
+
+  /** Crash recovery for the non-partitioned upsert swap: the swap renames
+    * the live directory ASIDE (`<table>.old`) before promoting staging, so
+    * a crash at any point leaves a complete copy of the data on disk. If
+    * the live directory is missing but `.old` exists, restore it and drop
+    * whatever staging output the dead writer left behind. Runs on every
+    * read/exists/upsert so an interrupted writer never needs manual
+    * repair. */
+  private def heal(table: String): Unit = {
+    val dir = new java.io.File(path(table))
+    val old = new java.io.File(path(table) + ".old")
+    if (!dir.exists() && old.exists()) {
+      val staging = new java.io.File(path(table) + ".staging")
+      if (staging.exists()) delete(staging)
+      if (!old.renameTo(dir))
+        throw new java.io.IOException(s"cannot restore $table from ${old.getName}")
+    }
+  }
+
+  /** Test seam: invoked between the two renames of the non-partitioned
+    * upsert swap — the worst possible crash point. Tests inject a throw to
+    * simulate the JVM dying mid-swap. */
+  private[pipeline] var crashHook: () => Unit = () => ()
 
   /** Full deterministic rewrite (reference silver/gold mode). */
   def overwrite(df: DataFrame, table: String, partitionBy: Seq[String]): Unit =
@@ -74,12 +107,25 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
         val target = read(table)
         val staged = incoming.unionByName(
           target.join(incoming.select(keys.map(incoming(_)): _*).distinct(), keys, "left_anti"))
-        val out = path(table) + ".staging"
-        staged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(out)
+        val staging = new java.io.File(path(table) + ".staging")
+        staged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging.getPath)
+        // Atomic-enough swap with no window where the data exists nowhere:
+        // set the live directory aside, promote staging, then drop the old
+        // copy. A crash between any two steps leaves either the original
+        // (heal restores it from .old) or the fully-written new table —
+        // never a lost table, which the previous delete-then-rename had as
+        // its failure mode.
         val dir = new java.io.File(path(table))
-        delete(dir)
-        if (!new java.io.File(out).renameTo(dir))
-          throw new java.io.IOException(s"staging rename failed for $table")
+        val old = new java.io.File(path(table) + ".old")
+        if (old.exists()) delete(old) // leftover of a completed prior swap
+        if (!dir.renameTo(old))
+          throw new java.io.IOException(s"cannot set aside $dir for swap")
+        crashHook() // a simulated crash leaves on-disk state exactly as a real one
+        if (!staging.renameTo(dir)) {
+          heal(table) // restore the original before failing
+          throw new java.io.IOException(s"staging rename failed for $table; original restored")
+        }
+        delete(old)
     }
   }
 

@@ -75,23 +75,34 @@ object StatsQueries extends QueryModule {
     * l_quantity in q52, ~100k entries/group here) — which is exactly the
     * scale argument for the sketch: its state is constant-size
     * regardless of group cardinality. */
-  private def q66(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.lineitem(s, dir)
-      .groupBy($"l_returnflag")
+  /** The q66 computation shape, parameterized so the negative-path spec
+    * can run it with a deliberately coarse sketch (tiny `accuracy`) and
+    * observe the claim flip FALSE — proving the within-bound columns are
+    * computed from the sketch, not accidentally constant (the oracle's
+    * one-sided TRUE literals cannot catch that). */
+  private[queries] def quantileClaims(df: DataFrame, groupCol: String,
+                                      valueCol: String, accuracy: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy(col(groupCol))
       .agg(
         // one buffered-values aggregate for all exact quantiles (targets +
         // rank-band edges) — separate percentile() calls would buffer
         // every group once per call
-        expr("percentile(l_extendedprice, array(0.495D, 0.5D, 0.505D, 0.985D, 0.99D, 0.995D))").as("ex"),
-        expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 10000)").as("ap"))
-      .select($"l_returnflag",
+        expr(s"percentile($valueCol, array(0.495D, 0.5D, 0.505D, 0.985D, 0.99D, 0.995D))").as("ex"),
+        expr(s"approx_percentile($valueCol, array(0.5D, 0.99D), $accuracy)").as("ap"))
+      .select(col(groupCol),
         round(element_at($"ex", 2), 4).as("p50_exact"),
         round(element_at($"ex", 5), 4).as("p99_exact"),
         (element_at($"ap", 1).between(element_at($"ex", 1), element_at($"ex", 3)))
           .as("p50_within_bound"),
         (element_at($"ap", 2).between(element_at($"ex", 4), element_at($"ex", 6)))
           .as("p99_within_bound"))
+  }
+
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    quantileClaims(Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+        accuracy = 10000)
       .orderBy($"l_returnflag")
   }
   private val q66Sql =

@@ -56,31 +56,39 @@ case class BroadcastIntervalJoinExec(
     val hiBound = BindReferences.bindReference(hi, rightOutput)
     val pointBound = BindReferences.bindReference(point, left.output)
     val outAttrs = output
+    // Memoization key, computed driver-side and captured by the closure:
+    // broadcast ids are unique per SparkContext, so (id, bounds) uniquely
+    // identifies the sorted structure an executor needs.
+    val cacheKey = s"${bc.id}:${lo.canonicalized}:${hi.canonicalized}"
 
     left.execute().mapPartitionsInternal { iter =>
       // Sort intervals by lo; keep (lo, hi, row). A null lo or hi means the
       // BETWEEN predicate is NULL for every point — inner-join semantics say
       // that row can never match, so drop it here instead of letting the
       // unbox coerce null to 0.0 (which would fabricate the interval [0,0]).
-      // Sorting per task is O(m log m) on a side already bounded by the
-      // broadcast threshold — noise next to shipping the broadcast itself.
-      val sorted = bc.value.iterator.flatMap { r =>
-        val lv = loBound.eval(r)
-        val hv = hiBound.eval(r)
-        if (lv == null || hv == null) Iterator.empty
-        else Iterator((lv.asInstanceOf[Double], hv.asInstanceOf[Double], r))
-      }.toArray.sortBy(_._1)
-      val loArr = sorted.map(_._1)
-      val hiPrefix = {
-        // running max of hi up to index i: lets the scan-back stop early for
-        // non-overlapping interval sets and bounds it for nested ones
-        val a = new Array[Double](sorted.length)
-        var m = Double.NegativeInfinity
-        var i = 0
-        while (i < sorted.length) { m = math.max(m, sorted(i)._2); a(i) = m; i += 1 }
-        a
-      }
-      val ivals = sorted
+      // The sorted structure is built ONCE PER EXECUTOR and shared by its
+      // tasks (see sortedIntervals) — previously every task re-filtered,
+      // re-sorted, and re-boxed the broadcast side, repeating the
+      // O(m log m) work 32x per executor at local[32].
+      val (loArr, hiPrefix, ivals) =
+        BroadcastIntervalJoinExec.sortedIntervals(cacheKey) {
+          val sorted = bc.value.iterator.flatMap { r =>
+            val lv = loBound.eval(r)
+            val hv = hiBound.eval(r)
+            if (lv == null || hv == null) Iterator.empty
+            else Iterator((lv.asInstanceOf[Double], hv.asInstanceOf[Double], r))
+          }.toArray.sortBy(_._1)
+          val hiMax = {
+            // running max of hi up to index i: lets the scan-back stop early
+            // for non-overlapping interval sets and bounds it for nested ones
+            val a = new Array[Double](sorted.length)
+            var m = Double.NegativeInfinity
+            var i = 0
+            while (i < sorted.length) { m = math.max(m, sorted(i)._2); a(i) = m; i += 1 }
+            a
+          }
+          (sorted.map(_._1), hiMax, sorted)
+        }
       val joiner = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       iter.flatMap { row =>
@@ -104,6 +112,31 @@ case class BroadcastIntervalJoinExec(
         }
       }
     }
+  }
+}
+
+object BroadcastIntervalJoinExec {
+  private type Sorted = (Array[Double], Array[Double], Array[(Double, Double, InternalRow)])
+
+  /** Executor-local memo of the sorted interval structure: the first task
+    * on an executor builds it, concurrent and later tasks reuse it. Soft
+    * references let the JVM reclaim entries under memory pressure (they
+    * are then rebuilt); a benign build race produces identical structures
+    * and either may win. Entries are keyed by broadcast id, which a
+    * SparkContext never reuses, so stale aliasing is impossible; the
+    * stale-entry sweep keeps the map from growing with app lifetime. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[Sorted]]()
+
+  private[graft] def sortedIntervals(key: String)(build: => Sorted): Sorted = {
+    val ref = cache.get(key)
+    val hit = if (ref != null) ref.get else null
+    if (hit != null) return hit
+    val built = build
+    if (cache.size > 64)
+      cache.forEach((k, v) => if (v.get == null) cache.remove(k, v))
+    cache.put(key, new java.lang.ref.SoftReference(built))
+    built
   }
 }
 

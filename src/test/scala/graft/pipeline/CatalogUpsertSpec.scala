@@ -67,4 +67,39 @@ class CatalogUpsertSpec extends SparkTestBase {
     catalog.upsert(batch, t, Seq("symbol", "date"), Seq("symbol"))
     assert(catalog.read(t).count() == 2)
   }
+
+  test("a crash mid-swap never loses the table: heal restores, retry lands") {
+    val wh = tmpDir("graft-upsert3")
+    val catalog = new Catalog(spark, wh)
+    val t = Schemas.tables.bronze
+    // non-partitioned layout (partitionBy does not include a key column's
+    // partition head) -> the rename-swap path under test
+    catalog.upsert(df(
+      mkRow("AAA", "2026-01-01", 10.0, "2026-01-02 00:00:00"),
+      mkRow("BBB", "2026-01-01", 20.0, "2026-01-02 00:00:00")),
+      t, keys = Seq("symbol", "date"), partitionBy = Seq.empty)
+    assert(catalog.read(t).count() == 2)
+
+    // die at the worst point: live directory set aside, staging not yet
+    // promoted — the exact window where delete-then-rename lost the table
+    catalog.crashHook = () => throw new RuntimeException("simulated crash")
+    val crashed = intercept[RuntimeException] {
+      catalog.upsert(df(mkRow("AAA", "2026-01-01", 99.0, "2026-01-03 00:00:00")),
+        t, keys = Seq("symbol", "date"), partitionBy = Seq.empty)
+    }
+    assert(crashed.getMessage == "simulated crash")
+
+    // next reader heals from .old: the ORIGINAL table is whole
+    val healed = catalog.read(t)
+    assert(healed.count() == 2)
+    assert(healed.filter(col("symbol") === "AAA").head.getAs[Double]("close") == 10.0)
+
+    // retry after recovery applies the update normally
+    catalog.crashHook = () => ()
+    catalog.upsert(df(mkRow("AAA", "2026-01-01", 99.0, "2026-01-03 00:00:00")),
+      t, keys = Seq("symbol", "date"), partitionBy = Seq.empty)
+    val out = catalog.read(t)
+    assert(out.count() == 2)
+    assert(out.filter(col("symbol") === "AAA").head.getAs[Double]("close") == 99.0)
+  }
 }
