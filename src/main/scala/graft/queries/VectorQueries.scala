@@ -51,70 +51,16 @@ object VectorQueries extends QueryModule {
       |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
       |    / (a.nrm * b.nrm)""".stripMargin
 
-  /** Broadcastable flat copy of the vector table: ids ascending, raw
-    * doubles + norms (NOT pre-normalized — the oracle computes
-    * dot(a,b)/(|a|·|b|) and bit-stability requires the identical op
-    * sequence). ~(8·dim+16) bytes/vector: 2000 vectors ≈ 1 MB. */
-  private def collectVectors(s: SparkSession, dir: String): (Array[Long], Array[Array[Double]], Array[Double]) = {
-    import s.implicits._
-    val rows = normed(s, dir).as[(Long, Array[Double], Double)].collect().sortBy(_._1)
-    (rows.map(_._1), rows.map(_._2), rows.map(_._3))
-  }
-
-  /** dot(a,b)/(na·nb) rounded half-away-from-zero to 6 dp: ranking happens
-    * on ROUNDED values so ties break on id identically to the SQL
-    * formulation (BigDecimal would match too but allocates per pair —
-    * millions of pairs make that the kernel's bottleneck). */
-  private def cosRounded(a: Array[Double], b: Array[Double], na: Double, nb: Double): Double = {
-    var acc = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i) * b(i); i += 1 }
-    val x = acc / (na * nb)
-    if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
-    else -math.floor(-x * 1e6 + 0.5) / 1e6
-  }
-
   /** q29: brute-force cosine k-NN, k=5 — the exact baseline every ANN
-    * variant is measured against. Runs as a broadcast kernel: the flat
-    * vector table ships to every partition and each task scans it in a
-    * primitive loop with a 5-slot insertion buffer. A relational n² join
-    * (even with the native dot + top-k aggregate) pays per-pair row and
-    * agg-update overhead ~6x this. At 100 TB the index side no longer
-    * broadcasts whole — q30's bucketed form (or IVF cells) is the upgrade,
-    * with this same kernel inside each cell. */
+    * variant is measured against. Fully distributed (see exactTopK): the
+    * index side ships once per executor as a real BroadcastExchange and
+    * the native bounded top-k aggregate collapses the n² candidate stream
+    * map-side, so nothing ever rides through the driver. At 100 TB the
+    * index side no longer broadcasts whole — q30's bucketed form (or IVF
+    * cells, q59) is the upgrade, with this same per-cell shape inside. */
   private def q29(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val k = 5
-    val (ids, vs, ns) = collectVectors(s, dir)
-    val bc = s.sparkContext.broadcast((ids, vs, ns))
-    normed(s, dir).as[(Long, Array[Double], Double)].flatMap { case (id, v, nrm) =>
-      val (bIds, bVs, bNs) = bc.value
-      val topScore = new Array[Double](k)
-      val topId = new Array[Long](k)
-      var filled = 0
-      var i = 0
-      while (i < bIds.length) {
-        if (bIds(i) != id) {
-          val c = cosRounded(v, bVs(i), nrm, bNs(i))
-          // insertion sort slot: score desc, id asc on ties
-          var pos = filled
-          while (pos > 0 && (topScore(pos - 1) < c ||
-            (topScore(pos - 1) == c && topId(pos - 1) > bIds(i)))) pos -= 1
-          if (pos < k) {
-            val last = math.min(filled, k - 1)
-            var j = last
-            while (j > pos) { topScore(j) = topScore(j - 1); topId(j) = topId(j - 1); j -= 1 }
-            topScore(pos) = c
-            topId(pos) = bIds(i)
-            if (filled < k) filled += 1
-          }
-        }
-        i += 1
-      }
-      (0 until filled).map(r => (id, r + 1, topId(r), topScore(r)))
-    }.toDF("vec_id", "rk", "nn_vec", "cos_sim")
-      .orderBy($"vec_id", $"rk")
+    exactTopK(s, dir, 5).orderBy($"vec_id", $"rk")
   }
   private val q29Sql =
     s"""$normedSql,
@@ -161,27 +107,24 @@ object VectorQueries extends QueryModule {
       |ORDER BY vec_id, rk""".stripMargin
 
   /** q31: embedding-cosine near-dup pairs (cos >= 0.4, a < b) — the
-    * embedding-space analog of q26's text Jaccard near-dup. Same broadcast
-    * kernel as q29; each row scans only ids greater than its own, so every
-    * unordered pair is evaluated exactly once. */
+    * embedding-space analog of q26's text Jaccard near-dup. All-pairs via
+    * the same constant-key BroadcastHashJoin shape as exactTopK; the
+    * `vec_id < bid` guard evaluates every unordered pair exactly once.
+    * This is the EXACTNESS baseline (O(n²) by definition); the production
+    * path is `Dedup.nearCosine` — banded sign-bit LSH candidates, exact
+    * cosine confirmation — which q69 gates end to end. */
   private def q31(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
     import s.implicits._
-    val (ids, vs, ns) = collectVectors(s, dir)
-    val bc = s.sparkContext.broadcast((ids, vs, ns))
-    normed(s, dir).as[(Long, Array[Double], Double)].flatMap { case (id, v, nrm) =>
-      val (bIds, bVs, bNs) = bc.value
-      // bIds ascending: start just past our own id
-      var lo = java.util.Arrays.binarySearch(bIds, id)
-      if (lo < 0) lo = -lo - 1 else lo += 1
-      val out = Seq.newBuilder[(Long, Long, Double)]
-      var i = lo
-      while (i < bIds.length) {
-        val c = cosRounded(v, bVs(i), nrm, bNs(i))
-        if (c >= 0.4) out += ((id, bIds(i), c))
-        i += 1
-      }
-      out.result()
-    }.toDF("vec_a", "vec_b", "cos_sim")
+    val n = normed(s, dir)
+    val a = n.repartition(32).withColumn("__one", pmod($"vec_id", lit(1L)))
+    val b = n.select($"vec_id".as("bid"), $"v".as("bv"), $"nrm".as("bnrm"))
+      .withColumn("__one", pmod($"bid", lit(1L)))
+    a.join(broadcast(b), "__one")
+      .filter($"vec_id" < $"bid")
+      .select($"vec_id".as("vec_a"), $"bid".as("vec_b"),
+        round(vector.dot($"v", $"bv") / ($"nrm" * $"bnrm"), 6).as("cos_sim"))
+      .filter($"cos_sim" >= 0.4)
       .orderBy($"vec_a", $"vec_b")
   }
   private val q31Sql =
@@ -306,11 +249,11 @@ object VectorQueries extends QueryModule {
     * assignment trick — a literal key would constant-fold to `true` and
     * plan a BroadcastNestedLoopJoin), with the query side repartitioned
     * for parallelism and the native bounded top-k aggregate collapsing
-    * candidates map-side. Same ranking semantics as q29 (rounded cosine
-    * desc, id asc) without its driver-collect kernel — this is the shape
-    * the exact side of an eval pipeline runs at scale, where "index side
-    * broadcasts whole" still holds for the evaluation SAMPLE even when
-    * the corpus itself is 100 TB. */
+    * candidates map-side. Ranking is rounded cosine desc, id asc; q29 is
+    * this computation, and q70 reuses it as the exact reference — the
+    * shape the exact side of an eval pipeline runs at scale, where "index
+    * side broadcasts whole" still holds for the evaluation SAMPLE even
+    * when the corpus itself is 100 TB. */
   private def exactTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
