@@ -30,6 +30,7 @@ object SparkEntry {
     graft.queries.LateralQueries,
     graft.queries.CurationQueries,
     graft.queries.DedupGateQueries,
+    graft.queries.TrainingPrepQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

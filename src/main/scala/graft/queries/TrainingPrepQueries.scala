@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Pre-training data-prep operators a production LLM pipeline runs after
+  * dedup/curation and before batching: repetition filtering (Gopher-style
+  * quality signal), embedding quantization (index memory budget), and
+  * token-budget sequence packing (batch construction).
+  *
+  * Scale notes (100 TB posture):
+  *   - q71 and q72 are pure per-row projections — no shuffle at all; the
+  *     only cost is the scan and codegen'd expression work.
+  *   - q73's packing is one window cumsum per language partition (a single
+  *     shuffle on `lang`) plus integer arithmetic; at 100 TB the partition
+  *     key would widen to (lang, shard-date) so no single language's
+  *     running sum serializes through one task, which changes bin numbers
+  *     only across shard boundaries — acceptable for batch construction.
+  */
+object TrainingPrepQueries extends QueryModule {
+
+  /** q71: within-document repetition — the fraction of duplicate word
+    * bigrams (and duplicate words) per document. High duplicate-n-gram
+    * fraction is the classic repetition signal used to drop degenerate
+    * generations / boilerplate from pre-training corpora. Distinct bigram
+    * counting is the native WordShingles expression (one linear pass). */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", size($"toks").as("n_tokens"),
+        (size($"toks") - 1).as("n_bigrams"),
+        size(graft.functions.text.shingles($"toks", 2)).as("n_distinct_bigrams"),
+        size(array_distinct($"toks")).as("n_distinct_words"))
+      .withColumn("dup_bigram_ratio",
+        round(lit(1.0) - $"n_distinct_bigrams" / $"n_bigrams".cast("double"), 6))
+      .withColumn("dup_word_ratio",
+        round(lit(1.0) - $"n_distinct_words" / $"n_tokens".cast("double"), 6))
+      .orderBy($"doc_id")
+  }
+  private val q71Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |b AS (SELECT doc_id, len(w) AS n_tokens, len(w) - 1 AS n_bigrams,
+      |    len(list_distinct(list_transform(range(1, len(w)),
+      |      i -> w[i] || ' ' || w[i + 1]))) AS n_distinct_bigrams,
+      |    len(list_distinct(w)) AS n_distinct_words
+      |  FROM t WHERE len(w) >= 2)
+      |SELECT doc_id, n_tokens, n_bigrams, n_distinct_bigrams, n_distinct_words,
+      |  round(1.0 - n_distinct_bigrams / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_ratio,
+      |  round(1.0 - n_distinct_words / CAST(n_tokens AS DOUBLE), 6) AS dup_word_ratio
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** q72: int8 symmetric quantization of the embedding table and the
+    * reconstruction quality that decides whether an ANN index can run
+    * quantized (4x memory cut, ~4x more vectors per node). Per vector:
+    * scale = maxabs/127, q = floor(x/scale + 0.5) — the floor form instead
+    * of round() because Spark and DuckDB agree bit-for-bit on floor while
+    * their round() tie policies differ — reconstruct, then cosine(original,
+    * reconstruction) and max absolute error. Per-label means go through
+    * DECIMAL sums of the 6-dp-rounded cosines so the group aggregate is
+    * order-independent (the q59 centroid pattern). */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("maxabs",
+        expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .filter($"maxabs" > 0)
+      .withColumn("scale", $"maxabs" / lit(127.0))
+      .withColumn("rv", expr(
+        "transform(v, x -> floor(x / scale + 0.5D) * scale)"))
+      .withColumn("recon_cos", round(
+        vector.dot($"v", $"rv") / (vector.norm($"v") * vector.norm($"rv")), 6))
+      .withColumn("max_abs_err", round(expr(
+        "aggregate(zip_with(v, rv, (x, y) -> abs(x - y)), CAST(0 AS DOUBLE), (a, x) -> greatest(a, x))"), 6))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round((sum($"recon_cos".cast("decimal(10,6)")).cast("double") /
+          count(lit(1))), 6).as("avg_recon_cos"),
+        round(max($"max_abs_err"), 6).as("worst_abs_err"))
+      .orderBy($"label")
+  }
+  private val q72Sql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (SELECT vec_id, label, v,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(v, x -> abs(x))), (a, b) -> greatest(a, b)) AS maxabs
+      |  FROM e),
+      |sc AS (SELECT vec_id, label, v, maxabs / 127.0 AS scale
+      |  FROM m WHERE maxabs > 0),
+      |rv AS (SELECT vec_id, label, v,
+      |    list_transform(v, x -> floor(x / scale + 0.5) * scale) AS rv
+      |  FROM sc),
+      |q AS (SELECT label,
+      |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |        list_transform(range(1, 65), i -> v[i] * rv[i])), (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |          list_transform(v, x -> x * x)), (a, b) -> a + b))
+      |       * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |          list_transform(rv, x -> x * x)), (a, b) -> a + b))), 6) AS recon_cos,
+      |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, 65), i -> abs(v[i] - rv[i]))),
+      |      (a, b) -> greatest(a, b)), 6) AS max_abs_err
+      |  FROM rv)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(CAST(sum(CAST(recon_cos AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6)
+      |    AS avg_recon_cos,
+      |  round(max(max_abs_err), 6) AS worst_abs_err
+      |FROM q GROUP BY label ORDER BY label""".stripMargin
+
+  /** q73: token-budget sequence packing (concatenate-and-chunk): documents
+    * are laid out per language in doc_id order, and each document is
+    * assigned to the 2048-token training bin its starting offset falls in.
+    * One window cumsum — the entire packing plan for a corpus shard is a
+    * single shuffle, no driver involvement, and bin ids are a pure
+    * function of the ordered token counts (reproducible batch layout). */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 2048
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("n_tok", size(split($"text", " ")))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("bin", floor(($"cum" - $"n_tok").cast("double") / budget).cast("long"))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("bin_tokens"),
+        min($"doc_id").as("first_doc"),
+        max($"doc_id").as("last_doc"))
+      .orderBy($"lang", $"bin")
+  }
+  private val q73Sql =
+    """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, lang, n_tok,
+      |    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t),
+      |b AS (SELECT lang, doc_id, n_tok,
+      |    CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin FROM c)
+      |SELECT lang, bin, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q71_repetition_ratio", q71, Some(q71Sql)),
+    QueryDef("q72_embedding_quantization", q72, Some(q72Sql)),
+    QueryDef("q73_sequence_packing", q73, Some(q73Sql)),
+  )
+}
