@@ -31,6 +31,8 @@ object SparkEntry {
     graft.queries.CurationQueries,
     graft.queries.DedupGateQueries,
     graft.queries.TrainingPrepQueries,
+    graft.queries.WarehouseQueries,
+    graft.queries.RetrievalLayoutQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Retrieval scoring and physical-layout operators: BM25 ranking (the
+  * retrieval-quality upgrade over q61's TF-IDF), chunk-level exact dedup
+  * (the paragraph/line dedup used on web corpora, expressed over token
+  * windows since this corpus has no newlines), space-filling-curve
+  * clustering keys (Z-order — the data-skipping layout for multi-column
+  * range scans), and two-level HLL sketch merge (the mergeable-sketch
+  * cardinality pattern that replaces exact count-distinct at fleet scale).
+  *
+  * Scale notes (100 TB posture):
+  *   - q78 shuffles on (doc, term) then term then doc — the same profile
+  *     as q61; the per-doc top-3 rides the bounded TopKScoreStr aggregate
+  *     so only 3 rows per doc cross the final exchange. Corpus-level
+  *     scalars (N, avgdl) attach via a data-derived constant-key broadcast
+  *     join, never a collect.
+  *   - q79 is one shuffle on chunk hash + one on doc_id; chunk frequency
+  *     is a count over the hash key, so boilerplate-heavy corpora skew at
+  *     the hash level, where AQE skew-split applies cleanly.
+  *   - q80 is a pure projection (bit interleave) plus one aggregate on the
+  *     derived bucket — this is exactly the key computation a writer would
+  *     `repartitionByRange` on to lay out 100 TB for 2-D range pruning;
+  *     the per-bucket min/max output IS the data-skipping index the layout
+  *     earns.
+  *   - q81 builds per-group HLL sketches (constant-size state, map-side
+  *     combinable) and re-merges the BINARY sketches into a corpus total —
+  *     the two-level merge that lets cardinality roll up across partitions
+  *     or days without rescanning; the oracle checks the estimates stay
+  *     within the declared band of exact counts (q42/q66 one-sided
+  *     pattern: a violation hash-fails).
+  */
+object RetrievalLayoutQueries extends QueryModule {
+
+  /** q78: BM25 top-3 terms per document (k1 = 1.2, b = 0.75). Scores are
+    * rounded to 6 dp before ranking so ordering never hinges on the final
+    * ulp of ln; ties break on term (matching the oracle's ROW_NUMBER
+    * ORDER BY score DESC, tok — TopKScoreStr's comparator contract). */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    // corpus scalars (N, avgdl) in ONE row, broadcast-joined onto the
+    // vocabulary and the doc-length table via a data-derived constant key
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("one", pmod($"n_docs".cast("long"), lit(1L)))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val idf = df.withColumn("one", pmod($"df", lit(1L)))
+      .join(broadcast(stats), "one")
+      .select($"tok", log((($"n_docs" - $"df" + 0.5) / ($"df" + 0.5)) + 1.0).as("idf"))
+    val withLen = dl.withColumn("one", pmod($"dl", lit(1L)))
+      .join(broadcast(stats), "one")
+      .select($"doc_id", $"dl", $"avgdl")
+    tf.join(idf, "tok").join(withLen, "doc_id")
+      .select($"doc_id", $"tok",
+        round($"idf" * ($"tf" * 2.2) /
+          ($"tf" + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * $"dl" / $"avgdl")), 6)
+          .as("score"))
+      .groupBy($"doc_id")
+      .agg(graft.functions.aggregates.topKByScoreStr($"score", $"tok", 3).as("top"))
+      .select($"doc_id", posexplode($"top").as(Seq("rk0", "t")))
+      .select($"doc_id", ($"rk0" + 1).as("rk"),
+        $"t.id".as("term"), $"t.score".as("score"))
+      .orderBy($"doc_id", $"rk")
+  }
+  private val q78Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |idf AS (SELECT tok, ln(((SELECT n_docs FROM stats) - df + 0.5)
+      |    / (df + 0.5) + 1.0) AS idf FROM df),
+      |scored AS (SELECT tf.doc_id, tf.tok,
+      |    round(idf.idf * (tf.tf * 2.2) /
+      |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats))), 6) AS score
+      |  FROM tf JOIN idf ON tf.tok = idf.tok JOIN dl ON tf.doc_id = dl.doc_id),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, tok) AS rk FROM scored)
+      |SELECT doc_id, rk, tok AS term, score FROM rk WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  /** q79: chunk-level exact dedup — 8-token non-overlapping chunks hashed
+    * by content; a chunk occurring more than once ANYWHERE in the corpus
+    * is a duplicate (the paragraph-dedup semantics of web-corpus
+    * pipelines, CCNet-style, at token-window granularity). Per document:
+    * chunk count, duplicated-chunk count, duplication ratio. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("len", size($"toks"))
+      .filter($"len" >= 1)
+      .select($"doc_id", explode(expr("sequence(1, len, 8)")).as("start"), $"toks")
+      .select($"doc_id", md5(array_join(slice($"toks", $"start", lit(8)), " ")).as("chunk_md5"))
+    val freq = chunks.groupBy($"chunk_md5").agg(count(lit(1)).as("cnt"))
+    chunks.join(freq.hint("shuffle_hash"), "chunk_md5")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"cnt" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .select($"doc_id", $"n_chunks", $"n_dup_chunks",
+        round($"n_dup_chunks" / $"n_chunks".cast("double"), 6).as("dup_chunk_ratio"))
+      .orderBy($"doc_id")
+  }
+  private val q79Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |st AS (SELECT doc_id, t, len(t) AS n, unnest(range(1, len(t) + 1, 8)) AS s
+      |  FROM d WHERE len(t) >= 1),
+      |kept AS (SELECT doc_id,
+      |    md5(list_aggregate(t[s:least(s + 7, n)], 'string_agg', ' ')) AS chunk_md5
+      |  FROM st),
+      |freq AS (SELECT chunk_md5, count(*) AS cnt FROM kept GROUP BY 1)
+      |SELECT k.doc_id, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  round(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END)
+      |    / CAST(count(*) AS DOUBLE), 6) AS dup_chunk_ratio
+      |FROM kept k JOIN freq f ON k.chunk_md5 = f.chunk_md5
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Bit-interleave of two 8-bit values — identical expression text is
+    * valid in Spark SQL (>= 4.0 bitwise shift operators) and DuckDB, so
+    * both engines evaluate literally the same formula. */
+  private val zExpr: String = (0 until 8)
+    .map(i => s"((((px >> $i) & 1) << ${2 * i}) + (((ox >> $i) & 1) << ${2 * i + 1}))")
+    .mkString(" + ")
+
+  /** q80: Z-order layout audit — interleave the low 8 bits of
+    * (l_partkey, l_orderkey) into a 16-bit Z-value, bucket rows into 32
+    * Z-ranges (a pure projection — `zval div 2048` — NOT a global-sort
+    * ntile), and report each bucket's row count and per-dimension min/max.
+    * The tight per-bucket rectangles are the min/max footer stats a
+    * Z-ordered writer earns, i.e. why both WHERE px BETWEEN ... and WHERE
+    * ox BETWEEN ... prune most buckets. */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select(($"l_partkey" % 256).as("px"), ($"l_orderkey" % 256).as("ox"))
+      .withColumn("zval", expr(zExpr))
+      .select(expr("zval div 2048").as("zbucket"), $"px", $"ox")
+      .groupBy($"zbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"px").as("min_px"), max($"px").as("max_px"),
+        min($"ox").as("min_ox"), max($"ox").as("max_ox"))
+      .orderBy($"zbucket")
+  }
+  private val q80Sql =
+    s"""WITH b AS (SELECT l_partkey % 256 AS px, l_orderkey % 256 AS ox FROM lineitem),
+       |z AS (SELECT px, ox, $zExpr AS zval FROM b)
+       |SELECT zval // 2048 AS zbucket, count(*) AS n_rows,
+       |  min(px) AS min_px, max(px) AS max_px,
+       |  min(ox) AS min_ox, max(ox) AS max_ox
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q81: two-level HLL sketch merge — per-source Datasketches HLL over
+    * the token stream (lgK = 12, ~1.6% rsd), then the BINARY sketches
+    * union-merged into a corpus-wide estimate. Output carries the exact
+    * distinct counts plus a within-5% claim per row; the oracle recomputes
+    * the exact side and asserts the claim TRUE, so an estimator drifting
+    * out of band hash-fails (one-sided oracle, q42/q66 pattern). */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+    val per = toks.groupBy($"source")
+      .agg(hll_sketch_agg($"tok", lit(12)).as("sk"),
+        countDistinct($"tok").as("exact_distinct"))
+    val perRow = per.select($"source", $"exact_distinct",
+      (abs(hll_sketch_estimate($"sk") - $"exact_distinct") <=
+        lit(0.05) * $"exact_distinct").as("within_5pct"))
+    // 1-row x 1-row attach via data-derived constant equi-key (a literal
+    // cross join would plan as BNLJ — the q61/q78 broadcast-key pattern)
+    val total = per
+      .agg(hll_union_agg($"sk").as("sk"), sum($"exact_distinct").as("s0"))
+      .withColumn("one", pmod($"s0", lit(1L)))
+      .join(broadcast(toks.agg(countDistinct($"tok").as("exact_distinct"))
+        .withColumn("one", pmod($"exact_distinct", lit(1L)))), "one")
+      .select(lit("TOTAL").as("source"), $"exact_distinct",
+        (abs(hll_sketch_estimate($"sk") - $"exact_distinct") <=
+          lit(0.05) * $"exact_distinct").as("within_5pct"))
+    perRow.union(total).orderBy($"source")
+  }
+  private val q81Sql =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |per AS (SELECT source, count(DISTINCT tok) AS exact_distinct
+      |  FROM toks GROUP BY 1),
+      |total AS (SELECT 'TOTAL' AS source, count(DISTINCT tok) AS exact_distinct
+      |  FROM toks)
+      |SELECT source, exact_distinct, TRUE AS within_5pct FROM per
+      |UNION ALL SELECT source, exact_distinct, TRUE AS within_5pct FROM total
+      |ORDER BY source""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q78_bm25_topk", q78, Some(q78Sql)),
+    QueryDef("q79_chunk_dedup", q79, Some(q79Sql)),
+    QueryDef("q80_zorder_layout", q80, Some(q80Sql)),
+    QueryDef("q81_hll_sketch_merge", q81, Some(q81Sql)),
+  )
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Warehouse-side analytics the reference's medallion pipeline implies but
+  * never writes out: slowly-changing-dimension history (the canonical gold
+  * dimension build), time-windowed funnel conversion, cohort retention, and
+  * an explicitly salted skew join.
+  *
+  * Scale notes (100 TB posture):
+  *   - q74 is one shuffle on `user_id` feeding two same-keyed windows (the
+  *     second window reuses the first's partitioning AND ordering — the
+  *     filter between them preserves sort order, so only one exchange+sort
+  *     pair appears in the plan).
+  *   - q75's per-stage joins are equi-joins on `user_id`; each stage's
+  *     aggregate shrinks the key set, so later joins get smaller, and AQE
+  *     can broadcast the survivor sets at runtime.
+  *   - q76 is a self-join on `user_id` (first-event table is one row per
+  *     user — always the small side) plus one count-distinct shuffle.
+  *   - q77 splits every dimension key across 8 salt buckets BEFORE the
+  *     shuffle: a key that holds 10% of a 100 TB fact table becomes 8
+  *     tasks instead of one straggler. The dim side replicates 8x (cheap:
+  *     dims are small by definition); results are provably identical to
+  *     the unsalted join — which is exactly what the oracle checks.
+  *
+  * Timestamps: `events.ts` is nanosecond-precision parquet, read as an
+  * epoch-ns long (`nanosAsLong`). Outputs carry epoch MICROSECONDS
+  * (`div 1000`): epoch-us values (~1.7e15) are exactly representable in a
+  * float64, so a nullable column surviving pandas' int→float widening on
+  * the driver hashes identically from both engines, while epoch-ns
+  * (~1.7e18) would round differently per engine.
+  */
+object WarehouseQueries extends QueryModule {
+
+  /** q74: SCD2 dimension history — collapse each user's event-type stream
+    * into validity intervals [valid_from, valid_to) with an is_current
+    * flag. Change points via LAG, interval ends via LEAD over the change
+    * points only (classic two-window SCD2 build, no self-join). */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to_us", expr("lead(ts, 1) over " +
+        "(partition by user_id order by ts, event_id) div 1000"))
+      .select($"user_id", $"version", $"event_type",
+        expr("ts div 1000").as("valid_from_us"), $"valid_to_us",
+        $"valid_to_us".isNull.as("is_current"))
+      .orderBy($"user_id", $"version")
+  }
+  private val q74Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, event_type FROM events),
+      |c AS (SELECT *, LAG(event_type) OVER
+      |    (PARTITION BY user_id ORDER BY tsn, event_id) AS prev FROM e),
+      |k AS (SELECT user_id, tsn, event_id, event_type FROM c
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |v AS (SELECT user_id, event_type, tsn // 1000 AS valid_from_us,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS BIGINT) AS version,
+      |    LEAD(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id) // 1000 AS valid_to_us
+      |  FROM k)
+      |SELECT user_id, version, event_type, valid_from_us, valid_to_us,
+      |  valid_to_us IS NULL AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
+  /** q75: time-windowed funnel — view, then click within 2 h of the first
+    * view, then purchase within 2 h of that click. Each stage is a filtered
+    * aggregate joined to the previous stage's survivors; the conversion
+    * window is what makes the funnel selective (an unbounded funnel over a
+    * month of dense events converts everyone). */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val windowNs = 2L * 3600 * 1000 * 1000 * 1000 // 2 h in ns
+    val ev = Tables.events(s, dir).select($"user_id", $"ts", $"event_type")
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"t1" && $"ts" <= $"t1" + windowNs)
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"t2" && $"ts" <= $"t2" + windowNs)
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    def stage(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"), $"users")
+    stage(1, "view", v)
+      .union(stage(2, "view>click_2h", c))
+      .union(stage(3, "view>click>purchase_2h", p))
+      .orderBy($"stage_idx")
+  }
+  private val q75Sql =
+    """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2 FROM events e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.t1
+      |    AND epoch_ns(e.ts) <= v.t1 + 7200000000000 GROUP BY 1),
+      |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3 FROM events e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.t2
+      |    AND epoch_ns(e.ts) <= c.t2 + 7200000000000 GROUP BY 1)
+      |SELECT * FROM (VALUES
+      |  (1, 'view', CAST((SELECT count(*) FROM v) AS BIGINT)),
+      |  (2, 'view>click_2h', CAST((SELECT count(*) FROM c) AS BIGINT)),
+      |  (3, 'view>click>purchase_2h', CAST((SELECT count(*) FROM p) AS BIGINT)))
+      |  AS t(stage_idx, stage, users)
+      |ORDER BY stage_idx""".stripMargin
+
+  /** q76: cohort retention — users bucketed by first-event day, activity
+    * counted per day offset from that cohort day. Integer division on the
+    * epoch-ns longs (`div`): exact on both engines, no float rounding at
+    * day boundaries. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"ts")
+    val first = ev.groupBy($"user_id").agg(min($"ts").as("first_ts"))
+    ev.join(first, "user_id")
+      .select($"user_id",
+        expr("first_ts div 86400000000000").as("cohort_day"),
+        expr("(ts - first_ts) div 86400000000000").as("day_offset"))
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(countDistinct($"user_id").as("active_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+  private val q76Sql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+      |f AS (SELECT user_id, min(tsn) AS first_ts FROM e GROUP BY 1)
+      |SELECT f.first_ts // 86400000000000 AS cohort_day,
+      |  (e.tsn - f.first_ts) // 86400000000000 AS day_offset,
+      |  count(DISTINCT e.user_id) AS active_users
+      |FROM e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q77: salted skew join — fact rows salt by hash(event_id) mod 8, the
+    * dimension replicates across all 8 salts, and the join runs on
+    * (user_id, salt) so one hot user fans across 8 tasks instead of one
+    * straggler. The shuffle_hash hint keeps the exchange (a broadcast
+    * would bypass the pattern under test); the oracle is the UNSALTED
+    * join — proving the decomposition changes the plan, not the answer.
+    * The DECIMAL-sum/round pattern keeps the double aggregate
+    * order-independent across partitionings (q72's trick). */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val salts = 8
+    val dim = Tables.customer(s, dir)
+      .filter($"c_custkey" <= 150)
+      .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    val fact = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"value")
+      .withColumn("salt", pmod(xxhash64($"event_id"), lit(salts.toLong)).cast("int"))
+    fact.join(dim.hint("shuffle_hash"), Seq("user_id", "salt"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast("decimal(18,6)")).cast("double"), 6).as("total_value"))
+      .orderBy($"segment")
+  }
+  private val q77Sql =
+    """SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+      |  round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE c.c_custkey <= 150
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q74_scd2_history", q74, Some(q74Sql)),
+    QueryDef("q75_funnel_window", q75, Some(q75Sql)),
+    QueryDef("q76_cohort_retention", q76, Some(q76Sql)),
+    QueryDef("q77_skew_salted_join", q77, Some(q77Sql)),
+  )
+}
