@@ -16,7 +16,9 @@ class DeterminismSpec extends SparkTestBase {
     "q01_pricing_summary", "q06_rolling_window", "q21_sessionize",
     "q26_ngram_jaccard", "q27_minhash_lsh", "q28_simhash",
     "q29_knn_cosine", "q52_stats_aggregates", "q59_ann_ivf",
-    "q60_hash_split", "q61_tfidf_topk", "q63_decontamination", "q65_crossmodal_agreement", "q67_connected_components")
+    "q60_hash_split", "q61_tfidf_topk", "q63_decontamination", "q65_crossmodal_agreement", "q67_connected_components",
+    "q74_scd2_history", "q77_skew_salted_join", "q78_bm25_topk",
+    "q79_chunk_dedup", "q81_hll_sketch_merge")
 
   private val dir = "/root/testdata/sf0.001"
 
