@@ -33,6 +33,7 @@ object SparkEntry {
     graft.queries.TrainingPrepQueries,
     graft.queries.WarehouseQueries,
     graft.queries.RetrievalLayoutQueries,
+    graft.queries.GraphIncrementalQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

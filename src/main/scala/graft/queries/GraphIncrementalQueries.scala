@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-maintenance and graph-analytic operators: materialized-view
+  * style partial-aggregate merge (the pattern that turns a nightly full
+  * rescan into a micro-batch update), triangle enumeration over the
+  * document-similarity graph (the clustering-coefficient primitive), and
+  * grouped z-score outlier detection (the statistical DQ check).
+  *
+  * Scale notes (100 TB posture):
+  *   - q82's state rows are CONSTANT-SIZE per group (count + decimal sum +
+  *     min/max): merging yesterday's state with today's partials is a
+  *     union of |groups| + |new partials| rows and one tiny aggregate —
+  *     never a rescan of history. Decimal sums make the merge EXACTLY
+  *     equal to the full recompute (the oracle runs the full recompute,
+  *     so any drift between the two paths hash-fails).
+  *   - q83 joins the edge list to itself twice on single-key equi-joins;
+  *     edges are canonicalized a < b so each triangle appears exactly
+  *     once, and the wedge fan-out is bounded by the near-dup graph's
+  *     degree (banded candidate generation keeps degrees small by
+  *     construction).
+  *   - q84 is two passes over events: one grouped moment aggregate
+  *     (decimal sums, order-independent), then a broadcast join of the
+  *     5-row moment table back onto the stream. No window, no sort.
+  */
+object GraphIncrementalQueries extends QueryModule {
+
+  /** 2024-01-21 00:00 UTC in epoch ns — splits the fixed 30-day event
+    * window into a 20-day "history" (the stored aggregate state) and a
+    * 10-day "increment" (the new micro-batch). */
+  private val cutoffNs = 1705795200000000000L
+
+  /** q82: incremental aggregate maintenance — per-group (count, decimal
+    * sum, min, max) partials computed separately over history and
+    * increment, then merged by re-aggregation. The output is the MERGED
+    * state; the oracle computes the same aggregate over ALL events in one
+    * pass, so the check proves partial-merge == full-recompute exactly. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type", $"ts", $"value")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast("decimal(28,10)")).as("sv"),
+        min($"ts").as("mn"), max($"ts").as("mx"))
+    val state = partial(ev.filter($"ts" < cutoffNs))   // stored MV state
+    val batch = partial(ev.filter($"ts" >= cutoffNs))  // new micro-batch
+    state.unionByName(batch)
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n_events"), sum($"sv").as("sv"),
+        min($"mn").as("mn"), max($"mx").as("mx"))
+      .select($"event_type", $"n_events",
+        round($"sv".cast("double"), 6).as("total_value"),
+        round($"sv".cast("double") / $"n_events", 6).as("avg_value"),
+        expr("mn div 1000").as("first_ts_us"),
+        expr("mx div 1000").as("last_ts_us"))
+      .orderBy($"event_type")
+  }
+  private val q82Sql =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6) AS total_value,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_value,
+      |  min(epoch_ns(ts)) // 1000 AS first_ts_us,
+      |  max(epoch_ns(ts)) // 1000 AS last_ts_us
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q83: triangle enumeration over the shingle-similarity graph (edges =
+    * document pairs sharing >= 3 distinct 3-gram shingles, canonicalized
+    * doc_a < doc_b). Two equi-joins close each wedge (v1<v2, v2<v3) with
+    * its base edge (v1<v3) — every triangle reported exactly once in
+    * canonical vertex order. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = TextDedupQueries.shingles(s, dir)
+    val edges = sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+        $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("ea"), $"b.doc_id".as("eb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter($"inter" >= 3)
+      .select($"ea", $"eb")
+    edges.as("e1")
+      .join(edges.as("e2"), $"e1.eb" === $"e2.ea")
+      .join(edges.as("e3"),
+        $"e1.ea" === $"e3.ea" && $"e2.eb" === $"e3.eb")
+      .select($"e1.ea".as("v1"), $"e1.eb".as("v2"), $"e2.eb".as("v3"))
+      .orderBy($"v1", $"v2", $"v3")
+  }
+  private val q83Sql =
+    s"""${TextDedupQueries.shinglesSql},
+      |pairs AS (SELECT a.doc_id AS ea, b.doc_id AS eb, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |e AS (SELECT ea, eb FROM pairs WHERE inter >= 3)
+      |SELECT e1.ea AS v1, e1.eb AS v2, e2.eb AS v3
+      |FROM e e1 JOIN e e2 ON e1.eb = e2.ea
+      |  JOIN e e3 ON e1.ea = e3.ea AND e2.eb = e3.eb
+      |ORDER BY v1, v2, v3""".stripMargin
+
+  /** q84: grouped z-score outlier detection — mean/stddev per event type
+    * from decimal moment sums (order-independent across partitionings),
+    * then every event scored against its group's moments. Per-row squares
+    * are double multiplies (bit-identical across engines) cast to decimal
+    * BEFORE summing, so the moments are exact; the z formula then runs in
+    * pure double arithmetic identically on both sides. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type", $"value")
+    val m = ev.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum($"value".cast("decimal(28,10)")).cast("double").as("sv"),
+        sum(($"value" * $"value").cast("decimal(28,10)")).cast("double").as("svv"))
+      .select($"event_type", $"n", ($"sv" / $"n").as("mean"),
+        sqrt(($"svv" - $"sv" * $"sv" / $"n") / ($"n" - 1)).as("std"))
+    ev.join(broadcast(m), "event_type")
+      .withColumn("z", abs(($"value" - $"mean") / $"std"))
+      .groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        round(max($"mean"), 6).as("mean_value"),
+        round(max($"std"), 6).as("std_value"),
+        sum(when($"z" > 3, 1L).otherwise(0L)).as("n_outliers"),
+        round(max($"z"), 6).as("worst_z"))
+      .orderBy($"event_type")
+  }
+  private val q84Sql =
+    """WITH s AS (SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sv,
+      |    CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS svv
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT event_type, n, sv / n AS mean,
+      |    sqrt((svv - sv * sv / n) / (n - 1)) AS std FROM s)
+      |SELECT e.event_type, max(m.n) AS n,
+      |  round(max(m.mean), 6) AS mean_value,
+      |  round(max(m.std), 6) AS std_value,
+      |  CAST(sum(CASE WHEN abs((e.value - m.mean) / m.std) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers,
+      |  round(max(abs((e.value - m.mean) / m.std)), 6) AS worst_z
+      |FROM events e JOIN m ON e.event_type = m.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q82_incremental_agg", q82, Some(q82Sql)),
+    QueryDef("q83_triangle_count", q83, Some(q83Sql)),
+    QueryDef("q84_outlier_zscore", q84, Some(q84Sql)),
+  )
+}
