@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: fuzzy matching of near-identical identifier strings
+  * (the record-linkage step of any dedup/master-data pipeline). The
+  * sub-quadratic shape is prefix blocking — candidates must share a
+  * 15-char name prefix, so the edit-distance kernel runs per block, never
+  * corpus x corpus. At 100 TB the block key widens (longer prefix, or
+  * multiple redundant keys — prefix + suffix + sorted-signature — unioned)
+  * to keep the largest block's quadratic kernel inside one task's budget;
+  * the join stays a plain shuffle on the block key either way.
+  */
+object EntityResolutionQueries extends QueryModule {
+
+  /** q86: fuzzy self-join on customer names — pairs within Levenshtein
+    * distance 1 among customers sharing a 15-char prefix block,
+    * canonicalized cust_a < cust_b. The distance filter runs AFTER the
+    * blocking equi-join, so the planner keeps a hash join (the inequality
+    * never reaches the join condition). */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", substring($"c_name", 1, 15).as("blk"))
+    b.as("a").join(b.as("b").hint("shuffle_hash"),
+        $"a.blk" === $"b.blk" && $"a.c_custkey" < $"b.c_custkey")
+      .filter(levenshtein($"a.c_name", $"b.c_name") <= 1)
+      .select($"a.c_custkey".as("cust_a"), $"b.c_custkey".as("cust_b"),
+        $"a.c_name".as("name_a"), $"b.c_name".as("name_b"),
+        levenshtein($"a.c_name", $"b.c_name").cast("long").as("dist"))
+      .orderBy($"cust_a", $"cust_b")
+  }
+  private val q86Sql =
+    """WITH b AS (SELECT c_custkey, c_name, substr(c_name, 1, 15) AS blk FROM customer)
+      |SELECT a.c_custkey AS cust_a, b2.c_custkey AS cust_b,
+      |  a.c_name AS name_a, b2.c_name AS name_b,
+      |  CAST(levenshtein(a.c_name, b2.c_name) AS BIGINT) AS dist
+      |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.c_custkey < b2.c_custkey
+      |WHERE levenshtein(a.c_name, b2.c_name) <= 1
+      |ORDER BY cust_a, cust_b""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q86_fuzzy_name_join", q86, Some(q86Sql)),
+  )
+}

@@ -63,8 +63,46 @@ object TimeSeriesQueries extends QueryModule {
       |  count(*) AS n_events
       |FROM b GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin
 
+  /** q85: exponentially-weighted moving average over each user's purchase
+    * stream (α = 0.5, 20-event window). α is deliberately dyadic: every
+    * weight 0.5^k and the normalizer 2·(1 − 0.5^n) are exact binary
+    * doubles, so `power` returns bit-identical values in any IEEE libm
+    * and cross-engine parity cannot hinge on a transcendental ulp. The
+    * frame's values fold SEQUENTIALLY (collect_list preserves frame
+    * order; the HOF aggregate is an ordered fold), so the sum is
+    * order-deterministic — unlike a plain windowed SUM of weighted terms,
+    * whose accumulation order an engine may choose freely. One shuffle on
+    * user_id; 20-element lists keep the interpreted HOF off any hot path. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-19, 0)
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .withColumn("vals", collect_list($"value").over(w))
+      .select($"user_id", $"event_id",
+        round(expr(
+          "aggregate(zip_with(vals, sequence(size(vals) - 1, 0, -1)," +
+            " (v, k) -> v * power(0.5D, k)), 0D, (a, x) -> a + x)") /
+          (lit(2.0) * (lit(1.0) - pow(lit(0.5), size($"vals")))), 6).as("ewma"))
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q85Sql =
+    """WITH w AS (SELECT user_id, event_id,
+      |    list(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+      |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, event_id,
+      |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, len(vals) + 1),
+      |        i -> vals[i] * power(0.5, len(vals) - i))), (a, b) -> a + b)
+      |    / (2.0 * (1.0 - power(0.5, len(vals)))), 6) AS ewma
+      |FROM w ORDER BY user_id, event_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
+    QueryDef("q85_ewma", q85, Some(q85Sql)),
   )
 }
