@@ -109,24 +109,55 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
           target.join(incoming.select(keys.map(incoming(_)): _*).distinct(), keys, "left_anti"))
         val staging = new java.io.File(path(table) + ".staging")
         staged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(staging.getPath)
-        // Atomic-enough swap with no window where the data exists nowhere:
-        // set the live directory aside, promote staging, then drop the old
-        // copy. A crash between any two steps leaves either the original
-        // (heal restores it from .old) or the fully-written new table —
-        // never a lost table, which the previous delete-then-rename had as
-        // its failure mode.
-        val dir = new java.io.File(path(table))
-        val old = new java.io.File(path(table) + ".old")
-        if (old.exists()) delete(old) // leftover of a completed prior swap
-        if (!dir.renameTo(old))
-          throw new java.io.IOException(s"cannot set aside $dir for swap")
-        crashHook() // a simulated crash leaves on-disk state exactly as a real one
-        if (!staging.renameTo(dir)) {
-          heal(table) // restore the original before failing
-          throw new java.io.IOException(s"staging rename failed for $table; original restored")
-        }
-        delete(old)
+        swapIn(staging, table)
     }
+  }
+
+  /** Atomic-enough swap with no window where the data exists nowhere: set
+    * the live directory aside, promote staging, then drop the old copy. A
+    * crash between any two steps leaves either the original (heal restores
+    * it from `.old`) or the fully-written new table — never a lost table,
+    * which a delete-then-rename would have as its failure mode. */
+  private def swapIn(staging: java.io.File, table: String): Unit = {
+    val dir = new java.io.File(path(table))
+    val old = new java.io.File(path(table) + ".old")
+    if (old.exists()) delete(old) // leftover of a completed prior swap
+    if (!dir.renameTo(old))
+      throw new java.io.IOException(s"cannot set aside $dir for swap")
+    crashHook() // a simulated crash leaves on-disk state exactly as a real one
+    if (!staging.renameTo(dir)) {
+      heal(table) // restore the original before failing
+      throw new java.io.IOException(s"staging rename failed for $table; original restored")
+    }
+    delete(old)
+  }
+
+  /** OPTIMIZE-style compaction: rewrite the table into
+    * `ceil(rows / targetRowsPerFile)` files (per partition directory when
+    * partitioned), preserving every row. Streaming appends and per-batch
+    * upserts accrete small files until scan planning is dominated by file
+    * metadata, not bytes — the operational fix is a periodic rewrite, done
+    * here through the same crash-safe staging swap as the upsert, so a
+    * compaction that dies mid-flight never loses the table.
+    *
+    * Scale shape: one `repartition` (on the partition columns when
+    * present, so each output task writes into one partition directory) —
+    * the shuffle IS the point: it exchanges many small row groups for few
+    * sealed large ones. At 100 TB this runs per-partition-predicate
+    * (compact last day's partitions only), never whole-table. */
+  def compact(table: String, partitionBy: Seq[String] = Nil,
+              targetRowsPerFile: Long = 1000000L): Unit = {
+    val current = read(table)
+    val rows = current.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val reshaped =
+      if (partitionBy.nonEmpty)
+        current.repartition(nFiles, partitionBy.map(col): _*)
+      else current.repartition(nFiles)
+    val staging = new java.io.File(path(table) + ".staging")
+    reshaped.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionBy: _*).parquet(staging.getPath)
+    swapIn(staging, table)
   }
 
   private def delete(f: java.io.File): Unit = {
