@@ -7,4 +7,5 @@ package object functions {
   val vector: org.apache.spark.sql.graft.vector.type = org.apache.spark.sql.graft.vector
   val aggregates: org.apache.spark.sql.graft.aggregates.type = org.apache.spark.sql.graft.aggregates
   val text: org.apache.spark.sql.graft.text.type = org.apache.spark.sql.graft.text
+  val bloom: org.apache.spark.sql.graft.bloom.type = org.apache.spark.sql.graft.bloom
 }

@@ -41,7 +41,38 @@ object EntityResolutionQueries extends QueryModule {
       |WHERE levenshtein(a.c_name, b2.c_name) <= 1
       |ORDER BY cust_a, cust_b""".stripMargin
 
+  /** q87: Bloom-pruned semi join — negative-balance customers' join keys
+    * are aggregated into a few-KB Bloom filter (Spark's own runtime-filter
+    * kernel, wrapped by `graft.bloom`), the event stream is pruned by a
+    * scalar-subquery probe BEFORE the join's exchange, and the exact join
+    * then removes the filter's false positives. The oracle is the plain
+    * unpruned join: the Bloom stage must change the plan (fact rows
+    * shuffled), never the answer. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.customer(s, dir)
+      .filter($"c_acctbal" < 0)
+      .select($"c_custkey".as("user_id"))
+    val bloomDf = dim.agg(
+      graft.functions.bloom.bloomAgg($"user_id", 65536L).as("bf"))
+    Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"value")
+      .filter(graft.functions.bloom.mightContain(bloomDf, $"user_id"))
+      .join(dim, "user_id")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value".cast("decimal(18,6)")).cast("double"), 6).as("total_value"))
+      .orderBy($"event_type")
+  }
+  private val q87Sql =
+    """SELECT e.event_type, count(*) AS n_events,
+      |  round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE c.c_acctbal < 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q86_fuzzy_name_join", q86, Some(q86Sql)),
+    QueryDef("q87_bloom_pruned_join", q87, Some(q87Sql)),
   )
 }
