@@ -8,4 +8,5 @@ package object functions {
   val aggregates: org.apache.spark.sql.graft.aggregates.type = org.apache.spark.sql.graft.aggregates
   val text: org.apache.spark.sql.graft.text.type = org.apache.spark.sql.graft.text
   val bloom: org.apache.spark.sql.graft.bloom.type = org.apache.spark.sql.graft.bloom
+  val sketches: org.apache.spark.sql.graft.sketches.type = org.apache.spark.sql.graft.sketches
 }

@@ -196,10 +196,48 @@ object RetrievalLayoutQueries extends QueryModule {
       |UNION ALL SELECT source, exact_distinct, TRUE AS within_5pct FROM total
       |ORDER BY source""".stripMargin
 
+  /** q88: Count-Min heavy hitters — the top-20 tokens by exact count, each
+    * probed against a corpus-wide CMS (Spark's `count_min_sketch`
+    * aggregate, queried through the graft `CmsEstimate` expression via a
+    * scalar subquery). The output claims the CMS contract per hitter:
+    * estimate >= exact (CMS never undercounts) and estimate <= exact +
+    * ceil(eps·N). The oracle recomputes exact counts and asserts both
+    * claims TRUE — a sketch drifting out of band hash-fails (one-sided
+    * pattern). Sketch state is constant-size and mergeable: the 100 TB
+    * form is per-partition sketches combined map-side, same as q81's HLL. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+    val cnt = toks.groupBy($"tok").agg(count(lit(1)).as("exact_count"))
+    val top = cnt.orderBy($"exact_count".desc, $"tok").limit(20)
+    // sketch + corpus size in ONE broadcast row, attached via the
+    // data-derived constant-key pattern (a literal key would constant-fold
+    // into a nested-loop join)
+    val cmsDf = toks.agg(
+        expr("count_min_sketch(tok, 0.0001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n_toks"))
+      .withColumn("one", pmod($"n_toks", lit(1L)))
+    top
+      .withColumn("one", pmod($"exact_count", lit(1L)))
+      .join(broadcast(cmsDf), "one")
+      .withColumn("est", graft.functions.sketches.cmsEstimate($"cms", $"tok"))
+      .select($"tok", $"exact_count",
+        ($"est" >= $"exact_count").as("claim_lower"),
+        ($"est" <= $"exact_count" + ceil($"n_toks" * lit(0.0001))).as("claim_within"))
+      .orderBy($"exact_count".desc, $"tok")
+  }
+  private val q88Sql =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS exact_count FROM toks GROUP BY 1)
+      |SELECT tok, exact_count, TRUE AS claim_lower, TRUE AS claim_within
+      |FROM c ORDER BY exact_count DESC, tok LIMIT 20""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q78_bm25_topk", q78, Some(q78Sql)),
     QueryDef("q79_chunk_dedup", q79, Some(q79Sql)),
     QueryDef("q80_zorder_layout", q80, Some(q80Sql)),
     QueryDef("q81_hll_sketch_merge", q81, Some(q81Sql)),
+    QueryDef("q88_cms_heavy_hitters", q88, Some(q88Sql)),
   )
 }

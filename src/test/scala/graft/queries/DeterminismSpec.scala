@@ -19,7 +19,8 @@ class DeterminismSpec extends SparkTestBase {
     "q60_hash_split", "q61_tfidf_topk", "q63_decontamination", "q65_crossmodal_agreement", "q67_connected_components",
     "q74_scd2_history", "q77_skew_salted_join", "q78_bm25_topk",
     "q79_chunk_dedup", "q81_hll_sketch_merge", "q82_incremental_agg",
-    "q84_outlier_zscore", "q85_ewma", "q86_fuzzy_name_join")
+    "q84_outlier_zscore", "q85_ewma", "q86_fuzzy_name_join",
+    "q87_bloom_pruned_join", "q88_cms_heavy_hitters")
 
   private val dir = "/root/testdata/sf0.001"
 
