@@ -165,6 +165,29 @@ object Dedup {
     labels.select($"__id", $"__lbl")
   }
 
+  /** Merge NEW similarity pairs into an EXISTING component labeling
+    * without re-deriving the historical pair graph. The prior labeling is
+    * itself an edge list (id — lbl), and contracting a graph preserves
+    * both its components and their minimum ids, so components over
+    * (labels ∪ newPairs) equal components over (oldPairs ∪ newPairs).
+    *
+    * This is the daily-batch form of dedup at scale: candidate pairs are
+    * mined for the NEW documents only (new×new plus new×old via the band
+    * index), and group resolution pays |state| + |batch| — never a rescan
+    * of the historical pair graph. The old graph arrives pre-contracted
+    * (star-shaped, diameter ≤ 2), so the loop converges in about as many
+    * rounds as the batch's own structure needs, regardless of how deep
+    * the historical chains once were. Self-pairs from singleton state
+    * rows are kept so previously-seen isolated ids stay in the output. */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+                            aCol: String, bCol: String,
+                            maxIters: Int = 50): DataFrame = {
+    val stateEdges = labels.select(col("__id").as(aCol), col("__lbl").as(bCol))
+    connectedComponents(
+      stateEdges.unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIters)
+  }
+
   /** Ids to drop (everything but the min-id survivor of each component). */
   private def dupIds(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     import pairs.sparkSession.implicits._

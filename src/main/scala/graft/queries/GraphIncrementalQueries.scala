@@ -140,9 +140,61 @@ object GraphIncrementalQueries extends QueryModule {
       |FROM events e JOIN m ON e.event_type = m.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q89: pairwise correlation matrix from decimal moment sums — ONE pass
+    * over the fact table collects every moment (n, Σx, Σx², Σxy for all
+    * pairs), then each correlation is pure double arithmetic on the
+    * 1-row moment frame. The built-in `corr` streams covariance updates
+    * whose merge order varies with partitioning; exact decimal moments
+    * make the matrix identical on any cluster layout (and to DuckDB). */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = Tables.lineitem(s, dir)
+    def s1(c: String) = sum(col(c).cast("decimal(28,10)")).cast("double")
+    def s2(a: String, b: String) =
+      sum((col(a) * col(b)).cast("decimal(38,12)")).cast("double")
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      s1(cols(0)).as("s1"), s1(cols(1)).as("s2"), s1(cols(2)).as("s3"),
+      s2(cols(0), cols(0)).as("s11"), s2(cols(1), cols(1)).as("s22"),
+      s2(cols(2), cols(2)).as("s33"), s2(cols(0), cols(1)).as("s12"),
+      s2(cols(0), cols(2)).as("s13"), s2(cols(1), cols(2)).as("s23"))
+    def corrRow(a: String, b: String, sxy: String, sx: String, sy: String,
+                sxx: String, syy: String) =
+      m.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(($"n" * col(sxy) - col(sx) * col(sy)) /
+          (sqrt($"n" * col(sxx) - col(sx) * col(sx)) *
+            sqrt($"n" * col(syy) - col(sy) * col(sy))), 6).as("corr"))
+    corrRow(cols(0), cols(1), "s12", "s1", "s2", "s11", "s22")
+      .union(corrRow(cols(0), cols(2), "s13", "s1", "s3", "s11", "s33"))
+      .union(corrRow(cols(1), cols(2), "s23", "s2", "s3", "s22", "s33"))
+      .orderBy($"col_a", $"col_b")
+  }
+  private val q89Sql =
+    """WITH m AS (SELECT count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) AS s3,
+      |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s11,
+      |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS s22,
+      |  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS s33,
+      |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS s12,
+      |  CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS s13,
+      |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS s23
+      |  FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+      |    round((n*s12 - s1*s2) / (sqrt(n*s11 - s1*s1) * sqrt(n*s22 - s2*s2)), 6) AS corr FROM m
+      |  UNION ALL SELECT 'l_quantity', 'l_discount',
+      |    round((n*s13 - s1*s3) / (sqrt(n*s11 - s1*s1) * sqrt(n*s33 - s3*s3)), 6) FROM m
+      |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+      |    round((n*s23 - s2*s3) / (sqrt(n*s22 - s2*s2) * sqrt(n*s33 - s3*s3)), 6) FROM m)
+      |ORDER BY col_a, col_b""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q82_incremental_agg", q82, Some(q82Sql)),
     QueryDef("q83_triangle_count", q83, Some(q83Sql)),
     QueryDef("q84_outlier_zscore", q84, Some(q84Sql)),
+    QueryDef("q89_correlation_matrix", q89, Some(q89Sql)),
   )
 }
