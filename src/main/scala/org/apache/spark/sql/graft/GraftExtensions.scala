@@ -42,6 +42,11 @@ object GraftFunctions {
         require(args.length == 3, "topk_score_str(score, id, k) takes exactly 3 arguments")
         TopKScoreStr(args(0), args(1), intLit(args(2), "topk_score_str: k"))
       }, "built-in")
+    reg.createOrReplaceTempFunction("cms_estimate",
+      args => {
+        require(args.length == 2, "cms_estimate(sketch, item) takes exactly 2 arguments")
+        CmsEstimate(args(0), args(1))
+      }, "built-in")
   }
 
   // integral literals only — a fractional literal (word_shingles(t, 2.9))
@@ -99,6 +104,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3, "topk_score_id(score, id, k) takes exactly 3 arguments")
         TopKScoreId(args(0), args(1), GraftFunctions.intLit(args(2), "topk_score_id: k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cms_estimate(sketch, item) takes exactly 2 arguments")
+        CmsEstimate(args(0), args(1))
       }))
   }
 }
