@@ -1,7 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, ceil, col, count, lit, pmod, sum, xxhash64}
 
 /** Minimal parquet-backed catalog: one directory per table under a warehouse
   * root, Hive-style partition subdirectories.
@@ -133,27 +133,47 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
   }
 
   /** OPTIMIZE-style compaction: rewrite the table into
-    * `ceil(rows / targetRowsPerFile)` files (per partition directory when
-    * partitioned), preserving every row. Streaming appends and per-batch
-    * upserts accrete small files until scan planning is dominated by file
-    * metadata, not bytes — the operational fix is a periodic rewrite, done
-    * here through the same crash-safe staging swap as the upsert, so a
-    * compaction that dies mid-flight never loses the table.
+    * `ceil(rows / targetRowsPerFile)` files per partition directory,
+    * preserving every row. Streaming appends and per-batch upserts accrete
+    * small files until scan planning is dominated by file metadata, not
+    * bytes — the operational fix is a periodic rewrite, done here through
+    * the same crash-safe staging swap as the upsert, so a compaction that
+    * dies mid-flight never loses the table.
     *
-    * Scale shape: one `repartition` (on the partition columns when
-    * present, so each output task writes into one partition directory) —
-    * the shuffle IS the point: it exchanges many small row groups for few
-    * sealed large ones. At 100 TB this runs per-partition-predicate
-    * (compact last day's partitions only), never whole-table. */
+    * Scale shape: one sizing aggregate (per-partition row counts — one
+    * output row per partition DIRECTORY, the same bounded collect as the
+    * upsert's touched-partition list) and one shuffle for the rewrite.
+    * Hashing on the partition columns alone would funnel each directory
+    * into a single task (one oversized file, one straggler per hot
+    * partition), so rows spread across each directory's file budget by a
+    * hash spread key: directory layout comes from `partitionBy`, file
+    * count within a directory from the spread. At 100 TB this runs
+    * per-partition-predicate (compact last day's partitions), never
+    * whole-table — the sizing pass then scans only what is rewritten
+    * anyway. */
   def compact(table: String, partitionBy: Seq[String] = Nil,
               targetRowsPerFile: Long = 1000000L): Unit = {
     val current = read(table)
-    val rows = current.count()
-    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val dataCols = current.columns.filterNot(partitionBy.contains).map(col)
+    val spreadMod = (cnt: Column) =>
+      ceil(cnt.cast("double") / targetRowsPerFile).cast("long")
     val reshaped =
-      if (partitionBy.nonEmpty)
-        current.repartition(nFiles, partitionBy.map(col): _*)
-      else current.repartition(nFiles)
+      if (partitionBy.nonEmpty) {
+        val counts = current.groupBy(partitionBy.map(col): _*)
+          .agg(count(lit(1)).as("__cnt"))
+        val totalFiles = math.max(1, counts
+          .agg(sum(spreadMod(col("__cnt"))))
+          .collect()(0).getLong(0).toInt)
+        current.join(broadcast(counts), partitionBy)
+          .withColumn("__spread",
+            pmod(xxhash64(dataCols: _*), spreadMod(col("__cnt"))))
+          .repartition(totalFiles, (partitionBy.map(col) :+ col("__spread")): _*)
+          .drop("__cnt", "__spread")
+      } else {
+        val rows = current.count()
+        current.repartition(
+          math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt))
+      }
     val staging = new java.io.File(path(table) + ".staging")
     reshaped.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionBy: _*).parquet(staging.getPath)

@@ -9,16 +9,19 @@ import org.apache.spark.sql.functions._
   * Bloom-pruned join (the runtime row-filtering pattern).
   *
   * q86's sub-quadratic shape is DELETION-NEIGHBORHOOD blocking: each name
-  * emits one key per character position — the string with that character
-  * removed, tagged with the position. Two equal-length strings within
-  * Levenshtein distance 1 differ in exactly one substitution, so dropping
-  * that position from both yields identical keys: the candidate set
-  * provably contains EVERY distance-1 pair (no blocking recall loss),
-  * while block sizes stay tiny (strings agreeing on all-but-one position).
-  * Candidate volume is rows x length, and each pair matches on exactly
-  * one key, so no dedup pass is needed. A naive prefix block was measured
-  * 40x slower at sf0.1: low-entropy key prefixes collapse to a handful of
-  * 1000-member blocks whose quadratic kernels serialize on 15 join keys.
+  * emits itself plus one variant per character position (the string with
+  * that character removed). Any pair within Levenshtein distance 1 shares
+  * a key — substitution pairs meet on the variant dropping the differing
+  * position, insert/delete pairs meet on the shorter string itself, and
+  * identical names meet on the full string — so the candidate set
+  * provably contains EVERY distance<=1 pair regardless of length or
+  * duplicates (no blocking recall loss). Shared keys can also admit
+  * distance-2 pairs (transpositions like ab/ba share both deletion
+  * variants), so the exact Levenshtein filter and a pair-level distinct
+  * run after the join; block sizes stay tiny because a key pins all but
+  * one character. A naive prefix block was measured 40x slower at sf0.1:
+  * low-entropy key prefixes collapse to a handful of 1000-member blocks
+  * whose quadratic kernels serialize on 15 join keys.
   */
 object EntityResolutionQueries extends QueryModule {
 
@@ -26,23 +29,23 @@ object EntityResolutionQueries extends QueryModule {
     * deletion-neighborhood keys, canonicalized cust_a < cust_b. The
     * oracle is the ALL-PAIRS quadratic ground truth — the blocked join
     * must reproduce it exactly, which is the completeness guarantee the
-    * deletion keys provide. */
+    * deletion keys provide. A pair can share several keys (duplicate
+    * names share every key), so pairs deduplicate before output. */
   private def q86(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val keyed = Tables.customer(s, dir)
       .select($"c_custkey", $"c_name",
         explode(expr(
-          "transform(sequence(1, length(c_name)), i -> struct(" +
-            "i AS pos, concat(substring(c_name, 1, i - 1), " +
-            "substring(c_name, i + 1, length(c_name))) AS variant))")).as("k"))
-      .select($"c_custkey", $"c_name", $"k.pos".as("pos"), $"k.variant".as("variant"))
+          "array_union(array(c_name), transform(sequence(1, length(c_name)), " +
+            "i -> concat(substring(c_name, 1, i - 1), " +
+            "substring(c_name, i + 1, length(c_name)))))")).as("k"))
     keyed.as("a").join(keyed.as("b").hint("shuffle_hash"),
-        $"a.pos" === $"b.pos" && $"a.variant" === $"b.variant" &&
-          $"a.c_custkey" < $"b.c_custkey")
-      .filter(levenshtein($"a.c_name", $"b.c_name") <= 1)
+        $"a.k" === $"b.k" && $"a.c_custkey" < $"b.c_custkey")
       .select($"a.c_custkey".as("cust_a"), $"b.c_custkey".as("cust_b"),
-        $"a.c_name".as("name_a"), $"b.c_name".as("name_b"),
-        levenshtein($"a.c_name", $"b.c_name").cast("long").as("dist"))
+        $"a.c_name".as("name_a"), $"b.c_name".as("name_b"))
+      .distinct()
+      .filter(levenshtein($"name_a", $"name_b") <= 1)
+      .withColumn("dist", levenshtein($"name_a", $"name_b").cast("long"))
       .orderBy($"cust_a", $"cust_b")
   }
   private val q86Sql =

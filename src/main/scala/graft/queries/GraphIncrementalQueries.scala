@@ -108,12 +108,19 @@ object GraphIncrementalQueries extends QueryModule {
   private def q84(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir).select($"event_type", $"value")
+    // degenerate groups are excluded up front, identically to the oracle:
+    // n = 1 divides by zero in the sample variance, and a constant-valued
+    // group's variance can round to a tiny NEGATIVE double whose sqrt is
+    // NaN in Spark but an error in DuckDB — greatest(.., 0) clamps the
+    // rounding, the std > 0 filter drops true constants
     val m = ev.groupBy($"event_type").agg(
         count(lit(1)).as("n"),
         sum($"value".cast("decimal(28,10)")).cast("double").as("sv"),
         sum(($"value" * $"value").cast("decimal(28,10)")).cast("double").as("svv"))
+      .filter($"n" >= 2)
       .select($"event_type", $"n", ($"sv" / $"n").as("mean"),
-        sqrt(($"svv" - $"sv" * $"sv" / $"n") / ($"n" - 1)).as("std"))
+        sqrt(greatest($"svv" - $"sv" * $"sv" / $"n", lit(0.0)) / ($"n" - 1)).as("std"))
+      .filter($"std" > 0)
     ev.join(broadcast(m), "event_type")
       .withColumn("z", abs(($"value" - $"mean") / $"std"))
       .groupBy($"event_type")
@@ -130,7 +137,8 @@ object GraphIncrementalQueries extends QueryModule {
       |    CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS svv
       |  FROM events GROUP BY 1),
       |m AS (SELECT event_type, n, sv / n AS mean,
-      |    sqrt((svv - sv * sv / n) / (n - 1)) AS std FROM s)
+      |    sqrt(greatest(svv - sv * sv / n, 0) / (n - 1)) AS std
+      |  FROM s WHERE n >= 2)
       |SELECT e.event_type, max(m.n) AS n,
       |  round(max(m.mean), 6) AS mean_value,
       |  round(max(m.std), 6) AS std_value,
@@ -138,6 +146,7 @@ object GraphIncrementalQueries extends QueryModule {
       |    AS n_outliers,
       |  round(max(abs((e.value - m.mean) / m.std)), 6) AS worst_z
       |FROM events e JOIN m ON e.event_type = m.event_type
+      |WHERE m.std > 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q89: pairwise correlation matrix from decimal moment sums — ONE pass
@@ -159,12 +168,17 @@ object GraphIncrementalQueries extends QueryModule {
       s2(cols(0), cols(0)).as("s11"), s2(cols(1), cols(1)).as("s22"),
       s2(cols(2), cols(2)).as("s33"), s2(cols(0), cols(1)).as("s12"),
       s2(cols(0), cols(2)).as("s13"), s2(cols(1), cols(2)).as("s23"))
+    // constant columns make a variance term zero (or a hair negative
+    // after decimal->double rounding): clamp with greatest and emit NULL
+    // rather than dividing by zero — mirrored exactly in the oracle
     def corrRow(a: String, b: String, sxy: String, sx: String, sy: String,
-                sxx: String, syy: String) =
+                sxx: String, syy: String) = {
+      val denom = sqrt(greatest($"n" * col(sxx) - col(sx) * col(sx), lit(0.0))) *
+        sqrt(greatest($"n" * col(syy) - col(sy) * col(sy), lit(0.0)))
       m.select(lit(a).as("col_a"), lit(b).as("col_b"),
-        round(($"n" * col(sxy) - col(sx) * col(sy)) /
-          (sqrt($"n" * col(sxx) - col(sx) * col(sx)) *
-            sqrt($"n" * col(syy) - col(sy) * col(sy))), 6).as("corr"))
+        when(denom > 0, round(($"n" * col(sxy) - col(sx) * col(sy)) / denom, 6))
+          .as("corr"))
+    }
     corrRow(cols(0), cols(1), "s12", "s1", "s2", "s11", "s22")
       .union(corrRow(cols(0), cols(2), "s13", "s1", "s3", "s11", "s33"))
       .union(corrRow(cols(1), cols(2), "s23", "s2", "s3", "s22", "s33"))
@@ -184,11 +198,14 @@ object GraphIncrementalQueries extends QueryModule {
       |  FROM lineitem)
       |SELECT * FROM (
       |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-      |    round((n*s12 - s1*s2) / (sqrt(n*s11 - s1*s1) * sqrt(n*s22 - s2*s2)), 6) AS corr FROM m
+      |    CASE WHEN sqrt(greatest(n*s11 - s1*s1, 0)) * sqrt(greatest(n*s22 - s2*s2, 0)) > 0
+      |      THEN round((n*s12 - s1*s2) / (sqrt(greatest(n*s11 - s1*s1, 0)) * sqrt(greatest(n*s22 - s2*s2, 0))), 6) END AS corr FROM m
       |  UNION ALL SELECT 'l_quantity', 'l_discount',
-      |    round((n*s13 - s1*s3) / (sqrt(n*s11 - s1*s1) * sqrt(n*s33 - s3*s3)), 6) FROM m
+      |    CASE WHEN sqrt(greatest(n*s11 - s1*s1, 0)) * sqrt(greatest(n*s33 - s3*s3, 0)) > 0
+      |      THEN round((n*s13 - s1*s3) / (sqrt(greatest(n*s11 - s1*s1, 0)) * sqrt(greatest(n*s33 - s3*s3, 0))), 6) END FROM m
       |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
-      |    round((n*s23 - s2*s3) / (sqrt(n*s22 - s2*s2) * sqrt(n*s33 - s3*s3)), 6) FROM m)
+      |    CASE WHEN sqrt(greatest(n*s22 - s2*s2, 0)) * sqrt(greatest(n*s33 - s3*s3, 0)) > 0
+      |      THEN round((n*s23 - s2*s3) / (sqrt(greatest(n*s22 - s2*s2, 0)) * sqrt(greatest(n*s33 - s3*s3, 0))), 6) END FROM m)
       |ORDER BY col_a, col_b""".stripMargin
 
   override def queries: Seq[QueryDef] = Seq(

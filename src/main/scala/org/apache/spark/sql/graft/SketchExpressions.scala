@@ -14,10 +14,13 @@ import org.apache.spark.util.sketch.CountMinSketch
   * estimate <= true count + eps*N at the sketch's confidence.
   *
   * The sketch column normally arrives via a broadcast join of the 1-row
-  * aggregate frame, so every row of a task carries the SAME byte-array
-  * instance — the expression memoizes deserialization on reference
-  * identity, paying one parse per task, not per row. (A genuinely per-row
-  * sketch column still works; it just re-parses on each new array.)
+  * aggregate frame. Row accessors COPY binary values (`UnsafeRow.
+  * getBinary` allocates per call), so a reference-identity check alone
+  * never hits; the memo therefore falls back to content equality — an
+  * O(len) memcmp against the cached bytes, thousands of times cheaper
+  * than re-parsing the counter table — so each task pays one parse plus
+  * one compare per row. (A genuinely per-row sketch column still works;
+  * it re-parses whenever the bytes actually change.)
   */
 case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -29,9 +32,9 @@ case class CmsEstimate(left: Expression, right: Expression)
   @transient private var cachedBytes: Array[Byte] = _
   @transient private var cachedSketch: CountMinSketch = _
 
-  /** Identity-memoized deserialization (public: called from codegen). */
+  /** Content-memoized deserialization (public: called from codegen). */
   def sketchFor(bytes: Array[Byte]): CountMinSketch = {
-    if (!(bytes eq cachedBytes)) {
+    if (!(bytes eq cachedBytes) && !java.util.Arrays.equals(bytes, cachedBytes)) {
       cachedSketch = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
       cachedBytes = bytes
     }

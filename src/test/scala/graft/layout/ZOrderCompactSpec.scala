@@ -66,4 +66,28 @@ class ZOrderCompactSpec extends SparkTestBase {
     assert(files() == 1, s"expected 1 compacted file, got ${files()}")
     assert(cat.read("t").orderBy("id").collect().toSeq == beforeRows)
   }
+
+  test("partitioned compaction sizes files per directory, not per table") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("compactp").toString
+    val cat = new Catalog(spark, wh)
+    // skewed partitions: 'hot' has 10x the rows of 'cold'
+    (0 until 6).foreach { i =>
+      val rows = Seq.tabulate(500)(k => ("hot", i * 1000 + k, s"v$k")) ++
+        Seq.tabulate(50)(k => ("cold", i * 1000 + k, s"v$k"))
+      cat.append(rows.toDF("part", "id", "v"), "t", Seq("part"))
+    }
+    def files(p: String) = new java.io.File(s"$wh/t/part=$p").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files("hot") >= 6 && files("cold") >= 6)
+    val before = cat.read("t").orderBy("part", "id").collect().toSeq
+    cat.compact("t", partitionBy = Seq("part"), targetRowsPerFile = 1000L)
+    // hot: 3000 rows / 1000 => 3 files; cold: 300 rows => 1 file. The
+    // hash spread can leave a bucket empty, so assert bounds, and assert
+    // the hot directory did NOT collapse into one oversized file
+    assert(files("hot") >= 2 && files("hot") <= 3,
+      s"hot dir got ${files("hot")} files, want ~3 (one-task collapse would give 1)")
+    assert(files("cold") == 1, s"cold dir got ${files("cold")} files, want 1")
+    assert(cat.read("t").orderBy("part", "id").collect().toSeq == before)
+  }
 }
