@@ -208,10 +208,45 @@ object GraphIncrementalQueries extends QueryModule {
       |      THEN round((n*s23 - s2*s3) / (sqrt(greatest(n*s22 - s2*s2, 0)) * sqrt(greatest(n*s33 - s3*s3, 0))), 6) END FROM m)
       |ORDER BY col_a, col_b""".stripMargin
 
+  /** q90: INCREMENTAL connected components, hash-gated — the q67 pair
+    * graph split deterministically into an "initial corpus" (hash bucket
+    * 0–6 of the pair) and an "arriving batch" (bucket 7–9); the initial
+    * labeling merges with the batch via
+    * [[graft.dedup.Dedup.incrementalComponents]]. The split is INTERNAL:
+    * the oracle computes plain components over the full pair set, so the
+    * gate proves state + batch maintenance converges to exactly the
+    * from-scratch answer — the property that lets a daily dedup pipeline
+    * never recompute history. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = TextDedupQueries.minhashBandPairs(s, dir, minBands = 2)
+      .select($"doc_a", $"doc_b",
+        pmod(xxhash64($"doc_a", $"doc_b"), lit(10L)).as("bucket"))
+    val initial = pairs.filter($"bucket" < 7).drop("bucket")
+    val batch = pairs.filter($"bucket" >= 7).drop("bucket")
+    val state = graft.dedup.Dedup.connectedComponents(initial, "doc_a", "doc_b")
+    graft.dedup.Dedup.incrementalComponents(state, batch, "doc_a", "doc_b")
+      .select($"__id".as("doc_id"), $"__lbl".as("component_root"))
+      .orderBy($"doc_id")
+  }
+  private val q90Sql =
+    s"""${TextDedupQueries.shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |${TextDedupQueries.minhashPairsSqlCtes},
+      |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+      |  UNION SELECT doc_b, doc_a FROM pr),
+      |reach AS (
+      |  SELECT s AS id, s AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+      |)
+      |SELECT id AS doc_id, min(r) AS component_root
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q82_incremental_agg", q82, Some(q82Sql)),
     QueryDef("q83_triangle_count", q83, Some(q83Sql)),
     QueryDef("q84_outlier_zscore", q84, Some(q84Sql)),
     QueryDef("q89_correlation_matrix", q89, Some(q89Sql)),
+    QueryDef("q90_incremental_components", q90, Some(q90Sql)),
   )
 }
