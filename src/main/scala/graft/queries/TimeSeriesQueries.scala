@@ -100,9 +100,61 @@ object TimeSeriesQueries extends QueryModule {
       |    / (2.0 * (1.0 - power(0.5, len(vals)))), 6) AS ewma
       |FROM w ORDER BY user_id, event_id""".stripMargin
 
+  /** q91: maximum drawdown per user over the purchase-value series — the
+    * canonical risk metric: running peak via a cumulative-max window, then
+    * the minimum of value/peak − 1. One shuffle on user_id; the running
+    * max is order-deterministic under the (ts, event_id) total order. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase" && $"value" > 0)
+      .withColumn("peak", max($"value").over(w))
+      .select($"user_id", round($"value" / $"peak" - 1.0, 6).as("dd"))
+      .groupBy($"user_id")
+      .agg(round(min($"dd"), 6).as("max_drawdown"), count(lit(1)).as("n_points"))
+      .orderBy($"user_id")
+  }
+  private val q91Sql =
+    """WITH s AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id, value FROM events
+      |  WHERE event_type = 'purchase' AND value > 0),
+      |p AS (SELECT user_id, value,
+      |    max(value) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS peak FROM s),
+      |d AS (SELECT user_id, round(value / peak - 1.0, 6) AS dd FROM p)
+      |SELECT user_id, round(min(dd), 6) AS max_drawdown, count(*) AS n_points
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q92: monthly VWAP per part (volume-weighted average price — THE
+    * market aggregation) through decimal sums so the weighted mean is
+    * exact and partition-order-independent; restricted to a deterministic
+    * 1-in-50 part sample to keep gate output bounded at every SF. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_partkey" % 50 === 0)
+      .groupBy($"l_partkey", date_trunc("month", $"l_shipdate").as("ship_month"))
+      .agg(
+        round((sum(($"l_extendedprice" * $"l_quantity").cast("decimal(38,8)")).cast("double") /
+          sum($"l_quantity".cast("decimal(28,10)")).cast("double")), 6).as("vwap"),
+        sum($"l_quantity".cast("decimal(28,10)")).cast("long").as("total_qty"))
+      .orderBy($"l_partkey", $"ship_month")
+  }
+  private val q92Sql =
+    """SELECT l_partkey, date_trunc('month', l_shipdate) AS ship_month,
+      |  round(CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(38,8))) AS DOUBLE)
+      |    / CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 6) AS vwap,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS BIGINT) AS total_qty
+      |FROM lineitem WHERE l_partkey % 50 = 0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
     QueryDef("q85_ewma", q85, Some(q85Sql)),
+    QueryDef("q91_max_drawdown", q91, Some(q91Sql)),
+    QueryDef("q92_monthly_vwap", q92, Some(q92Sql)),
   )
 }
