@@ -318,11 +318,152 @@ object VectorQueries extends QueryModule {
       |FROM cellmap c JOIN ht h ON c.vec_id = h.vec_id
       |GROUP BY c.cell ORDER BY c.cell""".stripMargin
 
+  /** q93: Product Quantization ANN with asymmetric-distance (ADC) search
+    * and in-gate recall@10 vs the exact L2 ranking.
+    *
+    * Index: the 64-dim space splits into M=4 subspaces of 16 dims; each
+    * subspace trains ≤256 centroids (8-sign-bit-seeded cells + one exact
+    * Lloyd half-step with DECIMAL means — the q59 recipe per subspace) and
+    * every vector compresses to 4 one-byte codes (64x memory cut — the
+    * point of PQ: the codes fit in RAM when the vectors don't). Search:
+    * each query precomputes a 4x256 lookup table of partial squared
+    * distances to every centroid (the ADC table), so scoring a database
+    * vector is 4 table lookups + a sum — the candidate scan never touches
+    * raw vectors; only the 50 ADC survivors per query fetch raw vectors
+    * for an exact re-rank (the standard PQ serving pipeline). Per-(query, vector) partials sum through DECIMAL so the
+    * total is partition-order-independent; both engines rank on the
+    * 6-dp-rounded distance with id tie-break.
+    *
+    * Scale shape: centroids are model state (64 rows, broadcast); codes
+    * join the broadcast LUT on (subspace, code) — no shuffle of vector
+    * payloads anywhere in the search path. The exact side exists ONLY to
+    * measure recall (the q70 pattern); at 100 TB it is a sampled audit,
+    * not a query path. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val base = Tables.embeddings(s, dir)
+      .withColumn("v", $"embedding".cast("array<double>"))
+    val sub = base.select($"vec_id", explode(expr(
+        "transform(sequence(0, 3), m -> struct(m AS m, slice(v, m * 16 + 1, 16) AS sv))")).as("s"))
+      .select($"vec_id", $"s.m".as("m"), $"s.sv".as("sv"))
+    val celled = sub.withColumn("cell", vector.signBits($"sv", 0, 8))
+    val cents = celled
+      .select($"m", $"cell", posexplode($"sv").as(Seq("d", "x")))
+      .groupBy($"m", $"cell", $"d")
+      .agg((sum($"x".cast("decimal(20,12)")).cast("double") / count(lit(1))).as("cx"))
+      .groupBy($"m", $"cell")
+      .agg(sort_array(collect_list(struct($"d", $"cx"))).as("ds"))
+      .select($"m".as("cm"), $"cell".as("ccell"), expr("transform(ds, t -> t.cx)").as("cv"))
+      .localCheckpoint()
+    // every (vector, subspace, centroid) partial squared distance — the
+    // argmin over it is the encoding, the query rows of it are the LUT
+    val d2s = celled.join(broadcast(cents), $"m" === $"cm")
+      .withColumn("d2", expr(
+        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+    val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"ccell")
+    val enc = d2s.withColumn("rk", row_number().over(wEnc)).filter($"rk" === 1)
+      .select($"vec_id", $"m", $"ccell".as("code"))
+    val lut = d2s.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"m".as("lm"), $"ccell".as("lcell"), $"d2".as("pd"))
+    val adc = enc.join(broadcast(lut), $"m" === $"lm" && $"code" === $"lcell")
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(round(sum($"pd".cast("decimal(27,12)")).cast("double"), 6).as("ad2"))
+    // candidate generation: top-50 by compressed (ADC) distance, then an
+    // exact re-rank of ONLY those 50 — the standard PQ serving shape: the
+    // scan stays in code space, raw vectors are fetched for a constant
+    // number of candidates per query
+    val cand = adc.groupBy($"qid")
+      .agg(aggregates.topKByScore(-$"ad2", $"vec_id", 50).as("top"))
+      .select($"qid", explode(expr("transform(top, t -> t.id)")).as("cid"))
+    val sq = base.withColumn("ssq", vector.dot($"v", $"v"))
+      .select($"vec_id", $"v", $"ssq")
+    val qraw = sq.filter($"vec_id" < 50)
+      .select($"vec_id".as("rqid"), $"v".as("rqv"), $"ssq".as("rqssq"))
+    val pqt = cand
+      .join(sq.withColumnRenamed("vec_id", "cid"), "cid")
+      .join(broadcast(qraw), $"qid" === $"rqid")
+      .select($"qid", $"cid",
+        round($"rqssq" + $"ssq" - lit(2.0) * vector.dot($"rqv", $"v"), 6).as("rd2"))
+      .groupBy($"qid")
+      .agg(aggregates.topKByScore(-$"rd2", $"cid", 10).as("top"))
+      .select($"qid", explode(expr("transform(top, t -> t.id)")).as("nn"))
+    val qs = sq.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid2"), $"v".as("qv"), $"ssq".as("qssq"))
+      .withColumn("one", pmod($"qid2", lit(1L)))
+    val ext = sq.withColumn("one", pmod($"vec_id", lit(1L)))
+      .join(broadcast(qs), "one")
+      .filter($"vec_id" =!= $"qid2")
+      .select($"qid2".as("xqid"), $"vec_id".as("cand"),
+        round($"qssq" + $"ssq" - lit(2.0) * vector.dot($"qv", $"v"), 6).as("d2"))
+      .groupBy($"xqid")
+      .agg(aggregates.topKByScore(-$"d2", $"cand", 10).as("top"))
+      .select($"xqid", explode(expr("transform(top, t -> t.id)")).as("xnn"))
+    pqt.join(ext, $"qid" === $"xqid" && $"nn" === $"xnn", "left")
+      .groupBy($"qid")
+      .agg(count($"xnn").as("n_overlap_at_10"),
+        round(count($"xnn") / lit(10.0), 6).as("recall_at_10"))
+      .orderBy($"qid")
+  }
+  private val q93Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sub AS (SELECT vec_id, mm.m AS m, v[mm.m * 16 + 1 : mm.m * 16 + 16] AS sv
+      |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS m) mm),
+      |cl AS (SELECT vec_id, m, sv,
+      |    list_reduce(list_prepend(0, list_transform(range(1, 9),
+      |      j -> CASE WHEN sv[j] >= 0 THEN (1 << (j - 1)) ELSE 0 END)),
+      |      (a, b) -> a + b) AS cell
+      |  FROM sub),
+      |cd AS (SELECT m, cell, dd.d AS d,
+      |    CAST(sum(CAST(sv[dd.d] AS DECIMAL(20,12))) AS DOUBLE) / count(*) AS cx
+      |  FROM cl CROSS JOIN (SELECT unnest(range(1, 17)) AS d) dd
+      |  GROUP BY 1, 2, 3),
+      |cent AS (SELECT m AS cm, cell AS ccell, list(cx ORDER BY d) AS cv
+      |  FROM cd GROUP BY 1, 2),
+      |d2s AS (SELECT c.vec_id, c.m, ct.ccell,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 17),
+      |      i -> (c.sv[i] - ct.cv[i]) * (c.sv[i] - ct.cv[i]))), (a, b) -> a + b) AS d2
+      |  FROM cl c JOIN cent ct ON c.m = ct.cm),
+      |enc AS (SELECT vec_id, m, ccell AS code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, ccell) AS rk
+      |    FROM d2s) t WHERE rk = 1),
+      |lut AS (SELECT vec_id AS qid, m AS lm, ccell AS lcell, d2 AS pd
+      |  FROM d2s WHERE vec_id < 50),
+      |adc AS (SELECT l.qid, en.vec_id,
+      |    round(CAST(sum(CAST(l.pd AS DECIMAL(27,12))) AS DOUBLE), 6) AS ad2
+      |  FROM enc en JOIN lut l ON en.m = l.lm AND en.code = l.lcell
+      |  WHERE en.vec_id <> l.qid GROUP BY 1, 2),
+      |cnd AS (SELECT qid, vec_id AS cid FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ad2, vec_id) AS rk
+      |    FROM adc) t WHERE rk <= 50),
+      |sq AS (SELECT vec_id, v, list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(v, x -> x * x)), (a, b) -> a + b) AS ssq FROM e),
+      |rr AS (SELECT c.qid, c.cid,
+      |    round(q.ssq + x.ssq - 2 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, 65), i -> q.v[i] * x.v[i])), (a, b) -> a + b), 6) AS rd2
+      |  FROM cnd c JOIN sq x ON c.cid = x.vec_id JOIN sq q ON c.qid = q.vec_id),
+      |pqt AS (SELECT qid, cid AS nn FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rd2, cid) AS rk
+      |    FROM rr) t WHERE rk <= 10),
+      |ex0 AS (SELECT q.vec_id AS qid, x.vec_id AS nn,
+      |    round(q.ssq + x.ssq - 2 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, 65), i -> q.v[i] * x.v[i])), (a, b) -> a + b), 6) AS d2
+      |  FROM sq q JOIN sq x ON q.vec_id < 50 AND x.vec_id <> q.vec_id),
+      |ext AS (SELECT qid, nn FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, nn) AS rk
+      |    FROM ex0) t WHERE rk <= 10)
+      |SELECT p.qid, CAST(count(e.nn) AS BIGINT) AS n_overlap_at_10,
+      |  round(count(e.nn) / 10.0, 6) AS recall_at_10
+      |FROM pqt p LEFT JOIN ext e ON p.qid = e.qid AND p.nn = e.nn
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q29_knn_cosine", q29, Some(q29Sql)),
     QueryDef("q30_ann_lsh_bucketed", q30, Some(q30Sql)),
     QueryDef("q31_cosine_neardup", q31, Some(q31Sql)),
     QueryDef("q59_ann_ivf", q59, Some(q59Sql)),
     QueryDef("q70_ivf_recall", q70, Some(q70Sql)),
+    QueryDef("q93_pq_adc_recall", q93, Some(q93Sql)),
   )
 }
