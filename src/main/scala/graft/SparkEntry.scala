@@ -34,6 +34,7 @@ object SparkEntry {
     graft.queries.WarehouseQueries,
     graft.queries.RetrievalLayoutQueries,
     graft.queries.GraphIncrementalQueries,
+    graft.queries.GraphTraversalQueries,
     graft.queries.EntityResolutionQueries,
   )
 

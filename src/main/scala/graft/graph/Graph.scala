@@ -1,0 +1,95 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph traversal primitives built on iterative DataFrame
+  * rounds — the same loop discipline as [[graft.dedup.Dedup]]: every round
+  * is a bounded number of equi-joins + one aggregate, materialized with
+  * `localCheckpoint` so the lineage (and therefore the analyzed plan) stays
+  * O(1) in the round count rather than O(3^rounds).
+  *
+  * Scale notes (100 TB posture):
+  *   - Both algorithms shuffle on the edge source key every round. On a
+  *     real cluster the edge list would be pre-partitioned (bucketed) by
+  *     `src` once, making each round's probe join a local join — the
+  *     iteration count times per-round exchange cost is the whole game.
+  *   - Frontiers/state are O(|V|) while edges are O(|E|); after the first
+  *     checkpoint AQE sees the true (small) frontier sizes and broadcasts
+  *     them into the edge join, so rounds cost one scan of E each, not a
+  *     shuffle of E.
+  *   - All arithmetic is integer (hop counts, 1e9-scaled ranks with
+  *     explicit integer division), so results are bit-identical under any
+  *     partitioning, task order, or merge order — the property the DuckDB
+  *     hash gates (q94/q95) certify end-to-end.
+  */
+object Graph {
+
+  /** Multi-source BFS: minimum hop distance (0-based) from any source
+    * node, explored up to `maxHops` rounds. Nodes not reached within the
+    * cap are absent from the output — mirroring a bounded recursive-CTE
+    * exploration.
+    *
+    * @param edges   directed edge list with columns (`src`, `dst`)
+    * @param sources one-column frame of seed node ids (column `id`)
+    * @return (`id`, `hop`) — the BFS level per reached node
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select($"src", $"dst").localCheckpoint(true)
+    var dist = sources.select($"id", lit(0).as("hop")).localCheckpoint(true)
+    var frontier = dist.select($"id")
+    for (h <- 1 to maxHops) {
+      // one equi-join per round: neighbors of the CURRENT frontier only —
+      // nodes already labeled never re-enter, so total work across all
+      // rounds is one pass over E per reachable hop level, not per node
+      val nxt = frontier.join(e, frontier("id") === e("src"))
+        .select($"dst".as("id")).distinct()
+      val fresh = nxt.join(dist.select($"id"), Seq("id"), "left_anti")
+        .select($"id", lit(h).as("hop")).localCheckpoint(true)
+      dist = dist.union(fresh).localCheckpoint(true)
+      frontier = fresh.select($"id")
+    }
+    dist
+  }
+
+  /** PageRank with exact integer arithmetic: ranks are scaled by 1e9 and
+    * every update is `base + (85 * sum(contrib)) div 100` with
+    * `contrib = rank div outdegree` — all BIGINT, so the result is
+    * independent of partitioning AND reproducible in any engine that
+    * implements integer division (the q95 oracle replays the identical
+    * recurrence in DuckDB). Classic damping 0.15/0.85 over a fixed
+    * iteration count; dangling nodes are avoided by construction in the
+    * gated graph (symmetric edges), and in the general case simply stop
+    * contributing — their mass is dropped, as in the original formulation.
+    *
+    * @param edges directed edge list (`src`, `dst`); every src contributes
+    *              rank/outdeg to each of its dsts per iteration
+    * @param iters fixed number of update rounds
+    * @return (`id`, `rank_scaled`) — 1e9-scaled integer rank per node
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    // outdegree is attached to the edge list ONCE; each round then pays a
+    // single (rank ⋈ edges) probe join + one grouped sum
+    val e = edges.select($"src", $"dst")
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("od")), "src")
+      .localCheckpoint(true)
+    val nodes = e.select($"src".as("id")).distinct()
+      .union(e.select($"dst".as("id"))).distinct().localCheckpoint(true)
+    val scale = 1000000000L
+    var rank = nodes.select($"id", lit(scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank, e("src") === rank("id"))
+        .select($"dst", expr("r div od").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("c"))
+      rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select($"id",
+          expr(s"${scale * 15 / 100} + (85 * coalesce(c, 0)) div 100").as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select($"id", $"r".as("rank_scaled"))
+  }
+}

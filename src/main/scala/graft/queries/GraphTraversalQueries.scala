@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.graph.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph traversal gates: multi-source BFS over the part co-purchase graph
+  * and integer-exact PageRank over the customer↔supplier purchase graph.
+  * Both are iterative DataFrame algorithms (see [[graft.graph.Graph]]) whose
+  * every intermediate is integer-valued, so the DuckDB oracle can replay the
+  * exact recurrence — a full hash gate on an iterative distributed
+  * computation, not just a spec.
+  *
+  * Scale notes (100 TB posture):
+  *   - The co-purchase edge build is one self-equi-join on the order key
+  *     (lines per order is small and bounded, so fan-out is quadratic only
+  *     in that small constant) followed by a distinct — both shuffle on
+  *     keys Spark hash-partitions; no broadcast of anything O(|E|).
+  *   - BFS work is one probe of the edge list per hop LEVEL (6 here), with
+  *     the frontier — O(|V|) at worst — on the build side; AQE sees the
+  *     checkpointed frontier's true size and broadcasts it.
+  *   - PageRank rounds are (rank ⋈ edges) + grouped sum: the canonical
+  *     shuffle-on-src pattern that bucketing by src turns into a local
+  *     join on a real cluster. Ranks are 1e9-scaled BIGINTs with explicit
+  *     integer division — bit-identical under any partitioning or engine.
+  */
+object GraphTraversalQueries extends QueryModule {
+
+  /** Directed co-purchase edges: parts appearing in the same order. */
+  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+      .distinct()
+  }
+
+  /** q94: multi-source BFS hop distance — seeds are every ~97th part with
+    * out-edges; output is each part reachable within 6 hops and its BFS
+    * level. The oracle is a bounded recursive CTE whose UNION-dedup
+    * frontier semantics match the loop's "never relabel a reached node"
+    * invariant: both produce min-hop per node. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = copurchaseEdges(s, dir)
+    val sources = edges.select($"src".as("id"))
+      .filter($"id" % 97 === 0).distinct()
+    Graph.bfsHops(edges, sources, maxHops = 6)
+      .select($"id".as("part_id"), $"hop".as("hops"))
+      .orderBy($"part_id")
+  }
+  private val q94Sql =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |srcs AS (SELECT DISTINCT src AS id FROM e WHERE src % 97 = 0),
+      |reach AS (
+      |  SELECT id, 0 AS hop FROM srcs
+      |  UNION
+      |  SELECT e.dst, reach.hop + 1 FROM reach JOIN e ON reach.id = e.src
+      |  WHERE reach.hop < 6
+      |)
+      |SELECT id AS part_id, min(hop) AS hops FROM reach
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Customer↔supplier purchase edges, symmetric, suppliers offset by 1e6
+    * into a disjoint id space. Symmetry guarantees outdeg >= 1 for every
+    * node (no dangling-mass special case to keep in parity). */
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s")).distinct()
+    e0.select($"c".as("src"), ($"s" + 1000000L).as("dst"))
+      .union(e0.select(($"s" + 1000000L).as("src"), $"c".as("dst")))
+  }
+
+  private val prIters = 5
+
+  /** q95: PageRank, 5 rounds, 1e9-scaled integer ranks. The oracle unrolls
+    * the identical integer recurrence as 5 chained CTEs — every division is
+    * integer division on non-negative BIGINTs, so Spark `div` and DuckDB
+    * `//` agree exactly and the final ranks hash-match bit-for-bit. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Graph.pageRank(purchaseEdges(s, dir), prIters)
+      .select($"id".as("node_id"), $"rank_scaled")
+      .orderBy($"node_id")
+  }
+  private val q95Sql = {
+    val rounds = (1 to prIters).map { i =>
+      s"""r$i AS (SELECT n.id,
+         |  CAST(150000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ed.dst AS id, sum(r${i - 1}.r // ed.od) AS c
+         |    FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.id GROUP BY 1) s
+         |  USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT c AS src, s + 1000000 AS dst FROM e0
+       |  UNION ALL SELECT s + 1000000, c FROM e0),
+       |d AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.od FROM e JOIN d USING (src)),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT id AS node_id, r AS rank_scaled FROM r$prIters
+       |ORDER BY 1""".stripMargin
+  }
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q94_bfs_reach", q94, Some(q94Sql)),
+    QueryDef("q95_pagerank", q95, Some(q95Sql)),
+  )
+}

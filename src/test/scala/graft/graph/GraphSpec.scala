@@ -1,0 +1,55 @@
+package graft.graph
+
+import graft.SparkTestBase
+
+/** [[Graph]] unit tests on hand-built graphs with known answers, plus the
+  * partitioning-independence property the integer arithmetic is meant to
+  * guarantee. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bfsHops labels a path graph with exact levels and respects the cap") {
+    // 1 -> 2 -> 3 -> ... -> 9, source {1}
+    val edges = (1 to 8).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val sources = Seq(1L).toDF("id")
+    val got = Graph.bfsHops(edges, sources, maxHops = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
+
+  test("bfsHops takes the min hop across multiple sources and branches") {
+    // diamond: 1->2, 1->3, 2->4, 3->4, plus far source 10 -> 4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (10L, 4L))
+      .toDF("src", "dst")
+    val sources = Seq(1L, 10L).toDF("id")
+    val got = Graph.bfsHops(edges, sources, maxHops = 6)
+      .as[(Long, Int)].collect().toMap
+    // 4 is reachable at hop 1 (via 10) even though 1's paths need 2 hops
+    assert(got === Map(1L -> 0, 10L -> 0, 2L -> 1, 3L -> 1, 4L -> 1))
+  }
+
+  test("bfsHops never relabels: cycles terminate with first-discovery levels") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.bfsHops(edges, Seq(1L).toDF("id"), maxHops = 9)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("pageRank on a symmetric star ranks the hub above the spokes") {
+    val spokes = (2L to 6L)
+    val edges = (spokes.map(v => (1L, v)) ++ spokes.map(v => (v, 1L)))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(edges, iters = 5).as[(Long, Long)].collect().toMap
+    val hub = r(1L)
+    assert(spokes.forall(v => r(v) < hub), s"hub should dominate: $r")
+    assert(spokes.map(r).toSet.size === 1, "spokes are symmetric")
+  }
+
+  test("pageRank is bit-identical across partitionings (integer arithmetic)") {
+    val e = (1L to 60L).flatMap(i => Seq((i, i % 7 + 100L), (i % 7 + 100L, i)))
+      .toDF("src", "dst")
+    val a = Graph.pageRank(e.repartition(1), 4).as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(e.repartition(13), 4).as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+}
