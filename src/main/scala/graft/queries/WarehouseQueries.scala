@@ -167,10 +167,53 @@ object WarehouseQueries extends QueryModule {
       |WHERE c.c_custkey <= 150
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** 2024-01-21 00:00 UTC in epoch ns — the snapshot boundary: "old" is
+    * the latest-per-user state as of this instant, "new" is current. */
+  private val diffCutoffNs = 1705795200000000000L
+
+  /** q96: snapshot diff (CDC) — the row-level change feed between two
+    * versions of the latest-event-per-user dimension, computed by
+    * [[graft.pipeline.TableDiff]]: one full outer join on the key, change
+    * classification added/removed/changed, unchanged rows dropped. The
+    * append-only source means 'removed' cannot occur here (the spec
+    * exercises it on real [[graft.pipeline.VersionedCatalog]] snapshots);
+    * the oracle replays the same two-snapshot diff in SQL. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"event_id", $"ts")
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      df.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"event_id")
+    }
+    graft.pipeline.TableDiff.diff(
+        latest(ev.filter($"ts" < diffCutoffNs)), latest(ev),
+        keyCols = Seq("user_id"), compareCols = Seq("event_id"))
+      .orderBy($"user_id")
+  }
+  private val q96Sql =
+    s"""WITH o AS (SELECT user_id, event_id FROM (
+       |    SELECT user_id, event_id,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events WHERE epoch_ns(ts) < $diffCutoffNs) WHERE rn = 1),
+       |n AS (SELECT user_id, event_id FROM (
+       |    SELECT user_id, event_id,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM events) WHERE rn = 1),
+       |d AS (SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       |    o.event_id AS old_event_id, n.event_id AS new_event_id,
+       |    CASE WHEN o.user_id IS NULL THEN 'added'
+       |         WHEN n.user_id IS NULL THEN 'removed'
+       |         WHEN o.event_id IS DISTINCT FROM n.event_id THEN 'changed'
+       |    END AS change_type
+       |  FROM o FULL OUTER JOIN n ON o.user_id = n.user_id)
+       |SELECT * FROM d WHERE change_type IS NOT NULL ORDER BY user_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
     QueryDef("q75_funnel_window", q75, Some(q75Sql)),
     QueryDef("q76_cohort_retention", q76, Some(q76Sql)),
     QueryDef("q77_skew_salted_join", q77, Some(q77Sql)),
+    QueryDef("q96_snapshot_diff", q96, Some(q96Sql)),
   )
 }
