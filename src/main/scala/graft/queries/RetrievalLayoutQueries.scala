@@ -233,8 +233,37 @@ object RetrievalLayoutQueries extends QueryModule {
       |SELECT tok, exact_count, TRUE AS claim_lower, TRUE AS claim_within
       |FROM c ORDER BY exact_count DESC, tok LIMIT 20""".stripMargin
 
+  /** q97: range scan through the min/max data-skipping index
+    * ([[graft.layout.DataSkipping]]) — per-file stats are collected, the
+    * file list is pruned to ranges overlapping a 6-month shipdate window,
+    * and only surviving files are scanned (with the exact predicate
+    * re-applied). The oracle filters the full table directly, so the gate
+    * proves pruning NEVER changes results; the ZOrderCompactSpec proves it
+    * actually skips files on a clustered multi-file table. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stats = graft.layout.DataSkipping.fileStats(
+      s, s"$dir/lineitem.parquet", Seq("l_shipdate"))
+    val lo = lit(java.sql.Timestamp.valueOf("2001-01-01 00:00:00"))
+    val hi = lit(java.sql.Timestamp.valueOf("2001-06-30 00:00:00"))
+    graft.layout.DataSkipping.readPruned(s, stats, "l_shipdate", lo, hi)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum($"l_extendedprice".cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+  private val q97Sql =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '2001-01-01 00:00:00'
+      |  AND TIMESTAMP '2001-06-30 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q78_bm25_topk", q78, Some(q78Sql)),
+    QueryDef("q97_minmax_skipping", q97, Some(q97Sql)),
     QueryDef("q79_chunk_dedup", q79, Some(q79Sql)),
     QueryDef("q80_zorder_layout", q80, Some(q80Sql)),
     QueryDef("q81_hll_sketch_merge", q81, Some(q81Sql)),
