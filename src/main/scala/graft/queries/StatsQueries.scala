@@ -113,9 +113,41 @@ object StatsQueries extends QueryModule {
       |  TRUE AS p99_within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q98: equi-width histogram — global [min,max] of the measure found in
+    * one aggregate, then every row binned with pure per-row double
+    * arithmetic (`(v-mn)*10/(mx-mn)`, floored, top edge clamped into the
+    * last bucket). min/max of doubles are exact order statistics and the
+    * bin expression is bit-identical per row across engines, so counts
+    * hash-match. Bounds attach via the data-derived constant-key
+    * broadcast (a literal key would constant-fold into a BNLJ). */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_totalprice")
+    val bounds = o.agg(min($"o_totalprice").as("mn"), max($"o_totalprice").as("mx"))
+      .withColumn("one", pmod($"mn".cast("long"), lit(1L)))
+    o.withColumn("one", pmod($"o_totalprice".cast("long"), lit(1L)))
+      .join(broadcast(bounds), "one")
+      .select($"o_totalprice",
+        least(floor(($"o_totalprice" - $"mn") * 10.0 / ($"mx" - $"mn")), lit(9.0))
+          .cast("long").as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min($"o_totalprice"), 2).as("lo_price"),
+        round(max($"o_totalprice"), 2).as("hi_price"))
+      .orderBy($"bin")
+  }
+  private val q98Sql =
+    """WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+      |SELECT CAST(least(floor((o_totalprice - mn) * 10.0 / (mx - mn)), 9.0) AS BIGINT) AS bin,
+      |  count(*) AS n_orders,
+      |  round(min(o_totalprice), 2) AS lo_price,
+      |  round(max(o_totalprice), 2) AS hi_price
+      |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q52_stats_aggregates", q52, Some(q52Sql)),
     QueryDef("q53_string_agg", q53, Some(q53Sql)),
     QueryDef("q66_approx_quantiles", q66, Some(q66Sql)),
+    QueryDef("q98_histogram", q98, Some(q98Sql)),
   )
 }
