@@ -150,11 +150,128 @@ object TimeSeriesQueries extends QueryModule {
       |FROM lineitem WHERE l_partkey % 50 = 0
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Daily mean price per sampled part over 1996, the shared base for the
+    * gap-fill gates (q99/q100). The mean goes through a DECIMAL(38,8) sum
+    * so it is exact and partition-order-independent — the fill arithmetic
+    * downstream then starts from bit-identical inputs in both engines. */
+  private def dailyPx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_partkey" % 100 === 0 && year($"l_shipdate") === 1996)
+      .groupBy($"l_partkey".as("p"), date_trunc("day", $"l_shipdate").as("day"))
+      .agg(round(sum($"l_extendedprice".cast("decimal(38,8)")).cast("double") /
+        count(lit(1)), 6).as("px"))
+  }
+  private val dailyPxSql =
+    """SELECT l_partkey AS p, date_trunc('day', l_shipdate) AS day,
+      |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE)
+      |      / count(*), 6) AS px
+      |  FROM lineitem
+      |  WHERE l_partkey % 100 = 0 AND year(l_shipdate) = 1996
+      |  GROUP BY 1, 2""".stripMargin
+
+  /** Sparse observations left-joined onto each part's full daily date
+    * spine (per-key `sequence` + explode — linear in keys × range, never a
+    * cross join, so it scales to any key count). */
+  private def spineJoined(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = dailyPx(s, dir)
+    val spine = daily.groupBy($"p")
+      .agg(min($"day").as("mn"), max($"day").as("mx"))
+      .select($"p", explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    spine.join(daily, Seq("p", "day"), "left")
+  }
+  private val spineJoinedSql =
+    s"""daily AS ($dailyPxSql),
+      |bounds AS (SELECT p, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1),
+      |spine AS (SELECT p, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      |  FROM bounds),
+      |j AS (SELECT s.p, s.day, d.px FROM spine s
+      |  LEFT JOIN daily d ON s.p = d.p AND s.day = d.day)""".stripMargin
+
+  /** q99: calendar gap-fill with last-observation-carried-forward — the
+    * canonical market-data densification: build each part's full daily
+    * spine between its first and last 1996 observation, then carry the
+    * latest known price forward with an IGNORE NULLS running `last` over
+    * one window sort per key. One agg + one equi-join + one window; every
+    * stage is keyed on the part, so the plan re-partitions once and holds
+    * at any key count. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p").orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spineJoined(s, dir)
+      .select($"p", $"day",
+        last($"px", ignoreNulls = true).over(w).as("px_locf"),
+        $"px".isNull.cast("int").as("filled"))
+      .orderBy($"p", $"day")
+  }
+  private val q99Sql =
+    s"""WITH $spineJoinedSql
+      |SELECT p, day,
+      |  last_value(px IGNORE NULLS) OVER (PARTITION BY p ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS px_locf,
+      |  CAST(px IS NULL AS INT) AS filled
+      |FROM j ORDER BY p, day""".stripMargin
+
+  /** q100: time-weighted linear interpolation across the same gaps — each
+    * missing day takes prev + (next − prev) · Δdays/span from the nearest
+    * observations on either side (forward and backward IGNORE NULLS
+    * windows over one sort; Catalyst shares the partitioning, the reverse
+    * frame adds a second sort of the same partition, no extra shuffle).
+    * Division happens on round(…,6)-anchored doubles with identical
+    * left-associative expression shape in both engines, so IEEE rounding
+    * agrees bit-for-bit. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val back = W.partitionBy($"p").orderBy($"day")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val fwd = W.partitionBy($"p").orderBy($"day")
+      .rowsBetween(0, W.unboundedFollowing)
+    spineJoined(s, dir)
+      .withColumn("prev_px", last($"px", ignoreNulls = true).over(back))
+      .withColumn("prev_day",
+        last(when($"px".isNotNull, $"day"), ignoreNulls = true).over(back))
+      .withColumn("next_px", first($"px", ignoreNulls = true).over(fwd))
+      .withColumn("next_day",
+        first(when($"px".isNotNull, $"day"), ignoreNulls = true).over(fwd))
+      .select($"p", $"day", $"px",
+        round(
+          when($"px".isNotNull, $"px")
+            .otherwise($"prev_px" + ($"next_px" - $"prev_px") *
+              datediff($"day", $"prev_day") / datediff($"next_day", $"prev_day")),
+          6).as("px_interp"))
+      .orderBy($"p", $"day")
+  }
+  private val q100Sql =
+    s"""WITH $spineJoinedSql,
+      |f AS (SELECT p, day, px,
+      |    last_value(px IGNORE NULLS) OVER wb AS prev_px,
+      |    last_value(CASE WHEN px IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER wb AS prev_day,
+      |    first_value(px IGNORE NULLS) OVER wf AS next_px,
+      |    first_value(CASE WHEN px IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER wf AS next_day
+      |  FROM j
+      |  WINDOW wb AS (PARTITION BY p ORDER BY day ROWS UNBOUNDED PRECEDING),
+      |    wf AS (PARTITION BY p ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT p, day, px,
+      |  round(CASE WHEN px IS NOT NULL THEN px
+      |    ELSE prev_px + (next_px - prev_px)
+      |      * date_diff('day', prev_day, day) / date_diff('day', prev_day, next_day)
+      |    END, 6) AS px_interp
+      |FROM f ORDER BY p, day""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
     QueryDef("q85_ewma", q85, Some(q85Sql)),
     QueryDef("q91_max_drawdown", q91, Some(q91Sql)),
     QueryDef("q92_monthly_vwap", q92, Some(q92Sql)),
+    QueryDef("q99_gapfill_locf", q99, Some(q99Sql)),
+    QueryDef("q100_interpolate", q100, Some(q100Sql)),
   )
 }
