@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus deduplication operators: not analysis queries but the
@@ -205,7 +205,15 @@ object Dedup {
     * label propagation — no driver-side pair list.
     */
   def nearMinhash(df: DataFrame, idCol: String, textCol: String,
-                  shingleLen: Int = 3, bands: Int = 8, minBands: Int = 2): DataFrame = {
+                  shingleLen: Int = 3, bands: Int = 8, minBands: Int = 2): DataFrame =
+    df.join(dupIds(minhashPairs(df, idCol, textCol, shingleLen, bands, minBands),
+      "ida", "idb"), col(idCol) === col("__dup"), "left_anti")
+
+  /** The candidate-pair miner behind [[nearMinhash]], exposed so survivor
+    * policies other than min-id (see [[survivorsBy]]) can reuse the exact
+    * same edge definition. Returns (`ida`, `idb`) with `ida < idb`. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleLen: Int = 3, bands: Int = 8, minBands: Int = 2): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -238,8 +246,28 @@ object Dedup {
       .agg(count(lit(1)).as("nb"))
       .filter($"nb" >= minBands)
       .select($"ida", $"idb")
+    pairs
+  }
 
-    df.join(dupIds(pairs, "ida", "idb"), col(idCol) === col("__dup"), "left_anti")
+  /** Dedup with an explicit survivor policy: per connected group of
+    * `pairs`, keep the row MAXIMIZING `rank` (min id breaks ties) instead
+    * of the min-id row — "keep the longest / highest-quality copy", the
+    * survivor rule production corpus dedup actually wants. Unpaired rows
+    * pass through untouched. One left join to attach labels plus one
+    * window over the (bounded-size) groups; the heavy lifting is the same
+    * label propagation every other dedup path uses. */
+  def survivorsBy(df: DataFrame, idCol: String, pairs: DataFrame,
+                  aCol: String, bCol: String, rank: Column): DataFrame = {
+    import df.sparkSession.implicits._
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("__id", "__cid")
+    val joined = df.join(labels, col(idCol) === $"__cid", "left")
+      .withColumn("__grp", coalesce($"__lbl", col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"__grp").orderBy(rank.desc, col(idCol))
+    joined.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" === 1)
+      .drop("__cid", "__lbl", "__grp", "__rn")
   }
 
   /** Near-dup dedup on embedding cosine >= `threshold`; same group/survivor

@@ -81,8 +81,42 @@ object DedupGateQueries extends QueryModule {
       |WHERE c.id IS NULL OR c.root = em.vec_id
       |ORDER BY vec_id""".stripMargin
 
+  /** q106: `Dedup.survivorsBy` end to end — the same MinHash near-dup
+    * groups as q68, but keeping each group's LONGEST document (`n_chars`
+    * max, min doc_id on ties) instead of the min-id row: the survivor
+    * rule production corpus dedup actually wants ("keep the best copy"),
+    * gated against the q68 oracle chain with the min-id filter swapped
+    * for a per-component ranking window. */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    graft.dedup.Dedup.survivorsBy(docs, "doc_id",
+        graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text"),
+        "ida", "idb", $"n_chars")
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+  private val q106Sql =
+    s"""${TextDedupQueries.shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |${TextDedupQueries.minhashPairsSqlCtes},
+      |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+      |  UNION SELECT doc_b, doc_a FROM pr),
+      |reach AS (
+      |  SELECT s AS id, s AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+      |),
+      |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+      |rk AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+      |    row_number() OVER (PARTITION BY coalesce(c.root, d.doc_id)
+      |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+      |SELECT doc_id, lang, source, n_chars FROM rk
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q68_minhash_dedup_corpus", q68, Some(q68Sql)),
     QueryDef("q69_cosine_dedup_corpus", q69, Some(q69Sql)),
+    QueryDef("q106_quality_survivor", q106, Some(q106Sql)),
   )
 }

@@ -107,9 +107,44 @@ object FunctionBreadthQueries extends QueryModule {
       |  CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** q101: unpivot (melt) — the inverse of q20's pivot: a wide per-flag
+    * aggregate row turned into (key, metric, value) long form via the
+    * native `Dataset.unpivot` (Catalyst `Expand`, one pass, no join or
+    * shuffle beyond the feeding aggregate; output is 3× the input rows by
+    * construction, never data-dependent). Metrics are rounded before
+    * melting so the shared DOUBLE value column is engine-stable. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(sum($"l_quantity".cast("decimal(28,10)")).cast("double"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice".cast("decimal(38,8)")).cast("double"), 2).as("sum_price"),
+        round(sum($"l_discount".cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("avg_disc"))
+    wide.unpivot(
+        ids = Array($"l_returnflag"),
+        values = Array($"sum_qty", $"sum_price", $"avg_disc"),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .orderBy($"l_returnflag", $"metric")
+  }
+  private val q101Sql =
+    """WITH wide AS (SELECT l_returnflag,
+      |    round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE), 2) AS sum_qty,
+      |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE), 2) AS sum_price,
+      |    round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE)
+      |      / count(*), 6) AS avg_disc
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      |UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q47_window_ranking", q47, Some(q47Sql)),
     QueryDef("q48_string_functions", q48, Some(q48Sql)),
     QueryDef("q49_array_functions", q49, Some(q49Sql)),
+    QueryDef("q101_unpivot", q101, Some(q101Sql)),
   )
 }

@@ -144,10 +144,81 @@ object StatsQueries extends QueryModule {
       |  round(max(o_totalprice), 2) AS hi_price
       |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q102: winsorized statistics — per-group p05/p95 found once with one
+    * buffered-percentile aggregate, rounded to 6dp so both engines clip
+    * against bit-identical fences, broadcast-joined back (the fence table
+    * is |groups| rows — always broadcastable), then every value clamped
+    * with greatest/least and re-aggregated through an exact DECIMAL sum.
+    * Two passes over the data by necessity (the fences are order
+    * statistics); both are single keyed shuffles with partial aggregation. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+    val fences = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("f"))
+      .select($"l_returnflag",
+        round(element_at($"f", 1), 6).as("lo"),
+        round(element_at($"f", 2), 6).as("hi"))
+    li.join(broadcast(fences), "l_returnflag")
+      .withColumn("wv", greatest($"lo", least($"hi", $"l_extendedprice")))
+      .groupBy($"l_returnflag")
+      .agg(
+        round(sum($"wv".cast("decimal(38,8)")).cast("double") /
+          count(lit(1)), 6).as("wins_mean"),
+        sum(($"l_extendedprice" < $"lo").cast("long")).as("n_clipped_lo"),
+        sum(($"l_extendedprice" > $"hi").cast("long")).as("n_clipped_hi"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+  private val q102Sql =
+    """WITH f AS (SELECT l_returnflag,
+      |    round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+      |    round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+      |  FROM lineitem GROUP BY 1),
+      |c AS (SELECT l.l_returnflag,
+      |    greatest(f.lo, least(f.hi, l.l_extendedprice)) AS wv,
+      |    CAST(l.l_extendedprice < f.lo AS BIGINT) AS is_lo,
+      |    CAST(l.l_extendedprice > f.hi AS BIGINT) AS is_hi
+      |  FROM lineitem l JOIN f ON l.l_returnflag = f.l_returnflag)
+      |SELECT l_returnflag,
+      |  round(CAST(sum(CAST(wv AS DECIMAL(38,8))) AS DOUBLE) / count(*), 6) AS wins_mean,
+      |  CAST(sum(is_lo) AS BIGINT) AS n_clipped_lo,
+      |  CAST(sum(is_hi) AS BIGINT) AS n_clipped_hi,
+      |  count(*) AS n
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q103: rolling exact median — `percentile(value, 0.5)` as a WINDOW
+    * aggregate over a 20-row frame per user. The frame bounds the buffered
+    * state at 20 values per row regardless of partition size, so the
+    * "exact percentile buffers the whole group" scale objection from q66
+    * does not apply; one shuffle + one sort on the user key. Median of
+    * ≤20 doubles is an order statistic (or the exact midpoint average),
+    * deterministic across engines. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-19, 0)
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id",
+        round(expr("percentile(value, 0.5D)").over(w), 6).as("roll_median"))
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q103Sql =
+    """SELECT user_id, event_id,
+      |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_ns(ts), event_id
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS roll_median
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id, event_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q52_stats_aggregates", q52, Some(q52Sql)),
     QueryDef("q53_string_agg", q53, Some(q53Sql)),
     QueryDef("q66_approx_quantiles", q66, Some(q66Sql)),
     QueryDef("q98_histogram", q98, Some(q98Sql)),
+    QueryDef("q102_winsorized_stats", q102, Some(q102Sql)),
+    QueryDef("q103_rolling_median", q103, Some(q103Sql)),
   )
 }

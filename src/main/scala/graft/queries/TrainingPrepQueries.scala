@@ -148,9 +148,64 @@ object TrainingPrepQueries extends QueryModule {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin
 
+  /** q105: pointwise-mutual-information token co-occurrence — the classic
+    * collocation / phrase-mining statistic over document-level
+    * co-occurrence. Tokens are deduped per document and vocabulary-bounded
+    * (length >= 5, the frequency-cutoff stand-in every production PMI run
+    * applies), pairs come from a doc_id-keyed self-join whose fan-out is
+    * quadratic only in the BOUNDED per-doc vocab, and marginal doc
+    * frequencies attach by two broadcast joins (the vocab table is orders
+    * of magnitude smaller than the pair stream). The PMI *ratio*
+    * n_ab·N/(n_a·n_b) is emitted instead of its log: one IEEE double
+    * division of exact integers, bit-identical across engines, where a
+    * log's ulp could flip the 6-dp round. The corpus size N rides on the
+    * marginal table via the q98 data-derived-constant-key broadcast (a
+    * literal key would constant-fold into a BNLJ). */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(array_distinct(expr("filter(split(text, ' '), t -> length(t) >= 5)")))
+          .as("tok"))
+    val nDocs = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("one", pmod($"n_docs", lit(1L)))
+    val margin = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .withColumn("one", pmod($"df", lit(1L)))
+      .join(broadcast(nDocs), "one").drop("one")
+    val pairs = toks.as("x").join(toks.as("y"), "doc_id")
+      .filter($"x.tok" < $"y.tok")
+      .groupBy($"x.tok".as("tok_a"), $"y.tok".as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= 5)
+    pairs
+      .join(broadcast(margin.select($"tok".as("tok_a"), $"df".as("df_a"), $"n_docs")), "tok_a")
+      .join(broadcast(margin.select($"tok".as("tok_b"), $"df".as("df_b"))), "tok_b")
+      .select($"tok_a", $"tok_b", $"n_ab", $"df_a", $"df_b",
+        round($"n_ab" * $"n_docs" / ($"df_a" * $"df_b").cast("double"), 6)
+          .as("pmi_ratio"))
+      .orderBy($"tok_a", $"tok_b")
+  }
+  private val q105Sql =
+    """WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter(
+      |    string_split(text, ' '), tk -> len(tk) >= 5)) AS tok FROM documents),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |m AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+      |p AS (SELECT x.tok AS tok_a, y.tok AS tok_b, count(*) AS n_ab
+      |  FROM t x JOIN t y ON x.doc_id = y.doc_id AND x.tok < y.tok
+      |  GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT p.tok_a, p.tok_b, p.n_ab, ma.df AS df_a, mb.df AS df_b,
+      |  round(p.n_ab * (SELECT n_docs FROM nd)
+      |    / CAST(ma.df * mb.df AS DOUBLE), 6) AS pmi_ratio
+      |FROM p
+      |JOIN m ma ON p.tok_a = ma.tok
+      |JOIN m mb ON p.tok_b = mb.tok
+      |ORDER BY tok_a, tok_b""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q71_repetition_ratio", q71, Some(q71Sql)),
     QueryDef("q72_embedding_quantization", q72, Some(q72Sql)),
     QueryDef("q73_sequence_packing", q73, Some(q73Sql)),
+    QueryDef("q105_pmi_cooccurrence", q105, Some(q105Sql)),
   )
 }

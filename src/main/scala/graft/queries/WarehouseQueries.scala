@@ -209,11 +209,47 @@ object WarehouseQueries extends QueryModule {
        |  FROM o FULL OUTER JOIN n ON o.user_id = n.user_id)
        |SELECT * FROM d WHERE change_type IS NOT NULL ORDER BY user_id""".stripMargin
 
+  /** q104: gaps-and-islands — each user's runs of CONSECUTIVE active days,
+    * via the classic anchor trick: with days deduped and row-numbered per
+    * user, `day − row_number` is constant exactly within a consecutive
+    * run, so one groupBy on (user, anchor) labels every island without a
+    * self-join or iteration. Day numbers are pure integer arithmetic on
+    * the epoch-nanos `ts`, so both engines bucket identically. One
+    * distinct + one window + two aggregates, all keyed on `user_id` —
+    * Catalyst reuses the single hash partitioning end to end. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("dayn"))
+      .distinct()
+    val rn = Window.partitionBy($"user_id").orderBy($"dayn")
+    days
+      .withColumn("anchor", $"dayn" - row_number().over(rn))
+      .groupBy($"user_id", $"anchor")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max($"len").as("max_streak"),
+        sum($"len").cast("long").as("active_days"))
+      .orderBy($"user_id")
+  }
+  private val q104Sql =
+    """WITH d AS (SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 86400000000000 AS dayn FROM events),
+      |r AS (SELECT user_id, dayn,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY dayn) AS rn FROM d),
+      |g AS (SELECT user_id, dayn - rn AS anchor, count(*) AS len
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_streaks, max(len) AS max_streak,
+      |  CAST(sum(len) AS BIGINT) AS active_days
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
     QueryDef("q75_funnel_window", q75, Some(q75Sql)),
     QueryDef("q76_cohort_retention", q76, Some(q76Sql)),
     QueryDef("q77_skew_salted_join", q77, Some(q77Sql)),
     QueryDef("q96_snapshot_diff", q96, Some(q96Sql)),
+    QueryDef("q104_streaks", q104, Some(q104Sql)),
   )
 }

@@ -28,6 +28,22 @@ class DedupSpec extends SparkTestBase {
     assert(out.count() == out.select("doc_id").distinct().count())
   }
 
+  test("survivorsBy keeps the max-rank row per group, min-id on ties") {
+    import spark.implicits._
+    // two components (1-2-3 chain, 10-11) + isolated 5; quality picks the
+    // survivor: 2 wins its group outright, 10 beats 11 on the id tiebreak
+    val rows = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (5L, 1.0),
+      (10L, 4.0), (11L, 4.0)).toDF("id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.survivorsBy(rows, "id", pairs, "a", "b", $"quality")
+      .select($"id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(2L, 5L, 10L))
+    // same groups as min-id dedup => same surviving count on the corpus
+    val byQuality = Dedup.survivorsBy(docs, "doc_id",
+      Dedup.minhashPairs(docs, "doc_id", "text"), "ida", "idb", col("n_chars"))
+    assert(byQuality.count() == Dedup.nearMinhash(docs, "doc_id", "text").count())
+  }
+
   test("cosine near-dup: high-threshold dedup keeps everything; low removes") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val keepAll = Dedup.nearCosine(emb, "vec_id", "embedding", threshold = 0.99)
