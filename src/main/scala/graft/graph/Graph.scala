@@ -48,8 +48,17 @@ object Graph {
         .select($"dst".as("id")).distinct()
       val fresh = nxt.join(dist.select($"id"), Seq("id"), "left_anti")
         .select($"id", lit(h).as("hop")).localCheckpoint(true)
-      dist = dist.union(fresh).localCheckpoint(true)
+      // the union needs NO checkpoint of its own: every leg is already a
+      // checkpoint scan, so the plan stays O(rounds) unions of flat scans
+      // and each round pays exactly ONE materialization job (`fresh`),
+      // not two
+      dist = dist.union(fresh)
       frontier = fresh.select($"id")
+      // `fresh` is already materialized (eager checkpoint), so the empty
+      // probe is a block-manager lookup, not a job; an empty frontier can
+      // never produce another level, so exiting early is exact — it skips
+      // only rounds that would do a full edge probe to derive nothing
+      if (fresh.rdd.isEmpty()) return dist
     }
     dist
   }

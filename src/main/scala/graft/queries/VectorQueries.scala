@@ -359,8 +359,7 @@ object VectorQueries extends QueryModule {
     // every (vector, subspace, centroid) partial squared distance — the
     // argmin over it is the encoding, the query rows of it are the LUT
     val d2s = celled.join(broadcast(cents), $"m" === $"cm")
-      .withColumn("d2", expr(
-        "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("d2", vector.sqDist($"sv", $"cv"))
     val wEnc = Window.partitionBy($"vec_id", $"m").orderBy($"d2", $"ccell")
     val enc = d2s.withColumn("rk", row_number().over(wEnc)).filter($"rk" === 1)
       .select($"vec_id", $"m", $"ccell".as("code"))

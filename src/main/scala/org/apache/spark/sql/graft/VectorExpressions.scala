@@ -59,11 +59,66 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance over two double arrays — the PQ/IVF training
+  * and ADC-table kernel. Same motivation and contract as [[ArrayDotProduct]]:
+  * a strict left-to-right fold `acc += (a_i − b_i)²` starting at 0.0,
+  * bit-identical to both the interpreted
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0D, +)` chain it
+  * replaces and the DuckDB oracle's `list_reduce` formulation — swapping it
+  * in changes nothing but the per-element interpretation overhead. */
+case class ArraySqDist(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $x.getDouble($i) - $y.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points for the native vector expressions. */
 object vector {
   /** Dot product of two array<double> columns (array<float> auto-casts). */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.lift(ArrayDotProduct(ColumnBridge.unwrap(a), ColumnBridge.unwrap(b)))
+
+  /** Squared L2 distance of two array<double> columns. */
+  def sqDist(a: Column, b: Column): Column =
+    ColumnBridge.lift(ArraySqDist(ColumnBridge.unwrap(a), ColumnBridge.unwrap(b)))
 
   /** L2 norm of an array<double> column. */
   def norm(a: Column): Column = org.apache.spark.sql.functions.sqrt(dot(a, a))
