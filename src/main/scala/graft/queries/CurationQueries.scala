@@ -269,6 +269,39 @@ object CurationQueries extends QueryModule {
       |SELECT id AS doc_id, min(r) AS component_root
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q107: per-source quota capping — the corpus-mixing step that stops a
+    * dominant source from flooding a training mix: within each source,
+    * docs rank by quality (n_chars desc, id tiebreak) and survive while
+    * their RUNNING char share stays within 60% of the source's total
+    * (rank 1 always survives, so no source vanishes). The share test is
+    * pure integer cross-multiplication (`cum·100 ≤ tot·60`) — no double
+    * division anywhere, so the cut line is exact in any engine. One
+    * shuffle on source; both windows share its sort. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy($"source")
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", sum($"n_chars")
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("tot", sum($"n_chars").over(tot))
+      .filter($"rn" === 1 || $"cum" * 100 <= $"tot" * 60)
+      .select($"doc_id", $"source", $"n_chars", $"rn".cast("long").as("quality_rank"))
+      .orderBy($"source", $"quality_rank")
+  }
+  private val q107Sql =
+    """WITH r AS (SELECT doc_id, source, n_chars,
+      |    row_number() OVER w AS rn,
+      |    sum(n_chars) OVER (w ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(n_chars) OVER (PARTITION BY source) AS tot
+      |  FROM documents
+      |  WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id))
+      |SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS quality_rank
+      |FROM r WHERE rn = 1 OR cum * 100 <= tot * 60
+      |ORDER BY source, quality_rank""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q67_connected_components", q67, Some(q67Sql)),
     QueryDef("q60_hash_split", q60, Some(q60Sql)),
@@ -277,5 +310,6 @@ object CurationQueries extends QueryModule {
     QueryDef("q63_decontamination", q63, Some(q63Sql)),
     QueryDef("q64_stratified_sample", q64, Some(q64Sql)),
     QueryDef("q65_crossmodal_agreement", q65, Some(q65Sql)),
+    QueryDef("q107_source_quota", q107, Some(q107Sql)),
   )
 }

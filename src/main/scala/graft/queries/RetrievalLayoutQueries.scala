@@ -268,5 +268,34 @@ object RetrievalLayoutQueries extends QueryModule {
     QueryDef("q80_zorder_layout", q80, Some(q80Sql)),
     QueryDef("q81_hll_sketch_merge", q81, Some(q81Sql)),
     QueryDef("q88_cms_heavy_hitters", q88, Some(q88Sql)),
+    QueryDef("q109_phrase_search", q109, Some(q109Sql)),
   )
+
+  /** q109: positional phrase search — exact-phrase retrieval ("table
+    * hash") through a positional inverted index: tokens posexplode once,
+    * the TWO phrase terms' postings filter out BEFORE any shuffle (the
+    * selectivity is the point — only matching-term rows move), and
+    * adjacency is an equi-join on (doc_id, pos+1). That join-on-position
+    * shape extends to any phrase length as a chain of postings joins —
+    * the standard serving structure — where a naive `text LIKE` scan
+    * reads every byte of every document. The oracle computes the same
+    * adjacency count by list arithmetic. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+    val a = toks.filter($"tok" === "table").select($"doc_id", $"pos")
+    val b = toks.filter($"tok" === "hash")
+      .select($"doc_id".as("doc_b"), $"pos".as("pos_b"))
+    a.join(b, $"doc_id" === $"doc_b" && $"pos_b" === $"pos" + 1)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy($"doc_id")
+  }
+  private val q109Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |h AS (SELECT doc_id, len(list_filter(range(1, len(w)),
+      |    i -> w[i] = 'table' AND w[i + 1] = 'hash')) AS n_hits FROM t)
+      |SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits FROM h
+      |WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
 }

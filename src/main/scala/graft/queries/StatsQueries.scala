@@ -220,5 +220,48 @@ object StatsQueries extends QueryModule {
     QueryDef("q98_histogram", q98, Some(q98Sql)),
     QueryDef("q102_winsorized_stats", q102, Some(q102Sql)),
     QueryDef("q103_rolling_median", q103, Some(q103Sql)),
+    QueryDef("q108_equidepth_histogram", q108, Some(q108Sql)),
   )
+
+  /** q108: equi-depth (decile) histogram — the optimizer-statistics
+    * companion to q98's equi-width bins. Deliberately NOT `ntile`: a
+    * global ntile needs one total sort through a single window partition —
+    * the classic 100 TB anti-pattern — so the breaks come from one exact
+    * interpolated-percentile aggregate instead (constant-size output),
+    * rounded to 6dp so both engines bin against identical fences, then
+    * every row buckets by counting breaks strictly below it (ties go DOWN,
+    * the `x > b` rule, identical in both engines). Breaks attach via the
+    * q98 data-derived constant-key broadcast; binning is a 9-element
+    * filter per row — scan-bound, no sort anywhere. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_totalprice")
+    val breaks = o.agg(expr(
+        "percentile(o_totalprice, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
+        .as("bk0"))
+      .select(expr("transform(bk0, b -> round(b, 6))").as("bks"))
+      .withColumn("one", pmod(element_at($"bks", 1).cast("long"), lit(1L)))
+    o.withColumn("one", pmod($"o_totalprice".cast("long"), lit(1L)))
+      .join(broadcast(breaks), "one")
+      .select($"o_totalprice",
+        size(expr("filter(bks, b -> o_totalprice > b)")).cast("long").as("decile"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min($"o_totalprice"), 2).as("lo_price"),
+        round(max($"o_totalprice"), 2).as("hi_price"))
+      .orderBy($"decile")
+  }
+  private val q108Sql =
+    """WITH b AS (SELECT list_transform([quantile_cont(o_totalprice, 0.1),
+      |    quantile_cont(o_totalprice, 0.2), quantile_cont(o_totalprice, 0.3),
+      |    quantile_cont(o_totalprice, 0.4), quantile_cont(o_totalprice, 0.5),
+      |    quantile_cont(o_totalprice, 0.6), quantile_cont(o_totalprice, 0.7),
+      |    quantile_cont(o_totalprice, 0.8), quantile_cont(o_totalprice, 0.9)],
+      |    x -> round(x, 6)) AS bks FROM orders)
+      |SELECT CAST(len(list_filter(b.bks, k -> o.o_totalprice > k)) AS BIGINT) AS decile,
+      |  count(*) AS n_orders,
+      |  round(min(o.o_totalprice), 2) AS lo_price,
+      |  round(max(o.o_totalprice), 2) AS hi_price
+      |FROM orders o CROSS JOIN b
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

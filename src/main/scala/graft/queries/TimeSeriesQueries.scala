@@ -273,5 +273,38 @@ object TimeSeriesQueries extends QueryModule {
     QueryDef("q92_monthly_vwap", q92, Some(q92Sql)),
     QueryDef("q99_gapfill_locf", q99, Some(q99Sql)),
     QueryDef("q100_interpolate", q100, Some(q100Sql)),
+    QueryDef("q110_asof_forward", q110, Some(q110Sql)),
   )
+
+  /** q110: FORWARD as-of join — each click joined to the user's earliest
+    * error at or after it ("time to next failure"), the mirror of q50's
+    * backward direction, via [[AsOfJoin.forward]]'s reversed-frame union
+    * window (same single shuffle on the key). DuckDB's ASOF JOIN is
+    * backward-only, so the oracle states the semantics directly as a
+    * LATERAL minimum — which is also the proof the operator composition
+    * implements exactly "earliest right ≥ left". */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("tsu", expr("ts div 1000"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"tsu", $"event_id", $"value")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"tsu", $"value")
+    AsOfJoin.forward(clicks, errors, key = "user_id", time = "tsu",
+        rightCols = Map("value" -> "next_err_value", "tsu" -> "next_err_tsu"))
+      .select($"user_id", $"tsu", $"event_id", $"value",
+        $"next_err_value", $"next_err_tsu")
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q110Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type, value FROM events),
+      |clicks AS (SELECT user_id, tsu, event_id, value FROM e WHERE event_type = 'click'),
+      |errors AS (SELECT user_id, tsu, value FROM e WHERE event_type = 'error')
+      |SELECT c.user_id, c.tsu, c.event_id, c.value,
+      |  n.next_err_value, n.next_err_tsu
+      |FROM clicks c LEFT JOIN LATERAL (
+      |  SELECT er.value AS next_err_value, er.tsu AS next_err_tsu
+      |  FROM errors er WHERE er.user_id = c.user_id AND er.tsu >= c.tsu
+      |  ORDER BY er.tsu LIMIT 1) n ON TRUE
+      |ORDER BY c.user_id, c.event_id""".stripMargin
 }
