@@ -221,7 +221,105 @@ object StatsQueries extends QueryModule {
     QueryDef("q102_winsorized_stats", q102, Some(q102Sql)),
     QueryDef("q103_rolling_median", q103, Some(q103Sql)),
     QueryDef("q108_equidepth_histogram", q108, Some(q108Sql)),
+    QueryDef("q111_rolling_beta", q111, Some(q111Sql)),
+    QueryDef("q112_chisq_independence", q112, Some(q112Sql)),
   )
+
+  /** q111: rolling beta + realized volatility over a 20-row frame — the
+    * windowed-moment family (covar/var/stddev OVER a sliding frame) made
+    * cross-engine exact: windowed `covar_samp` is NOT reproducible across
+    * engines (each picks its own accumulation order / segment-tree
+    * combination), so the moments assemble from exact DECIMAL component
+    * sums (Σx, Σy, Σxy, Σx² — windowed decimal sums are
+    * order-independent) and only the FINAL per-row formula runs in
+    * doubles, identically shaped in both engines. β = cov/var via the
+    * n-scaled cross-multiplied form; vol = √ of the sample variance
+    * (sqrt is correctly-rounded IEEE). One shuffle + one sort on the part
+    * key; all four sums share the single frame. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy($"l_partkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(-19, 0)
+    val denomB = $"n" * $"sxx" - $"sx" * $"sx"
+    val base = Tables.lineitem(s, dir)
+      .filter($"l_partkey" % 200 === 0)
+      .select($"l_partkey", $"l_orderkey", $"l_linenumber", $"l_shipdate",
+        $"l_quantity".as("x"), $"l_extendedprice".as("y"))
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum($"x".cast("decimal(28,10)")).over(w).cast("double"))
+      .withColumn("sy", sum($"y".cast("decimal(38,8)")).over(w).cast("double"))
+      .withColumn("sxy", sum(($"x" * $"y").cast("decimal(38,8)")).over(w).cast("double"))
+      .withColumn("sxx", sum(($"x" * $"x").cast("decimal(38,8)")).over(w).cast("double"))
+    base.select($"l_partkey", $"l_orderkey", $"l_linenumber",
+        when($"n" >= 2 && denomB =!= 0.0,
+          round(($"n" * $"sxy" - $"sx" * $"sy") / denomB, 6)).as("beta"),
+        when($"n" >= 2,
+          round(sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1.0))), 6))
+          .as("vol_qty"))
+      .orderBy($"l_partkey", $"l_orderkey", $"l_linenumber")
+  }
+  private val q111Sql =
+    """WITH b AS (SELECT l_partkey, l_orderkey, l_linenumber,
+      |    CAST(count(*) OVER w AS DOUBLE) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) OVER w AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxx
+      |  FROM lineitem WHERE l_partkey % 200 = 0
+      |  WINDOW w AS (PARTITION BY l_partkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT l_partkey, l_orderkey, l_linenumber,
+      |  CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0.0
+      |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS beta,
+      |  CASE WHEN n >= 2
+      |    THEN round(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) END AS vol_qty
+      |FROM b ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** q112: chi-square test of independence over the returnflag ×
+    * linestatus contingency table — the categorical-association DQ/EDA
+    * staple. Observed counts are exact; expected counts and per-cell
+    * contributions are per-row double arithmetic on those integers
+    * (identical expression shape both sides); the table-wide statistic
+    * sums the 6-dp-rounded contributions through DECIMAL so the one
+    * cross-cell accumulation is order-independent. Row/col/grand totals
+    * come from window sums over the TINY cell table (|flags|·|statuses|
+    * rows), so nothing heavier than the first groupBy ever shuffles. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r_tot", sum($"n").over(W.partitionBy($"l_returnflag")))
+      .withColumn("c_tot", sum($"n").over(W.partitionBy($"l_linestatus")))
+      .withColumn("g_tot", sum($"n").over(W.partitionBy()))
+      .withColumn("expected", $"r_tot" * $"c_tot" / $"g_tot".cast("double"))
+      .withColumn("contrib",
+        round(($"n" - $"expected") * ($"n" - $"expected") / $"expected", 6))
+    cells.select($"l_returnflag", $"l_linestatus", $"n",
+        round($"expected", 6).as("expected"), $"contrib",
+        sum($"contrib".cast("decimal(38,6)")).over(W.partitionBy())
+          .cast("double").as("chi2_total"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+  private val q112Sql =
+    """WITH c AS (SELECT l_returnflag, l_linestatus, count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (SELECT *,
+      |    sum(n) OVER (PARTITION BY l_returnflag) AS r_tot,
+      |    sum(n) OVER (PARTITION BY l_linestatus) AS c_tot,
+      |    sum(n) OVER () AS g_tot FROM c),
+      |e AS (SELECT l_returnflag, l_linestatus, n,
+      |    r_tot * c_tot / CAST(g_tot AS DOUBLE) AS expected FROM t),
+      |k AS (SELECT *, round((n - expected) * (n - expected) / expected, 6)
+      |    AS contrib FROM e)
+      |SELECT l_returnflag, l_linestatus, n, round(expected, 6) AS expected,
+      |  contrib,
+      |  CAST(sum(CAST(contrib AS DECIMAL(38,6))) OVER () AS DOUBLE) AS chi2_total
+      |FROM k ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** q108: equi-depth (decile) histogram — the optimizer-statistics
     * companion to q98's equi-width bins. Deliberately NOT `ntile`: a

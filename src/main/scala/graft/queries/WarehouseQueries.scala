@@ -251,5 +251,59 @@ object WarehouseQueries extends QueryModule {
     QueryDef("q77_skew_salted_join", q77, Some(q77Sql)),
     QueryDef("q96_snapshot_diff", q96, Some(q96Sql)),
     QueryDef("q104_streaks", q104, Some(q104Sql)),
+    QueryDef("q113_profile_stats", q113, Some(q113Sql)),
   )
+
+  /** q113: table profiling (ANALYZE-style statistics collection) — per
+    * column: row count, null count, exact distinct count, numeric
+    * min/max. The profile is ONE aggregate pass over the table computing
+    * every column's stats side by side (count_distinct partials merge
+    * map-side), then a static unpivot of the wide stat row into the
+    * (column, stats) catalog shape — no per-column rescans, which is what
+    * makes profiling affordable on a 100 TB table (the distinct counts
+    * would switch to HLL there; exact keeps this gate hashable). Numeric
+    * min/max stay typed DOUBLE — string-rendering numbers would hash on
+    * engine formatting, not values. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val wide = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum($"o_orderstatus".isNull.cast("long")).as("nn_status"),
+      countDistinct($"o_orderstatus").as("nd_status"),
+      sum($"o_custkey".isNull.cast("long")).as("nn_cust"),
+      countDistinct($"o_custkey").as("nd_cust"),
+      min($"o_custkey").cast("double").as("mn_cust"),
+      max($"o_custkey").cast("double").as("mx_cust"),
+      sum($"o_totalprice".isNull.cast("long")).as("nn_price"),
+      countDistinct($"o_totalprice").as("nd_price"),
+      round(min($"o_totalprice"), 2).as("mn_price"),
+      round(max($"o_totalprice"), 2).as("mx_price"))
+    wide.select(expr(
+        """stack(3,
+          |  'o_orderstatus', n_rows, nn_status, nd_status, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          |  'o_custkey',     n_rows, nn_cust,   nd_cust,   mn_cust, mx_cust,
+          |  'o_totalprice',  n_rows, nn_price,  nd_price,  mn_price, mx_price)
+          |AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num)""".stripMargin))
+      .orderBy($"col_name")
+  }
+  private val q113Sql =
+    """WITH w AS (SELECT count(*) AS n_rows,
+      |    CAST(sum(CAST(o_orderstatus IS NULL AS INT)) AS BIGINT) AS nn_status,
+      |    count(DISTINCT o_orderstatus) AS nd_status,
+      |    CAST(sum(CAST(o_custkey IS NULL AS INT)) AS BIGINT) AS nn_cust,
+      |    count(DISTINCT o_custkey) AS nd_cust,
+      |    CAST(min(o_custkey) AS DOUBLE) AS mn_cust,
+      |    CAST(max(o_custkey) AS DOUBLE) AS mx_cust,
+      |    CAST(sum(CAST(o_totalprice IS NULL AS INT)) AS BIGINT) AS nn_price,
+      |    count(DISTINCT o_totalprice) AS nd_price,
+      |    round(min(o_totalprice), 2) AS mn_price,
+      |    round(max(o_totalprice), 2) AS mx_price
+      |  FROM orders)
+      |SELECT 'o_orderstatus' AS col_name, n_rows, nn_status AS n_nulls,
+      |  nd_status AS n_distinct, CAST(NULL AS DOUBLE) AS min_num,
+      |  CAST(NULL AS DOUBLE) AS max_num FROM w
+      |UNION ALL SELECT 'o_custkey', n_rows, nn_cust, nd_cust, mn_cust, mx_cust FROM w
+      |UNION ALL SELECT 'o_totalprice', n_rows, nn_price, nd_price, mn_price, mx_price FROM w
+      |ORDER BY col_name""".stripMargin
 }
