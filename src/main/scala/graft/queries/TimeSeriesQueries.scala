@@ -220,9 +220,17 @@ object TimeSeriesQueries extends QueryModule {
     * observations on either side (forward and backward IGNORE NULLS
     * windows over one sort; Catalyst shares the partitioning, the reverse
     * frame adds a second sort of the same partition, no extra shuffle).
-    * Division happens on round(…,6)-anchored doubles with identical
-    * left-associative expression shape in both engines, so IEEE rounding
-    * agrees bit-for-bit. */
+    *
+    * The blend runs in EXACT integer micro-price units, not doubles: the
+    * 6-dp anchors lift to micro-longs, and the fractional step applies as
+    * `floor((2·Δp·d1 + d2) / (2·d2))` — integer-exact round-half-up of
+    * Δp·d1/d2 (all magnitudes ≪ 2⁵³, so the one double division is exact
+    * on both sides of its inputs and correctly rounded). A double
+    * formulation here is NOT engine-stable: even-day gaps make the true
+    * value land exactly on the 6-dp half boundary, where Java's
+    * shortest-string rounding and DuckDB's binary rounding disagree
+    * (observed at sf0.1). Fixed-point is how market systems store prices
+    * anyway. */
   private def q100(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val W = org.apache.spark.sql.expressions.Window
@@ -230,28 +238,35 @@ object TimeSeriesQueries extends QueryModule {
       .rowsBetween(W.unboundedPreceding, 0)
     val fwd = W.partitionBy($"p").orderBy($"day")
       .rowsBetween(0, W.unboundedFollowing)
+    val d1 = datediff($"day", $"prev_day").cast("long")
+    val d2 = datediff($"next_day", $"prev_day").cast("long")
+    val blended = $"prev_p6" + floor(
+      (($"next_p6" - $"prev_p6") * d1 * 2 + d2) / (d2 * lit(2.0))).cast("long")
     spineJoined(s, dir)
-      .withColumn("prev_px", last($"px", ignoreNulls = true).over(back))
+      .withColumn("p6", round($"px" * 1e6, 0).cast("long"))
+      .withColumn("prev_p6", last($"p6", ignoreNulls = true).over(back))
       .withColumn("prev_day",
         last(when($"px".isNotNull, $"day"), ignoreNulls = true).over(back))
-      .withColumn("next_px", first($"px", ignoreNulls = true).over(fwd))
+      .withColumn("next_p6", first($"p6", ignoreNulls = true).over(fwd))
       .withColumn("next_day",
         first(when($"px".isNotNull, $"day"), ignoreNulls = true).over(fwd))
       .select($"p", $"day", $"px",
-        round(
-          when($"px".isNotNull, $"px")
-            .otherwise($"prev_px" + ($"next_px" - $"prev_px") *
-              datediff($"day", $"prev_day") / datediff($"next_day", $"prev_day")),
-          6).as("px_interp"))
+        (when($"px".isNotNull, $"p6")
+          .when($"prev_p6".isNull, $"next_p6")
+          .when($"next_p6".isNull, $"prev_p6")
+          .otherwise(blended) / lit(1000000.0)).as("px_interp"))
       .orderBy($"p", $"day")
   }
   private val q100Sql =
     s"""WITH $spineJoinedSql,
       |f AS (SELECT p, day, px,
-      |    last_value(px IGNORE NULLS) OVER wb AS prev_px,
+      |    CAST(round(px * 1e6, 0) AS BIGINT) AS p6,
+      |    last_value(CAST(round(px * 1e6, 0) AS BIGINT) IGNORE NULLS)
+      |      OVER wb AS prev_p6,
       |    last_value(CASE WHEN px IS NOT NULL THEN day END IGNORE NULLS)
       |      OVER wb AS prev_day,
-      |    first_value(px IGNORE NULLS) OVER wf AS next_px,
+      |    first_value(CAST(round(px * 1e6, 0) AS BIGINT) IGNORE NULLS)
+      |      OVER wf AS next_p6,
       |    first_value(CASE WHEN px IS NOT NULL THEN day END IGNORE NULLS)
       |      OVER wf AS next_day
       |  FROM j
@@ -259,10 +274,14 @@ object TimeSeriesQueries extends QueryModule {
       |    wf AS (PARTITION BY p ORDER BY day
       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
       |SELECT p, day, px,
-      |  round(CASE WHEN px IS NOT NULL THEN px
-      |    ELSE prev_px + (next_px - prev_px)
-      |      * date_diff('day', prev_day, day) / date_diff('day', prev_day, next_day)
-      |    END, 6) AS px_interp
+      |  CASE WHEN px IS NOT NULL THEN p6
+      |    WHEN prev_p6 IS NULL THEN next_p6
+      |    WHEN next_p6 IS NULL THEN prev_p6
+      |    ELSE prev_p6 + CAST(floor(
+      |      ((next_p6 - prev_p6) * date_diff('day', prev_day, day) * 2
+      |        + date_diff('day', prev_day, next_day))
+      |      / (date_diff('day', prev_day, next_day) * 2.0)) AS BIGINT)
+      |  END / 1000000.0 AS px_interp
       |FROM f ORDER BY p, day""".stripMargin
 
   override def queries: Seq[QueryDef] = Seq(

@@ -45,8 +45,9 @@ class TimeSeriesFillSpec extends SparkTestBase {
     // coarser global bound per key
     val bounds = out.filter($"px".isNotNull).groupBy($"p")
       .agg(min($"px").as("lo"), max($"px").as("hi"))
+    // half-micro slack: the fixed-point blend rounds to 1e-6 units
     val oob = out.join(bounds, "p")
-      .filter($"px_interp" < $"lo" - 1e-9 || $"px_interp" > $"hi" + 1e-9)
+      .filter($"px_interp" < $"lo" - 1e-6 || $"px_interp" > $"hi" + 1e-6)
     assert(oob.count() == 0)
     out.unpersist()
   }
