@@ -135,7 +135,7 @@ object TimeSeriesQueries extends QueryModule {
     import s.implicits._
     Tables.lineitem(s, dir)
       .filter($"l_partkey" % 50 === 0)
-      .groupBy($"l_partkey", date_trunc("month", $"l_shipdate").as("ship_month"))
+      .groupBy($"l_partkey", trunc($"l_shipdate", "month").as("ship_month"))
       .agg(
         round((sum(($"l_extendedprice" * $"l_quantity").cast("decimal(38,8)")).cast("double") /
           sum($"l_quantity".cast("decimal(28,10)")).cast("double")), 6).as("vwap"),
