@@ -65,15 +65,24 @@ object Bench {
       // "errors" (and the exit code), never encoded into the timing map
       if (errors.contains(name)) None else Some(name -> dt)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The result line must stay SHORT: the harness that captures this
+    // output keeps only the last ~2000 characters, and a 113-entry map with
+    // full query names and 17-significant-digit doubles overflows that
+    // window, truncating the line's head and making it unparseable. Short
+    // keys ("q01" for "q01_pricing_summary") and millisecond precision keep
+    // the whole line comfortably inside the window.
+    val qs = results.map { case (k, v) =>
+      val short = k.takeWhile(_ != '_')
+      "\"" + short + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors
         .map { case (k, v) => s"${JsonEscape(k)}:${JsonEscape(v)}" }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","cold_total_sec":$coldTotal}""")
+    def sec(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val total = sec(results.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir","cold_total_sec":${sec(coldTotal)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
