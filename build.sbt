@@ -14,7 +14,6 @@ run / fork := true
 // Forked run output must go RAW to stdout: the default LoggedOutput routes
 // it through sbt's logger, prefixing every line with "[info] " — which
 // breaks machine parsing of Bench's single JSON result line.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

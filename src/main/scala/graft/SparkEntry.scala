@@ -36,6 +36,8 @@ object SparkEntry {
     graft.queries.GraphIncrementalQueries,
     graft.queries.GraphTraversalQueries,
     graft.queries.EntityResolutionQueries,
+    graft.queries.InferenceQueries,
+    graft.queries.SelectionQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -137,6 +137,12 @@ object Dedup {
       // identically for long, string (UUID), or any orderable id type,
       // where a numeric cast would turn string labels into NULLs and
       // declare convergence after one round (silent under-merge).
+      // A jump-only contraction appended to each round (lbl := lbl(lbl) on
+      // the layer's output, one extra labels-sized equi-join) was also
+      // measured and REJECTED: rounds dropped only ~15-20% (the gated
+      // graphs' slow tails are bushy, not pure chains, so the in-layer
+      // pointer jump already captures most of the shortcutting) while
+      // per-round cost rose ~40% — q67 4.7->5.0 s, q69 4.8->5.6 s warm.
       val stacked = layer(labels.withColumn("__prev", $"__lbl"))
       val (next, nextIds) = tracked(
         stacked.select($"__id", $"__lbl",

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed prefix sums (a parallel scan) over a total order.
+  *
+  * The naive formulation — `sum(x) OVER (ORDER BY k)` with no PARTITION BY —
+  * moves the entire relation into ONE window partition (Spark warns
+  * "No Partition Defined for Window operation"), which is the canonical
+  * 100 TB anti-pattern: one task sorts and scans everything. This operator
+  * computes the same result with the classic two-level scan:
+  *
+  *   1. range-repartition by the order key, so partition p holds a
+  *      contiguous key range and ranges are sorted across partitions;
+  *   2. per-partition local running sums (an ordinary partitioned window);
+  *   3. one tiny aggregate — per-partition totals, at most
+  *      `spark.sql.shuffle.partitions` rows — turned into EXCLUSIVE prefix
+  *      offsets with a window over that constant-size frame;
+  *   4. broadcast the offsets back and add them to the local sums.
+  *
+  * Every heavy stage is fully parallel; the only global object is the
+  * offsets table, whose size is the partition count, never the data.
+  *
+  * Determinism: callers must pass order keys that form a TOTAL order
+  * (unique key tuples). Rows with equal keys could land on either side of
+  * a range boundary, making their local prefix ambiguous. All in-repo
+  * callers scan a grouped-by-key frame, where uniqueness holds by
+  * construction. Sums are exact (LONG or DECIMAL inputs), so the result is
+  * independent of where the sampler actually places the range boundaries.
+  *
+  * The input is localCheckpointed after partition ids are attached:
+  * RangePartitioner samples its boundaries, and the offsets job and the
+  * final join must observe the SAME placement — recomputing the lineage in
+  * two jobs could legally resample and mismatch partition ids.
+  *
+  * Reference behavior: cumulative market stats in
+  * `reference/sql/example_queries.sql` (running totals over trade dates);
+  * re-expressed here without the single-partition window the reference's
+  * warehouse tolerates.
+  */
+object DistributedScan {
+
+  /** Adds `<c>_cum` (inclusive prefix sum) for each column in `sumCols`,
+    * ordered by `orderCols`. Sum columns must be integral or decimal —
+    * exactness of the two-level composition is what makes the scan
+    * partitioning-invariant. */
+  def prefixSums(df: DataFrame, orderCols: Seq[Column], sumCols: Seq[String]): DataFrame = {
+    val bad = sumCols.map(c => c -> df.schema(c).dataType).filterNot { case (_, t) =>
+      t.isInstanceOf[org.apache.spark.sql.types.LongType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+        t.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    }
+    require(bad.isEmpty,
+      s"prefixSums needs exact (integral/decimal) sum columns; got $bad — " +
+        "double sums would make the result depend on range-boundary placement")
+
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(parts, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = sumCols.foldLeft(ranged) { (d, c) =>
+      d.withColumn(s"${c}_cum", sum(col(c)).over(wLocal))
+    }
+
+    // Offsets frame: |partitions| rows — the tiny-table case where an
+    // unpartitioned window is the RIGHT tool (cf. q112's cell table).
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy(col("__pid"))
+      .agg(sumCols.map(c => sum(col(c)).as(s"${c}_tot")).head,
+        sumCols.map(c => sum(col(c)).as(s"${c}_tot")).tail: _*)
+    val offsets = sumCols.foldLeft(offs) { (d, c) =>
+      d.withColumn(s"${c}_off", sum(col(s"${c}_tot")).over(wOff))
+    }.select(col("__pid") +: sumCols.map(c => col(s"${c}_off")): _*)
+
+    val joined = local.join(broadcast(offsets), "__pid")
+    sumCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(s"${c}_cum",
+        col(s"${c}_cum") + coalesce(col(s"${c}_off"), lit(0L)))
+    }.drop("__pid" +: sumCols.map(c => s"${c}_off"): _*)
+  }
+}

@@ -1,0 +1,288 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.operators.DistributedScan
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical-inference surface: two-sample hypothesis tests and
+  * correlation/regression estimators, the EDA layer a curation pipeline
+  * runs before/after an intervention (did the filter change the value
+  * distribution? are these columns monotonically related?).
+  *
+  * Cross-engine exactness strategy, same as q89/q111: every aggregate that
+  * crosses rows is an exact LONG or DECIMAL sum (order-independent under
+  * any partitioning), and doubles appear only in the final per-row formula
+  * — identical expression shape in Spark and DuckDB, then round(…, 6).
+  * CDF-style cumulatives go through [[DistributedScan.prefixSums]] — never
+  * a single-partition global window.
+  *
+  * Reference behavior: the reference's analyst layer stops at descriptive
+  * stats (`sql/example_queries.sql`); these extend the same tables to the
+  * inferential statistics its dashboards imply (distribution drift between
+  * event types, price/quantity association strength).
+  */
+object InferenceQueries extends QueryModule {
+
+  /** Per-distinct-value counts of the two compared samples — the shared
+    * contingency spine of the KS and Mann-Whitney tests. One shuffle
+    * (groupBy value); output size = |distinct values|, never |rows|. */
+  private def twoSampleCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"event_type".isin("click", "view"))
+      .groupBy($"value")
+      .agg(sum(when($"event_type" === "click", 1L).otherwise(0L)).as("c1"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("c2"))
+  }
+
+  /** q114: two-sample Kolmogorov-Smirnov statistic, D = sup|F1 − F2|,
+    * between the click and view value distributions. Empirical CDFs come
+    * from exact LONG prefix sums over the distinct-value table via the
+    * distributed scan (range repartition + per-partition offsets); the
+    * per-value |F1−F2| is pure double arithmetic on those longs, rounded
+    * to 6 dp BEFORE the max so the winner is identical in both engines. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = twoSampleCells(s, dir)
+    val scanned = DistributedScan.prefixSums(cells, Seq(col("value")), Seq("c1", "c2"))
+    val totals = cells.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+      .withColumn("one", pmod($"n1", lit(1L)))
+    scanned.withColumn("one", pmod($"c1_cum", lit(1L)))
+      .join(broadcast(totals), "one")
+      .select($"n1", $"n2",
+        round(abs($"c1_cum".cast("double") / $"n1".cast("double") -
+          $"c2_cum".cast("double") / $"n2".cast("double")), 6).as("d"))
+      .groupBy($"n1", $"n2")
+      .agg(max($"d").as("ks_d"))
+  }
+  private val q114Sql =
+    """WITH ev AS (SELECT event_type, value FROM events
+      |    WHERE event_type IN ('click', 'view')),
+      |cells AS (SELECT value,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM ev GROUP BY value),
+      |sc AS (SELECT
+      |    CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS c1_cum,
+      |    CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS c2_cum FROM cells),
+      |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM cells)
+      |SELECT t.n1 AS n1, t.n2 AS n2,
+      |  max(round(abs(CAST(c1_cum AS DOUBLE) / n1 - CAST(c2_cum AS DOUBLE) / n2), 6)) AS ks_d
+      |FROM sc, t GROUP BY t.n1, t.n2""".stripMargin
+
+  /** q115: Mann-Whitney U (rank-sum) test, tie-corrected, same two
+    * samples. Average ranks are kept INTEGER by working in half-units:
+    * for a distinct value with combined count c and combined cumulative
+    * count cum, avgrank·2 = 2·cum − c + 1 exactly, so the rank-sum
+    * R1·2 = Σ c1·(2·cum − c + 1) is an exact LONG sum and the only
+    * division (by 2) happens once at the end — U is exact to the half,
+    * bit-identical across engines, no rounding needed. U1+U2 = n1·n2 by
+    * construction (asserted in the spec). */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = twoSampleCells(s, dir).withColumn("c", $"c1" + $"c2")
+    val scanned = DistributedScan.prefixSums(cells, Seq(col("value")), Seq("c"))
+    scanned
+      .select($"c1", $"c2",
+        ($"c1" * (lit(2L) * $"c_cum" - $"c" + lit(1L))).as("contrib"))
+      .agg(sum($"contrib").as("r1_2"), sum($"c1").as("n1"), sum($"c2").as("n2"))
+      .select($"n1", $"n2",
+        (($"r1_2" - $"n1" * ($"n1" + lit(1L))).cast("double") / 2.0).as("u1"),
+        ($"n1".cast("double") * $"n2".cast("double") -
+          ($"r1_2" - $"n1" * ($"n1" + lit(1L))).cast("double") / 2.0).as("u2"))
+  }
+  private val q115Sql =
+    """WITH ev AS (SELECT event_type, value FROM events
+      |    WHERE event_type IN ('click', 'view')),
+      |cells AS (SELECT value,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM ev GROUP BY value),
+      |sc AS (SELECT c1, c2,
+      |    c1 * (2 * CAST(sum(c1 + c2) OVER (ORDER BY value) AS BIGINT)
+      |      - (c1 + c2) + 1) AS contrib
+      |  FROM cells),
+      |a AS (SELECT CAST(sum(contrib) AS BIGINT) AS r1_2,
+      |    CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM sc)
+      |SELECT n1, n2,
+      |  CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+      |  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+      |    - CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2
+      |FROM a""".stripMargin
+
+  /** Exact decimal moment sums for (x, y) under a grouping — shared by the
+    * OLS, autocorrelation, and Spearman estimators. Every sum is DECIMAL
+    * (order-independent); the caller's closed-form formula runs in doubles
+    * on the tiny grouped frame. */
+  private def moments(df: DataFrame, groupCol: String,
+                      xDec: String = "decimal(38,8)",
+                      yDec: String = "decimal(38,8)"): DataFrame = {
+    val x = col("x"); val y = col("y")
+    df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(x.cast(xDec)).cast("double").as("sx"),
+      sum(y.cast(yDec)).cast("double").as("sy"),
+      sum((x * y).cast("decimal(38,8)")).cast("double").as("sxy"),
+      sum((x * x).cast("decimal(38,8)")).cast("double").as("sxx"),
+      sum((y * y).cast("decimal(38,8)")).cast("double").as("syy"))
+  }
+  private def covn: Column = col("n") * col("sxy") - col("sx") * col("sy")
+  private def varxn: Column = col("n") * col("sxx") - col("sx") * col("sx")
+  private def varyn: Column = col("n") * col("syy") - col("sy") * col("sy")
+  /** The same moment CTE in DuckDB, from a `base(g, x, y)` relation. */
+  private def momentsSql(fromRel: String): String =
+    s"""SELECT g, CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+       |  FROM $fromRel GROUP BY g""".stripMargin
+
+  /** q116: per-group ordinary least squares — slope, intercept, R² of
+    * extended price on quantity per return flag. One pass of exact decimal
+    * moments, then the closed-form normal-equation solution per group. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, dir).select($"l_returnflag".as("g"),
+      $"l_quantity".as("x"), $"l_extendedprice".as("y"))
+    moments(base, "g")
+      .select($"g", $"n".cast("long").as("n"),
+        when(varxn =!= 0.0, round(covn / varxn, 6)).as("slope"),
+        when(varxn =!= 0.0,
+          round(($"sy" - (covn / varxn) * $"sx") / $"n", 6)).as("intercept"),
+        when(varxn =!= 0.0 && varyn =!= 0.0,
+          round(covn * covn / (varxn * varyn), 6)).as("r2"))
+      .orderBy($"g")
+  }
+  private val q116Sql =
+    s"""WITH base AS (SELECT l_returnflag AS g, l_quantity AS x,
+       |    l_extendedprice AS y FROM lineitem),
+       |m AS (${momentsSql("base")})
+       |SELECT g, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN n * sxx - sx * sx <> 0.0
+       |    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+       |  CASE WHEN n * sxx - sx * sx <> 0.0
+       |    THEN round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+       |    END AS intercept,
+       |  CASE WHEN n * sxx - sx * sx <> 0.0 AND n * syy - sy * sy <> 0.0
+       |    THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+       |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
+       |FROM m ORDER BY g""".stripMargin
+
+  /** q117: lag-1 autocorrelation of the value series per event type —
+    * serial-dependence check on each event stream. Lag pairs come from a
+    * per-type window (partitioned — each type's series sorts in parallel),
+    * then the q116 moment machinery computes Pearson r between the series
+    * and its shift. √ is correctly-rounded IEEE, so the final formula is
+    * bit-identical cross-engine before the 6 dp round. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"g").orderBy($"ts", $"event_id")
+    val base = Tables.events(s, dir)
+      .select($"event_type".as("g"), $"ts", $"event_id", $"value".as("y"))
+      .withColumn("x", lag($"y", 1).over(w))
+      .filter($"x".isNotNull)
+    moments(base, "g")
+      .select($"g", $"n".cast("long").as("n_pairs"),
+        when(varxn > 0.0 && varyn > 0.0,
+          round(covn / sqrt(varxn * varyn), 6)).as("autocorr"))
+      .orderBy($"g")
+  }
+  private val q117Sql =
+    s"""WITH lagd AS (SELECT event_type AS g,
+       |    lag(value) OVER (PARTITION BY event_type
+       |      ORDER BY epoch_ns(ts), event_id) AS x,
+       |    value AS y FROM events),
+       |base AS (SELECT g, x, y FROM lagd WHERE x IS NOT NULL),
+       |m AS (${momentsSql("base")})
+       |SELECT g, CAST(n AS BIGINT) AS n_pairs,
+       |  CASE WHEN n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+       |    THEN round((n * sxy - sx * sy)
+       |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS autocorr
+       |FROM m ORDER BY g""".stripMargin
+
+  /** Tie-averaged ranks in half-units per (group, value), computed at
+    * distinct-value granularity: per-value counts, one distributed scan
+    * over the (group, value) order, and a per-group offset (cumulative
+    * count of earlier groups, a |groups|-row frame). rank2 = 2·avgrank
+    * stays LONG-exact through every step. */
+  private def halfRanks(cells: DataFrame, groupCol: String, valCol: String,
+                        out: String): DataFrame = {
+    val scanned = DistributedScan.prefixSums(
+      cells, Seq(col(groupCol), col(valCol)), Seq("cnt"))
+    val wOff = Window.orderBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cells.groupBy(col(groupCol)).agg(sum(col("cnt")).as("ft"))
+      .withColumn("foff", coalesce(sum(col("ft")).over(wOff), lit(0L)))
+      .select(col(groupCol), col("foff"))
+    scanned.join(broadcast(offs), groupCol)
+      .select(col(groupCol), col(valCol),
+        (lit(2L) * (col("cnt_cum") - col("foff")) - col("cnt") + lit(1L)).as(out))
+  }
+
+  /** q120: Spearman rank correlation (tie-corrected) per return flag —
+    * Pearson on average ranks, the monotonic-association measure. Ranks
+    * are computed per DISTINCT value and joined back (two hash joins on
+    * (group, value)), so no per-row global sort exists anywhere; moment
+    * sums go through DECIMAL(38,0) because squared half-ranks overflow
+    * LONG at full scale. Doubling both rank vectors leaves correlation
+    * unchanged, so the half-unit trick needs no un-scaling. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.lineitem(s, dir).select($"l_returnflag".as("g"),
+      $"l_quantity".as("xv"), $"l_extendedprice".as("yv"))
+    val xCells = base.groupBy($"g", $"xv").agg(count(lit(1)).as("cnt"))
+    val yCells = base.groupBy($"g", $"yv").agg(count(lit(1)).as("cnt"))
+    val rx = halfRanks(xCells, "g", "xv", "x")
+    val ry = halfRanks(yCells, "g", "yv", "y")
+    val ranked = base.join(rx, Seq("g", "xv")).join(ry, Seq("g", "yv"))
+    ranked.groupBy($"g").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x".cast("decimal(38,0)")).cast("double").as("sx"),
+        sum($"y".cast("decimal(38,0)")).cast("double").as("sy"),
+        sum(($"x" * $"y").cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum(($"y" * $"y").cast("decimal(38,0)")).cast("double").as("syy"))
+      .select($"g", $"n".cast("long").as("n"),
+        when(varxn > 0.0 && varyn > 0.0,
+          round(covn / sqrt(varxn * varyn), 6)).as("spearman"))
+      .orderBy($"g")
+  }
+  private val q120Sql =
+    """WITH base AS (SELECT l_returnflag AS g, l_quantity AS xv,
+      |    l_extendedprice AS yv FROM lineitem),
+      |xc AS (SELECT g, xv, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+      |yc AS (SELECT g, yv, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1, 2),
+      |xr AS (SELECT g, xv,
+      |    2 * CAST(sum(cnt) OVER (PARTITION BY g ORDER BY xv) AS BIGINT)
+      |      - cnt + 1 AS x FROM xc),
+      |yr AS (SELECT g, yv,
+      |    2 * CAST(sum(cnt) OVER (PARTITION BY g ORDER BY yv) AS BIGINT)
+      |      - cnt + 1 AS y FROM yc),
+      |rk AS (SELECT b.g AS g, xr.x AS x, yr.y AS y FROM base b
+      |  JOIN xr ON b.g = xr.g AND b.xv = xr.xv
+      |  JOIN yr ON b.g = yr.g AND b.yv = yr.yv),
+      |m AS (SELECT g, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM rk GROUP BY g)
+      |SELECT g, CAST(n AS BIGINT) AS n,
+      |  CASE WHEN n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+      |    THEN round((n * sxy - sx * sy)
+      |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS spearman
+      |FROM m ORDER BY g""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q114_ks_test", q114, Some(q114Sql)),
+    QueryDef("q115_mannwhitney_u", q115, Some(q115Sql)),
+    QueryDef("q116_group_ols", q116, Some(q116Sql)),
+    QueryDef("q117_autocorr", q117, Some(q117Sql)),
+    QueryDef("q120_spearman", q120, Some(q120Sql)),
+  )
+}

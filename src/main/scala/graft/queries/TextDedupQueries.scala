@@ -348,6 +348,37 @@ object TextDedupQueries extends QueryModule {
       |FROM sim s LEFT JOIN best ON s.doc_id = best.doc_id
       |ORDER BY s.doc_id""".stripMargin
 
+  /** q122: degree distribution of the MinHash candidate-pair graph — the
+    * dedup-health diagnostic run before group resolution: a fat tail (high-
+    * degree hubs) predicts quadratic buckets and connected components that
+    * swallow the corpus; mass at degree 0 measures how much of the corpus
+    * the banding never touches. Reuses [[minhashBandPairs]] verbatim so the
+    * diagnostic can never drift from the edge definition q27/q67 resolve.
+    * Shape: symmetrize + one count per endpoint, left join onto the corpus
+    * for the zero-degree mass, then a bounded-cardinality groupBy. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashBandPairs(s, dir, minBands = 2)
+    val deg = pairs.select($"doc_a".as("id"))
+      .union(pairs.select($"doc_b".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("degree"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(deg, $"doc_id" === $"id", "left")
+      .select(coalesce($"degree", lit(0L)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"degree")
+  }
+  private val q122Sql =
+    s"""$shinglesSql,
+       |$minhashPairsSqlCtes,
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM
+       |    (SELECT doc_a AS id FROM pr UNION ALL SELECT doc_b AS id FROM pr)
+       |  GROUP BY 1)
+       |SELECT coalesce(g.degree, 0) AS degree,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM documents d LEFT JOIN deg g ON d.doc_id = g.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q22_token_quality", q22, Some(q22Sql)),
     QueryDef("q23_lang_id", q23, Some(q23Sql)),
@@ -356,5 +387,6 @@ object TextDedupQueries extends QueryModule {
     QueryDef("q26_ngram_jaccard", q26, Some(q26Sql)),
     QueryDef("q27_minhash_lsh", q27, Some(q27Sql)),
     QueryDef("q28_simhash", q28, Some(q28Sql)),
+    QueryDef("q122_pair_degree_dist", q122, Some(q122Sql)),
   )
 }
