@@ -38,6 +38,7 @@ object SparkEntry {
     graft.queries.EntityResolutionQueries,
     graft.queries.InferenceQueries,
     graft.queries.SelectionQueries,
+    graft.queries.CorpusBalanceQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

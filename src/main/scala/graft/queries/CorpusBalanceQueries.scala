@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-composition operators: per-source mass budgeting, distribution
+  * drift between sources, and embedding-space class geometry — the checks
+  * a training-data pipeline runs to keep a blended corpus balanced.
+  *
+  * Exactness strategy: selections and cumulative masses are pure LONG
+  * arithmetic (the q100 fixed-point discipline — floor, never round, so no
+  * half-way tie can split the engines); doubles appear only in final
+  * formulas of already-identical integers.
+  */
+object CorpusBalanceQueries extends QueryModule {
+
+  /** q123: top-p (nucleus) mass curation — per source, keep the documents
+    * carrying the first 90% of character mass, scanning in quality order
+    * (n_chars desc, doc_id as the unique tie-break). The keep rule is the
+    * integer comparison cum_before·10 < total·9, so membership is exact at
+    * any scale. One shuffle on source; the running and whole-partition
+    * sums share the same window partitioning. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"source")
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("cum", sum($"n_chars").over(wOrd))
+      .withColumn("total", sum($"n_chars").over(wAll))
+      .filter(($"cum" - $"n_chars") * 10L < $"total" * 9L)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("mass_kept"),
+        max($"total").as("mass_total"))
+      .orderBy($"source")
+  }
+  private val q123Sql =
+    """WITH r AS (SELECT source, doc_id, n_chars,
+      |    CAST(sum(n_chars) OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS total
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(n_chars) AS BIGINT) AS mass_kept,
+      |  max(total) AS mass_total
+      |FROM r WHERE (cum - n_chars) * 10 < total * 9
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** q124: total-variation distance between two sources' token
+    * distributions — the drift statistic for "did this slice's language
+    * shift". TVD = ½·Σ_tokens |p_a − p_b|; per-token probabilities are
+    * double arithmetic on exact LONG counts (identical per row across
+    * engines), each |Δp| is rounded to 8 dp, and the one cross-token
+    * accumulation runs through DECIMAL so it is order-independent. Shape:
+    * one token-key aggregate with conditional counts — no join between the
+    * sources, they meet in the same groupBy row. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", explode(split($"text", " ")).as("tok"))
+    val cells = toks.groupBy($"tok").agg(
+      sum(when($"source" === "src0", 1L).otherwise(0L)).as("c1"),
+      sum(when($"source" === "src1", 1L).otherwise(0L)).as("c2"))
+    val totals = cells.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+      .withColumn("one", pmod($"n1", lit(1L)))
+    cells.withColumn("one", pmod($"c1", lit(1L)))
+      .join(broadcast(totals), "one")
+      .select($"n1", $"n2",
+        round(abs($"c1".cast("double") / $"n1".cast("double") -
+          $"c2".cast("double") / $"n2".cast("double")), 8).as("dp"))
+      .groupBy($"n1", $"n2")
+      .agg(count(lit(1)).as("n_vocab"),
+        round(sum($"dp".cast("decimal(38,8)")).cast("double") / 2.0, 6).as("tvd"))
+  }
+  private val q124Sql =
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents WHERE source IN ('src0', 'src1')),
+      |cells AS (SELECT tok,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM toks GROUP BY tok),
+      |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM cells),
+      |d AS (SELECT t.n1, t.n2,
+      |    round(abs(CAST(c1 AS DOUBLE) / t.n1 - CAST(c2 AS DOUBLE) / t.n2), 8) AS dp
+      |  FROM cells, t)
+      |SELECT n1, n2, CAST(count(*) AS BIGINT) AS n_vocab,
+      |  round(CAST(sum(CAST(dp AS DECIMAL(38,8))) AS DOUBLE) / 2.0, 6) AS tvd
+      |FROM d GROUP BY n1, n2""".stripMargin
+
+  /** q125: pairwise cosine similarity between per-label embedding
+    * centroids — the class-geometry audit (which labels' embedding
+    * clusters overlap?). Every step until the final cosine is LONG-exact:
+    * components are fixed-pointed by floor((v+2)·10⁸) (the +2 shift keeps
+    * floor = truncation on both engines for negative components, and is
+    * un-shifted after the integer mean), centroids are integer means, and
+    * dot/norm sums over the 64 dims are exact integer sums. The label
+    * pair grid forms on a data-derived constant key (an equi-join the
+    * planner hashes — never a nested loop); with |labels| bounded, every
+    * frame after the first aggregate is tiny. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comps = Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .select($"label", $"dim",
+        floor(($"v".cast("double") + 2.0) * 1.0e8).cast("long").as("fp"))
+    val cent = comps.groupBy($"label", $"dim")
+      .agg(expr("sum(fp) div count(1)").as("cfp"))
+      .select($"label", $"dim", ($"cfp" - 200000000L).as("c"))
+    val a = cent.select($"label".as("label_a"), $"dim", $"c".as("ca"))
+    val b = cent.select($"label".as("label_b"), $"dim", $"c".as("cb"))
+    val dots = a.join(b, Seq("dim"))
+      .filter($"label_a" < $"label_b")
+      .groupBy($"label_a", $"label_b")
+      .agg(sum($"ca" * $"cb").as("dot"))
+    val norms = cent.groupBy($"label").agg(sum($"c" * $"c").as("nrm"))
+    dots
+      .join(norms.select($"label".as("label_a"), $"nrm".as("na")), "label_a")
+      .join(norms.select($"label".as("label_b"), $"nrm".as("nb")), "label_b")
+      .select($"label_a", $"label_b",
+        round(($"dot".cast("double") / 1.0e16) /
+          (sqrt($"na".cast("double") / 1.0e16) * sqrt($"nb".cast("double") / 1.0e16)),
+          6).as("cosine"))
+      .orderBy($"label_a", $"label_b")
+  }
+  private val q125Sql =
+    """WITH e AS (SELECT label, embedding AS l FROM embeddings),
+      |comps AS (SELECT label, CAST(i AS INT) AS dim,
+      |    CAST(floor((CAST(l[i] AS DOUBLE) + 2.0) * 100000000.0) AS BIGINT) AS fp
+      |  FROM e, UNNEST(range(1, len(l) + 1)) AS t(i)),
+      |cent AS (SELECT label, dim,
+      |    (CAST(sum(fp) AS BIGINT) // CAST(count(*) AS BIGINT)) - 200000000 AS c
+      |  FROM comps GROUP BY 1, 2),
+      |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+      |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+      |  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY 1, 2),
+      |norms AS (SELECT label, CAST(sum(c * c) AS BIGINT) AS nrm
+      |  FROM cent GROUP BY 1)
+      |SELECT d.label_a, d.label_b,
+      |  round((CAST(dot AS DOUBLE) / 1e16) /
+      |    (sqrt(CAST(na.nrm AS DOUBLE) / 1e16) * sqrt(CAST(nb.nrm AS DOUBLE) / 1e16)),
+      |    6) AS cosine
+      |FROM dots d
+      |JOIN norms na ON d.label_a = na.label
+      |JOIN norms nb ON d.label_b = nb.label
+      |ORDER BY d.label_a, d.label_b""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q123_top_p_mass", q123, Some(q123Sql)),
+    QueryDef("q124_token_tvd", q124, Some(q124Sql)),
+    QueryDef("q125_centroid_cosine", q125, Some(q125Sql)),
+  )
+}

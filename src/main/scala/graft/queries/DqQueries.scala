@@ -182,6 +182,59 @@ object DqQueries extends QueryModule {
     """SELECT count(*) AS n_keys, CAST(sum(l_orderkey) AS BIGINT) AS sum_keys
       |FROM (SELECT DISTINCT l_orderkey FROM lineitem) t""".stripMargin
 
+  /** q129: referential-integrity audit across the star schema's FK edges —
+    * each edge is one LEFT ANTI join (child keys with no parent) reduced to
+    * a count, union-stacked into the familiar DQ report shape. Dimension
+    * sides (orders keys excepted) are small enough to broadcast; the
+    * orders probe stays a shuffled anti join — exactly the two shapes this
+    * audit would use per edge at warehouse scale. Counting DISTINCT
+    * missing parents (not orphan child rows) keeps each edge's output a
+    * bounded diagnostic rather than a second fact table. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String, bcast: Boolean): DataFrame = {
+      val par = if (bcast) broadcast(parent.select(col(pkey))) else parent.select(col(pkey))
+      child.select(col(key)).distinct()
+        .join(par, col(key) === col(pkey), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_keys"))
+        .select(lit(name).as("fk_edge"), $"n_orphan_keys")
+    }
+    edge("lineitem->orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", bcast = false)
+      .unionByName(edge("lineitem->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey", bcast = true))
+      .unionByName(edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey", bcast = true))
+      .unionByName(edge("orders->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey", bcast = true))
+      .unionByName(edge("customer->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey", bcast = true))
+      .orderBy($"fk_edge")
+  }
+  private val q129Sql =
+    """SELECT 'lineitem->orders' AS fk_edge, CAST(count(*) AS BIGINT) AS n_orphan_keys
+      |  FROM (SELECT DISTINCT l_orderkey FROM lineitem) c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = c.l_orderkey)
+      |UNION ALL
+      |SELECT 'lineitem->part', CAST(count(*) AS BIGINT)
+      |  FROM (SELECT DISTINCT l_partkey FROM lineitem) c
+      |  WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.l_partkey)
+      |UNION ALL
+      |SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT)
+      |  FROM (SELECT DISTINCT l_suppkey FROM lineitem) c
+      |  WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = c.l_suppkey)
+      |UNION ALL
+      |SELECT 'orders->customer', CAST(count(*) AS BIGINT)
+      |  FROM (SELECT DISTINCT o_custkey FROM orders) c
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer cu WHERE cu.c_custkey = c.o_custkey)
+      |UNION ALL
+      |SELECT 'customer->nation', CAST(count(*) AS BIGINT)
+      |  FROM (SELECT DISTINCT c_nationkey FROM customer) c
+      |  WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+      |ORDER BY fk_edge""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q32_gap_detection", q32, Some(q32Sql)),
     QueryDef("q33_stale_check", q33, Some(q33Sql)),
@@ -190,5 +243,6 @@ object DqQueries extends QueryModule {
     QueryDef("q36_json_extract", q36, Some(q36Sql)),
     QueryDef("q37_date_parts", q37, Some(q37Sql)),
     QueryDef("q38_dropdup_arbitrary", q38, Some(q38Sql)),
+    QueryDef("q129_fk_audit", q129, Some(q129Sql)),
   )
 }

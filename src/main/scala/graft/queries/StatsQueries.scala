@@ -213,6 +213,48 @@ object StatsQueries extends QueryModule {
       |FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q126: median/MAD robust outlier detection — the q84 z-score's
+    * heavy-tail-safe sibling (mean and stddev are themselves dragged by
+    * the outliers they are meant to find; the median and the median
+    * absolute deviation are not). Two percentile passes by necessity
+    * (MAD needs |v − med|), each a single grouped aggregate with the
+    * |groups|-row result broadcast back (the q102 fence pattern); medians
+    * are rounded to 6 dp before re-use so both engines deviate against
+    * bit-identical centers. Flag rule: 0.6745·|v−med| > 3.5·MAD, the
+    * standard modified z-score at 3.5. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_type", $"value")
+    val med = ev.groupBy($"event_type")
+      .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", abs($"value" - $"med"))
+    val mad = dev.groupBy($"event_type")
+      .agg(round(expr("percentile(adev, 0.5D)"), 6).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        max($"med").as("med"), max($"mad").as("mad"),
+        sum((lit(0.6745) * $"adev" > lit(3.5) * $"mad").cast("long"))
+          .as("n_outliers"))
+      .orderBy($"event_type")
+  }
+  private val q126Sql =
+    """WITH med AS (SELECT event_type,
+      |    round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+      |  FROM events e JOIN med m ON e.event_type = m.event_type),
+      |mad AS (SELECT event_type,
+      |    round(quantile_cont(adev, 0.5), 6) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+      |  max(d.med) AS med, max(a.mad) AS mad,
+      |  CAST(sum(CASE WHEN 0.6745 * d.adev > 3.5 * a.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad a ON d.event_type = a.event_type
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q52_stats_aggregates", q52, Some(q52Sql)),
     QueryDef("q53_string_agg", q53, Some(q53Sql)),
@@ -223,6 +265,7 @@ object StatsQueries extends QueryModule {
     QueryDef("q108_equidepth_histogram", q108, Some(q108Sql)),
     QueryDef("q111_rolling_beta", q111, Some(q111Sql)),
     QueryDef("q112_chisq_independence", q112, Some(q112Sql)),
+    QueryDef("q126_mad_outliers", q126, Some(q126Sql)),
   )
 
   /** q111: rolling beta + realized volatility over a 20-row frame — the

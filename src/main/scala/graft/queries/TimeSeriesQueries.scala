@@ -284,6 +284,72 @@ object TimeSeriesQueries extends QueryModule {
       |  END / 1000000.0 AS px_interp
       |FROM f ORDER BY p, day""".stripMargin
 
+  /** q127: first-order Markov transition matrix over each user's event
+    * sequence — P(next event type | current), the session-behavior model.
+    * Transitions come from one per-user LAG (partitioned window, one
+    * shuffle on user); probabilities are a per-row double division of two
+    * exact LONG counts (row totals via a second tiny aggregate joined back
+    * on the current type — |event types| rows, broadcast). */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type".as("next"))
+      .withColumn("cur", lag($"next", 1).over(w))
+      .filter($"cur".isNotNull)
+      .groupBy($"cur", $"next").agg(count(lit(1)).as("n_trans"))
+    val totals = trans.groupBy($"cur").agg(sum($"n_trans").as("n_cur"))
+    trans.join(broadcast(totals), "cur")
+      .select($"cur", $"next", $"n_trans",
+        round($"n_trans".cast("double") / $"n_cur".cast("double"), 6).as("prob"))
+      .orderBy($"cur", $"next")
+  }
+  private val q127Sql =
+    """WITH seq AS (SELECT event_type AS next,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts), event_id) AS cur
+      |  FROM events),
+      |tr AS (SELECT cur, next, CAST(count(*) AS BIGINT) AS n_trans
+      |  FROM seq WHERE cur IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT cur, CAST(sum(n_trans) AS BIGINT) AS n_cur FROM tr GROUP BY 1)
+      |SELECT tr.cur, tr.next, tr.n_trans,
+      |  round(CAST(n_trans AS DOUBLE) / n_cur, 6) AS prob
+      |FROM tr JOIN tot ON tr.cur = tot.cur
+      |ORDER BY tr.cur, tr.next""".stripMargin
+
+  /** q128: rolling 7-day distinct active users. A windowed COUNT(DISTINCT)
+    * cannot be composed from per-day partials (distinct is not summable),
+    * so each (day, user) pair is expanded to the 7 window-ends it belongs
+    * to — a BOUNDED 7x fan-out projection — then deduplicated and counted
+    * per window end: two key-shuffles, no window function, no re-scan per
+    * day. Window ends are kept to days that actually occur (inner join
+    * with the day list), so the output is one row per observed day. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dayUsers = Tables.events(s, dir)
+      .select(expr("ts div 86400000000000").as("day"), $"user_id")
+      .distinct()
+    val expanded = dayUsers
+      .select(explode(sequence($"day", $"day" + 6L)).as("wend"), $"user_id")
+      .distinct()
+    val days = dayUsers.select($"day".as("wend")).distinct()
+    expanded.join(days, "wend")
+      .groupBy($"wend")
+      .agg(count(lit(1)).as("n_active_7d"))
+      .select($"wend".as("day"), $"n_active_7d")
+      .orderBy($"day")
+  }
+  private val q128Sql =
+    """WITH du AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+      |    user_id FROM events),
+      |ex AS (SELECT DISTINCT day + t.i AS wend, user_id
+      |  FROM du, UNNEST(range(0, 7)) AS t(i)),
+      |days AS (SELECT DISTINCT day AS wend FROM du)
+      |SELECT e.wend AS day, CAST(count(*) AS BIGINT) AS n_active_7d
+      |FROM ex e JOIN days d ON e.wend = d.wend
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
@@ -293,6 +359,8 @@ object TimeSeriesQueries extends QueryModule {
     QueryDef("q99_gapfill_locf", q99, Some(q99Sql)),
     QueryDef("q100_interpolate", q100, Some(q100Sql)),
     QueryDef("q110_asof_forward", q110, Some(q110Sql)),
+    QueryDef("q127_markov_transitions", q127, Some(q127Sql)),
+    QueryDef("q128_rolling_active_users", q128, Some(q128Sql)),
   )
 
   /** q110: FORWARD as-of join — each click joined to the user's earliest
