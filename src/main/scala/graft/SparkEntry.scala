@@ -39,6 +39,7 @@ object SparkEntry {
     graft.queries.InferenceQueries,
     graft.queries.SelectionQueries,
     graft.queries.CorpusBalanceQueries,
+    graft.queries.ConcentrationQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)
