@@ -350,6 +350,40 @@ object TimeSeriesQueries extends QueryModule {
       |FROM ex e JOIN days d ON e.wend = d.wend
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q133: cumulative daily order volume — the running-total report — and
+    * the in-gate exercise of [[org.apache.spark.sql.graft.GlobalScanRewrite]]:
+    * the query is written as the natural `SUM OVER (ORDER BY day)` and the
+    * opt-in rule (enabled here; day keys are unique by construction of the
+    * groupBy) rewrites the single-partition window into the two-level
+    * distributed scan — range exchange, per-partition sums, broadcast
+    * offsets. GlobalScanRewriteSpec asserts this query's optimized plan
+    * took the rewrite; the oracle hash proves the rewrite is
+    * answer-preserving on real data. The flag stays on for the session —
+    * safe: no other gated query shapes an unpartitioned running LONG-sum
+    * window (audited; the skyline/rank/Gini offset windows all use
+    * exclusive UNBOUNDED..-1 frames, which the rule never touches). */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rule = org.apache.spark.sql.graft.GlobalScanRewrite
+    if (!s.experimental.extraOptimizations.contains(rule))
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+    s.conf.set("spark.graft.rewrite.globalScan", "true")
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily.select($"day", $"n_orders", sum($"n_orders").over(w).as("cum_orders"))
+      .orderBy($"day")
+  }
+  private val q133Sql =
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT day, n_orders,
+      |  CAST(sum(n_orders) OVER (ORDER BY day) AS BIGINT) AS cum_orders
+      |FROM d ORDER BY day""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
@@ -361,6 +395,7 @@ object TimeSeriesQueries extends QueryModule {
     QueryDef("q110_asof_forward", q110, Some(q110Sql)),
     QueryDef("q127_markov_transitions", q127, Some(q127Sql)),
     QueryDef("q128_rolling_active_users", q128, Some(q128Sql)),
+    QueryDef("q133_running_total", q133, Some(q133Sql)),
   )
 
   /** q110: FORWARD as-of join — each click joined to the user's earliest

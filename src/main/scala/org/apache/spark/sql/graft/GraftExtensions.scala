@@ -70,6 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(IntervalJoinStrategy)
+    ext.injectOptimizerRule(_ => GlobalScanRewrite)
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
