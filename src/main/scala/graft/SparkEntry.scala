@@ -40,6 +40,7 @@ object SparkEntry {
     graft.queries.SelectionQueries,
     graft.queries.CorpusBalanceQueries,
     graft.queries.ConcentrationQueries,
+    graft.queries.NormalizationQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)
