@@ -30,10 +30,10 @@ import org.apache.spark.sql.functions._
   * construction. Sums are exact (LONG or DECIMAL inputs), so the result is
   * independent of where the sampler actually places the range boundaries.
   *
-  * The input is localCheckpointed after partition ids are attached:
-  * RangePartitioner samples its boundaries, and the offsets job and the
-  * final join must observe the SAME placement — recomputing the lineage in
-  * two jobs could legally resample and mismatch partition ids.
+  * The offsets job and the final join must observe the SAME partition
+  * placement (RangePartitioner samples its boundaries anew per
+  * materialization), so the ranged input is localCheckpointed — lazily,
+  * the offsets aggregate materializes it as a side effect of its own pass.
   *
   * Reference behavior: cumulative market stats in
   * `reference/sql/example_queries.sql` (running totals over trade dates);
@@ -56,10 +56,21 @@ object DistributedScan {
       s"prefixSums needs exact (integral/decimal) sum columns; got $bad — " +
         "double sums would make the result depend on range-boundary placement")
 
+    // LAZY localCheckpoint: placement must be pinned — relying on exchange
+    // reuse alone was tried and produced a REAL hash miss (q115 at sf0.01:
+    // AQE materialized the two branches' range exchanges separately, the
+    // RangePartitioner resampled, and the offsets keyed a different
+    // placement than the join). Lazy (not eager) because the offsets
+    // aggregate is always the first consumer: it materializes the blocks
+    // while doing useful work — one pass fewer than an eager checkpoint
+    // (measured q134 4.0 -> 3.3 s, q120 6.3 -> 5.3 s warm). Even before
+    // any block persists, the checkpoint call plans the subtree ONCE, so
+    // both branches share one shuffle id — the placement coupling holds
+    // by RDD identity, not by racy exchange-reuse.
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(parts, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .localCheckpoint(false)
 
     val wLocal = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

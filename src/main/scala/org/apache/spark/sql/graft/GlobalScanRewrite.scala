@@ -24,6 +24,18 @@ import org.apache.spark.sql.types.{IntegralType, LongType}
   * the shuffle REPARTITION_BY_NUM, which AQE never coalesces — the two
   * readers cannot disagree about partition ids.
   *
+  * Why reuse is RELIABLE here when the equivalent DataFrame-level diamond
+  * was not (see DistributedScan, which pins placement with a lazy
+  * localCheckpoint instead): a DataFrame diamond goes through the full
+  * optimizer per consumer, and per-branch COLUMN PRUNING narrows one
+  * branch's exchange projection below the other's — canonically unequal
+  * subtrees, no reuse, independently-resampled range boundaries (a real
+  * observed hash miss). This rule runs in the post-optimization batch:
+  * its two branches are built as literally identical subtrees AFTER
+  * pruning has already run, no later batch re-prunes them, and AQE's
+  * mid-query re-optimization applies neither column pruning nor user
+  * rules — so the exchanges stay canonical-equal through every replan.
+  *
   * OPT-IN via `spark.graft.rewrite.globalScan=true`: the rewrite is only
   * sequence-equivalent when the ORDER BY keys are unique (rows tying on
   * the key may land on either side of a range boundary, making "running

@@ -33,6 +33,24 @@ class DistributedScanSpec extends SparkTestBase {
     assert(r1 == r7)
   }
 
+  test("prefixSums is correct with AQE off (static ReuseExchange path)") {
+    // placement consistency between the offsets branch and the join relies
+    // on the range exchange materializing ONCE; AQE does it via the stage
+    // cache, the static planner via ReuseExchange — both must hold
+    val df = (1 to 997).map(i => (i * 13 % 997, (i % 11).toLong)).toDF("k", "a")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df.select($"k", sum($"a").over(w).as("a_cum"))
+      .orderBy($"k").collect().toSeq
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val got = DistributedScan.prefixSums(df, Seq(col("k")), Seq("a"))
+        .orderBy($"k").select($"k", $"a_cum").collect().toSeq
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+
   test("prefixSums refuses double sum columns") {
     val df = Seq((1L, 1.5)).toDF("k", "x")
     val e = intercept[IllegalArgumentException] {
