@@ -41,6 +41,7 @@ object SparkEntry {
     graft.queries.CorpusBalanceQueries,
     graft.queries.ConcentrationQueries,
     graft.queries.NormalizationQueries,
+    graft.queries.SqlSurfaceQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

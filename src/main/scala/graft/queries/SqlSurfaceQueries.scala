@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-text surface: queries submitted as ANSI SQL strings through
+  * `spark.sql` — the parser/analyzer path a SQL-first consumer of this
+  * engine uses — covering correlated EXISTS / NOT EXISTS rewrites and
+  * native recursive CTEs (Spark 4.x `WITH RECURSIVE`).
+  */
+object SqlSurfaceQueries extends QueryModule {
+
+  private def withViews(s: SparkSession, dir: String, names: String*)(sql: String): DataFrame = {
+    names.foreach(n => Tables.load(s, dir, n).createOrReplaceTempView(n))
+    s.sql(sql)
+  }
+
+  /** q137: correlated EXISTS + NOT EXISTS, as SQL text — customers with a
+    * big-ticket order and no failed order. Catalyst rewrites the pair
+    * into a left-semi and a left-anti join (RewritePredicateSubquery), so
+    * the plan is two hash joins, not per-row subquery evaluation; the
+    * gate proves the SQL path gives the same answer DuckDB's does. */
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "customer", "orders")(q137Text)
+  private val q137Text =
+    """SELECT c.c_custkey, c.c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+      |ORDER BY c.c_custkey""".stripMargin
+
+  /** q138: native recursive CTE — walk the implicit binary-tree hierarchy
+    * parent(k) = k div 2 over part keys from the root (key 0) and report
+    * per-level population. Structurally acyclic (the k <> parent guard
+    * breaks 0's self-edge), so depth is ~log₂|parts| and each recursion
+    * step is ONE equi-join of the frontier against the part table —
+    * exactly the iterative-BFS shape q94 builds by hand, here delegated
+    * to the engine's UnionLoop execution. DuckDB runs the same statement
+    * natively, so the oracle is near-verbatim. */
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "part")(
+      """WITH RECURSIVE t(k, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS k, 0 AS d
+        |  UNION ALL
+        |  SELECT p.p_partkey AS k, t.d + 1 AS d
+        |  FROM part p JOIN t ON p.p_partkey div 2 = t.k
+        |  WHERE p.p_partkey <> t.k
+        |)
+        |SELECT d AS depth, CAST(count(*) AS BIGINT) AS n_keys,
+        |  min(k) AS min_key, max(k) AS max_key
+        |FROM t GROUP BY d ORDER BY d""".stripMargin)
+  private val q138Sql =
+    """WITH RECURSIVE t(k, d) AS (
+      |  SELECT CAST(0 AS BIGINT) AS k, 0 AS d
+      |  UNION ALL
+      |  SELECT p.p_partkey AS k, t.d + 1 AS d
+      |  FROM part p JOIN t ON p.p_partkey // 2 = t.k
+      |  WHERE p.p_partkey <> t.k
+      |)
+      |SELECT d AS depth, CAST(count(*) AS BIGINT) AS n_keys,
+      |  min(k) AS min_key, max(k) AS max_key
+      |FROM t GROUP BY d ORDER BY d""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q137_correlated_exists", q137, Some(q137Text)),
+    QueryDef("q138_recursive_cte", q138, Some(q138Sql)),
+  )
+}
