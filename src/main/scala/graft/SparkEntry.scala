@@ -42,6 +42,7 @@ object SparkEntry {
     graft.queries.ConcentrationQueries,
     graft.queries.NormalizationQueries,
     graft.queries.SqlSurfaceQueries,
+    graft.queries.HigherMomentQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)
