@@ -71,9 +71,11 @@ object Bench {
     // window, truncating the line's head and making it unparseable. Short
     // keys ("q01" for "q01_pricing_summary") and millisecond precision keep
     // the whole line comfortably inside the window.
+    // 2 dp per query: bench noise is ±20%, and at 140+ queries every byte
+    // of the line counts against the 2000-char capture window
     val qs = results.map { case (k, v) =>
       val short = k.takeWhile(_ != '_')
-      "\"" + short + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      "\"" + short + "\":" + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
