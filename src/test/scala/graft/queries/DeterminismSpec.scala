@@ -20,7 +20,15 @@ class DeterminismSpec extends SparkTestBase {
     "q74_scd2_history", "q77_skew_salted_join", "q78_bm25_topk",
     "q79_chunk_dedup", "q81_hll_sketch_merge", "q82_incremental_agg",
     "q84_outlier_zscore", "q85_ewma", "q86_fuzzy_name_join",
-    "q87_bloom_pruned_join", "q88_cms_heavy_hitters")
+    "q87_bloom_pruned_join", "q88_cms_heavy_hitters",
+    // scan-derived family: the distributed prefix sum repartitions by
+    // RANGE internally, so these probe that boundary placement (which
+    // legitimately varies with parallelism) never reaches the answer
+    "q114_ks_test", "q115_mannwhitney_u", "q120_spearman", "q132_gini",
+    "q134_weighted_median", "q136_quantile_normalize",
+    // decimal power sums, fixed-point kernels, recursive CTE
+    "q125_centroid_cosine", "q139_higher_moments", "q121_bigram_lm_score",
+    "q138_recursive_cte")
 
   private val dir = "/root/testdata/sf0.001"
 
