@@ -72,11 +72,15 @@ object Bench {
     // keys ("q01" for "q01_pricing_summary") and millisecond precision keep
     // the whole line comfortably inside the window.
     // 2 dp per query: bench noise is ±20%, and at 140+ queries every byte
-    // of the line counts against the 2000-char capture window
-    val qs = results.map { case (k, v) =>
+    // of the line counts against the 2000-char capture window. If the map
+    // still outgrows the window (more queries added), degrade to 1 dp
+    // rather than risk the head of the line being truncated off.
+    def qsAt(dp: Int) = results.map { case (k, v) =>
       val short = k.takeWhile(_ != '_')
-      "\"" + short + "\":" + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      "\"" + short + "\":" + BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
     }.mkString("{", ",", "}")
+    val qs2 = qsAt(2)
+    val qs = if (qs2.length <= 1650) qs2 else qsAt(1)
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors

@@ -43,6 +43,7 @@ object SparkEntry {
     graft.queries.NormalizationQueries,
     graft.queries.SqlSurfaceQueries,
     graft.queries.HigherMomentQueries,
+    graft.queries.CorpusModelQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

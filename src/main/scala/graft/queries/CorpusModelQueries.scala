@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-modeling operators a training-data pipeline runs between dedup
+  * and shard-writing: semantic clustering (k-means over the embedding
+  * column), statistical token-rarity scoring, tokenizer induction
+  * (BPE-style adjacent-pair counting), and source-mixture reweighting.
+  * The reference stops at per-symbol aggregation (notebooks/gold/
+  * 03_aggregate_gold.py); these extend the same declarative engine to the
+  * corpus-preparation jobs described in SURVEY §6.
+  *
+  * Numeric determinism: distances and centroid sums go through
+  * DECIMAL(38,14) per-term casts, so cross-row accumulation is exact and
+  * associative (partitioning-independent) on both engines; every emitted
+  * double is either integer-valued or a single division of exact
+  * integers rounded to 6 dp.
+  *
+  * Scale notes: k-means joins cells against a k*dims centroid relation
+  * (512 rows — always a broadcast); each Lloyd round is two shuffles
+  * (argmin by vec, re-average by (cluster, dim)) regardless of corpus
+  * size. Rarity/pair counting are one explode + one hash agg — the same
+  * shape as the q61 TF-IDF pipeline. Nothing collects to the driver.
+  */
+object CorpusModelQueries extends QueryModule {
+
+  private val D = "decimal(38,14)"
+
+  /** (vec_id, i, v): one row per embedding cell, i 1-based, v the float
+    * cast to double (exact). The relational form of the vector column —
+    * every k-means step below is a plain join/agg over it. */
+  private def cells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding".cast("array<double>")).as(Seq("i0", "v")))
+      .select($"vec_id", ($"i0" + 1).as("i"), $"v")
+  }
+  private val cellsSql =
+    """cells AS (SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
+      |  FROM embeddings, UNNEST(range(1, 65)) AS t(i))""".stripMargin
+
+  /** One Lloyd assignment round: squared L2 distance of every vector to
+    * every centroid (terms decimal-cast so the sum is order-independent),
+    * argmin with centroid id as the tie-break. */
+  private def assign(cells: DataFrame, centroids: DataFrame): DataFrame = {
+    import cells.sparkSession.implicits._
+    val d = cells.join(broadcast(centroids), Seq("i"))
+      .groupBy($"vec_id", $"cid")
+      .agg(sum((($"v" - $"cv") * ($"v" - $"cv")).cast(D)).as("d"))
+    d.withColumn("rk",
+        row_number().over(Window.partitionBy($"vec_id").orderBy($"d", $"cid")))
+      .where($"rk" === 1).select($"vec_id", $"cid")
+  }
+
+  /** q142: 2-round Lloyd k-means (k=8) over the embedding table, seeded
+    * with the 8 smallest vec_ids' vectors — the semantic-clustering pass
+    * behind cluster-balanced sampling and semantic dedup. Distances,
+    * re-averaged centroids, and tie-breaks are all exact, so the cluster
+    * assignment (the only output) is engine- and partitioning-invariant.
+    * The library form (broadcast centroid array, per-round driver
+    * refresh, MLlib-style) is graft.ml.KMeans; this gate keeps the
+    * arithmetic in joins/aggs so the oracle replays it verbatim. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = cells(s, dir)
+    val seeds = Tables.embeddings(s, dir).select($"vec_id")
+      .withColumn("rn", row_number().over(Window.orderBy($"vec_id")))
+      .where($"rn" <= 8).select($"vec_id", ($"rn" - 1).as("cid"))
+    val c0 = seeds.join(c, Seq("vec_id")).select($"cid", $"i", $"v".as("cv"))
+    val a1 = assign(c, c0)
+    val c1 = a1.join(c, Seq("vec_id"))
+      .groupBy($"cid", $"i")
+      .agg((sum($"v".cast(D)).cast("double") / count(lit(1))).as("cv"))
+    val a2 = assign(c, c1)
+    a2.select($"vec_id", $"cid".cast("int").as("cluster")).orderBy($"vec_id")
+  }
+  private val q142Sql =
+    s"""WITH $cellsSql,
+      |seeds AS (SELECT vec_id, rn - 1 AS cid FROM (
+      |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+      |    FROM embeddings) WHERE rn <= 8),
+      |c0 AS (SELECT s.cid AS cid, c.i AS i, c.v AS cv
+      |  FROM seeds s JOIN cells c ON s.vec_id = c.vec_id),
+      |d1 AS (SELECT c.vec_id AS vec_id, k.cid AS cid,
+      |    sum(CAST((c.v - k.cv) * (c.v - k.cv) AS DECIMAL(38,14))) AS d
+      |  FROM cells c JOIN c0 k ON c.i = k.i GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      |  FROM d1) WHERE rk = 1),
+      |c1 AS (SELECT a.cid AS cid, c.i AS i,
+      |    CAST(sum(CAST(c.v AS DECIMAL(38,14))) AS DOUBLE) / count(*) AS cv
+      |  FROM a1 a JOIN cells c ON a.vec_id = c.vec_id GROUP BY 1, 2),
+      |d2 AS (SELECT c.vec_id AS vec_id, k.cid AS cid,
+      |    sum(CAST((c.v - k.cv) * (c.v - k.cv) AS DECIMAL(38,14))) AS d
+      |  FROM cells c JOIN c1 k ON c.i = k.i GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      |  FROM d2) WHERE rk = 1)
+      |SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2
+      |ORDER BY vec_id""".stripMargin
+
+  /** q143: statistical token-rarity quality score — the unigram-LM
+    * surprisal filter in integer space: rarity(t) = digits(N) -
+    * digits(count(t)) (an exact floor-log10 gap, no libm in the data
+    * path), a document scores the mean rarity of its token occurrences.
+    * Top 50 rarest-vocabulary docs. One global token agg (broadcast back)
+    * + one doc agg — the q61 TF-IDF shuffle shape. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+    val g = tok.groupBy($"t").agg(count(lit(1)).as("cnt"))
+    val tot = g.agg(sum($"cnt").as("n_total"))
+    tok.join(g, Seq("t")).crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(length($"n_total".cast("string")) - length($"cnt".cast("string")))
+          .as("rarity_sum"))
+      .select($"doc_id", $"n_tok", $"rarity_sum",
+        round($"rarity_sum" / $"n_tok".cast("double"), 6).as("rarity_score"))
+      .orderBy($"rarity_score".desc, $"doc_id").limit(50)
+  }
+  private val q143Sql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |g AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM g),
+      |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    CAST(sum(length(CAST(n_total AS VARCHAR))
+      |      - length(CAST(cnt AS VARCHAR))) AS BIGINT) AS rarity_sum
+      |  FROM tok JOIN g USING (t) CROSS JOIN tot GROUP BY doc_id)
+      |SELECT doc_id, n_tok, rarity_sum,
+      |  round(rarity_sum / CAST(n_tok AS DOUBLE), 6) AS rarity_score
+      |FROM d ORDER BY rarity_score DESC, doc_id LIMIT 50""".stripMargin
+
+  /** q144: BPE-style merge-candidate mining — count adjacent token pairs
+    * corpus-wide, emit the top 30 merge candidates. The inner step of
+    * tokenizer induction: each merge round is exactly this query over the
+    * re-tokenized corpus. Pair enumeration is a per-row transform (no
+    * self-join on position); the count is one hash agg. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .where(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))"))
+        .as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"a", $"b").limit(30)
+  }
+  private val q144Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT w[s.i] AS a, w[s.i + 1] AS b
+      |  FROM t, UNNEST(range(1, len(w))) AS s(i) WHERE len(w) >= 2)
+      |SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY a, b
+      |ORDER BY cnt DESC, a, b LIMIT 30""".stripMargin
+
+  /** q145: source-mixture reweighting — equal-allocation downsampling
+    * rates per source: budget = floor(total/k) docs each, rate =
+    * min(1, budget/n_docs). The plan every mixture-balanced corpus build
+    * starts from; integer-exact except the single emitted ratio. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val tot = src.agg(sum($"n_docs").as("total"), count(lit(1)).as("nsrc"))
+    src.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        expr("total div nsrc").as("target_budget"),
+        round(least(lit(1.0),
+          expr("total div nsrc") / $"n_docs".cast("double")), 6).as("sample_rate"),
+        least($"n_docs", expr("total div nsrc")).as("n_after"))
+      .orderBy($"source")
+  }
+  private val q145Sql =
+    """WITH src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS nsrc FROM src)
+      |SELECT source, n_docs,
+      |  total // nsrc AS target_budget,
+      |  round(least(1.0, (total // nsrc) / CAST(n_docs AS DOUBLE)), 6) AS sample_rate,
+      |  least(n_docs, total // nsrc) AS n_after
+      |FROM src CROSS JOIN tot ORDER BY source""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),
+    QueryDef("q143_token_rarity", q143, Some(q143Sql)),
+    QueryDef("q144_bpe_pairs", q144, Some(q144Sql)),
+    QueryDef("q145_mixture_reweight", q145, Some(q145Sql)),
+  )
+}
