@@ -50,9 +50,11 @@ object CorpusModelQueries extends QueryModule {
     val d = cells.join(broadcast(centroids), Seq("i"))
       .groupBy($"vec_id", $"cid")
       .agg(sum((($"v" - $"cv") * ($"v" - $"cv")).cast(D)).as("d"))
-    d.withColumn("rk",
-        row_number().over(Window.partitionBy($"vec_id").orderBy($"d", $"cid")))
-      .where($"rk" === 1).select($"vec_id", $"cid")
+    // argmin as min(struct(d, cid)): a hash agg with map-side partials —
+    // no per-vec_id sort, unlike the oracle's equivalent row_number()
+    d.groupBy($"vec_id")
+      .agg(min(struct($"d", $"cid")).as("best"))
+      .select($"vec_id", $"best".getField("cid").as("cid"))
   }
 
   /** q142: 2-round Lloyd k-means (k=8) over the embedding table, seeded
@@ -113,8 +115,14 @@ object CorpusModelQueries extends QueryModule {
     val tok = Tables.documents(s, dir)
       .select($"doc_id", explode(split($"text", " ")).as("t"))
     val g = tok.groupBy($"t").agg(count(lit(1)).as("cnt"))
+    // data-derived constant key (not a literal, which would constant-fold
+    // into a BroadcastNestedLoopJoin): attaches the 1-row total as a
+    // BroadcastHashJoin — same trick as q98's bounds attach
     val tot = g.agg(sum($"cnt").as("n_total"))
-    tok.join(g, Seq("t")).crossJoin(broadcast(tot))
+      .withColumn("one", pmod($"n_total", lit(1L)))
+    tok.join(g, Seq("t"))
+      .withColumn("one", pmod($"cnt", lit(1L)))
+      .join(broadcast(tot), Seq("one"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tok"),
         sum(length($"n_total".cast("string")) - length($"cnt".cast("string")))
@@ -168,8 +176,11 @@ object CorpusModelQueries extends QueryModule {
     import s.implicits._
     val src = Tables.documents(s, dir)
       .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    // data-derived constant key → BroadcastHashJoin, not BNLJ (see q143)
     val tot = src.agg(sum($"n_docs").as("total"), count(lit(1)).as("nsrc"))
-    src.crossJoin(broadcast(tot))
+      .withColumn("one", pmod($"nsrc", lit(1L)))
+    src.withColumn("one", pmod($"n_docs", lit(1L)))
+      .join(broadcast(tot), Seq("one"))
       .select($"source", $"n_docs",
         expr("total div nsrc").as("target_budget"),
         round(least(lit(1.0),

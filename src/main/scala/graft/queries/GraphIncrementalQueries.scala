@@ -219,9 +219,13 @@ object GraphIncrementalQueries extends QueryModule {
     * never recompute history. */
   private def q90(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // lazy-checkpoint the mined pair list: both the initial-state CC and
+    // the batch merge consume it, and without the pin each branch re-runs
+    // the whole minhash band-join candidate pipeline
     val pairs = TextDedupQueries.minhashBandPairs(s, dir, minBands = 2)
       .select($"doc_a", $"doc_b",
         pmod(xxhash64($"doc_a", $"doc_b"), lit(10L)).as("bucket"))
+      .localCheckpoint(false)
     val initial = pairs.filter($"bucket" < 7).drop("bucket")
     val batch = pairs.filter($"bucket" >= 7).drop("bucket")
     val state = graft.dedup.Dedup.connectedComponents(initial, "doc_a", "doc_b")

@@ -238,14 +238,18 @@ object InferenceQueries extends QueryModule {
     val yCells = base.groupBy($"g", $"yv").agg(count(lit(1)).as("cnt"))
     val rx = halfRanks(xCells, "g", "xv", "x")
     val ry = halfRanks(yCells, "g", "yv", "y")
-    val ranked = base.join(rx, Seq("g", "xv")).join(ry, Seq("g", "yv"))
+    val ranked = base.join(rx.hint("shuffle_hash"), Seq("g", "xv"))
+      .join(ry.hint("shuffle_hash"), Seq("g", "yv"))
     ranked.groupBy($"g").agg(
         count(lit(1)).cast("double").as("n"),
         sum($"x".cast("decimal(38,0)")).cast("double").as("sx"),
         sum($"y".cast("decimal(38,0)")).cast("double").as("sy"),
-        sum(($"x" * $"y").cast("decimal(38,0)")).cast("double").as("sxy"),
-        sum(($"x" * $"x").cast("decimal(38,0)")).cast("double").as("sxx"),
-        sum(($"y" * $"y").cast("decimal(38,0)")).cast("double").as("syy"))
+        // cast BEFORE multiplying: a LONG product of two half-ranks
+        // overflows silently past ~1.5e9 rows per group; decimal operands
+        // keep the product exact at any scale
+        sum($"x".cast("decimal(38,0)") * $"y".cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum($"x".cast("decimal(38,0)") * $"x".cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum($"y".cast("decimal(38,0)") * $"y".cast("decimal(38,0)")).cast("double").as("syy"))
       .select($"g", $"n".cast("long").as("n"),
         when(varxn > 0.0 && varyn > 0.0,
           round(covn / sqrt(varxn * varyn), 6)).as("spearman"))
