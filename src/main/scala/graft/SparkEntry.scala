@@ -44,6 +44,7 @@ object SparkEntry {
     graft.queries.SqlSurfaceQueries,
     graft.queries.HigherMomentQueries,
     graft.queries.CorpusModelQueries,
+    graft.queries.SimilarityJoinQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -65,7 +65,9 @@ object CorpusModelQueries extends QueryModule {
     * The library form (broadcast centroid array, per-round driver
     * refresh, MLlib-style) is graft.ml.KMeans; this gate keeps the
     * arithmetic in joins/aggs so the oracle replays it verbatim. */
-  private def q142(s: SparkSession, dir: String): DataFrame = {
+  /** The 2-round Lloyd assignment (vec_id, cid) — shared by q142 (the
+    * raw labeling) and q147 (cluster-balanced selection). */
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = cells(s, dir)
     val seeds = Tables.embeddings(s, dir).select($"vec_id")
@@ -76,11 +78,18 @@ object CorpusModelQueries extends QueryModule {
     val c1 = a1.join(c, Seq("vec_id"))
       .groupBy($"cid", $"i")
       .agg((sum($"v".cast(D)).cast("double") / count(lit(1))).as("cv"))
-    val a2 = assign(c, c1)
-    a2.select($"vec_id", $"cid".cast("int").as("cluster")).orderBy($"vec_id")
+    assign(c, c1)
   }
-  private val q142Sql =
-    s"""WITH $cellsSql,
+
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kmeansAssign(s, dir)
+      .select($"vec_id", $"cid".cast("int").as("cluster")).orderBy($"vec_id")
+  }
+  /** The CTE stack up to the round-2 assignment `a2` — shared by the q142
+    * and q147 oracles. */
+  private val kmeansCtes =
+    s"""$cellsSql,
       |seeds AS (SELECT vec_id, rn - 1 AS cid FROM (
       |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
       |    FROM embeddings) WHERE rn <= 8),
@@ -100,9 +109,37 @@ object CorpusModelQueries extends QueryModule {
       |  FROM cells c JOIN c1 k ON c.i = k.i GROUP BY 1, 2),
       |a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
-      |  FROM d2) WHERE rk = 1)
+      |  FROM d2) WHERE rk = 1)""".stripMargin
+  private val q142Sql =
+    s"""WITH $kmeansCtes
       |SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2
       |ORDER BY vec_id""".stripMargin
+
+  /** q147: cluster-balanced selection — the diversity-sampling step after
+    * semantic clustering: cap every k-means cluster at 25 members
+    * (smallest vec_id first, a stand-in for any per-item quality rank),
+    * so no semantic region floods the sample. The per-cluster quota is
+    * q107's source-quota shape applied to LEARNED groups instead of
+    * provenance. One extra window over the assignment — selection itself
+    * adds no join. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"cid")
+    kmeansAssign(s, dir)
+      .withColumn("rk", row_number().over(w.orderBy($"vec_id")))
+      .withColumn("n_in_cluster", count(lit(1)).over(w))
+      .where($"rk" <= 25)
+      .select($"cid".cast("int").as("cluster"), $"rk", $"vec_id", $"n_in_cluster")
+      .orderBy($"cluster", $"rk")
+  }
+  private val q147Sql =
+    s"""WITH $kmeansCtes,
+      |sel AS (SELECT cid, vec_id,
+      |    row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rk,
+      |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n_in_cluster
+      |  FROM a2)
+      |SELECT CAST(cid AS INT) AS cluster, rk, vec_id, n_in_cluster
+      |FROM sel WHERE rk <= 25 ORDER BY cluster, rk""".stripMargin
 
   /** q143: statistical token-rarity quality score — the unigram-LM
     * surprisal filter in integer space: rarity(t) = digits(N) -
@@ -204,5 +241,6 @@ object CorpusModelQueries extends QueryModule {
     QueryDef("q143_token_rarity", q143, Some(q143Sql)),
     QueryDef("q144_bpe_pairs", q144, Some(q144Sql)),
     QueryDef("q145_mixture_reweight", q145, Some(q145Sql)),
+    QueryDef("q147_cluster_balanced", q147, Some(q147Sql)),
   )
 }

@@ -302,8 +302,53 @@ object CurationQueries extends QueryModule {
       |FROM r WHERE rn = 1 OR cum * 100 <= tot * 60
       |ORDER BY source, quality_rank""".stripMargin
 
+  /** q148: split-leakage audit — the check a dedup-aware pipeline runs
+    * before trusting an eval set: a per-document hash split (q60's rule)
+    * ignores near-duplicate structure, so a minhash component can land
+    * members on BOTH sides — its eval docs are then train-set leakage.
+    * Emits every leaking component with its per-split counts (empty
+    * output = the split is group-safe; here it is not, which is the
+    * point). Composition: q67's component labeling + q60's split rule +
+    * one grouped audit — the engine's iterative and hash layers feeding
+    * one declarative invariant check. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = TextDedupQueries.minhashBandPairs(s, dir, minBands = 2)
+      .select($"doc_a", $"doc_b")
+    graft.dedup.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select($"__id".as("doc_id"), $"__lbl".as("component_root"))
+      .withColumn("split", splitColumn("doc_id"))
+      .groupBy($"component_root")
+      .agg(sum(when($"split" === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when($"split" === "eval", 1L).otherwise(0L)).as("n_eval"))
+      .where($"n_train" > 0L && $"n_eval" > 0L)
+      .orderBy($"component_root")
+  }
+  private val q148Sql =
+    s"""${TextDedupQueries.shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |${TextDedupQueries.minhashPairsSqlCtes},
+      |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+      |  UNION SELECT doc_b, doc_a FROM pr),
+      |reach AS (
+      |  SELECT s AS id, s AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+      |),
+      |comp AS (SELECT id AS doc_id, min(r) AS component_root
+      |  FROM reach GROUP BY id),
+      |aud AS (SELECT component_root,
+      |    CAST(sum(CASE WHEN ${duckBucket("doc_id")} % 100 < 10
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
+      |    CAST(sum(CASE WHEN ${duckBucket("doc_id")} % 100 < 10
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+      |  FROM comp GROUP BY component_root)
+      |SELECT component_root, n_train, n_eval FROM aud
+      |WHERE n_train > 0 AND n_eval > 0
+      |ORDER BY component_root""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q67_connected_components", q67, Some(q67Sql)),
+    QueryDef("q148_split_leakage", q148, Some(q148Sql)),
     QueryDef("q60_hash_split", q60, Some(q60Sql)),
     QueryDef("q61_tfidf_topk", q61, Some(q61Sql)),
     QueryDef("q62_chunking", q62, Some(q62Sql)),

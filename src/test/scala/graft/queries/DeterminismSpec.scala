@@ -28,7 +28,13 @@ class DeterminismSpec extends SparkTestBase {
     "q134_weighted_median", "q136_quantile_normalize",
     // decimal power sums, fixed-point kernels, recursive CTE
     "q125_centroid_cosine", "q139_higher_moments", "q121_bigram_lm_score",
-    "q138_recursive_cte")
+    "q138_recursive_cte",
+    // corpus-model family: decimal k-means distances/centroids, global
+    // token stats attached via broadcast, integer-exact pair counts
+    "q142_kmeans_assign", "q143_token_rarity", "q144_bpe_pairs",
+    "q145_mixture_reweight",
+    // prefix-filtered similarity join + composed selection/audit gates
+    "q146_prefix_jaccard", "q147_cluster_balanced", "q148_split_leakage")
 
   private val dir = "/root/testdata/sf0.001"
 
