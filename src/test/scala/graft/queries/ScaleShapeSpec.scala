@@ -48,6 +48,22 @@ class ScaleShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q142 k-means plans broadcast centroid joins, no BNLJ, no driver-local data") {
+    val plan = SparkEntry.queries("q142_kmeans_assign")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"driver-local data in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"centroid join lost its broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop fallback in plan:\n$plan")
+  }
+
+  test("q146 prefix-join keeps its shuffle-hash strategy on all big joins") {
+    val plan = SparkEntry.queries("q146_prefix_jaccard")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"q146 lost its shuffle-hash joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"verification join fell back to SMJ:\n$plan")
+  }
+
   test("q28 banded NN finds every planted near-duplicate (pigeonhole <= 3)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
