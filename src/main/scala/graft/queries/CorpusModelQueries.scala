@@ -14,10 +14,14 @@ import org.apache.spark.sql.expressions.Window
   * corpus-preparation jobs described in SURVEY §6.
   *
   * Numeric determinism: distances and centroid sums go through
-  * DECIMAL(38,14) per-term casts, so cross-row accumulation is exact and
+  * DECIMAL(15,12) per-term casts, so cross-row accumulation is exact and
   * associative (partitioning-independent) on both engines; every emitted
   * double is either integer-valued or a single division of exact
-  * integers rounded to 6 dp.
+  * integers rounded to 6 dp. Precision 15 keeps each per-term decimal
+  * inside Spark's compact Long-backed representation (≤ 18 digits)
+  * rather than the BigDecimal path, and rounding to scale 12 is applied
+  * identically by both engines, so the labeling stays bit-identical
+  * cross-engine.
   *
   * Scale notes: k-means joins cells against a k*dims centroid relation
   * (512 rows — always a broadcast); each Lloyd round is two shuffles
@@ -27,7 +31,7 @@ import org.apache.spark.sql.expressions.Window
   */
 object CorpusModelQueries extends QueryModule {
 
-  private val D = "decimal(38,14)"
+  private val D = "decimal(15,12)"
 
   /** (vec_id, i, v): one row per embedding cell, i 1-based, v the float
     * cast to double (exact). The relational form of the vector column —
@@ -57,16 +61,14 @@ object CorpusModelQueries extends QueryModule {
       .select($"vec_id", $"best".getField("cid").as("cid"))
   }
 
-  /** q142: 2-round Lloyd k-means (k=8) over the embedding table, seeded
-    * with the 8 smallest vec_ids' vectors — the semantic-clustering pass
-    * behind cluster-balanced sampling and semantic dedup. Distances,
-    * re-averaged centroids, and tie-breaks are all exact, so the cluster
-    * assignment (the only output) is engine- and partitioning-invariant.
-    * The library form (broadcast centroid array, per-round driver
-    * refresh, MLlib-style) is graft.ml.KMeans; this gate keeps the
-    * arithmetic in joins/aggs so the oracle replays it verbatim. */
-  /** The 2-round Lloyd assignment (vec_id, cid) — shared by q142 (the
-    * raw labeling) and q147 (cluster-balanced selection). */
+  /** The 2-round Lloyd assignment (vec_id, cid), k=8, seeded with the 8
+    * smallest vec_ids' vectors — shared by q142 (the raw labeling) and
+    * q147 (cluster-balanced selection). Distances, re-averaged
+    * centroids, and tie-breaks are all exact, so the assignment is
+    * engine- and partitioning-invariant. The library form (broadcast
+    * centroid array, per-round driver refresh, MLlib-style) is
+    * graft.ml.KMeans; this gate keeps the arithmetic in joins/aggs so
+    * the oracle replays it verbatim. */
   private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val c = cells(s, dir)
@@ -96,16 +98,16 @@ object CorpusModelQueries extends QueryModule {
       |c0 AS (SELECT s.cid AS cid, c.i AS i, c.v AS cv
       |  FROM seeds s JOIN cells c ON s.vec_id = c.vec_id),
       |d1 AS (SELECT c.vec_id AS vec_id, k.cid AS cid,
-      |    sum(CAST((c.v - k.cv) * (c.v - k.cv) AS DECIMAL(38,14))) AS d
+      |    sum(CAST((c.v - k.cv) * (c.v - k.cv) AS DECIMAL(15,12))) AS d
       |  FROM cells c JOIN c0 k ON c.i = k.i GROUP BY 1, 2),
       |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
       |  FROM d1) WHERE rk = 1),
       |c1 AS (SELECT a.cid AS cid, c.i AS i,
-      |    CAST(sum(CAST(c.v AS DECIMAL(38,14))) AS DOUBLE) / count(*) AS cv
+      |    CAST(sum(CAST(c.v AS DECIMAL(15,12))) AS DOUBLE) / count(*) AS cv
       |  FROM a1 a JOIN cells c ON a.vec_id = c.vec_id GROUP BY 1, 2),
       |d2 AS (SELECT c.vec_id AS vec_id, k.cid AS cid,
-      |    sum(CAST((c.v - k.cv) * (c.v - k.cv) AS DECIMAL(38,14))) AS d
+      |    sum(CAST((c.v - k.cv) * (c.v - k.cv) AS DECIMAL(15,12))) AS d
       |  FROM cells c JOIN c1 k ON c.i = k.i GROUP BY 1, 2),
       |a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
