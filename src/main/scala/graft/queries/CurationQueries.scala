@@ -346,9 +346,43 @@ object CurationQueries extends QueryModule {
       |WHERE n_train > 0 AND n_eval > 0
       |ORDER BY component_root""".stripMargin
 
+  /** q149: deterministic epoch shuffle — the reproducible data-order a
+    * trainer consumes: each epoch reorders the corpus by
+    * md5(epoch ':' doc_id), a pure per-row function of (epoch, id), so
+    * the order is identical under any partitioning, cluster size, or
+    * engine — and differs between epochs. Emits each epoch's first 30
+    * positions. Window top-k per epoch: k rows per partition cross the
+    * exchange (rank ≤ k prunes map-side), never a global sort of the
+    * corpus. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val epochs = Seq(0, 1)
+    val base = Tables.documents(s, dir).select($"doc_id")
+    val salted = epochs.map(e => base
+        .withColumn("epoch", lit(e))
+        .withColumn("sk", md5(concat(lit(e.toString), lit(":"), $"doc_id".cast("string")))))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy($"epoch").orderBy($"sk", $"doc_id")
+    salted.withColumn("pos", row_number().over(w))
+      .where($"pos" <= 30)
+      .select($"epoch", $"pos", $"doc_id", $"sk".as("shuffle_key"))
+      .orderBy($"epoch", $"pos")
+  }
+  private val q149Sql =
+    """WITH ep AS (SELECT unnest([0, 1]) AS epoch),
+      |salted AS (SELECT epoch, doc_id,
+      |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS sk
+      |  FROM documents CROSS JOIN ep),
+      |rk AS (SELECT epoch, doc_id, sk,
+      |    row_number() OVER (PARTITION BY epoch ORDER BY sk, doc_id) AS pos
+      |  FROM salted)
+      |SELECT epoch, pos, doc_id, sk AS shuffle_key FROM rk
+      |WHERE pos <= 30 ORDER BY epoch, pos""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q67_connected_components", q67, Some(q67Sql)),
     QueryDef("q148_split_leakage", q148, Some(q148Sql)),
+    QueryDef("q149_epoch_shuffle", q149, Some(q149Sql)),
     QueryDef("q60_hash_split", q60, Some(q60Sql)),
     QueryDef("q61_tfidf_topk", q61, Some(q61Sql)),
     QueryDef("q62_chunking", q62, Some(q62Sql)),

@@ -34,7 +34,8 @@ class DeterminismSpec extends SparkTestBase {
     "q142_kmeans_assign", "q143_token_rarity", "q144_bpe_pairs",
     "q145_mixture_reweight",
     // prefix-filtered similarity join + composed selection/audit gates
-    "q146_prefix_jaccard", "q147_cluster_balanced", "q148_split_leakage")
+    "q146_prefix_jaccard", "q147_cluster_balanced", "q148_split_leakage",
+    "q149_epoch_shuffle")
 
   private val dir = "/root/testdata/sf0.001"
 
