@@ -202,8 +202,42 @@ object TrainingPrepQueries extends QueryModule {
       |JOIN m mb ON p.tok_b = mb.tok
       |ORDER BY tok_a, tok_b""".stripMargin
 
+  /** q150: GLOBAL shard manifest — q73's token bin-packing without a
+    * partition key: every document's starting offset in the corpus-wide
+    * doc_id order, computed through the distributed scan
+    * ([[graft.operators.DistributedScan.prefixSums]]) instead of a
+    * single-partition window, then 50k-token shard ids by integer
+    * division. The per-shard manifest (counts, token totals, id range)
+    * is what a trainer's data loader consumes; a global ordered window
+    * here would serialize the whole corpus through one task — the scan
+    * is the operator that makes corpus-wide ordered layout scale. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 50000L
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    graft.operators.DistributedScan.prefixSums(toks, Seq($"doc_id"), Seq("n_tok"))
+      .withColumn("shard", expr(s"(n_tok_cum - n_tok) div $budget"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("shard_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"shard")
+  }
+  private val q150Sql =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |    sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t),
+      |b AS (SELECT doc_id, n_tok, CAST((cum - n_tok) // 50000 AS BIGINT) AS shard FROM c)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM b GROUP BY shard ORDER BY shard""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q71_repetition_ratio", q71, Some(q71Sql)),
+    QueryDef("q150_shard_manifest", q150, Some(q150Sql)),
     QueryDef("q72_embedding_quantization", q72, Some(q72Sql)),
     QueryDef("q73_sequence_packing", q73, Some(q73Sql)),
     QueryDef("q105_pmi_cooccurrence", q105, Some(q105Sql)),

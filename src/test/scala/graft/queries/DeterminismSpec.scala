@@ -35,7 +35,7 @@ class DeterminismSpec extends SparkTestBase {
     "q145_mixture_reweight",
     // prefix-filtered similarity join + composed selection/audit gates
     "q146_prefix_jaccard", "q147_cluster_balanced", "q148_split_leakage",
-    "q149_epoch_shuffle")
+    "q149_epoch_shuffle", "q150_shard_manifest")
 
   private val dir = "/root/testdata/sf0.001"
 
