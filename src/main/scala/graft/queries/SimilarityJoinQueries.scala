@@ -29,32 +29,49 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityJoinQueries extends QueryModule {
 
-  /** q146: exact Jaccard ≥ 0.6 pair join via prefix filtering, verified
-    * against the naive all-pairs oracle (losslessness gate). */
-  private def q146(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = TextDedupQueries.shingles(s, dir)
-    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+  /** Prefix-filtered exact-Jaccard pair join over an (id, shingle) set
+    * relation: every unordered pair with |A∩B| / |A∪B| ≥ tNum/tDen,
+    * membership decided entirely in integer arithmetic
+    * (inter·tDen ≥ tNum·union). Candidates come only from each set's
+    * |S| − ceil(t·|S|) + 1 rarest shingles (ascending global frequency,
+    * shingle text as the tie-break) — lossless by pigeonhole, and
+    * property-tested against a brute-force reference on random corpora
+    * (PrefixJaccardPropertySpec) on top of the q146 oracle gate.
+    *
+    * Returns (doc_a, doc_b, na, nb, inter) with doc_a < doc_b. */
+  def prefixJaccardPairs(sh: DataFrame, idCol: String, shCol: String,
+                         tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be in (0, 1]: $tNum/$tDen")
+    import sh.sparkSession.implicits._
+    val base = sh.select(col(idCol).as("doc_id"), col(shCol).as("shingle"))
+    val dfreq = base.groupBy($"shingle").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id")
-    val ranked = sh.join(dfreq.hint("shuffle_hash"), Seq("shingle"))
+    val ranked = base.join(dfreq.hint("shuffle_hash"), Seq("shingle"))
       .withColumn("rn", row_number().over(w.orderBy($"df", $"shingle")))
       .withColumn("n_sh", count(lit(1)).over(w))
-    // prefix length p = n − ceil(3n/5) + 1, all in integers
+    // prefix length p = n − ceil(tNum·n/tDen) + 1, all in integers
     val prefix = ranked
-      .where($"rn" <= $"n_sh" - expr("(3 * n_sh + 4) div 5") + 1)
+      .where($"rn" <= $"n_sh" - expr(s"($tNum * n_sh + $tDen - 1) div $tDen") + 1)
       .select($"doc_id", $"shingle", $"n_sh")
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
         $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
       .distinct()
-    val inter = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"shingle").hint("shuffle_hash"), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"shingle").hint("shuffle_hash"), Seq("doc_b", "shingle"))
+    cand
+      .join(base.select($"doc_id".as("doc_a"), $"shingle").hint("shuffle_hash"), Seq("doc_a"))
+      .join(base.select($"doc_id".as("doc_b"), $"shingle").hint("shuffle_hash"), Seq("doc_b", "shingle"))
       .groupBy($"doc_a", $"doc_b", $"na", $"nb")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .where($"inter" * 5L >= ($"na" + $"nb" - $"inter") * 3L)
+      .where($"inter" * tDen >= ($"na" + $"nb" - $"inter") * tNum)
+  }
+
+  /** q146: exact Jaccard ≥ 0.6 pair join via prefix filtering, verified
+    * against the naive all-pairs oracle (losslessness gate). */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    prefixJaccardPairs(TextDedupQueries.shingles(s, dir), "doc_id", "shingle", 3L, 5L)
       .select($"doc_a", $"doc_b", $"inter",
         round($"inter" / ($"na" + $"nb" - $"inter").cast("double"), 6).as("jaccard"))
       .orderBy($"doc_a", $"doc_b")
