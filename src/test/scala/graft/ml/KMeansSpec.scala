@@ -45,5 +45,22 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  test("a cluster that loses all members keeps its centroid (no NaN, no crash)") {
+    import spark.implicits._
+    // two identical seed vectors: every point ties to both centroids and
+    // the lower index wins, so cluster 1 is empty from round 1 onward
+    val dup = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f)),
+      (3L, Array(1.5f, 2.5f)), (4L, Array(0.5f, 1.5f)))
+      .toDF("vec_id", "embedding")
+    val m = KMeans.fit(dup, "vec_id", "embedding", k = 2, iters = 3)
+    assert(m.centroids(1).sameElements(Array(1.0, 2.0)),
+      "empty cluster's centroid should stay at its seed")
+    assert(m.centroids.flatten.forall(v => !v.isNaN))
+    val assigned = dup.select(m.assignCol(col2("embedding")).as("c"))
+      .collect().map(_.getInt(0))
+    assert(assigned.forall(_ == 0), "all points should land in cluster 0")
+  }
+
   private def col2(n: String) = org.apache.spark.sql.functions.col(n)
 }
