@@ -238,7 +238,10 @@ object InferenceQueries extends QueryModule {
     val yCells = base.groupBy($"g", $"yv").agg(count(lit(1)).as("cnt"))
     val rx = halfRanks(xCells, "g", "xv", "x")
     val ry = halfRanks(yCells, "g", "yv", "y")
-    val ranked = base.join(rx.hint("shuffle_hash"), Seq("g", "xv"))
+    // rx is |distinct quantities|x|groups| rows — broadcastable at any
+    // scale, so base never shuffles for it; ry is |rows|-sized (price is
+    // near-unique), so it shuffle-hash joins (SMJ would sort both sides)
+    val ranked = base.join(broadcast(rx), Seq("g", "xv"))
       .join(ry.hint("shuffle_hash"), Seq("g", "yv"))
     ranked.groupBy($"g").agg(
         count(lit(1)).cast("double").as("n"),
