@@ -337,4 +337,42 @@ object Dedup {
 
     df.join(dupIds(pairs, "ida", "idb"), col(idCol) === col("__dup"), "left_anti")
   }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    * k-means clusters bound the candidate space, then a row is dropped
+    * when a SMALLER-id member of its own cluster has cosine >=
+    * `threshold` with it. Returns the surviving rows of `df` with their
+    * cluster id appended as `__cluster`.
+    *
+    * The survivor rule is an anti-join, not the paper's sequential greedy
+    * scan: "keep x iff no kept-or-dropped y < x is near x" is a pure
+    * per-pair predicate, so the result is independent of evaluation
+    * order, partitioning, and engine (it can drop slightly more than the
+    * greedy rule on chains a~b~c, never fewer).
+    *
+    * Scale shape: pairwise comparison shuffles on the cluster id only, so
+    * cost is sum(|cluster|^2) — callers should grow `k` with the corpus
+    * (the paper uses k ~ sqrt(n)) to keep clusters bounded; the gate-size
+    * oracle-replayable form of this chain is queries q142/q151. Unlike
+    * [[nearCosine]]'s sign-bit bands, cells here are LEARNED, so recall
+    * concentrates near-duplicates into the same cell by construction. */
+  def semantic(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, k: Int, iters: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val model = graft.ml.KMeans.fit(df, idCol, vecCol, k, iters)
+    val base = df
+      .withColumn("__v", col(vecCol).cast("array<double>"))
+      .withColumn("__nrm", graft.functions.vector.norm($"__v"))
+      .withColumn("__cluster", model.assignCol(col(vecCol)))
+    val a = base.select($"__cluster", col(idCol).as("__ida"),
+      $"__v".as("__va"), $"__nrm".as("__na"))
+    val b = base.select($"__cluster", col(idCol).as("__idb"),
+      $"__v".as("__vb"), $"__nrm".as("__nb"))
+    val cos = graft.functions.vector.dot($"__va", $"__vb") / ($"__na" * $"__nb")
+    val dropped = a.join(b.hint("shuffle_hash"), Seq("__cluster"))
+      .where($"__ida" < $"__idb" && round(cos, 6) >= threshold)
+      .select($"__idb".as(idCol)).distinct()
+    base.join(dropped, Seq(idCol), "left_anti").drop("__v", "__nrm")
+  }
 }

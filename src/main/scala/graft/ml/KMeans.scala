@@ -42,7 +42,9 @@ object KMeans {
       }
       // struct() auto-names the fields col1/col2 (the alias is not yet
       // resolved at construction time); cast to a named struct instead
-      least(dists.toIndexedSeq: _*).cast("struct<d:double,j:int>").getField("j")
+      // (least() needs >= 2 args, so k=1 short-circuits to cluster 0)
+      if (dists.length == 1) lit(0)
+      else least(dists.toIndexedSeq: _*).cast("struct<d:double,j:int>").getField("j")
     }
 
     /** Mean squared distance to the assigned centroid — the Lloyd
@@ -55,7 +57,9 @@ object KMeans {
             (x, cv) => (x - cv) * (x - cv)),
           lit(0.0), (acc, t) => acc + t)
       }
-      vecs.select(least(dists.toIndexedSeq.map(d => d: Column): _*).as("d"))
+      val nearest = if (dists.length == 1) dists.head
+        else least(dists.toIndexedSeq.map(d => d: Column): _*)
+      vecs.select(nearest.as("d"))
         .agg(avg(col("d"))).head().getDouble(0)
     }
   }

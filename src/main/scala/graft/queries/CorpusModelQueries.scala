@@ -238,11 +238,52 @@ object CorpusModelQueries extends QueryModule {
       |  least(n_docs, total // nsrc) AS n_after
       |FROM src CROSS JOIN tot ORDER BY source""".stripMargin
 
+  /** q151: SemDeDup (semantic dedup, Abbas et al. 2023 arXiv:2303.09540) —
+    * k-means clusters bound the candidate space, then cosine >= 0.3 pairs
+    * WITHIN each cluster mark the larger vec_id as a drop: survivors are
+    * vectors with no smaller-id same-cluster neighbor above threshold.
+    * This anti-join survivor rule is order-independent (no sequential
+    * greedy scan), so the result is partitioning- and engine-invariant.
+    *
+    * Scale shape: the pairwise stage shuffles on cid only, so cost is
+    * sum(|cluster|^2) — the whole point of SemDeDup is that k grows with
+    * the corpus (k ~ sqrt(n) in the paper) keeping clusters bounded;
+    * gate-k is 8 to stay oracle-replayable. Contrast q69 (global banded
+    * LSH): same dedup goal, learned cells instead of sign-bit cells. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = kmeansAssign(s, dir)
+      .join(VectorQueries.normed(s, dir), Seq("vec_id"))
+    val a = m.select($"cid", $"vec_id".as("ida"), $"v".as("va"), $"nrm".as("na"))
+    val b = m.select($"cid", $"vec_id".as("idb"), $"v".as("vb"), $"nrm".as("nb"))
+    val cos = graft.functions.vector.dot($"va", $"vb") / ($"na" * $"nb")
+    val dropped = a.join(b.hint("shuffle_hash"), Seq("cid"))
+      .where($"ida" < $"idb" && round(cos, 6) >= 0.3)
+      .select($"idb".as("vec_id")).distinct()
+    m.join(dropped, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cid".cast("int").as("cluster"))
+      .orderBy($"vec_id")
+  }
+  private val q151Sql =
+    s"""WITH $kmeansCtes,
+      |${VectorQueries.normedSql.replaceFirst("WITH ", "")},
+      |m AS (SELECT n.vec_id, a2.cid, n.v, n.nrm
+      |  FROM n JOIN a2 ON n.vec_id = a2.vec_id),
+      |dropped AS (SELECT DISTINCT b.vec_id AS vec_id
+      |  FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+      |    / (a.nrm * b.nrm), 6) >= 0.3)
+      |SELECT m.vec_id, CAST(m.cid AS INT) AS cluster FROM m
+      |LEFT JOIN dropped d ON m.vec_id = d.vec_id WHERE d.vec_id IS NULL
+      |ORDER BY m.vec_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),
     QueryDef("q143_token_rarity", q143, Some(q143Sql)),
     QueryDef("q144_bpe_pairs", q144, Some(q144Sql)),
     QueryDef("q145_mixture_reweight", q145, Some(q145Sql)),
     QueryDef("q147_cluster_balanced", q147, Some(q147Sql)),
+    QueryDef("q151_semdedup", q151, Some(q151Sql)),
   )
 }

@@ -379,6 +379,91 @@ object CurationQueries extends QueryModule {
       |SELECT epoch, pos, doc_id, sk AS shuffle_key FROM rk
       |WHERE pos <= 30 ORDER BY epoch, pos""".stripMargin
 
+  /** q152: repeated-span mining — the corpus-wide cut-list a substring
+    * dedup pass (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better") consumes: every 4-token span occurring >= 3
+    * times anywhere in the corpus, with total occurrences, distinct docs,
+    * and the first doc. Unlike the shingle-SET families (q26/q63: distinct
+    * shingles per doc, doc-level verdicts), this keeps MULTIPLICITY and is
+    * span-granular — the output is what gets cut, not which docs match.
+    *
+    * Scale shape: span enumeration is a pure per-row transform (no
+    * self-join on position); the count is one hash agg on the span key
+    * with map-side partials. The suffix-array formulation this
+    * approximates is inherently sequential; fixed-length windows keyed by
+    * content are the distributed version, and longer spans come from
+    * seeding on these hits (only spans containing a frequent 4-span can
+    * themselves be frequent). */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .where(size($"w") >= 4)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 3), i -> concat_ws(' ', slice(w, i, 4)))"))
+        .as("span"))
+      .groupBy($"span")
+      .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"),
+        min($"doc_id").as("first_doc"))
+      .where($"n_occ" >= 3L)
+      .orderBy($"span")
+  }
+  private val q152Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sp AS (SELECT doc_id, array_to_string(w[s.i:s.i + 3], ' ') AS span
+      |  FROM t, UNNEST(range(1, len(w) - 2)) AS s(i) WHERE len(w) >= 4)
+      |SELECT span, CAST(count(*) AS BIGINT) AS n_occ,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  min(doc_id) AS first_doc
+      |FROM sp GROUP BY span HAVING count(*) >= 3
+      |ORDER BY span""".stripMargin
+
+  /** q153: vocabulary-growth curve (Heaps' law audit) — cumulative corpus
+    * vocabulary and token count after each document in doc_id order. The
+    * sub-linearity of vocab(tokens) is the standard "is this corpus
+    * natural or degenerate" diagnostic (too flat = boilerplate, too steep
+    * = noise), and the curve is what sizes a tokenizer's vocab budget.
+    *
+    * Distributed formulation: "cumulative distinct" is a running set —
+    * hostile at scale — but first-occurrence attribution makes it a sum:
+    * each term contributes 1 at min(doc_id), so vocab(d) is the prefix
+    * sum of per-doc new-term counts. One token agg, one tiny per-doc agg,
+    * and [[graft.operators.DistributedScan.prefixSums]] for the running
+    * totals — no single-partition window anywhere. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val newTerms = toks.groupBy($"tok").agg(min($"doc_id").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("new_terms"))
+    val nTok = toks.groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+    val base = docs.select($"doc_id")
+      .join(newTerms, Seq("doc_id"), "left")
+      .join(nTok, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"new_terms", lit(0L)).as("new_terms"),
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"))
+    graft.operators.DistributedScan.prefixSums(
+        base, Seq(col("doc_id")), Seq("n_tokens", "new_terms"))
+      .select($"doc_id", $"n_tokens_cum".as("tokens_cum"),
+        $"new_terms_cum".as("vocab_cum"))
+      .orderBy($"doc_id")
+  }
+  private val q153Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |newt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS new_terms FROM
+      |  (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY tok) GROUP BY doc_id),
+      |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+      |  FROM toks GROUP BY doc_id),
+      |base AS (SELECT d.doc_id, coalesce(n.new_terms, 0) AS new_terms,
+      |    coalesce(c.n_tokens, 0) AS n_tokens
+      |  FROM documents d LEFT JOIN newt n ON d.doc_id = n.doc_id
+      |  LEFT JOIN cnt c ON d.doc_id = c.doc_id)
+      |SELECT doc_id,
+      |  CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS tokens_cum,
+      |  CAST(sum(new_terms) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_cum
+      |FROM base ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q67_connected_components", q67, Some(q67Sql)),
     QueryDef("q148_split_leakage", q148, Some(q148Sql)),
@@ -390,5 +475,7 @@ object CurationQueries extends QueryModule {
     QueryDef("q64_stratified_sample", q64, Some(q64Sql)),
     QueryDef("q65_crossmodal_agreement", q65, Some(q65Sql)),
     QueryDef("q107_source_quota", q107, Some(q107Sql)),
+    QueryDef("q152_span_mining", q152, Some(q152Sql)),
+    QueryDef("q153_vocab_growth", q153, Some(q153Sql)),
   )
 }

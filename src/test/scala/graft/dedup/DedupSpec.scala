@@ -125,4 +125,37 @@ class DedupSpec extends SparkTestBase {
       assert(got == expected, s"seed=$seed")
     }
   }
+
+  test("semantic dedup: planted duplicate vectors drop, distinct ones survive") {
+    import spark.implicits._
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // plant exact copies of 5 vectors under larger ids: cosine 1.0 and the
+    // same nearest centroid by construction, so every copy must drop
+    val planted = vecs.limit(5).withColumn("vec_id", $"vec_id" + 100000L)
+    val out = Dedup.semantic(vecs.unionByName(planted),
+      "vec_id", "embedding", threshold = 0.99, k = 8)
+    assert(out.filter($"vec_id" >= 100000L).count() == 0, "planted copies kept")
+    // threshold just under 1: only the exact copies drop, nothing else at
+    // 0.99 in this corpus (max organic within-cluster cosine ~0.51)
+    assert(out.count() == vecs.count())
+    assert(out.columns.contains("__cluster"))
+  }
+
+  test("semantic dedup survivor rule is an anti-join: order-independent") {
+    import spark.implicits._
+    // chain in one cluster (k=1 removes clustering from the picture):
+    // a~b and b~c near, a~c far. The anti-join rule drops BOTH b (a<b
+    // near) and c (b<c near — b's own dropped fate is irrelevant, unlike
+    // the sequential greedy rule, which would re-keep c)
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)),        // a
+      (2L, Array(0.95f, 0.3122f)),    // b: cos(a,b) ~ 0.95
+      (3L, Array(0.8049f, 0.5934f)),  // c: cos(b,c) ~ 0.95, cos(a,c) ~ 0.80
+      (10L, Array(-1.0f, 0.0f))       // far from everything
+    ).toDF("id", "vec")
+    val out = Dedup.semantic(rows, "id", "vec", threshold = 0.9, k = 1)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 10L), s"got $out")
+  }
 }
