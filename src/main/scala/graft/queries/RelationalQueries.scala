@@ -296,6 +296,61 @@ object RelationalQueries extends QueryModule {
       |GROUP BY flag
       |ORDER BY flag""".stripMargin
 
+  /** q154: TPC-H Q5-shaped local-supplier revenue — the 6-table join-order
+    * stress: region -> nation restricts both the customer AND supplier
+    * sides, and the `c_nationkey = s_nationkey` condition ties the two
+    * dimension arms together, so no single pushdown eliminates it.
+    *
+    * Plan shape (100 TB): every dimension arm (region⋈nation, its
+    * supplier and customer closures) is an explicit broadcast — only the
+    * two FACT tables ever shuffle, and only after the date filter prunes
+    * orders at the scan (PushedFilters). lineitem⋈orders is the one
+    * repartitioning join (orderkey; bucketing co-locates it in the
+    * warehouse layout); customer attaches to the order side and supplier
+    * to the line side map-side, and the nation condition evaluates inside
+    * the broadcast join, never as a post-filter over a wider product. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).where($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(nations), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_nationkey", $"n_name")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations.select($"n_nationkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey")
+    val ord = Tables.orders(s, dir)
+      .where($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        $"o_orderdate" < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", revenueTerm.as("rev"))
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"rev").cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+  private val q154Sql =
+    """SELECT n_name, REVENUE AS revenue, count(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin.replace("REVENUE", revenueSql)
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_topk", q02, Some(q02Sql)),
@@ -307,5 +362,6 @@ object RelationalQueries extends QueryModule {
     QueryDef("q08_scalar_subquery", q08, Some(q08Sql)),
     QueryDef("q09_union_counts", q09, Some(q09Sql)),
     QueryDef("q10_case_when", q10, Some(q10Sql)),
+    QueryDef("q154_local_supplier", q154, Some(q154Sql)),
   )
 }

@@ -35,7 +35,11 @@ class DeterminismSpec extends SparkTestBase {
     "q145_mixture_reweight",
     // prefix-filtered similarity join + composed selection/audit gates
     "q146_prefix_jaccard", "q147_cluster_balanced", "q148_split_leakage",
-    "q149_epoch_shuffle", "q150_shard_manifest")
+    "q149_epoch_shuffle", "q150_shard_manifest",
+    // curation batch: within-cluster cosine anti-join, span-key hash agg,
+    // first-occurrence prefix sums, 6-table broadcast-armed join
+    "q151_semdedup", "q152_span_mining", "q153_vocab_growth",
+    "q154_local_supplier")
 
   private val dir = "/root/testdata/sf0.001"
 
