@@ -109,10 +109,50 @@ object SetSubqueryQueries extends QueryModule {
       |FROM a FULL OUTER JOIN b ON seg = seg2
       |ORDER BY segment""".stripMargin
 
+  /** q155: INTERSECT ALL / EXCEPT ALL — MULTISET semantics (q43's set
+    * forms dedup; these preserve multiplicity: intersect keeps
+    * min(m, n) copies, except keeps max(m - n, 0)). Catalyst plans both
+    * via the generated-count rewrite (RewriteIntersectAll /
+    * RewriteExceptAll: tag each side, sum counts per row value, re-expand
+    * with Generate) — no row ever leaves its hash bucket, so the shape
+    * is one shuffle on the full row value, same as a groupBy on it.
+    * Compared bags: (lang, size-bucket) occurrences of even- vs
+    * odd-numbered sources; the result re-aggregates so the gate pins
+    * exact surviving multiplicities. */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .withColumn("src_num", regexp_extract($"source", "([0-9]+)$", 1).cast("int"))
+      .withColumn("bucket", expr("n_chars div 100"))
+    val even = d.filter($"src_num" % 2 === 0).select($"lang", $"bucket")
+    val odd  = d.filter($"src_num" % 2 === 1).select($"lang", $"bucket")
+    def agg(name: String, df: DataFrame) =
+      df.groupBy($"lang", $"bucket").agg(count(lit(1)).as("n"))
+        .select(lit(name).as("set_op"), $"lang", $"bucket", $"n")
+    agg("even_intersect_all_odd", even.intersectAll(odd))
+      .unionAll(agg("even_except_all_odd", even.exceptAll(odd)))
+      .orderBy($"set_op", $"lang", $"bucket")
+  }
+  private val q155Sql =
+    """WITH d AS (SELECT lang, n_chars // 100 AS bucket,
+      |    CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) AS src_num
+      |  FROM documents),
+      |ev AS (SELECT lang, bucket FROM d WHERE src_num % 2 = 0),
+      |od AS (SELECT lang, bucket FROM d WHERE src_num % 2 = 1),
+      |ia AS (SELECT * FROM ev INTERSECT ALL SELECT * FROM od),
+      |ea AS (SELECT * FROM ev EXCEPT ALL SELECT * FROM od)
+      |SELECT 'even_intersect_all_odd' AS set_op, lang, bucket,
+      |  count(*) AS n FROM ia GROUP BY lang, bucket
+      |UNION ALL
+      |SELECT 'even_except_all_odd', lang, bucket, count(*) FROM ea
+      |GROUP BY lang, bucket
+      |ORDER BY set_op, lang, bucket""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q43_intersect_except", q43, Some(q43Sql)),
     QueryDef("q44_in_subquery", q44, Some(q44Sql)),
     QueryDef("q45_correlated_scalar", q45, Some(q45Sql)),
     QueryDef("q46_full_outer_join", q46, Some(q46Sql)),
+    QueryDef("q155_multiset_ops", q155, Some(q155Sql)),
   )
 }

@@ -384,6 +384,52 @@ object TimeSeriesQueries extends QueryModule {
       |  CAST(sum(n_orders) OVER (ORDER BY day) AS BIGINT) AS cum_orders
       |FROM d ORDER BY day""".stripMargin
 
+  /** q156: hour-of-day seasonal decomposition — the seasonal-index table
+    * a monitoring/forecast pipeline derives before looking at trend:
+    * per (event_type, hour-of-day UTC) the raw-row mean value, and its
+    * deviation from the type's overall mean (the additive seasonal
+    * component). Hours come from pure integer division of the ns
+    * timestamp (no calendar/timezone library in the data path — the same
+    * discipline as q21's µs sessionization). Money-style 2dp values sum
+    * exactly in cents (LONG), so each emitted mean is a single division
+    * of exact integers: order-independent, engine-identical. Two hash
+    * aggs + one broadcast join of the |types|-row parent means — fully
+    * parallel at any scale. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, dir)
+      .select($"event_type",
+        (expr("ts div 3600000000000") % 24L).as("hour_utc"),
+        round($"value" * 100.0, 0).cast("long").as("cents"))
+    val hourly = base.groupBy($"event_type", $"hour_utc")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("c"))
+    val parent = base.groupBy($"event_type")
+      .agg(sum($"cents").as("ct"), count(lit(1)).as("nt"))
+    hourly.join(broadcast(parent), "event_type")
+      .select($"event_type", $"hour_utc", $"n_events",
+        round($"c" / ($"n_events" * 100.0), 6).as("seasonal_mean"),
+        round($"c" / ($"n_events" * 100.0) - $"ct" / ($"nt" * 100.0), 6)
+          .as("seasonal_residual"))
+      .orderBy($"event_type", $"hour_utc")
+  }
+  private val q156Sql =
+    """WITH base AS (SELECT event_type,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hour_utc,
+      |    CAST(round(value * 100.0) AS BIGINT) AS cents
+      |  FROM events),
+      |hourly AS (SELECT event_type, hour_utc,
+      |    CAST(count(*) AS BIGINT) AS n_events, CAST(sum(cents) AS BIGINT) AS c
+      |  FROM base GROUP BY 1, 2),
+      |parent AS (SELECT event_type,
+      |    CAST(sum(cents) AS BIGINT) AS ct, CAST(count(*) AS BIGINT) AS nt
+      |  FROM base GROUP BY 1)
+      |SELECT h.event_type, h.hour_utc, h.n_events,
+      |  round(h.c / (h.n_events * 100.0), 6) AS seasonal_mean,
+      |  round(h.c / (h.n_events * 100.0) - p.ct / (p.nt * 100.0), 6)
+      |    AS seasonal_residual
+      |FROM hourly h JOIN parent p ON h.event_type = p.event_type
+      |ORDER BY h.event_type, h.hour_utc""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
@@ -396,6 +442,7 @@ object TimeSeriesQueries extends QueryModule {
     QueryDef("q127_markov_transitions", q127, Some(q127Sql)),
     QueryDef("q128_rolling_active_users", q128, Some(q128Sql)),
     QueryDef("q133_running_total", q133, Some(q133Sql)),
+    QueryDef("q156_seasonal_index", q156, Some(q156Sql)),
   )
 
   /** q110: FORWARD as-of join — each click joined to the user's earliest
