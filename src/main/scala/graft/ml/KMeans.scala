@@ -72,7 +72,49 @@ object KMeans {
     val seeds = vecs.select(col(idCol), col(vecCol).cast("array<double>"))
       .orderBy(col(idCol)).limit(k).collect()
     require(seeds.length == k, s"k=$k but only ${seeds.length} vectors")
-    var model = Model(seeds.map(_.getSeq[Double](1).toArray))
+    refine(vecs, vecCol, Model(seeds.map(_.getSeq[Double](1).toArray)), iters)
+  }
+
+  /** Fit with deterministic farthest-point (k-center) seeding: seed 1 is
+    * the smallest-id vector; each next seed is the vector MAXIMIZING its
+    * distance to the nearest already-chosen seed (smallest id on ties).
+    * The greedy 2-approximation to the k-center objective — seeds land
+    * one per well-separated region, where min-id seeding can start all k
+    * inside one cluster and need many Lloyd rounds to escape. Fully
+    * deterministic (unlike sampled k-means++), so refits are
+    * reproducible across partitionings and cluster sizes.
+    *
+    * Cost: k-1 distributed argmax jobs (each a TakeOrdered over per-row
+    * fold distances — no shuffle beyond the top-1 reduction), then the
+    * usual Lloyd rounds. For corpus-scale k (√n), prefer sampling a
+    * bounded candidate set first; this exact form is for the dim-table
+    * k regime (k in the hundreds). */
+  def fitFarthest(vecs: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int): Model = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val base = vecs.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val first = base.orderBy(col("__id")).limit(1).collect()
+    require(first.nonEmpty, "no vectors to seed from")
+    var seeds = Vector(first(0).getSeq[Double](1).toArray)
+    while (seeds.length < k) {
+      val dists = seeds.map { c =>
+        val carr = array(c.map(lit(_)).toIndexedSeq: _*)
+        aggregate(zip_with(col("__v"), carr, (x, cv) => (x - cv) * (x - cv)),
+          lit(0.0), (acc, t) => acc + t)
+      }
+      val dmin = if (dists.length == 1) dists.head
+        else least(dists.toIndexedSeq.map(d => d: Column): _*)
+      val far = base.select(col("__id"), col("__v"), dmin.as("__d"))
+        .orderBy(col("__d").desc, col("__id")).limit(1).collect()(0)
+      seeds = seeds :+ far.getSeq[Double](1).toArray
+    }
+    refine(vecs, vecCol, Model(seeds.toArray), iters)
+  }
+
+  private def refine(vecs: DataFrame, vecCol: String,
+                     init: Model, iters: Int): Model = {
+    var model = init
     val dims = model.centroids.head.length
     for (_ <- 0 until iters) {
       // one job per round: explode to (cid, dim) cells, partial-agg

@@ -63,8 +63,49 @@ object SqlSurfaceQueries extends QueryModule {
       |  min(k) AS min_key, max(k) AS max_key
       |FROM t GROUP BY d ORDER BY d""".stripMargin
 
+  /** q157: bitwise aggregates, as SQL text — per order, the bitmask of
+    * line numbers present (`bit_or(1 << l_linenumber)`), then the
+    * distribution of masks plus `bit_and`/`bit_xor` folds over each
+    * mask population. The bitmap-profile idiom (set-of-small-ints as one
+    * integer) shuffles a single LONG per order instead of a collected
+    * set, and every bit op is associative+commutative, so map-side
+    * partial aggregation applies at both levels. */
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "lineitem")(q157Text)
+  private val q157Text =
+    """WITH m AS (SELECT l_orderkey,
+      |    bit_or(CAST(1 AS BIGINT) << l_linenumber) AS mask
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT mask, CAST(count(*) AS BIGINT) AS n_orders,
+      |  bit_and(l_orderkey) AS and_fold, bit_xor(l_orderkey) AS xor_fold
+      |FROM m JOIN lineitem USING (l_orderkey)
+      |GROUP BY mask ORDER BY mask""".stripMargin
+
+  /** q158: ordered string aggregation (`LISTAGG ... WITHIN GROUP`) — the
+    * deterministic CSV roll-up reporting layers ask for. Inner distinct
+    * collapses to (source, lang) grain FIRST (a tiny agg), so the
+    * listagg's per-group sort frame is |langs|, never |docs| — the
+    * listagg-over-raw-rows formulation would sort every document string
+    * through one exchange. DuckDB's `string_agg(... ORDER BY ...)` is the
+    * same operator, so the oracle pins byte-equal concatenation. */
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "documents")(
+      """WITH sl AS (SELECT DISTINCT source, lang FROM documents)
+        |SELECT source,
+        |  listagg(lang, ',') WITHIN GROUP (ORDER BY lang) AS langs,
+        |  CAST(count(*) AS BIGINT) AS n_langs
+        |FROM sl GROUP BY source ORDER BY source""".stripMargin)
+  private val q158Sql =
+    """WITH sl AS (SELECT DISTINCT source, lang FROM documents)
+      |SELECT source,
+      |  string_agg(lang, ',' ORDER BY lang) AS langs,
+      |  CAST(count(*) AS BIGINT) AS n_langs
+      |FROM sl GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q137_correlated_exists", q137, Some(q137Text)),
     QueryDef("q138_recursive_cte", q138, Some(q138Sql)),
+    QueryDef("q157_bit_aggs", q157, Some(q157Text)),
+    QueryDef("q158_listagg", q158, Some(q158Sql)),
   )
 }

@@ -62,5 +62,46 @@ class KMeansSpec extends SparkTestBase {
     assert(assigned.forall(_ == 0), "all points should land in cluster 0")
   }
 
+  test("farthest-point seeding spreads seeds across planted clusters") {
+    import spark.implicits._
+    // three tight clusters; ids 1-4 ALL sit in cluster A, so min-id
+    // seeding starts every centroid there, while farthest-point must
+    // pick one seed per region (greedy k-center)
+    val a = (1L to 4L).map(i => (i, Array(0.0f + i * 0.01f, 0.0f)))
+    val b = (10L to 13L).map(i => (i, Array(10.0f, 10.0f + i * 0.01f)))
+    val c = (20L to 23L).map(i => (i, Array(-10.0f, 10.0f + i * 0.01f)))
+    val df = (a ++ b ++ c).toDF("vec_id", "embedding")
+    // compare pure seeding quality (iters=0): three same-cluster seeds
+    // leave regions B and C ~20 units from any centroid; Lloyd (2 rounds
+    // suffice on this easy geometry) can recover, seeding alone cannot
+    val far = KMeans.fitFarthest(df, "vec_id", "embedding", k = 3, iters = 0)
+    val naive = KMeans.fit(df, "vec_id", "embedding", k = 3, iters = 0)
+    assert(far.inertia(df, "embedding") * 100 < naive.inertia(df, "embedding"),
+      "farthest seeds should cover every region before any Lloyd round")
+    // each planted cluster maps to its own label under the farthest model
+    val labels = df.select($"vec_id",
+        far.assignCol(col2("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def groupLabels(ids: Seq[Long]) = ids.map(labels).distinct
+    assert(groupLabels(1L to 4L).size == 1)
+    assert(groupLabels(10L to 13L).size == 1)
+    assert(groupLabels(20L to 23L).size == 1)
+    assert(Seq(labels(1L), labels(10L), labels(20L)).distinct.size == 3)
+  }
+
+  test("farthest-point seeding is deterministic across partitionings") {
+    import spark.implicits._
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m1 = KMeans.fitFarthest(vecs, "vec_id", "embedding", k = 4, iters = 1)
+    val m2 = KMeans.fitFarthest(vecs.repartition(7), "vec_id", "embedding",
+      k = 4, iters = 0)
+    // iters=0 vs iters=1 models differ, but the SEEDS must match exactly:
+    // compare via a fresh iters=0 fit on the unrepartitioned frame
+    val m0 = KMeans.fitFarthest(vecs, "vec_id", "embedding", k = 4, iters = 0)
+    assert(m0.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq,
+      "seed choice must not depend on partitioning")
+    assert(m1.k == 4)
+  }
+
   private def col2(n: String) = org.apache.spark.sql.functions.col(n)
 }
