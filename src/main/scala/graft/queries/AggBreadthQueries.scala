@@ -106,10 +106,41 @@ object AggBreadthQueries extends QueryModule {
       |  TRUE AS approx_within_bound
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q159: exact percentile family — median / p25 / p75 / p95 of quantity
+    * per return flag via the EXACT `percentile` aggregate (sort-based
+    * within group), against DuckDB's `quantile_cont`. Quantities are
+    * integer-valued and the probed fractions are dyadic (÷4, ÷20 of
+    * integer gaps ≤ 50), so linear interpolation is float-exact under
+    * either engine's formulation — no rounding ambiguity at the oracle
+    * boundary. Exact percentiles buffer each group's values: the
+    * sketched path for corpus scale is q66's GK quantiles (bounded
+    * memory, mergeable partials); this gate pins the exact semantics
+    * those sketches approximate. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("median(l_quantity)").as("med"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        expr("percentile(l_quantity, 0.95)").as("p95"))
+      .orderBy($"l_returnflag")
+  }
+  private val q159Sql =
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  median(l_quantity) AS med,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  quantile_cont(l_quantity, 0.95) AS p95
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q39_rollup", q39, Some(q39Sql)),
     QueryDef("q40_cube", q40, Some(q40Sql)),
     QueryDef("q41_grouping_sets", q41, Some(q41Sql)),
     QueryDef("q42_approx_distinct", q42, Some(q42Sql)),
+    QueryDef("q159_exact_percentiles", q159, Some(q159Sql)),
   )
 }
