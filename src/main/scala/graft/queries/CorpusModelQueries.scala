@@ -4,6 +4,7 @@ import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-modeling operators a training-data pipeline runs between dedup
   * and shard-writing: semantic clustering (k-means over the embedding
@@ -278,6 +279,75 @@ object CorpusModelQueries extends QueryModule {
       |LEFT JOIN dropped d ON m.vec_id = d.vec_id WHERE d.vec_id IS NULL
       |ORDER BY m.vec_id""".stripMargin
 
+  /** q160: model-based quality filtering — a linear probe
+    * ([[graft.ml.LinearProbe]]) trained by 3 full-batch GD rounds on
+    * cheap per-doc features (chars/100, tokens/10, type-token ratio)
+    * against an is-English label, then scored over the corpus. The
+    * activation is the algebraic fast sigmoid (no exp anywhere), per-row
+    * gradient terms are 9 dp-rounded and DECIMAL-summed, and each weight
+    * update is one double expression over exact aggregates — so the
+    * ENTIRE training loop replays verbatim in the DuckDB oracle and the
+    * scores hash-match. Per GD round: one scan + a 4-cell aggregate
+    * (map-side partials); scoring is a pure projection. */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feat = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"lang",
+        array(($"n_chars" / 100.0).as("f1"),
+          (size($"toks") / 10.0).as("f2"),
+          (size(array_distinct($"toks")).cast("double") / size($"toks")).as("f3"))
+          .as("f"),
+        when($"lang" === "en", 1.0).otherwise(0.0).as("label"))
+    val model = graft.ml.LinearProbe.fitGD(feat, "f", "label",
+      dims = 3, lr = 0.5, iters = 3)
+    feat.select($"lang", model.scoreCol($"f").as("score"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum($"score".cast(DecimalType(28, 9))).cast("double") /
+          count(lit(1)), 6).as("mean_score"),
+        sum(when($"score" >= 0.5, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy($"lang")
+  }
+  /** One GD round in SQL: the fast-sigmoid score under the previous
+    * weights row, gradient sums, and the same update arithmetic. */
+  private def gdRound(prev: String, next: String): String = {
+    val m = s"(w.b + w.w1 * f1 + w.w2 * f2 + w.w3 * f3)"
+    val p = s"round(0.5 + 0.5 * $m / (1.0 + abs($m)), 9)"
+    def g(f: String) =
+      s"0.5 * CAST(sum(CAST(round(($p - label) * $f, 9) AS DECIMAL(28,9))) AS DOUBLE) / count(*)"
+    s"""$next AS (SELECT
+       |    w.w1 - ${g("f1")} AS w1,
+       |    w.w2 - ${g("f2")} AS w2,
+       |    w.w3 - ${g("f3")} AS w3,
+       |    w.b - 0.5 * CAST(sum(CAST(round($p - label, 9)
+       |      AS DECIMAL(28,9))) AS DOUBLE) / count(*) AS b
+       |  FROM feat CROSS JOIN $prev w
+       |  GROUP BY w.w1, w.w2, w.w3, w.b)""".stripMargin
+  }
+  private val q160Sql = {
+    val m = s"(w.b + w.w1 * f1 + w.w2 * f2 + w.w3 * f3)"
+    val p = s"round(0.5 + 0.5 * $m / (1.0 + abs($m)), 9)"
+    s"""WITH feat AS (SELECT lang,
+      |    n_chars / 100.0 AS f1,
+      |    len(string_split(text, ' ')) / 10.0 AS f2,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS f3,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label
+      |  FROM documents),
+      |w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),
+      |${gdRound("w0", "wa")},
+      |${gdRound("wa", "wb")},
+      |${gdRound("wb", "wc")},
+      |scored AS (SELECT lang, $p AS score FROM feat CROSS JOIN wc w)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(CAST(score AS DECIMAL(28,9))) AS DOUBLE)
+      |    / count(*), 6) AS mean_score,
+      |  CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged
+      |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),
     QueryDef("q143_token_rarity", q143, Some(q143Sql)),
@@ -285,5 +355,6 @@ object CorpusModelQueries extends QueryModule {
     QueryDef("q145_mixture_reweight", q145, Some(q145Sql)),
     QueryDef("q147_cluster_balanced", q147, Some(q147Sql)),
     QueryDef("q151_semdedup", q151, Some(q151Sql)),
+    QueryDef("q160_linear_probe", q160, Some(q160Sql)),
   )
 }

@@ -1,0 +1,48 @@
+package graft.ml
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LinearProbeSpec extends SparkTestBase {
+
+  // linearly separable in f1: positives at f1 ~ +1, negatives at f1 ~ -1,
+  // f2 pure noise-ish structure (deterministic, symmetric across classes)
+  private lazy val planted = {
+    import spark.implicits._
+    (0 until 200).map { i =>
+      val pos = i % 2 == 0
+      val f1 = if (pos) 1.0 + (i % 7) * 0.01 else -1.0 - (i % 7) * 0.01
+      val f2 = (i % 5) * 0.1
+      (Array(f1, f2), if (pos) 1.0 else 0.0)
+    }.toDF("f", "label")
+  }
+
+  test("GD learns a separating direction on planted data") {
+    import spark.implicits._
+    val m = LinearProbe.fitGD(planted, "f", "label", dims = 2, lr = 1.0, iters = 10)
+    assert(m.weights(0) > 0.1, s"f1 weight should be positive, got ${m.weights(0)}")
+    val acc = planted
+      .select((when(m.scoreCol($"f") >= 0.5, 1.0).otherwise(0.0) === $"label")
+        .cast("int").as("ok"))
+      .agg(avg($"ok")).head().getDouble(0)
+    assert(acc == 1.0, s"separable data should classify perfectly, got $acc")
+  }
+
+  test("more iterations do not increase squared error (descent sanity)") {
+    import spark.implicits._
+    def mse(iters: Int): Double = {
+      val m = LinearProbe.fitGD(planted, "f", "label", 2, 1.0, iters)
+      planted.select(pow(m.scoreCol($"f") - $"label", 2).as("e"))
+        .agg(avg($"e")).head().getDouble(0)
+    }
+    val (e1, e5, e10) = (mse(1), mse(5), mse(10))
+    assert(e5 <= e1 + 1e-12 && e10 <= e5 + 1e-12, s"mse not decreasing: $e1 $e5 $e10")
+  }
+
+  test("fitted weights are bit-identical under repartitioning") {
+    val a = LinearProbe.fitGD(planted, "f", "label", 2, 0.5, 3)
+    val b = LinearProbe.fitGD(planted.repartition(13), "f", "label", 2, 0.5, 3)
+    assert(a.weights.toSeq == b.weights.toSeq && a.bias == b.bias,
+      "9dp-rounded decimal gradient sums must make GD partitioning-invariant")
+  }
+}

@@ -40,7 +40,8 @@ class DeterminismSpec extends SparkTestBase {
     // first-occurrence prefix sums, 6-table broadcast-armed join
     "q151_semdedup", "q152_span_mining", "q153_vocab_growth",
     "q154_local_supplier", "q155_multiset_ops", "q156_seasonal_index",
-    "q157_bit_aggs", "q158_listagg", "q159_exact_percentiles")
+    "q157_bit_aggs", "q158_listagg", "q159_exact_percentiles",
+    "q160_linear_probe")
 
   private val dir = "/root/testdata/sf0.001"
 
