@@ -85,4 +85,32 @@ class ScaleShapeSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q151 semdedup plans collect-free with no nested-loop fallback") {
+    val plan = SparkEntry.queries("q151_semdedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("LocalTableScan"), s"driver-local data in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"within-cluster pair join fell back to a nested loop:\n$plan")
+  }
+
+  test("q154 joins every dimension arm by broadcast — facts are the only shuffle") {
+    val plan = SparkEntry.queries("q154_local_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop fallback in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dimension arms lost broadcast:\n$plan")
+    // region/nation/supplier/customer must never ride a shuffle exchange:
+    // at most the fact-fact join + final agg/sort repartition
+    val shuffles = "Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findAllIn(plan).size
+    assert(shuffles <= 4, s"too many exchanges ($shuffles) for a dim-broadcast plan:\n$plan")
+  }
+
+  test("q160 linear-probe scoring is a pure projection over one scan") {
+    val plan = SparkEntry.queries("q160_linear_probe")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"probe scoring should not join anything:\n$plan")
+    assert(!plan.contains("LocalTableScan"), s"driver-local data in plan:\n$plan")
+  }
 }
