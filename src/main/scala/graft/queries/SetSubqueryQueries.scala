@@ -109,6 +109,30 @@ object SetSubqueryQueries extends QueryModule {
       |FROM a FULL OUTER JOIN b ON seg = seg2
       |ORDER BY segment""".stripMargin
 
+  /** q161: TPC-H Q17-shaped correlated AGGREGATE subquery at FACT grain —
+    * lineitems whose quantity sits below 20% of their part's average
+    * (small-lot orders). Where q45 correlates against a dim row, here the
+    * correlation key is the fact table's own foreign key, so
+    * decorrelation must plan the subquery as a full per-part aggregate
+    * joined back to lineitem (one agg + one join on l_partkey, both
+    * hash-shuffled on the same key → exchange reuse), never per-row
+    * re-execution. Threshold arithmetic stays exact: quantities are
+    * integral, `0.2 * avg` is one double product both engines compute
+    * identically from the same exact sum/count. */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem").foreach(t => Tables.load(s, dir, t).createOrReplaceTempView(t))
+    s.sql(q161Text)
+  }
+  private val q161Text =
+    """SELECT l_partkey,
+      |  CAST(count(*) AS BIGINT) AS n_small_lots,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem l1
+      |WHERE l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = l1.l_partkey)
+      |GROUP BY l_partkey
+      |ORDER BY l_partkey""".stripMargin
+
   /** q155: INTERSECT ALL / EXCEPT ALL — MULTISET semantics (q43's set
     * forms dedup; these preserve multiplicity: intersect keeps
     * min(m, n) copies, except keeps max(m - n, 0)). Catalyst plans both
@@ -154,5 +178,6 @@ object SetSubqueryQueries extends QueryModule {
     QueryDef("q45_correlated_scalar", q45, Some(q45Sql)),
     QueryDef("q46_full_outer_join", q46, Some(q46Sql)),
     QueryDef("q155_multiset_ops", q155, Some(q155Sql)),
+    QueryDef("q161_below_avg_lots", q161, Some(q161Text)),
   )
 }
