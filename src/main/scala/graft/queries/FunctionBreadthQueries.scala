@@ -141,10 +141,46 @@ object FunctionBreadthQueries extends QueryModule {
       |UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  /** q163: positional window values over the FULL partition frame —
+    * nth_value(2) (null when the partition has one row), first_value,
+    * last_value, collapsed to one row per customer via rn = 1. One
+    * shuffle on the partition key; the full-frame functions and the
+    * ranking share the single per-partition sort (Catalyst collapses
+    * same-spec windows, q47's property). Values are carried untouched
+    * (no arithmetic), so parity is value-movement-exact. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_orders", count(lit(1)).over(full))
+      .withColumn("first_price", first($"o_totalprice").over(full))
+      .withColumn("second_price", nth_value($"o_totalprice", 2).over(full))
+      .withColumn("last_price", last($"o_totalprice").over(full))
+      .where($"rn" === 1)
+      .select($"o_custkey", $"n_orders", $"first_price",
+        $"second_price", $"last_price")
+      .orderBy($"o_custkey")
+  }
+  private val q163Sql =
+    """WITH w AS (SELECT o_custkey,
+      |    row_number() OVER win AS rn,
+      |    CAST(count(*) OVER winf AS BIGINT) AS n_orders,
+      |    first_value(o_totalprice) OVER winf AS first_price,
+      |    nth_value(o_totalprice, 2) OVER winf AS second_price,
+      |    last_value(o_totalprice) OVER winf AS last_price
+      |  FROM orders
+      |  WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    winf AS (win ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+      |SELECT o_custkey, n_orders, first_price, second_price, last_price
+      |FROM w WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q47_window_ranking", q47, Some(q47Sql)),
     QueryDef("q48_string_functions", q48, Some(q48Sql)),
     QueryDef("q49_array_functions", q49, Some(q49Sql)),
     QueryDef("q101_unpivot", q101, Some(q101Sql)),
+    QueryDef("q163_positional_window", q163, Some(q163Sql)),
   )
 }

@@ -102,10 +102,23 @@ object SqlSurfaceQueries extends QueryModule {
       |  CAST(count(*) AS BIGINT) AS n_langs
       |FROM sl GROUP BY source ORDER BY source""".stripMargin
 
+  /** q162: GROUP BY ALL / ORDER BY ALL — the analyst-SQL sugar both
+    * engines resolve to the full non-aggregate column list; the SAME
+    * statement text runs on both, so the gate pins the resolution rule,
+    * not just the result. */
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "lineitem")(q162Text)
+  private val q162Text =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q137_correlated_exists", q137, Some(q137Text)),
     QueryDef("q138_recursive_cte", q138, Some(q138Sql)),
     QueryDef("q157_bit_aggs", q157, Some(q157Text)),
     QueryDef("q158_listagg", q158, Some(q158Sql)),
+    QueryDef("q162_group_by_all", q162, Some(q162Text)),
   )
 }

@@ -41,7 +41,8 @@ class DeterminismSpec extends SparkTestBase {
     "q151_semdedup", "q152_span_mining", "q153_vocab_growth",
     "q154_local_supplier", "q155_multiset_ops", "q156_seasonal_index",
     "q157_bit_aggs", "q158_listagg", "q159_exact_percentiles",
-    "q160_linear_probe", "q161_below_avg_lots")
+    "q160_linear_probe", "q161_below_avg_lots", "q162_group_by_all",
+    "q163_positional_window")
 
   private val dir = "/root/testdata/sf0.001"
 
