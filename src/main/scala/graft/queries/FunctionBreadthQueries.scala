@@ -176,11 +176,64 @@ object FunctionBreadthQueries extends QueryModule {
       |SELECT o_custkey, n_orders, first_price, second_price, last_price
       |FROM w WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  /** q164: union-by-name with missing columns — schema-evolution union
+    * (`unionByName(allowMissingColumns = true)`): two summaries with
+    * overlapping but unequal column sets stack by NAME, absent columns
+    * NULL-fill (positional UNION would mis-zip them; q09 covers that
+    * form). Values are counts/min/max only — pure value movement, no
+    * order-dependent arithmetic. */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.orders(s, dir)
+      .groupBy($"o_orderstatus".as("grp"))
+      .agg(count(lit(1)).as("n"), max($"o_totalprice").as("max_price"))
+      .withColumn("src", lit("orders"))
+    val b = Tables.customer(s, dir)
+      .groupBy($"c_mktsegment".as("grp"))
+      .agg(count(lit(1)).as("n"), min($"c_acctbal").as("min_acctbal"))
+      .withColumn("src", lit("customers"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy($"src", $"grp")
+  }
+  private val q164Sql =
+    """SELECT * FROM (
+      |  SELECT o_orderstatus AS grp, CAST(count(*) AS BIGINT) AS n,
+      |    max(o_totalprice) AS max_price, 'orders' AS src
+      |  FROM orders GROUP BY 1
+      |  UNION ALL BY NAME
+      |  SELECT c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS n,
+      |    min(c_acctbal) AS min_acctbal, 'customers' AS src
+      |  FROM customer GROUP BY 1)
+      |ORDER BY src, grp""".stripMargin
+
+  /** q165: regular-expression function family — non-overlapping match
+    * counting, replace-all, and first-group extraction (both engines
+    * return the EMPTY STRING, not NULL, on a no-match extract — the gate
+    * pins that edge). Pure per-row projections compiled once per task:
+    * embarrassingly parallel, no shuffle before the final order. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        regexp_count($"text", lit("[aeiou]{2}")).cast("long").as("n_vowel_pairs"),
+        length(regexp_replace($"text", "data", "DATA")).cast("long").as("rep_len"),
+        regexp_extract($"text", "(s\\w+)", 1).as("first_s_word"))
+      .orderBy($"doc_id")
+  }
+  private val q165Sql =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_vowel_pairs,
+      |  CAST(len(regexp_replace(text, 'data', 'DATA', 'g')) AS BIGINT) AS rep_len,
+      |  regexp_extract(text, '(s\w+)', 1) AS first_s_word
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q47_window_ranking", q47, Some(q47Sql)),
     QueryDef("q48_string_functions", q48, Some(q48Sql)),
     QueryDef("q49_array_functions", q49, Some(q49Sql)),
     QueryDef("q101_unpivot", q101, Some(q101Sql)),
     QueryDef("q163_positional_window", q163, Some(q163Sql)),
+    QueryDef("q164_union_by_name", q164, Some(q164Sql)),
+    QueryDef("q165_regexp_family", q165, Some(q165Sql)),
   )
 }

@@ -42,7 +42,7 @@ class DeterminismSpec extends SparkTestBase {
     "q154_local_supplier", "q155_multiset_ops", "q156_seasonal_index",
     "q157_bit_aggs", "q158_listagg", "q159_exact_percentiles",
     "q160_linear_probe", "q161_below_avg_lots", "q162_group_by_all",
-    "q163_positional_window")
+    "q163_positional_window", "q164_union_by_name", "q165_regexp_family")
 
   private val dir = "/root/testdata/sf0.001"
 
