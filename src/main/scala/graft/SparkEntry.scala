@@ -45,6 +45,7 @@ object SparkEntry {
     graft.queries.HigherMomentQueries,
     graft.queries.CorpusModelQueries,
     graft.queries.SimilarityJoinQueries,
+    graft.queries.ProfilingQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)
