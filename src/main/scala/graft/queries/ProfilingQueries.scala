@@ -130,10 +130,95 @@ object ProfilingQueries extends QueryModule {
       |  CAST(length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_masked
       |FROM customer WHERE c_custkey % 97 = 0 ORDER BY c_custkey""".stripMargin
 
+  /** q170: calendar-function family — quarter bucketing, month-end
+    * (last_day), and weekday classification. Day-of-week numbering is the
+    * classic cross-engine trap: Spark's weekday() is 0=Monday while
+    * DuckDB's dow() is 0=Sunday, so both sides are pinned to ISO
+    * numbering (1=Monday..7=Sunday: Spark weekday+1, DuckDB isodow).
+    * date_trunc returns TIMESTAMP in Spark but DATE in DuckDB — cast. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select(to_date($"o_orderdate").as("od"), $"o_totalprice")
+      .select(date_trunc("quarter", $"od").cast("date").as("qtr"),
+        (weekday($"od") + 1).as("isodow"), $"od", $"o_totalprice")
+      .groupBy($"qtr")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"isodow" >= 6, 1L).otherwise(0L)).as("n_weekend"),
+        max(last_day($"od")).as("last_month_end"),
+        round(sum($"o_totalprice".cast("decimal(18,2)")).cast("double"), 2)
+          .as("qtr_revenue"))
+      .orderBy($"qtr")
+  }
+  private val q170Sql =
+    """SELECT CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS qtr,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CASE WHEN isodow(CAST(o_orderdate AS DATE)) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend,
+      |  max(last_day(CAST(o_orderdate AS DATE))) AS last_month_end,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS qtr_revenue
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q171: equi-DEPTH histogram — ntile deciles over order totals, each
+    * holding ~n/10 rows with its value range. The complement of q167's
+    * equi-width buckets: this is the profile that stays informative under
+    * heavy skew (every bucket has mass). The ntile sort carries a unique
+    * tie-break key so decile assignment at equal prices is deterministic
+    * on both engines. Single global sort; at 100 TB the same statistic
+    * comes from approx_percentile cut points (q66's declared scale path)
+    * rather than a total order. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice", ntile(10).over(w).as("decile"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_orders"),
+        round(min($"o_totalprice"), 2).as("lo"),
+        round(max($"o_totalprice"), 2).as("hi"))
+      .orderBy($"decile")
+  }
+  private val q171Sql =
+    """SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi
+      |FROM (SELECT o_totalprice,
+      |        ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |      FROM orders) t
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
+  /** q172: DISTINCT aggregate over a window partition. Spark's window
+    * operator rejects DISTINCT outright, so the engine technique is the
+    * dense_rank rewrite — dense_rank() at the partition's sort order
+    * peaks at the distinct count, broadcast back with a second frame —
+    * while DuckDB runs the literal count(DISTINCT ...) OVER (...). Two
+    * window passes over the SAME partitioning (one exchange, one sort;
+    * the second window reuses the first's distribution), checked row-level
+    * on a key slice. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byCust = org.apache.spark.sql.expressions.Window.partitionBy($"o_custkey")
+    val ranked = byCust.orderBy($"o_orderpriority")
+    Tables.orders(s, dir)
+      .filter($"o_custkey" % 199 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        dense_rank().over(ranked).as("dr"))
+      .select($"o_orderkey", $"o_custkey",
+        max($"dr").over(byCust).cast("long").as("n_distinct_prio"))
+      .orderBy($"o_orderkey")
+  }
+  private val q172Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_distinct_prio
+      |FROM orders WHERE o_custkey % 199 = 0 ORDER BY o_orderkey""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q166_regr_family", q166, Some(q166Sql)),
     QueryDef("q167_width_bucket", q167, Some(q167Sql)),
     QueryDef("q168_try_cast", q168, Some(q168Sql)),
     QueryDef("q169_pii_mask", q169, Some(q169Sql)),
+    QueryDef("q170_calendar_functions", q170, Some(q170Sql)),
+    QueryDef("q171_equidepth_histogram", q171, Some(q171Sql)),
+    QueryDef("q172_window_distinct", q172, Some(q172Sql)),
   )
 }
