@@ -136,11 +136,39 @@ object AggBreadthQueries extends QueryModule {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q173: several DISTINCT aggregates over DIFFERENT columns in one
+    * grouped pass plus a plain aggregate alongside. Catalyst plans this
+    * with Expand (one row replica per distinct branch) feeding a two-level
+    * aggregate — the shape that silently multiplies the shuffle by the
+    * branch count, which is why it gets its own gate: the engine must
+    * produce it correctly, and a reader of the plan should see Expand, not
+    * N self-joins. */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("nd_parts"),
+        countDistinct($"l_suppkey").as("nd_supps"),
+        countDistinct($"l_partkey", $"l_suppkey").as("nd_pairs"),
+        count(lit(1)).as("n_rows"),
+        sum($"l_quantity").cast("long").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+  private val q173Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS nd_parts,
+      |  count(DISTINCT l_suppkey) AS nd_supps,
+      |  count(DISTINCT (l_partkey, l_suppkey)) AS nd_pairs,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q39_rollup", q39, Some(q39Sql)),
     QueryDef("q40_cube", q40, Some(q40Sql)),
     QueryDef("q41_grouping_sets", q41, Some(q41Sql)),
     QueryDef("q42_approx_distinct", q42, Some(q42Sql)),
     QueryDef("q159_exact_percentiles", q159, Some(q159Sql)),
+    QueryDef("q173_multi_distinct", q173, Some(q173Sql)),
   )
 }

@@ -227,6 +227,60 @@ object FunctionBreadthQueries extends QueryModule {
       |  regexp_extract(text, '(s\w+)', 1) AS first_s_word
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q174: explicit NULL placement in ordering under LIMIT. The engines'
+    * DEFAULTS disagree (Spark: NULLS FIRST on ASC; DuckDB: NULLS LAST),
+    * so any top-k over a nullable key silently diverges unless the query
+    * pins placement — this gate pins NULLS FIRST plus a unique tie-break
+    * and proves the surviving LIMIT set matches. The nullable key is
+    * derived with nullif (also part of the gated surface). */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // nulls are made RARE (1-in-1553 order keys) so at the gate scale
+    // the LIMIT set straddles the null/non-null boundary instead of
+    // being all-null filler
+    Tables.orders(s, dir)
+      .select($"o_orderkey",
+        when($"o_orderkey" % 1553 === 0, lit(null).cast("string"))
+          .otherwise($"o_orderstatus").as("status_or_null"),
+        nullif($"o_orderstatus", lit("P")).as("status_no_p"),
+        $"o_totalprice")
+      .orderBy($"status_or_null".asc_nulls_first, $"o_orderkey".asc)
+      .limit(25)
+  }
+  private val q174Sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 1553 = 0 THEN NULL ELSE o_orderstatus END AS status_or_null,
+      |  nullif(o_orderstatus, 'P') AS status_no_p,
+      |  o_totalprice
+      |FROM orders
+      |ORDER BY status_or_null ASC NULLS FIRST, o_orderkey ASC LIMIT 25""".stripMargin
+
+  /** q175: case-insensitive pattern matching — ILIKE (with a literal '%'
+    * escape-free pattern) against its case-sensitive LIKE sibling, counted
+    * side by side per brand so the gate fails if either collation behavior
+    * drifts. p_type values are upper-case single words ('PROMO'), so
+    * the lower-case ILIKE pattern matches only through case folding while
+    * LIKE with the same pattern matches nothing — the asymmetry is the
+    * check. */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .groupBy($"p_brand")
+      .agg(
+        sum(when($"p_type".ilike("%prom%"), 1L).otherwise(0L)).as("n_ilike"),
+        sum(when($"p_type".like("%prom%"), 1L).otherwise(0L)).as("n_like_lower"),
+        sum(when($"p_type".like("%PROM%"), 1L).otherwise(0L)).as("n_like_upper"),
+        count(lit(1)).as("n_parts"))
+      .orderBy($"p_brand")
+  }
+  private val q175Sql =
+    """SELECT p_brand,
+      |  CAST(sum(CASE WHEN p_type ILIKE '%prom%' THEN 1 ELSE 0 END) AS BIGINT) AS n_ilike,
+      |  CAST(sum(CASE WHEN p_type LIKE '%prom%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like_lower,
+      |  CAST(sum(CASE WHEN p_type LIKE '%PROM%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like_upper,
+      |  CAST(count(*) AS BIGINT) AS n_parts
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q47_window_ranking", q47, Some(q47Sql)),
     QueryDef("q48_string_functions", q48, Some(q48Sql)),
@@ -235,5 +289,7 @@ object FunctionBreadthQueries extends QueryModule {
     QueryDef("q163_positional_window", q163, Some(q163Sql)),
     QueryDef("q164_union_by_name", q164, Some(q164Sql)),
     QueryDef("q165_regexp_family", q165, Some(q165Sql)),
+    QueryDef("q174_null_ordering", q174, Some(q174Sql)),
+    QueryDef("q175_ilike", q175, Some(q175Sql)),
   )
 }
