@@ -42,7 +42,13 @@ class DeterminismSpec extends SparkTestBase {
     "q154_local_supplier", "q155_multiset_ops", "q156_seasonal_index",
     "q157_bit_aggs", "q158_listagg", "q159_exact_percentiles",
     "q160_linear_probe", "q161_below_avg_lots", "q162_group_by_all",
-    "q163_positional_window", "q164_union_by_name", "q165_regexp_family")
+    "q163_positional_window", "q164_union_by_name", "q165_regexp_family",
+    // profiling family: regression moment sketches, bucket arithmetic,
+    // TRY_CAST branches, ntile deciles, dense_rank distinct rewrite
+    "q166_regr_family", "q167_width_bucket", "q168_try_cast",
+    "q169_pii_mask", "q170_calendar_functions", "q171_equidepth_histogram",
+    "q172_window_distinct", "q173_multi_distinct", "q174_null_ordering",
+    "q175_ilike")
 
   private val dir = "/root/testdata/sf0.001"
 
