@@ -113,4 +113,37 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"probe scoring should not join anything:\n$plan")
     assert(!plan.contains("LocalTableScan"), s"driver-local data in plan:\n$plan")
   }
+
+  test("q166 regr family is one partial-aggregable pass: single pair of aggs, no join") {
+    val plan = SparkEntry.queries("q166_regr_family")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"moment sketch needs no join:\n$plan")
+    // one partial + one final HashAggregate pair over one scan
+    assert("HashAggregate".r.findAllIn(plan).size == 2,
+      s"expected exactly partial+final aggregate:\n$plan")
+  }
+
+  test("q172 window-distinct rewrite shares one exchange across both window passes") {
+    val plan = SparkEntry.queries("q172_window_distinct")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // one hash exchange feeds both Window nodes; the only other exchange
+    // is the final ORDER BY range repartition
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx == 1, s"dense_rank rewrite must reuse one partitioning, got $hashEx:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 2, s"expected two window passes:\n$plan")
+  }
+
+  test("q173 multi-distinct plans through Expand, not self-joins") {
+    val plan = SparkEntry.queries("q173_multi_distinct")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"multi-distinct should Expand:\n$plan")
+    assert(!plan.contains("Join"), s"multi-distinct must not self-join:\n$plan")
+  }
+
+  test("q174 null-ordered top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("q174_null_ordering")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"LIMIT over ORDER BY should be a bounded top-k, not a full sort:\n$plan")
+  }
 }
