@@ -46,6 +46,7 @@ object SparkEntry {
     graft.queries.CorpusModelQueries,
     graft.queries.SimilarityJoinQueries,
     graft.queries.ProfilingQueries,
+    graft.queries.FunnelQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

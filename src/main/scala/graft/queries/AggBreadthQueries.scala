@@ -163,6 +163,29 @@ object AggBreadthQueries extends QueryModule {
       |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q177: boolean aggregate family — bool_and / bool_or (ANSI EVERY /
+    * ANY) plus count_if, per group. All three are map-side combinable
+    * (AND/OR/SUM partials), so the 100 TB shape is the same one-exchange
+    * grouped pass as any sum; DuckDB lacks count_if as a stable name, so
+    * the oracle spells it as the equivalent conditional sum. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("bool_and(l_quantity > 0)").as("all_qty_positive"),
+        expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+        expr("bool_and(l_tax < 0.09)").as("all_low_tax"),
+        expr("count_if(l_discount = 0)").as("n_no_discount"))
+      .orderBy($"l_returnflag")
+  }
+  private val q177Sql =
+    """SELECT l_returnflag,
+      |  bool_and(l_quantity > 0) AS all_qty_positive,
+      |  bool_or(l_discount > 0.09) AS any_deep_discount,
+      |  bool_and(l_tax < 0.09) AS all_low_tax,
+      |  CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_discount
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q39_rollup", q39, Some(q39Sql)),
     QueryDef("q40_cube", q40, Some(q40Sql)),
@@ -170,5 +193,6 @@ object AggBreadthQueries extends QueryModule {
     QueryDef("q42_approx_distinct", q42, Some(q42Sql)),
     QueryDef("q159_exact_percentiles", q159, Some(q159Sql)),
     QueryDef("q173_multi_distinct", q173, Some(q173Sql)),
+    QueryDef("q177_bool_aggs", q177, Some(q177Sql)),
   )
 }

@@ -163,9 +163,11 @@ object ProfilingQueries extends QueryModule {
     * equi-width buckets: this is the profile that stays informative under
     * heavy skew (every bucket has mass). The ntile sort carries a unique
     * tie-break key so decile assignment at equal prices is deterministic
-    * on both engines. Single global sort; at 100 TB the same statistic
-    * comes from approx_percentile cut points (q66's declared scale path)
-    * rather than a total order. */
+    * on both engines. This gate pins the ntile FUNCTION's exact
+    * assignment semantics (floor/ceil group sizing) through a single
+    * global sort; q108 computes the same decile statistic scale-safely
+    * from percentile cut points with no total order — the declared
+    * 100 TB path. */
   private def q171(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -218,7 +220,7 @@ object ProfilingQueries extends QueryModule {
     QueryDef("q168_try_cast", q168, Some(q168Sql)),
     QueryDef("q169_pii_mask", q169, Some(q169Sql)),
     QueryDef("q170_calendar_functions", q170, Some(q170Sql)),
-    QueryDef("q171_equidepth_histogram", q171, Some(q171Sql)),
+    QueryDef("q171_ntile_deciles", q171, Some(q171Sql)),
     QueryDef("q172_window_distinct", q172, Some(q172Sql)),
   )
 }

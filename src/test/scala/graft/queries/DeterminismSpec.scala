@@ -46,7 +46,7 @@ class DeterminismSpec extends SparkTestBase {
     // profiling family: regression moment sketches, bucket arithmetic,
     // TRY_CAST branches, ntile deciles, dense_rank distinct rewrite
     "q166_regr_family", "q167_width_bucket", "q168_try_cast",
-    "q169_pii_mask", "q170_calendar_functions", "q171_equidepth_histogram",
+    "q169_pii_mask", "q170_calendar_functions", "q171_ntile_deciles",
     "q172_window_distinct", "q173_multi_distinct", "q174_null_ordering",
     "q175_ilike")
 
