@@ -47,6 +47,7 @@ object SparkEntry {
     graft.queries.SimilarityJoinQueries,
     graft.queries.ProfilingQueries,
     graft.queries.FunnelQueries,
+    graft.queries.AffinityQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -21,7 +21,7 @@ object CurationQueries extends QueryModule {
 
   /** First 4 md5 hex digits of the doc id as an integer in [0, 65536) —
     * the deterministic bucket every split/sample decision derives from. */
-  private def hashBucket(idCol: String) =
+  def hashBucket(idCol: String) =
     conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10).cast("long")
 
   /** The q60 split assignment as a reusable column — a pure function of
@@ -31,7 +31,7 @@ object CurationQueries extends QueryModule {
     when(hashBucket(idCol) % 100 < evalPct, lit("eval")).otherwise(lit("train"))
 
   /** Same value in DuckDB via digit arithmetic (no hex-cast builtin). */
-  private def duckBucket(idExpr: String) = {
+  def duckBucket(idExpr: String) = {
     def digit(i: Int) =
       s"(strpos('0123456789abcdef', substr(md5(CAST($idExpr AS VARCHAR)), $i, 1)) - 1)"
     s"(${digit(1)} * 4096 + ${digit(2)} * 256 + ${digit(3)} * 16 + ${digit(4)})"

@@ -285,8 +285,139 @@ object InferenceQueries extends QueryModule {
       |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS spearman
       |FROM m ORDER BY g""".stripMargin
 
+  /** q180: two-proportion A/B z-test on the deterministic hash split —
+    * users are assigned to arms by the SAME md5-bucket function as the
+    * q60 corpus split (a pure function of the id: stable under
+    * resharding, re-ingest, cluster size), conversion is "ever
+    * purchased", and the z statistic for H0: rate_a = rate_b comes out of
+    * the pooled-variance formula. Everything that crosses rows is a LONG
+    * count (one groupBy user, one tiny conditional agg); the z formula is
+    * a single double expression over four exact longs — division and sqrt
+    * are IEEE-correctly-rounded, so both engines produce the identical
+    * bits before the round(…, 6). */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        when(CurationQueries.hashBucket("user_id") % 2 === 0, "A").otherwise("B"))
+    val cells = perUser.groupBy()
+      .agg(
+        sum(when($"arm" === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === "A", $"conv").otherwise(0L)).as("k_a"),
+        sum(when($"arm" === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when($"arm" === "B", $"conv").otherwise(0L)).as("k_b"))
+    val (na, ka, nb, kb) = ($"n_a".cast("double"), $"k_a".cast("double"),
+      $"n_b".cast("double"), $"k_b".cast("double"))
+    val p = (ka + kb) / (na + nb)
+    cells.select($"n_a", $"k_a", $"n_b", $"k_b",
+      round(ka / na, 6).as("rate_a"),
+      round(kb / nb, 6).as("rate_b"),
+      round((ka / na - kb / nb) /
+        sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)), 6).as("z"))
+  }
+  private val q180Sql = {
+    val bucket = CurationQueries.duckBucket("user_id")
+    s"""WITH per_user AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+      |    CASE WHEN $bucket % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS k_a,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS k_b
+      |  FROM per_user)
+      |SELECT n_a, k_a, n_b, k_b,
+      |  round(CAST(k_a AS DOUBLE) / n_a, 6) AS rate_a,
+      |  round(CAST(k_b AS DOUBLE) / n_b, 6) AS rate_b,
+      |  round((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+      |    / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+      |           * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+      |           * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+      |FROM cells""".stripMargin
+  }
+
+  /** q182: Nelson-Aalen cumulative-hazard curve for time-to-first-purchase
+    * with right censoring — the survival-analysis primitive (retention /
+    * conversion-lag curves) in its SUM form, which unlike Kaplan-Meier's
+    * product needs no transcendental functions: H(t) = Σ_{s<=t} d_s/n_s.
+    * Per user one groupBy finds first activity and first purchase; users
+    * who never convert are censored at the global horizon (max event ts —
+    * one broadcast row). The day-grain (d, censored) cells are tiny; the
+    * at-risk counts n_t and the hazard prefix sum both go through
+    * [[DistributedScan.prefixSums]] — never a single-partition window.
+    * Exactness: counts are LONG; each d/n term is one IEEE division
+    * rounded to 9 dp and summed as DECIMAL (order-free), so the curve is
+    * partitioning-invariant and identical across engines. */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    // constant-key broadcast joins use a DATA-DERIVED zero (pmod of a
+    // column): a literal key constant-folds on both sides and Catalyst
+    // degrades the equi-join to BroadcastNestedLoop (the q114 trap)
+    val horizon = ev.agg(max($"ts").as("tmax"))
+      .withColumn("one", pmod($"tmax", lit(1L)))
+    val perUser = ev.groupBy($"user_id")
+      .agg(min($"ts").as("t0"),
+        min(when($"event_type" === "purchase", $"ts")).as("tp"))
+      .withColumn("one", pmod($"t0", lit(1L)))
+      .join(broadcast(horizon), "one")
+      .select(
+        when($"tp".isNotNull, expr("(tp - t0) div 86400000000000"))
+          .otherwise(expr("(tmax - t0) div 86400000000000")).as("day"),
+        when($"tp".isNotNull, 1L).otherwise(0L).as("ev"))
+    val cells = perUser.groupBy($"day")
+      .agg(sum($"ev").as("d"), count(lit(1)).as("a"))
+    val withCum = DistributedScan.prefixSums(cells, Seq(col("day")), Seq("a"))
+    val totals = cells.agg(sum($"a").as("n_total"))
+      .withColumn("one", pmod($"n_total", lit(1L)))
+    val terms = withCum.withColumn("one", pmod($"a_cum", lit(1L)))
+      .join(broadcast(totals), "one")
+      .select($"day", $"d",
+        ($"n_total" - $"a_cum" + $"a").as("n_risk"))
+      .withColumn("term",
+        round($"d".cast("double") / $"n_risk".cast("double"), 9)
+          .cast("decimal(18,9)"))
+    DistributedScan.prefixSums(terms, Seq(col("day")), Seq("term"))
+      .filter($"d" > 0)
+      .select($"day", $"n_risk", $"d".as("d_events"),
+        round($"term_cum".cast("double"), 6).as("cum_hazard"))
+      .orderBy($"day")
+  }
+  private val q182Sql =
+    """WITH per_user AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+      |  FROM events GROUP BY user_id),
+      |horizon AS (SELECT max(epoch_us(ts)) AS tmax FROM events),
+      |obs AS (
+      |  SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 86400000000
+      |              ELSE ((SELECT tmax FROM horizon) - t0) // 86400000000
+      |         END AS day,
+      |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM per_user),
+      |cells AS (SELECT day, CAST(sum(ev) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS a FROM obs GROUP BY day),
+      |risk AS (
+      |  SELECT day, d,
+      |    (SELECT sum(a) FROM cells) - sum(a) OVER (ORDER BY day) + a AS n_risk
+      |  FROM cells),
+      |terms AS (
+      |  SELECT day, d, n_risk,
+      |    CAST(round(CAST(d AS DOUBLE) / n_risk, 9) AS DECIMAL(18,9)) AS term
+      |  FROM risk)
+      |SELECT day, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+      |  round(CAST(sum(term) OVER (ORDER BY day) AS DOUBLE), 6) AS cum_hazard
+      |FROM terms WHERE d > 0 ORDER BY day""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q114_ks_test", q114, Some(q114Sql)),
+    QueryDef("q180_ab_ztest", q180, Some(q180Sql)),
+    QueryDef("q182_cum_hazard", q182, Some(q182Sql)),
     QueryDef("q115_mannwhitney_u", q115, Some(q115Sql)),
     QueryDef("q116_group_ols", q116, Some(q116Sql)),
     QueryDef("q117_autocorr", q117, Some(q117Sql)),

@@ -430,6 +430,114 @@ object TimeSeriesQueries extends QueryModule {
       |FROM hourly h JOIN parent p ON h.event_type = p.event_type
       |ORDER BY h.event_type, h.hour_utc""".stripMargin
 
+  /** q178: RSI-14 (Cutler's variant) per user over the purchase-value
+    * series. The SMA formulation is chosen over Wilder's recursive
+    * smoothing deliberately: it is a pure 14-row window aggregate — one
+    * shuffle on user_id, no sequential recurrence — so it scales like any
+    * other window, while Wilder's EMA needs the q85 log-space trick.
+    * Exactness: prices become integer cents, per-row deltas and their
+    * clamped gain/loss parts are LONGs, the 14-row sums are exact, and the
+    * only double op is the final 100*sg/(sg+sl) — a single IEEE division
+    * identical in both engines. Rows need 14 full deltas (rn >= 15);
+    * a flat window (sg+sl=0) pins RSI to 50 by convention on both sides. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wf = w.rowsBetween(-13, 0)
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase" && $"value" > 0)
+      .select($"user_id", $"ts", $"event_id",
+        round($"value" * 100.0, 0).cast("long").as("cents"))
+      .withColumn("delta", $"cents" - lag($"cents", 1).over(w))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("sg", sum(greatest($"delta", lit(0L))).over(wf))
+      .withColumn("sl", sum(greatest(-$"delta", lit(0L))).over(wf))
+      .filter($"rn" >= 15)
+      .select($"user_id", $"event_id",
+        when($"sg" + $"sl" === 0L, 50.0)
+          .otherwise(round(lit(100.0) * $"sg" / ($"sg" + $"sl"), 6))
+          .as("rsi_14"))
+      .orderBy($"user_id", $"event_id")
+  }
+  private val q178Sql =
+    """WITH px AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+      |    CAST(round(value * 100.0) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' AND value > 0),
+      |d AS (
+      |  SELECT user_id, event_id,
+      |    cents - lag(cents) OVER w AS delta,
+      |    row_number() OVER w AS rn
+      |  FROM px WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      |f AS (
+      |  SELECT user_id, event_id, rn,
+      |    sum(greatest(delta, 0)) OVER w14 AS sg,
+      |    sum(greatest(-delta, 0)) OVER w14 AS sl
+      |  FROM d WINDOW w14 AS (PARTITION BY user_id ORDER BY rn
+      |                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, event_id,
+      |  CASE WHEN sg + sl = 0 THEN 50.0
+      |       ELSE round(100.0 * sg / (sg + sl), 6) END AS rsi_14
+      |FROM f WHERE rn >= 15 ORDER BY user_id, event_id""".stripMargin
+
+  /** q183: floor-at-zero running balance per user — purchases deposit
+    * value, clicks withdraw it, and the balance never goes below zero
+    * (the inventory/wallet clamp). The recurrence b_t = max(0, b_{t-1} +
+    * x_t) LOOKS inherently sequential, but has a closed declarative form
+    * by the reflection identity: b_t = S_t - min(0, min_{k<=t} S_k) where
+    * S is the plain running sum. Two window aggregates over ONE exchange
+    * and ONE sort (same partition + order), instead of a per-key
+    * sequential fold — the difference between a window and an
+    * unparallelizable UDF loop at 100 TB. Cents fixed point keeps every
+    * intermediate exact; (ts, event_id) totally orders each user's flows. */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .filter($"event_type".isin("purchase", "click"))
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_type" === "purchase",
+          round($"value" * 100.0, 0).cast("long"))
+          .otherwise(-round($"value" * 100.0, 0).cast("long")).as("flow"))
+      .withColumn("s", sum($"flow").over(w))
+      .withColumn("m", min($"s").over(w))
+      .select($"user_id", $"ts", $"event_id",
+        ($"s" - least($"m", lit(0L))).as("bal"))
+      .groupBy($"user_id")
+      .agg(
+        // (user_id, ts) is unique in events (pinned by q176), so the
+        // single-key arg-max is deterministic
+        round(max_by($"bal", $"ts") / 100.0, 2).as("final_balance"),
+        round(max($"bal") / 100.0, 2).as("peak_balance"),
+        count(lit(1)).as("n_flows"))
+      .orderBy($"user_id")
+  }
+  private val q183Sql =
+    """WITH flows AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN CAST(round(value * 100.0) AS BIGINT)
+      |         ELSE -CAST(round(value * 100.0) AS BIGINT) END AS flow
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |sums AS (
+      |  SELECT user_id, tsu, event_id, sum(flow) OVER w AS s
+      |  FROM flows WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |runs AS (
+      |  SELECT user_id, tsu, s, min(s) OVER w AS m
+      |  FROM sums WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |bal AS (
+      |  SELECT user_id, tsu, s - least(m, 0) AS bal FROM runs)
+      |SELECT user_id,
+      |  round(arg_max(bal, tsu) / 100.0, 2) AS final_balance,
+      |  round(max(bal) / 100.0, 2) AS peak_balance,
+      |  CAST(count(*) AS BIGINT) AS n_flows
+      |FROM bal GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
@@ -443,6 +551,8 @@ object TimeSeriesQueries extends QueryModule {
     QueryDef("q128_rolling_active_users", q128, Some(q128Sql)),
     QueryDef("q133_running_total", q133, Some(q133Sql)),
     QueryDef("q156_seasonal_index", q156, Some(q156Sql)),
+    QueryDef("q178_rsi", q178, Some(q178Sql)),
+    QueryDef("q183_capped_balance", q183, Some(q183Sql)),
   )
 
   /** q110: FORWARD as-of join — each click joined to the user's earliest

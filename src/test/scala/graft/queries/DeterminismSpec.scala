@@ -48,7 +48,12 @@ class DeterminismSpec extends SparkTestBase {
     "q166_regr_family", "q167_width_bucket", "q168_try_cast",
     "q169_pii_mask", "q170_calendar_functions", "q171_ntile_deciles",
     "q172_window_distinct", "q173_multi_distinct", "q174_null_ordering",
-    "q175_ilike")
+    "q175_ilike",
+    // behavioral-analytics batch: windowed RSI, basket self-join + top-k
+    // cut, hash-split proportions, censored hazard prefix sums, clamped
+    // running balance (reflection identity over two windows)
+    "q178_rsi", "q179_market_basket", "q180_ab_ztest", "q182_cum_hazard",
+    "q183_capped_balance")
 
   private val dir = "/root/testdata/sf0.001"
 
