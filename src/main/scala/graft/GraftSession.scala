@@ -6,8 +6,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Tuned for the local[32] harness but every knob is the one that matters on
   * a real cluster too: AQE on (runtime re-plan, skew-join splitting),
-  * shuffle partitions sized to cores (not the 200 default), UTC, and
-  * nanosecond parquet timestamps read as-is (events.parquet is timestamp[ns]).
+  * shuffle partitions sized to cores (not the 200 default), and UTC.
   */
 object GraftSession {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
@@ -19,9 +18,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-      // rejects; read as Long (ns since epoch) — ordering-compatible with
-      // DuckDB's TIMESTAMP_NS and lossless.
+      // events.ts is epoch-ns LONG engine-wide (Tables.tsAsEpochNanos).
+      // Historically the file carried TIMESTAMP(NANOS), which Spark's
+      // parquet reader rejects unless read as Long — keep the flag so
+      // either physical layout (ns-long or µs-timestamp) loads.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")

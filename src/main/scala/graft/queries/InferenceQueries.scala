@@ -288,9 +288,13 @@ object InferenceQueries extends QueryModule {
   /** q180: two-proportion A/B z-test on the deterministic hash split —
     * users are assigned to arms by the SAME md5-bucket function as the
     * q60 corpus split (a pure function of the id: stable under
-    * resharding, re-ingest, cluster size), conversion is "ever
-    * purchased", and the z statistic for H0: rate_a = rate_b comes out of
-    * the pooled-variance formula. Everything that crosses rows is a LONG
+    * resharding, re-ingest, cluster size), conversion is "ever made a
+    * high-value purchase" (value > 150 — on the gate corpus EVERY user
+    * has some purchase, so the unconditioned event is degenerate: p = 1
+    * collapses the pooled variance to 0 and ANSI division faults), and
+    * the z statistic for H0: rate_a = rate_b comes out of the
+    * pooled-variance formula, NULL-guarded for the all-or-none corpus
+    * where the test is undefined. Everything that crosses rows is a LONG
     * count (one groupBy user, one tiny conditional agg); the z formula is
     * a single double expression over four exact longs — division and sqrt
     * are IEEE-correctly-rounded, so both engines produce the identical
@@ -299,7 +303,8 @@ object InferenceQueries extends QueryModule {
     import s.implicits._
     val perUser = Tables.events(s, dir)
       .groupBy($"user_id")
-      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+      .agg(max(when($"event_type" === "purchase" && $"value" > 150.0, 1L)
+        .otherwise(0L)).as("conv"))
       .withColumn("arm",
         when(CurationQueries.hashBucket("user_id") % 2 === 0, "A").otherwise("B"))
     val cells = perUser.groupBy()
@@ -314,14 +319,17 @@ object InferenceQueries extends QueryModule {
     cells.select($"n_a", $"k_a", $"n_b", $"k_b",
       round(ka / na, 6).as("rate_a"),
       round(kb / nb, 6).as("rate_b"),
-      round((ka / na - kb / nb) /
-        sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)), 6).as("z"))
+      when(p === 0.0 || p === 1.0, lit(null).cast("double"))
+        .otherwise(round((ka / na - kb / nb) /
+          sqrt(p * (lit(1.0) - p) * (lit(1.0) / na + lit(1.0) / nb)), 6))
+        .as("z"))
   }
   private val q180Sql = {
     val bucket = CurationQueries.duckBucket("user_id")
     s"""WITH per_user AS (
       |  SELECT user_id,
-      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 150.0
+      |        THEN 1 ELSE 0 END) AS conv,
       |    CASE WHEN $bucket % 2 = 0 THEN 'A' ELSE 'B' END AS arm
       |  FROM events GROUP BY user_id),
       |cells AS (
@@ -334,10 +342,11 @@ object InferenceQueries extends QueryModule {
       |SELECT n_a, k_a, n_b, k_b,
       |  round(CAST(k_a AS DOUBLE) / n_a, 6) AS rate_a,
       |  round(CAST(k_b AS DOUBLE) / n_b, 6) AS rate_b,
-      |  round((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
-      |    / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
-      |           * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
-      |           * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+      |  CASE WHEN k_a + k_b = 0 OR k_a + k_b = n_a + n_b THEN NULL
+      |    ELSE round((CAST(k_a AS DOUBLE) / n_a - CAST(k_b AS DOUBLE) / n_b)
+      |      / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+      |             * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+      |             * (1.0 / n_a + 1.0 / n_b)), 6) END AS z
       |FROM cells""".stripMargin
   }
 

@@ -71,6 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(IntervalJoinStrategy)
     ext.injectOptimizerRule(_ => GlobalScanRewrite)
+    ext.injectOptimizerRule(_ => EpochNanosPredicatePushdown)
     ext.injectFunction((
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),

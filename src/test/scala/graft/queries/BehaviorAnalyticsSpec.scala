@@ -70,7 +70,7 @@ class BehaviorAnalyticsSpec extends SparkTestBase {
       .map(x => x.getAs[Long]("user_id") ->
         (x.getAs[Double]("final_balance"), x.getAs[Double]("peak_balance"))).toMap
     // independent sequential reference: fold each user's flow list in order
-    val flows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val flows = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .filter(col("event_type").isin("purchase", "click"))
       .select(col("user_id"), col("ts"),
         when(col("event_type") === "purchase",
