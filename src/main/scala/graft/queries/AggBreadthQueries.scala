@@ -186,6 +186,41 @@ object AggBreadthQueries extends QueryModule {
       |  CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_discount
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q184: deterministic MODE — the most frequent quantity per return
+    * flag. Native `mode()` exists in both engines but neither PINS its
+    * tie-break (Spark and DuckDB may return different members of a tied
+    * class, and either may change across versions), so an engine gate
+    * cannot use it: the pinned formulation is count-then-rank with an
+    * explicit total order (count desc, value asc), which IS the mode plus
+    * a deterministic tie policy. Shape: one grouped count (map-side
+    * combinable on the (flag, qty) pair key) feeding a per-flag top-1 —
+    * the rank window partitions on flag over |distinct qty| ≤ 50 rows per
+    * group, so the sort after the exchange is trivial at any corpus
+    * size. Quantities are integral doubles; CAST pins the output type. */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"mode_n".desc, $"mode_qty".asc)
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_quantity".cast("long").as("mode_qty"))
+      .agg(count(lit(1)).as("mode_n"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"l_returnflag", $"mode_qty", $"mode_n")
+      .orderBy($"l_returnflag")
+  }
+  private val q184Sql =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS mode_qty,
+      |    CAST(count(*) AS BIGINT) AS mode_n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY mode_n DESC, mode_qty ASC) AS rn
+      |  FROM c)
+      |SELECT l_returnflag, mode_qty, mode_n FROM r WHERE rn = 1
+      |ORDER BY l_returnflag""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q39_rollup", q39, Some(q39Sql)),
     QueryDef("q40_cube", q40, Some(q40Sql)),
@@ -194,5 +229,6 @@ object AggBreadthQueries extends QueryModule {
     QueryDef("q159_exact_percentiles", q159, Some(q159Sql)),
     QueryDef("q173_multi_distinct", q173, Some(q173Sql)),
     QueryDef("q177_bool_aggs", q177, Some(q177Sql)),
+    QueryDef("q184_mode_pinned", q184, Some(q184Sql)),
   )
 }

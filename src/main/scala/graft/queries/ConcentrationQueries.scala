@@ -159,9 +159,67 @@ object ConcentrationQueries extends QueryModule {
       |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
       |FROM m ORDER BY seg""".stripMargin
 
+  /** q187: pro-rata budget allocation with largest-remainder rounding —
+    * split 1,000,000 units across nations proportional to order revenue
+    * so the parts are integers and SUM EXACTLY to the budget (floors
+    * first, then +1 to the largest remainders until the leftover is
+    * spent; ties broken by name). Every step is integer arithmetic on
+    * LONGs (B·rev ≤ 1e17, no overflow; floor-div and mod on positives
+    * agree across engines), so the allocation is bit-deterministic —
+    * the property that matters when the "budget" is sampling quotas or
+    * shard sizes derived from a 100 TB corpus scan. The fact table is
+    * touched once (grouped cents sum); the remainder ranking runs on the
+    * |nations|-row aggregate, the same tiny-frame window discipline as
+    * q130. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = lit(1000000L)
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("rev_cents"))
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.partitionBy().orderBy($"rem".desc, $"n_name")
+    rev
+      .withColumn("t", sum($"rev_cents").over(wAll))
+      .withColumn("base", expr("1000000 * rev_cents div t"))
+      .withColumn("rem", expr("1000000 * rev_cents % t"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("leftover", budget - sum($"base").over(wAll))
+      .select($"n_name", $"rev_cents",
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+          .as("alloc_units"))
+      .orderBy($"n_name")
+  }
+  private val q187Sql =
+    """WITH rev AS (
+      |  SELECT n_name,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1),
+      |x AS (
+      |  SELECT n_name, rev_cents,
+      |    1000000 * rev_cents // (SELECT sum(rev_cents) FROM rev) AS base,
+      |    1000000 * rev_cents % (SELECT sum(rev_cents) FROM rev) AS rem
+      |  FROM rev),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, n_name) AS rk,
+      |    1000000 - sum(base) OVER () AS leftover
+      |  FROM x)
+      |SELECT n_name, rev_cents,
+      |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc_units
+      |FROM r ORDER BY n_name""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q130_share_of_parent", q130, Some(q130Sql)),
     QueryDef("q131_event_trigrams", q131, Some(q131Sql)),
     QueryDef("q132_gini", q132, Some(q132Sql)),
+    QueryDef("q187_largest_remainder", q187, Some(q187Sql)),
   )
 }

@@ -51,7 +51,52 @@ object FunnelQueries extends QueryModule {
       |  round(avg(length(path)), 2) AS avg_path_len
       |FROM paths GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q188: last-touch revenue attribution — each purchase is credited to
+    * the user's most recent PRECEDING view or click ("direct" when none),
+    * then revenue rolls up per channel. The lookup is not a join: one
+    * window pass per user carries the latest touch forward
+    * (`last(..., ignoreNulls)` over UNBOUNDED..1 PRECEDING — the same
+    * LOCF kernel as q99), so attribution costs exactly one exchange+sort
+    * on user_id however long the touch history is. (ts, event_id) makes
+    * the order total, so "most recent" is unambiguous under same-ts
+    * ties. Money flows as LONG cents; the one division happens after the
+    * exact sum. */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("touch",
+        last(when($"event_type" =!= "purchase", $"event_type"),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .groupBy(coalesce($"touch", lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum($"cents") / 100.0, 2).as("revenue"))
+      .orderBy($"channel")
+  }
+  private val q188Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |t AS (
+      |  SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+      |      THEN event_type END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY tsu, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM ev)
+      |SELECT coalesce(touch, 'direct') AS channel,
+      |  CAST(count(*) AS BIGINT) AS n_purchases,
+      |  round(sum(cents) / 100.0, 2) AS revenue
+      |FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q176_funnel_paths", q176, Some(q176Sql)),
+    QueryDef("q188_attribution", q188, Some(q188Sql)),
   )
 }

@@ -172,6 +172,61 @@ object SetSubqueryQueries extends QueryModule {
       |GROUP BY lang, bucket
       |ORDER BY set_op, lang, bucket""".stripMargin
 
+  /** q186: "only late supplier" — the TPC-H Q21 join shape: suppliers
+    * charged with an order's delay when the order had other suppliers
+    * (EXISTS) and none of the others was late (NOT EXISTS), counted and
+    * top-10'd. Late = shipped more than 60 days after the order date.
+    * The Spark side deliberately does NOT stack two correlated
+    * subqueries: after the per-(order, supplier) lateness flags, "some
+    * other supplier exists / no other late supplier" is ONE grouped
+    * aggregate per order (supplier count, late count, the unique late
+    * key via max-over-when) — two scans of the flag table become one,
+    * the 100 TB-relevant difference, while the DuckDB oracle keeps the
+    * literal EXISTS / NOT EXISTS formulation so the two shapes
+    * cross-check each other. Top-10 cut (count desc, suppkey tie-break)
+    * runs before the supplier-name join, which then broadcasts 10 rows. */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate")
+    val flags = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .cast("long")).as("late"))
+    val faults = flags.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("ns"), sum($"late").as("nl"),
+        max(when($"late" === 1L, $"l_suppkey")).as("s_suppkey"))
+      .filter($"ns" >= 2 && $"nl" === 1L)
+    val top = faults.groupBy($"s_suppkey")
+      .agg(count(lit(1)).as("n_fault_orders"))
+      .orderBy($"n_fault_orders".desc, $"s_suppkey")
+      .limit(10)
+    top.join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_name")),
+        Seq("s_suppkey"))
+      .select($"s_suppkey", $"s_name", $"n_fault_orders")
+      .orderBy($"n_fault_orders".desc, $"s_suppkey")
+  }
+  private val q186Sql =
+    """WITH ls AS (
+      |  SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+      |    max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |        THEN 1 ELSE 0 END) AS late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT s1.ok, s1.sk FROM ls s1
+      |  WHERE s1.late = 1
+      |    AND EXISTS (SELECT 1 FROM ls s2
+      |      WHERE s2.ok = s1.ok AND s2.sk <> s1.sk)
+      |    AND NOT EXISTS (SELECT 1 FROM ls s3
+      |      WHERE s3.ok = s1.ok AND s3.sk <> s1.sk AND s3.late = 1))
+      |SELECT f.sk AS s_suppkey, s.s_name,
+      |  CAST(count(*) AS BIGINT) AS n_fault_orders
+      |FROM f JOIN supplier s ON f.sk = s.s_suppkey
+      |GROUP BY 1, 2
+      |ORDER BY n_fault_orders DESC, s_suppkey LIMIT 10""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q43_intersect_except", q43, Some(q43Sql)),
     QueryDef("q44_in_subquery", q44, Some(q44Sql)),
@@ -179,5 +234,6 @@ object SetSubqueryQueries extends QueryModule {
     QueryDef("q46_full_outer_join", q46, Some(q46Sql)),
     QueryDef("q155_multiset_ops", q155, Some(q155Sql)),
     QueryDef("q161_below_avg_lots", q161, Some(q161Text)),
+    QueryDef("q186_only_late_supplier", q186, Some(q186Sql)),
   )
 }

@@ -114,8 +114,33 @@ object SqlSurfaceQueries extends QueryModule {
       |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
 
+  /** q185: aggregate FILTER clause, as SQL text — the ANSI per-aggregate
+    * predicate (`agg(x) FILTER (WHERE p)`), run verbatim on both engines.
+    * Catalyst rewrites each FILTER into the aggregate's conditional form
+    * during planning, so the plan is STILL one grouped pass (no
+    * per-predicate scans — same HashAggregate shape as q177's spelled-out
+    * conditionals); the gate pins the parser/semantics, including the
+    * interaction with count(*) vs count(col) and an avg whose filter
+    * excludes all rows of a group (NULL, not 0). Money goes through cents
+    * so sums are exact; the one avg is guarded onto an integer lattice
+    * (sum of cents / count both exact, one IEEE division). */
+  private def q185(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "lineitem")(q185Text)
+  private val q185Text =
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_all,
+      |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_deep_disc,
+      |  CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |    FILTER (WHERE l_linestatus = 'F'), 0) AS BIGINT) AS cents_f,
+      |  round(avg(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |    FILTER (WHERE l_quantity >= 49) / 100.0, 6) AS avg_price_heavy,
+      |  CAST(count(*) FILTER (WHERE l_tax = 0 AND l_discount = 0) AS BIGINT)
+      |    AS n_clean
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q137_correlated_exists", q137, Some(q137Text)),
+    QueryDef("q185_filter_clause", q185, Some(q185Text)),
     QueryDef("q138_recursive_cte", q138, Some(q138Sql)),
     QueryDef("q157_bit_aggs", q157, Some(q157Text)),
     QueryDef("q158_listagg", q158, Some(q158Sql)),

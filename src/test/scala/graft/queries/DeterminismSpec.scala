@@ -53,7 +53,12 @@ class DeterminismSpec extends SparkTestBase {
     // cut, hash-split proportions, censored hazard prefix sums, clamped
     // running balance (reflection identity over two windows)
     "q178_rsi", "q179_market_basket", "q180_ab_ztest", "q182_cum_hazard",
-    "q183_capped_balance")
+    "q183_capped_balance",
+    // SQL-breadth batch: pinned-tie-break mode, FILTER-clause aggregates,
+    // Q21-shaped one-pass fault aggregate, integer largest-remainder
+    // allocation, LOCF-kernel last-touch attribution
+    "q184_mode_pinned", "q185_filter_clause", "q186_only_late_supplier",
+    "q187_largest_remainder", "q188_attribution")
 
   private val dir = "/root/testdata/sf0.001"
 
