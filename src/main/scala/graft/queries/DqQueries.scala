@@ -235,6 +235,62 @@ object DqQueries extends QueryModule {
       |  WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
       |ORDER BY fk_edge""".stripMargin
 
+  /** q189: CUSUM drift alarm — the sequential control chart over daily
+    * revenue per event type, the change-point monitor a DQ layer runs on
+    * every metric stream. The one-sided CUSUM recurrence
+    * S_t = max(0, S_{t-1} + (x_t − μ)) is the SAME clamped fold as q183,
+    * so it gets the same reflection identity (prefix sum minus its
+    * running minimum) — two windows over one exchange, no sequential
+    * scan. Exactness: deviations are pre-scaled by the day count
+    * (v_t = n·x_t − T with n, T, x LONG), which makes the mean exact
+    * without division, and the alarm test 2·S > n·T·…, here 2·S > T,
+    * stays all-integer; the only doubles are the final reported ratios.
+    * The daily cells are |types|×|days| — tiny after the first grouped
+    * pass at any corpus size, which is what makes the per-type windows
+    * safe. */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+    val wType = Window.partitionBy($"event_type")
+    val wRun = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("n", count(lit(1)).over(wType))
+      .withColumn("t", sum($"x").over(wType))
+      .withColumn("s", sum($"n" * $"x" - $"t").over(wRun))
+      .withColumn("cusum", $"s" - least(min($"s").over(wRun), lit(0L)))
+      .groupBy($"event_type")
+      .agg(
+        sum(when(lit(2L) * $"cusum" > $"t", 1L).otherwise(0L)).as("n_alarm_days"),
+        min(when(lit(2L) * $"cusum" > $"t", $"day")).as("first_alarm_day"),
+        round(max($"cusum").cast("double") / max($"t"), 6).as("peak_ratio"))
+      .orderBy($"event_type")
+  }
+  private val q189Sql =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS t FROM d GROUP BY 1),
+      |p AS (
+      |  SELECT d.event_type, day, m.t, sum(m.n * d.x - m.t) OVER w AS s
+      |  FROM d JOIN m USING (event_type)
+      |  WINDOW w AS (PARTITION BY d.event_type ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |c AS (
+      |  SELECT event_type, day, t, s - least(min(s) OVER w, 0) AS cusum
+      |  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type,
+      |  CAST(sum(CASE WHEN 2 * cusum > t THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_alarm_days,
+      |  min(CASE WHEN 2 * cusum > t THEN day END) AS first_alarm_day,
+      |  round(CAST(max(cusum) AS DOUBLE) / max(t), 6) AS peak_ratio
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q32_gap_detection", q32, Some(q32Sql)),
     QueryDef("q33_stale_check", q33, Some(q33Sql)),
@@ -244,5 +300,6 @@ object DqQueries extends QueryModule {
     QueryDef("q37_date_parts", q37, Some(q37Sql)),
     QueryDef("q38_dropdup_arbitrary", q38, Some(q38Sql)),
     QueryDef("q129_fk_audit", q129, Some(q129Sql)),
+    QueryDef("q189_cusum_alarm", q189, Some(q189Sql)),
   )
 }

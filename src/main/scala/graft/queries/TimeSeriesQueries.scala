@@ -538,6 +538,89 @@ object TimeSeriesQueries extends QueryModule {
       |  CAST(count(*) AS BIGINT) AS n_flows
       |FROM bal GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q190: semi-additive aggregation — the balance-style measure that
+    * sums ACROSS entities but takes LAST-IN-PERIOD along time (the AUM /
+    * inventory / account-balance rule every warehouse needs and naive
+    * SUM gets wrong). Per (user, day) the closing value is a max_by on
+    * the event time — (user_id, ts) is unique in this data (pinned by
+    * q176), so the arg-max is deterministic without a composite
+    * tie-break — then days roll up by plain addition. Two grouped
+    * passes, both map-side combinable; no window, no sort. Active-day
+    * semantics (a user with no events that day contributes nothing):
+    * carry-forward would compose this with q99's calendar LOCF. */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"), $"ts",
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"user_id", $"day")
+      .agg(max_by($"cents", $"ts").as("eod"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_active_users"),
+        round(sum($"eod") / 100.0, 2).as("eod_total"))
+      .orderBy($"day")
+  }
+  private val q190Sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    epoch_us(ts) AS tsu,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |eod AS (
+      |  SELECT user_id, day, arg_max(cents, tsu) AS eod
+      |  FROM ev GROUP BY 1, 2)
+      |SELECT day, CAST(count(*) AS BIGINT) AS n_active_users,
+      |  round(sum(eod) / 100.0, 2) AS eod_total
+      |FROM eod GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q191: time-weighted average price (TWAP) — each purchase price
+    * weighted by how long it was the user's latest price (the financial
+    * average that ignores trade clustering). The holding duration is
+    * lead(ts) − ts from ONE window pass; weights are whole seconds
+    * (ns div 1e9 ≡ DuckDB's µs // 1e6 — floors of the same real value on
+    * the µs lattice, so the engines agree exactly), price·weight and
+    * weight sums stay LONG (cents·seconds ≤ 5e11 per interval — no
+    * overflow), and the TWAP is one IEEE division at the end. The last
+    * observation has no forward duration and is excluded; zero-length
+    * holdings carry zero weight. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      .withColumn("dur", lead($"ts", 1).over(w) - $"ts")
+      .filter($"dur".isNotNull)
+      .withColumn("dur_s", expr("dur div 1000000000"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"cents" * $"dur_s").as("wsum"), sum($"dur_s").as("wtot"))
+      .filter($"wtot" > 0L)
+      .select($"user_id", $"n_intervals",
+        round($"wsum".cast("double") / $"wtot" / 100.0, 6).as("twap"))
+      .orderBy($"user_id")
+  }
+  private val q191Sql =
+    """WITH px AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |d AS (
+      |  SELECT user_id, cents,
+      |    (lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+      |      - tsu) // 1000000 AS dur_s
+      |  FROM px),
+      |f AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+      |    CAST(sum(cents * dur_s) AS BIGINT) AS wsum,
+      |    CAST(sum(dur_s) AS BIGINT) AS wtot
+      |  FROM d WHERE dur_s IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_intervals,
+      |  round(CAST(wsum AS DOUBLE) / wtot / 100.0, 6) AS twap
+      |FROM f WHERE wtot > 0 ORDER BY user_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
@@ -553,6 +636,8 @@ object TimeSeriesQueries extends QueryModule {
     QueryDef("q156_seasonal_index", q156, Some(q156Sql)),
     QueryDef("q178_rsi", q178, Some(q178Sql)),
     QueryDef("q183_capped_balance", q183, Some(q183Sql)),
+    QueryDef("q190_eod_balance", q190, Some(q190Sql)),
+    QueryDef("q191_twap", q191, Some(q191Sql)),
   )
 
   /** q110: FORWARD as-of join — each click joined to the user's earliest

@@ -244,6 +244,92 @@ object WarehouseQueries extends QueryModule {
       |  CAST(sum(len) AS BIGINT) AS active_days
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q192: price–volume bridge — the variance decomposition ("revenue
+    * bridge" / "waterfall") every finance review runs: year-over-year
+    * revenue change per brand split into price effect q0·(p1−p0), volume
+    * effect p0·(q1−q0), their cross term, plus new- and lost-part
+    * revenue. One conditional-sum pass over the two-year lineitem slice
+    * builds per-part (q0,c0,q1,c1) cells — no self-join, no full outer
+    * join: absence is q=0 in the same row. Unit prices are the only
+    * divisions (exact LONG cents / LONG qty, IEEE-identical per part in
+    * both engines, evaluated lazily so unmatched parts never divide by
+    * zero); each per-part term is rounded to 4 dp and summed as DECIMAL,
+    * making the brand rollup order-free and partitioning-invariant. The
+    * part dimension joins as a broadcast. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter(year($"l_shipdate").isin(1997, 1998))
+      .select($"l_partkey",
+        (year($"l_shipdate") === 1997).as("is0"),
+        $"l_quantity".cast("long").as("q"),
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("c"))
+    val perPart = li.groupBy($"l_partkey")
+      .agg(sum(when($"is0", $"q").otherwise(0L)).as("q0"),
+        sum(when($"is0", $"c").otherwise(0L)).as("c0"),
+        sum(when(!$"is0", $"q").otherwise(0L)).as("q1"),
+        sum(when(!$"is0", $"c").otherwise(0L)).as("c1"))
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+    val matched = $"q0" > 0L && $"q1" > 0L
+    val p0 = $"c0".cast("double") / $"q0"
+    val p1 = $"c1".cast("double") / $"q1"
+    def term(x: org.apache.spark.sql.Column) =
+      when(matched, round(x, 4)).otherwise(0.0).cast("decimal(28,4)")
+    perPart
+      .select($"p_brand", $"c0", $"c1",
+        term($"q0" * (p1 - p0)).as("pt"),
+        term(p0 * ($"q1" - $"q0")).as("vt"),
+        term(($"q1" - $"q0") * (p1 - p0)).as("xt"),
+        when($"q0" === 0L, $"c1").otherwise(0L).as("nr"),
+        when($"q1" === 0L, $"c0").otherwise(0L).as("lr"))
+      .groupBy($"p_brand")
+      .agg(
+        round((sum($"c1") - sum($"c0")) / 100.0, 2).as("delta_rev"),
+        round(sum($"pt").cast("double") / 100.0, 2).as("price_effect"),
+        round(sum($"vt").cast("double") / 100.0, 2).as("volume_effect"),
+        round(sum($"xt").cast("double") / 100.0, 2).as("cross_effect"),
+        round(sum($"nr") / 100.0, 2).as("new_rev"),
+        round(sum($"lr") / 100.0, 2).as("lost_rev"))
+      .orderBy($"p_brand")
+  }
+  private val q192Sql =
+    """WITH li AS (
+      |  SELECT l_partkey, year(l_shipdate) = 1997 AS is0,
+      |    CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS c
+      |  FROM lineitem WHERE year(l_shipdate) IN (1997, 1998)),
+      |pp AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CASE WHEN is0 THEN q ELSE 0 END) AS BIGINT) AS q0,
+      |    CAST(sum(CASE WHEN is0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN NOT is0 THEN q ELSE 0 END) AS BIGINT) AS q1,
+      |    CAST(sum(CASE WHEN NOT is0 THEN c ELSE 0 END) AS BIGINT) AS c1
+      |  FROM li GROUP BY 1),
+      |t AS (
+      |  SELECT p.p_brand, pp.c0, pp.c1,
+      |    CAST(CASE WHEN q0 > 0 AND q1 > 0 THEN round(
+      |      q0 * (CAST(c1 AS DOUBLE) / q1 - CAST(c0 AS DOUBLE) / q0), 4)
+      |      ELSE 0.0 END AS DECIMAL(28,4)) AS pt,
+      |    CAST(CASE WHEN q0 > 0 AND q1 > 0 THEN round(
+      |      (CAST(c0 AS DOUBLE) / q0) * (q1 - q0), 4)
+      |      ELSE 0.0 END AS DECIMAL(28,4)) AS vt,
+      |    CAST(CASE WHEN q0 > 0 AND q1 > 0 THEN round(
+      |      (q1 - q0) * (CAST(c1 AS DOUBLE) / q1 - CAST(c0 AS DOUBLE) / q0), 4)
+      |      ELSE 0.0 END AS DECIMAL(28,4)) AS xt,
+      |    CASE WHEN q0 = 0 THEN c1 ELSE 0 END AS nr,
+      |    CASE WHEN q1 = 0 THEN c0 ELSE 0 END AS lr
+      |  FROM pp JOIN part p ON pp.l_partkey = p.p_partkey)
+      |SELECT p_brand,
+      |  round((sum(c1) - sum(c0)) / 100.0, 2) AS delta_rev,
+      |  round(CAST(sum(pt) AS DOUBLE) / 100.0, 2) AS price_effect,
+      |  round(CAST(sum(vt) AS DOUBLE) / 100.0, 2) AS volume_effect,
+      |  round(CAST(sum(xt) AS DOUBLE) / 100.0, 2) AS cross_effect,
+      |  round(sum(nr) / 100.0, 2) AS new_rev,
+      |  round(sum(lr) / 100.0, 2) AS lost_rev
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
     QueryDef("q75_funnel_window", q75, Some(q75Sql)),
@@ -252,6 +338,7 @@ object WarehouseQueries extends QueryModule {
     QueryDef("q96_snapshot_diff", q96, Some(q96Sql)),
     QueryDef("q104_streaks", q104, Some(q104Sql)),
     QueryDef("q113_profile_stats", q113, Some(q113Sql)),
+    QueryDef("q192_price_volume_bridge", q192, Some(q192Sql)),
   )
 
   /** q113: table profiling (ANALYZE-style statistics collection) — per

@@ -58,7 +58,11 @@ class DeterminismSpec extends SparkTestBase {
     // Q21-shaped one-pass fault aggregate, integer largest-remainder
     // allocation, LOCF-kernel last-touch attribution
     "q184_mode_pinned", "q185_filter_clause", "q186_only_late_supplier",
-    "q187_largest_remainder", "q188_attribution")
+    "q187_largest_remainder", "q188_attribution",
+    // finance/monitoring batch: CUSUM reflection windows, arg-max day-end
+    // roll-up, lead-windowed TWAP weights, bridge decimal term sums
+    "q189_cusum_alarm", "q190_eod_balance", "q191_twap",
+    "q192_price_volume_bridge")
 
   private val dir = "/root/testdata/sf0.001"
 
