@@ -214,6 +214,41 @@ object ProfilingQueries extends QueryModule {
       |  CAST(count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_distinct_prio
       |FROM orders WHERE o_custkey % 199 = 0 ORDER BY o_orderkey""".stripMargin
 
+  /** q195: TRY arithmetic — q168's safe-parsing discipline extended to
+    * computation: `try_divide` / `try_multiply` return NULL instead of
+    * faulting where ANSI arithmetic would raise (zero divisor, BIGINT
+    * overflow). The gate constructs BOTH failure modes from real data —
+    * 1/(qty−50) divides by zero exactly at qty=50, and partkey·2^61
+    * overflows 64 bits exactly when partkey ≥ 4 — and audits NULL counts
+    * per group, so a regression in either the error detection or the
+    * NULL path moves a count. DuckDB has no TRY forms; the oracle guards
+    * each expression with the equivalent CASE, which also documents the
+    * exact failure predicate being tested. The max over the successful
+    * divisions pins the value path (max is order-free). */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("try_divide(1.0, l_quantity - 50)").isNull.cast("long"))
+          .as("n_div_null"),
+        sum(expr("try_multiply(l_partkey, CAST(2305843009213693952 AS BIGINT))")
+          .isNull.cast("long")).as("n_mul_overflow"),
+        max(round(expr("try_divide(1.0, l_quantity - 50)"), 9))
+          .as("max_inv_gap"))
+      .orderBy($"l_returnflag")
+  }
+  private val q195Sql =
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN l_quantity = 50 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_div_null,
+      |  CAST(sum(CASE WHEN l_partkey >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mul_overflow,
+      |  max(CASE WHEN l_quantity <> 50
+      |      THEN round(1.0 / (l_quantity - 50), 9) END) AS max_inv_gap
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q166_regr_family", q166, Some(q166Sql)),
     QueryDef("q167_width_bucket", q167, Some(q167Sql)),
@@ -222,5 +257,6 @@ object ProfilingQueries extends QueryModule {
     QueryDef("q170_calendar_functions", q170, Some(q170Sql)),
     QueryDef("q171_ntile_deciles", q171, Some(q171Sql)),
     QueryDef("q172_window_distinct", q172, Some(q172Sql)),
+    QueryDef("q195_try_arithmetic", q195, Some(q195Sql)),
   )
 }

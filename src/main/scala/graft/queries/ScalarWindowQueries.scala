@@ -185,6 +185,46 @@ object ScalarWindowQueries extends QueryModule {
       |FROM s GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** q193: NATIVE session windows — Spark's `session_window` grouping
+    * expression (the operator Structured Streaming shares), gated against
+    * the manual gaps-and-islands construction q21 pins. Semantics under
+    * test: an event extends a session iff it lands within the CLOSED gap
+    * horizon (t ≤ last + gap — events exactly one gap apart MERGE;
+    * SessionTrySpec proves the boundary), so the oracle's break flag is
+    * `diff > gap`, the same rule q21 uses — the gate proves the native
+    * operator and the manual construction agree step for step. The
+    * window's `end` is last event + gap by definition; subtracting the
+    * gap back out yields the observed span, keeping the output on the
+    * exact µs lattice (no engine-rendered timestamps). Shape: one
+    * exchange on user_id, session assembly inside the aggregate — same
+    * cost model as q21, no window-function sort pass. */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 30L * 60L * 1000000L
+    Tables.events(s, dir)
+      .select($"user_id", timestamp_micros(expr("ts div 1000")).as("tsm"))
+      .groupBy($"user_id", session_window($"tsm", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        unix_micros($"sw.start").as("session_start_us"),
+        (unix_micros($"sw.end") - unix_micros($"sw.start") - gapUs).as("span_us"),
+        $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
+  private val q193Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+      |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS prev
+      |      FROM e),
+      |f AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+      |        THEN 1 ELSE 0 END AS brk FROM l),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      |SELECT user_id, min(tsu) AS session_start_us,
+      |  max(tsu) - min(tsu) AS span_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q15_scalar_functions", q15, Some(q15Sql)),
     QueryDef("q16_distinct", q16, Some(q16Sql)),
@@ -193,5 +233,6 @@ object ScalarWindowQueries extends QueryModule {
     QueryDef("q19_topk_per_group", q19, Some(q19Sql)),
     QueryDef("q20_pivot", q20, Some(q20Sql)),
     QueryDef("q21_sessionize", q21, Some(q21Sql)),
+    QueryDef("q193_session_window", q193, Some(q193Sql)),
   )
 }

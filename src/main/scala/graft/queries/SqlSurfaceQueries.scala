@@ -138,9 +138,30 @@ object SqlSurfaceQueries extends QueryModule {
       |    AS n_clean
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q194: ordered-set aggregates — ANSI `percentile_disc / percentile_cont
+    * … WITHIN GROUP (ORDER BY …)`, run as the same SQL text on both
+    * engines. percentile_disc must SELECT AN ACTUAL ELEMENT (smallest
+    * value whose cumulative distribution reaches p — no interpolation),
+    * which both engines implement identically; percentile_cont
+    * interpolates on the q159 dyadic lattice so the doubles are exact.
+    * The disc/cont pair in one statement pins that the engine keeps the
+    * two semantics distinct — the regression this guards is an engine
+    * quietly aliasing one to the other. */
+  private def q194(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "lineitem")(q194Text)
+  private val q194Text =
+    """SELECT l_returnflag,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS qty_med_disc,
+      |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity) AS qty_p90_disc,
+      |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS qty_med_cont,
+      |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS qty_p25_cont,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q137_correlated_exists", q137, Some(q137Text)),
     QueryDef("q185_filter_clause", q185, Some(q185Text)),
+    QueryDef("q194_ordered_set_aggs", q194, Some(q194Text)),
     QueryDef("q138_recursive_cte", q138, Some(q138Sql)),
     QueryDef("q157_bit_aggs", q157, Some(q157Text)),
     QueryDef("q158_listagg", q158, Some(q158Sql)),

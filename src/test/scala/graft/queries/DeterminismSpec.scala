@@ -62,7 +62,10 @@ class DeterminismSpec extends SparkTestBase {
     // finance/monitoring batch: CUSUM reflection windows, arg-max day-end
     // roll-up, lead-windowed TWAP weights, bridge decimal term sums
     "q189_cusum_alarm", "q190_eod_balance", "q191_twap",
-    "q192_price_volume_bridge")
+    "q192_price_volume_bridge",
+    // SQL-surface batch: native session_window assembly, ordered-set
+    // aggregates, TRY-arithmetic NULL paths
+    "q193_session_window", "q194_ordered_set_aggs", "q195_try_arithmetic")
 
   private val dir = "/root/testdata/sf0.001"
 

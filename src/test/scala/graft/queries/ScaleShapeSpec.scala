@@ -146,4 +146,44 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"LIMIT over ORDER BY should be a bounded top-k, not a full sort:\n$plan")
   }
+
+  test("q186 Q21 shape scans lineitem once — the aggregate form, not double EXISTS") {
+    val plan = SparkEntry.queries("q186_only_late_supplier")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val liScans = "FileScan parquet.*lineitem".r.findAllIn(plan).size
+    assert(liScans == 1, s"one-pass fault aggregate must scan the fact once, got $liScans:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop fallback in plan:\n$plan")
+  }
+
+  test("q188 attribution is pure windows — no join against touch history") {
+    val plan = SparkEntry.queries("q188_attribution")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"LOCF attribution must not join:\n$plan")
+    assert(plan.contains("Window"), s"expected the LOCF window pass:\n$plan")
+  }
+
+  test("q189 CUSUM scans events once; windows run on the post-aggregate cells") {
+    val plan = SparkEntry.queries("q189_cusum_alarm")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val evScans = "FileScan parquet.*events".r.findAllIn(plan).size
+    assert(evScans == 1, s"daily cells need one scan, got $evScans:\n$plan")
+    assert(!plan.contains("Join"), s"CUSUM needs no join:\n$plan")
+  }
+
+  test("q190 semi-additive roll-up is two grouped passes, no window, no join") {
+    val plan = SparkEntry.queries("q190_eod_balance")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"arg-max form must not sort a window:\n$plan")
+    assert(!plan.contains("Join"), s"semi-additive roll-up must not join:\n$plan")
+  }
+
+  test("q192 bridge scans lineitem once and broadcasts the part dimension") {
+    val plan = SparkEntry.queries("q192_price_volume_bridge")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val liScans = "FileScan parquet.*lineitem".r.findAllIn(plan).size
+    assert(liScans == 1, s"conditional-sum cells need one scan, got $liScans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"part dimension should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no sort-merge expected at dimension size:\n$plan")
+  }
 }
