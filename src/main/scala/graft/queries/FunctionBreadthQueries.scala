@@ -281,6 +281,32 @@ object FunctionBreadthQueries extends QueryModule {
       |  CAST(count(*) AS BIGINT) AS n_parts
       |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** q197: positional explode — `posexplode` must yield the element's
+    * ordinal (0-based), gated by recomputing first-occurrence positions a
+    * second way: the oracle never explodes, it asks `list_position`
+    * (1-based, first match) for the same answer. A generator that
+    * shuffled, deduplicated, or mis-numbered elements moves first_pos or
+    * n_occ. Shape: generate → filter to a fixed probe vocabulary →
+    * re-aggregate; the explode inflates rows only between two pipelined
+    * stages, nothing wide materializes. */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+      .filter($"tok".isin("spark", "data", "merge", "window"))
+      .groupBy($"doc_id", $"tok")
+      .agg(min($"pos").cast("long").as("first_pos"), count(lit(1)).as("n_occ"))
+      .orderBy($"doc_id", $"tok")
+  }
+  private val q197Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id, tok,
+      |  CAST(list_position(toks, tok) - 1 AS BIGINT) AS first_pos,
+      |  CAST(len(list_filter(toks, s -> s = tok)) AS BIGINT) AS n_occ
+      |FROM t, (VALUES ('spark'), ('data'), ('merge'), ('window')) v(tok)
+      |WHERE list_contains(toks, tok)
+      |ORDER BY doc_id, tok""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q47_window_ranking", q47, Some(q47Sql)),
     QueryDef("q48_string_functions", q48, Some(q48Sql)),
@@ -291,5 +317,6 @@ object FunctionBreadthQueries extends QueryModule {
     QueryDef("q165_regexp_family", q165, Some(q165Sql)),
     QueryDef("q174_null_ordering", q174, Some(q174Sql)),
     QueryDef("q175_ilike", q175, Some(q175Sql)),
+    QueryDef("q197_posexplode_firstpos", q197, Some(q197Sql)),
   )
 }

@@ -234,5 +234,36 @@ object ScalarWindowQueries extends QueryModule {
     QueryDef("q20_pivot", q20, Some(q20Sql)),
     QueryDef("q21_sessionize", q21, Some(q21Sql)),
     QueryDef("q193_session_window", q193, Some(q193Sql)),
+    QueryDef("q196_topk_with_ties", q196, Some(q196Sql)),
   )
+
+  /** q196: top-k WITH TIES — rank() ≤ k keeps EVERY row tying with the
+    * k-th (ANSI FETCH FIRST … WITH TIES semantics), where q19's
+    * row_number() ≤ k form would cut ties arbitrarily; ranking on a
+    * coarse measure (per-quantity line counts) makes real ties routine,
+    * so the gate exercises the difference, and the output SET is
+    * deterministic because tied rows are tied on the actual measure —
+    * no tie-break needed for membership, only for display order. Shape:
+    * grouped count, then a per-flag rank over ≤50 rows — the window
+    * runs on the post-aggregate cells. */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_returnflag").orderBy($"n".desc)
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_quantity".cast("long").as("qty"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .filter($"rk" <= 3L)
+      .select($"l_returnflag", $"qty", $"n", $"rk")
+      .orderBy($"l_returnflag", $"rk", $"qty")
+  }
+  private val q196Sql =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(rank() OVER (PARTITION BY l_returnflag
+      |    ORDER BY n DESC) AS BIGINT) AS rk FROM c)
+      |SELECT l_returnflag, qty, n, rk FROM r WHERE rk <= 3
+      |ORDER BY l_returnflag, rk, qty""".stripMargin
 }
