@@ -32,9 +32,9 @@ class SessionTrySpec extends SparkTestBase {
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
       (1L, 1L, 2, 10.0, 100.0, 0.0, 0.0, "A", "F",
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
-      (1L, 5L, 3, 20.0, 100.0, 0.0, 0.0, "A", "F",
+      (1L, 100L, 3, 20.0, 100.0, 0.0, 0.0, "A", "F",
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
-      (1L, 5L, 4, 40.0, 100.0, 0.0, 0.0, "A", "F",
+      (1L, 200L, 4, 40.0, 100.0, 0.0, 0.0, "A", "F",
         java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
@@ -57,7 +57,9 @@ class SessionTrySpec extends SparkTestBase {
     val x = r(0)
     assert(x.getAs[Long]("n") == 4L)
     assert(x.getAs[Long]("n_div_null") == 1L) // the qty=50 row
-    assert(x.getAs[Long]("n_mul_overflow") == 2L) // the partkey-5 rows overflow 2^61 multiplier
+    // partkeys 100 and 200 are in the sampled slice (pmod 100 = 0) and
+    // both overflow the 2^61 multiplier; the partkey-1 rows are unsampled
+    assert(x.getAs[Long]("n_mul_overflow") == 2L)
     // successful divisions: qty 10 -> -1/40, qty 20 -> -1/30, qty 40 -> -1/10
     assert(x.getAs[Double]("max_inv_gap") == -0.025) // -1/40 is the max
   }
