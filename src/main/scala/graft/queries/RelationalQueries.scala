@@ -351,6 +351,74 @@ object RelationalQueries extends QueryModule {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin.replace("REVENUE", revenueSql)
 
+  /** q198: national market share — the TPC-H Q8 join shape: the ASIA
+    * customer market for STANDARD parts, by order year, with one
+    * nation's share of it. Seven relations, two roles for nation
+    * (customer region membership vs supplier nationality); every
+    * dimension arm — region-filtered nation keys, the type-filtered part
+    * list, the nation-named supplier map, even the region's customers —
+    * broadcasts, so the only shuffles are fact-sized: lineitem⋈orders on
+    * the order key and the final year aggregate. Share numerator and
+    * denominator come from ONE conditional aggregate (no second pass, no
+    * self-join); revenue is the exact-decimal q01/q154 money discipline
+    * and the share is a single IEEE division per year, rounded at 6 dp. */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asiaKeys = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).where($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(asiaKeys), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    val parts = Tables.part(s, dir)
+      .where($"p_type" === "STANDARD").select($"p_partkey")
+    val ord = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("yr"))
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_partkey", revenueTerm.as("rev"))
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"yr")
+      .agg(
+        sum($"rev").cast(DoubleType).as("market_revenue"),
+        coalesce(sum(when($"n_name" === "NATION_12", $"rev")), lit(0))
+          .cast(DoubleType).as("nation_revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .withColumn("share", round($"nation_revenue" / $"market_revenue", 6))
+      .orderBy($"yr")
+  }
+  private val q198Sql =
+    """WITH base AS (
+      |  SELECT year(o_orderdate) AS yr, n.n_name,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      AS rev
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n ON s_nationkey = n.n_nationkey),
+      |agg AS (
+      |  SELECT yr,
+      |    CAST(sum(rev) AS DOUBLE) AS market_revenue,
+      |    CAST(coalesce(sum(CASE WHEN n_name = 'NATION_12' THEN rev END), 0)
+      |      AS DOUBLE) AS nation_revenue,
+      |    CAST(count(*) AS BIGINT) AS n_lineitems
+      |  FROM base GROUP BY yr)
+      |SELECT yr, market_revenue, nation_revenue, n_lineitems,
+      |  round(nation_revenue / market_revenue, 6) AS share
+      |FROM agg ORDER BY yr""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01, Some(q01Sql)),
     QueryDef("q02_filter_topk", q02, Some(q02Sql)),
@@ -363,5 +431,6 @@ object RelationalQueries extends QueryModule {
     QueryDef("q09_union_counts", q09, Some(q09Sql)),
     QueryDef("q10_case_when", q10, Some(q10Sql)),
     QueryDef("q154_local_supplier", q154, Some(q154Sql)),
+    QueryDef("q198_market_share", q198, Some(q198Sql)),
   )
 }

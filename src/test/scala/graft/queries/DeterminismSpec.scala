@@ -66,7 +66,8 @@ class DeterminismSpec extends SparkTestBase {
     // SQL-surface batch: native session_window assembly, ordered-set
     // aggregates, TRY-arithmetic NULL paths
     "q193_session_window", "q194_ordered_set_aggs", "q195_try_arithmetic",
-    "q196_topk_with_ties", "q197_posexplode_firstpos")
+    "q196_topk_with_ties", "q197_posexplode_firstpos",
+    "q198_market_share")
 
   private val dir = "/root/testdata/sf0.001"
 

@@ -178,6 +178,15 @@ class ScaleShapeSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"semi-additive roll-up must not join:\n$plan")
   }
 
+  test("q198 Q8 shape broadcasts every dimension arm — facts are the only shuffles") {
+    val plan = SparkEntry.queries("q198_market_share")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected part/customer/supplier/nation arms to broadcast, got $bhj:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop fallback in plan:\n$plan")
+  }
+
   test("q192 bridge scans lineitem once and broadcasts the part dimension") {
     val plan = SparkEntry.queries("q192_price_volume_bridge")(spark, dir)
       .queryExecution.executedPlan.toString
