@@ -269,5 +269,42 @@ object ProfilingQueries extends QueryModule {
     QueryDef("q171_ntile_deciles", q171, Some(q171Sql)),
     QueryDef("q172_window_distinct", q172, Some(q172Sql)),
     QueryDef("q195_try_arithmetic", q195, Some(q195Sql)),
+    QueryDef("q199_log2_histogram", q199, Some(q199Sql)),
   )
+
+  /** q199: exponential (power-of-2) histogram — the log-scale bucketing
+    * every latency/metrics system uses, computed WITHOUT libm:
+    * floor(log2(x)) for a positive integer is its binary-string length
+    * minus one, an exact integer identity on both engines (Spark `bin`,
+    * DuckDB `format('{:b}')`), where a double log2 would be correctly
+    * rounded only by luck at bucket boundaries (the q160 libm-free
+    * discipline). Bucket bounds are reconstructed by bit shifts — also
+    * exact. One grouped pass; |types|×64 output cells max at any corpus
+    * size. */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("cents"))
+      .filter($"cents" > 0L)
+      .withColumn("bucket", (length(expr("bin(cents)")) - 1).cast("long"))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"))
+      .withColumn("hi", expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT) + 1) - 1"))
+      .select($"event_type", $"bucket", $"lo", $"hi", $"n")
+      .orderBy($"event_type", $"bucket")
+  }
+  private val q199Sql =
+    """WITH c AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    CAST(length(format('{:b}', cents)) - 1 AS BIGINT) AS bucket
+      |  FROM c WHERE cents > 0)
+      |SELECT event_type, bucket,
+      |  (CAST(1 AS BIGINT) << CAST(bucket AS INT)) AS lo,
+      |  (CAST(1 AS BIGINT) << (CAST(bucket AS INT) + 1)) - 1 AS hi,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

@@ -67,7 +67,7 @@ class DeterminismSpec extends SparkTestBase {
     // aggregates, TRY-arithmetic NULL paths
     "q193_session_window", "q194_ordered_set_aggs", "q195_try_arithmetic",
     "q196_topk_with_ties", "q197_posexplode_firstpos",
-    "q198_market_share")
+    "q198_market_share", "q199_log2_histogram")
 
   private val dir = "/root/testdata/sf0.001"
 
