@@ -638,7 +638,57 @@ object TimeSeriesQueries extends QueryModule {
     QueryDef("q183_capped_balance", q183, Some(q183Sql)),
     QueryDef("q190_eod_balance", q190, Some(q190Sql)),
     QueryDef("q191_twap", q191, Some(q191Sql)),
+    QueryDef("q200_interval_coverage", q200, Some(q200Sql)),
   )
+
+  /** q200: interval-union coverage — total time covered by the UNION of
+    * overlapping intervals per user (uptime / utilization / SLA math),
+    * where naive duration sums double-count overlaps. Each event covers
+    * [ts, ts+5min); the sweep identity turns the union into one window
+    * pass: an interval's NEW contribution is end − max(start, maxEndSoFar)
+    * clamped at zero, where maxEndSoFar is a running max over earlier
+    * intervals — sum of contributions IS the union length, exactly, in
+    * integer ns. Blocks (maximal merged runs) fall out of the same pass:
+    * a new block starts iff the start strictly clears every earlier end
+    * (touching half-open intervals merge). One exchange+sort on user_id;
+    * no self-join, no island re-aggregation round trip. */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = 300L * 1000000000L // 5 min in ns
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id")
+      .withColumn("pme", max($"ts" + h).over(w))
+      .withColumn("covered",
+        greatest($"ts" + lit(h) - greatest($"ts", coalesce($"pme", $"ts")), lit(0L)))
+      .withColumn("blk",
+        ($"pme".isNull || $"pme" < $"ts").cast("long"))
+      .groupBy($"user_id")
+      .agg(expr("sum(covered) div 1000").as("covered_us"),
+        sum($"blk").as("n_blocks"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+  private val q200Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+      |m AS (
+      |  SELECT user_id, tsu,
+      |    max(tsu + 300000000) OVER (PARTITION BY user_id
+      |      ORDER BY tsu, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |  FROM e),
+      |c AS (
+      |  SELECT user_id,
+      |    greatest(tsu + 300000000 - greatest(tsu, coalesce(pme, tsu)), 0)
+      |      AS covered,
+      |    CASE WHEN pme IS NULL OR pme < tsu THEN 1 ELSE 0 END AS blk
+      |  FROM m)
+      |SELECT user_id, CAST(sum(covered) AS BIGINT) AS covered_us,
+      |  CAST(sum(blk) AS BIGINT) AS n_blocks,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q110: FORWARD as-of join — each click joined to the user's earliest
     * error at or after it ("time to next failure"), the mirror of q50's

@@ -67,7 +67,8 @@ class DeterminismSpec extends SparkTestBase {
     // aggregates, TRY-arithmetic NULL paths
     "q193_session_window", "q194_ordered_set_aggs", "q195_try_arithmetic",
     "q196_topk_with_ties", "q197_posexplode_firstpos",
-    "q198_market_share", "q199_log2_histogram")
+    "q198_market_share", "q199_log2_histogram",
+    "q200_interval_coverage")
 
   private val dir = "/root/testdata/sf0.001"
 

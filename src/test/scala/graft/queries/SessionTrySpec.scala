@@ -64,6 +64,27 @@ class SessionTrySpec extends SparkTestBase {
     assert(x.getAs[Double]("max_inv_gap") == -0.025) // -1/40 is the max
   }
 
+  test("q200 unions overlaps, merges touching intervals, splits gaps") {
+    val d = tmpDir("cov")
+    val m = 60L * 1000000000L // one minute in ns
+    // user 1: events at 0 and 2 min (overlap: union = 7 min, one block);
+    // user 2: events at 0 and EXACTLY 5 min (touching: union 10 min, ONE
+    // block); user 3: events at 0 and 10 min (gap: 10 min, two blocks)
+    Seq((1L, 0L, 1L), (2L, 2L * m, 1L),
+      (3L, 0L, 2L), (4L, 5L * m, 2L),
+      (5L, 0L, 3L), (6L, 10L * m, 3L))
+      .map { case (id, ts, u) => (id, ts, u, "view", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = SparkEntry.queries("q200_interval_coverage")(spark, d).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("covered_us"), x.getAs[Long]("n_blocks"))).toMap
+    val minUs = 60L * 1000000L
+    assert(r(1L) == ((7L * minUs, 1L)))
+    assert(r(2L) == ((10L * minUs, 1L)))
+    assert(r(3L) == ((10L * minUs, 2L)))
+  }
+
   test("q194 percentile_disc picks an element, percentile_cont interpolates") {
     val r = run("q194_ordered_set_aggs", dir).collect()
     assert(r.length == 1)
