@@ -289,9 +289,9 @@ object CorpusModelQueries extends QueryModule {
     * ENTIRE training loop replays verbatim in the DuckDB oracle and the
     * scores hash-match. Per GD round: one scan + a 4-cell aggregate
     * (map-side partials); scoring is a pure projection. */
-  private def q160(s: SparkSession, dir: String): DataFrame = {
+  private def featFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val feat = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("toks", split($"text", " "))
       .select($"lang",
         array(($"n_chars" / 100.0).as("f1"),
@@ -299,6 +299,11 @@ object CorpusModelQueries extends QueryModule {
           (size(array_distinct($"toks")).cast("double") / size($"toks")).as("f3"))
           .as("f"),
         when($"lang" === "en", 1.0).otherwise(0.0).as("label"))
+  }
+
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feat = featFrame(s, dir)
     val model = graft.ml.LinearProbe.fitGD(feat, "f", "label",
       dims = 3, lr = 0.5, iters = 3)
     feat.select($"lang", model.scoreCol($"f").as("score"))
@@ -348,6 +353,64 @@ object CorpusModelQueries extends QueryModule {
       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q201: model evaluation — ROC AUC of the q160 linear probe against
+    * its is-English label, via the rank-sum identity with tie midranks:
+    * AUC = [Σ_s n_pos(s)·(2·negBelow(s) + n_neg(s))] / (2·N₁·N₀), which
+    * counts concordant pairs exactly (ties at the same score worth ½)
+    * WITHOUT materializing pairs or ranking rows: group by score, prefix
+    * sums over the score-ordered cells ([[DistributedScan.prefixSums]] —
+    * never a single-partition window), one aggregate. Scores are the
+    * probe's 9 dp-rounded deterministic doubles, so score cells and
+    * their order agree across engines; everything after grouping is
+    * integer until the final division. The oracle replays training
+    * (q160's CTEs) and the same identity with a window prefix sum. */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feat = featFrame(s, dir)
+    val model = graft.ml.LinearProbe.fitGD(feat, "f", "label",
+      dims = 3, lr = 0.5, iters = 3)
+    val cells = feat.select($"label", model.scoreCol($"f").as("score"))
+      .groupBy($"score")
+      .agg(sum(when($"label" === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when($"label" === 0.0, 1L).otherwise(0L)).as("nn"))
+    graft.operators.DistributedScan
+      .prefixSums(cells, Seq(col("score")), Seq("nn"))
+      .agg(
+        sum($"np" * (lit(2L) * ($"nn_cum" - $"nn") + $"nn")).as("conc2"),
+        sum($"np").as("n1"), sum($"nn").as("n0"))
+      .select(
+        round($"conc2".cast("double") / (lit(2.0) * $"n1" * $"n0"), 6).as("auc"),
+        $"n1", $"n0")
+  }
+  private val q201Sql = {
+    val m = s"(w.b + w.w1 * f1 + w.w2 * f2 + w.w3 * f3)"
+    val p = s"round(0.5 + 0.5 * $m / (1.0 + abs($m)), 9)"
+    s"""WITH feat AS (SELECT lang,
+      |    n_chars / 100.0 AS f1,
+      |    len(string_split(text, ' ')) / 10.0 AS f2,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS f3,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label
+      |  FROM documents),
+      |w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),
+      |${gdRound("w0", "wa")},
+      |${gdRound("wa", "wb")},
+      |${gdRound("wb", "wc")},
+      |scored AS (SELECT label, $p AS score FROM feat CROSS JOIN wc w),
+      |cells AS (SELECT score,
+      |    CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |    CAST(sum(CASE WHEN label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      |  FROM scored GROUP BY score),
+      |c2 AS (SELECT np, nn,
+      |    sum(nn) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS nn_cum
+      |  FROM cells)
+      |SELECT round(CAST(sum(np * (2 * (nn_cum - nn) + nn)) AS DOUBLE)
+      |    / (2.0 * sum(np) * sum(nn)), 6) AS auc,
+      |  CAST(sum(np) AS BIGINT) AS n1,
+      |  CAST(sum(nn) AS BIGINT) AS n0
+      |FROM c2""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),
     QueryDef("q143_token_rarity", q143, Some(q143Sql)),
@@ -356,5 +419,6 @@ object CorpusModelQueries extends QueryModule {
     QueryDef("q147_cluster_balanced", q147, Some(q147Sql)),
     QueryDef("q151_semdedup", q151, Some(q151Sql)),
     QueryDef("q160_linear_probe", q160, Some(q160Sql)),
+    QueryDef("q201_model_auc", q201, Some(q201Sql)),
   )
 }

@@ -45,4 +45,28 @@ class LinearProbeSpec extends SparkTestBase {
     assert(a.weights.toSeq == b.weights.toSeq && a.bias == b.bias,
       "9dp-rounded decimal gradient sums must make GD partitioning-invariant")
   }
+
+  test("q201 rank-sum AUC equals brute-force pair counting (gate corpus)") {
+    import spark.implicits._
+    val auc = graft.SparkEntry.queries("q201_model_auc")(
+      spark, "/root/testdata/sf0.001").collect()(0).getAs[Double]("auc")
+    // independent O(n^2) reference on the same trained scores
+    val feat = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("toks", split($"text", " "))
+      .select(
+        array(($"n_chars" / 100.0), (size($"toks") / 10.0),
+          (size(array_distinct($"toks")).cast("double") / size($"toks"))).as("f"),
+        when($"lang" === "en", 1.0).otherwise(0.0).as("label"))
+    val m = LinearProbe.fitGD(feat, "f", "label", 3, 0.5, 3)
+    val sl = feat.select(m.scoreCol($"f").as("s"), $"label").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val pos = sl.filter(_._2 == 1.0).map(_._1)
+    val neg = sl.filter(_._2 == 0.0).map(_._1)
+    var conc2 = 0L // concordant pairs doubled (ties count once)
+    for (p <- pos; n <- neg)
+      conc2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val expected = BigDecimal(conc2.toDouble / (2.0 * pos.length * neg.length))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(auc == expected, s"rank-sum $auc vs pairwise $expected")
+  }
 }
