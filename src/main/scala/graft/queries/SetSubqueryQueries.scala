@@ -235,5 +235,41 @@ object SetSubqueryQueries extends QueryModule {
     QueryDef("q155_multiset_ops", q155, Some(q155Sql)),
     QueryDef("q161_below_avg_lots", q161, Some(q161Text)),
     QueryDef("q186_only_late_supplier", q186, Some(q186Sql)),
+    QueryDef("q202_null_safe_join", q202, Some(q202Sql)),
   )
+
+  /** q202: null-safe equality join — Spark's `<=>` (ANSI IS NOT DISTINCT
+    * FROM): NULL keys MATCH each other where plain `=` silently drops
+    * them, the classic bug when a bucketing expression can produce NULL
+    * on both sides. Buckets derive NULL from data (nullif on a modulus),
+    * view counts join click counts per bucket, and the NULL-bucket row
+    * appearing in the output IS the semantics under test — rerunning
+    * with `=` loses exactly that row, which the handcheck pins. Plans as
+    * an ordinary hash join (null-safe equality is still an equi-join
+    * key, hashed with NULL as a value); no nested-loop fallback. */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def buckets(tpe: String, out: String) = Tables.events(s, dir)
+      .filter($"event_type" === tpe)
+      .groupBy(nullif(pmod(round($"value").cast("long"), lit(10L)), lit(0L))
+        .as("bucket"))
+      .agg(count(lit(1)).as(out))
+    val v = buckets("view", "n_views")
+    val c = buckets("click", "n_clicks").withColumnRenamed("bucket", "cb")
+    v.join(c, $"bucket" <=> $"cb", "inner")
+      .select($"bucket", $"n_views", $"n_clicks")
+      .orderBy($"bucket".asc_nulls_first)
+  }
+  private val q202Sql =
+    """WITH v AS (
+      |  SELECT nullif(CAST(round(value) AS BIGINT) % 10, 0) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_views
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT nullif(CAST(round(value) AS BIGINT) % 10, 0) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n_clicks
+      |  FROM events WHERE event_type = 'click' GROUP BY 1)
+      |SELECT v.bucket, v.n_views, c.n_clicks
+      |FROM v JOIN c ON v.bucket IS NOT DISTINCT FROM c.bucket
+      |ORDER BY v.bucket ASC NULLS FIRST""".stripMargin
 }

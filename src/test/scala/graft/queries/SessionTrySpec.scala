@@ -85,6 +85,26 @@ class SessionTrySpec extends SparkTestBase {
     assert(r(3L) == ((10L * minUs, 2L)))
   }
 
+  test("q202 null-safe join keeps the NULL-bucket row that plain = drops") {
+    import org.apache.spark.sql.functions._
+    val r = run("q202_null_safe_join", "/root/testdata/sf0.001")
+    val withNull = r.filter(col("bucket").isNull).collect()
+    assert(withNull.length == 1, "the NULL bucket must match itself under <=>")
+    assert(withNull(0).getAs[Long]("n_views") > 0 &&
+      withNull(0).getAs[Long]("n_clicks") > 0)
+    // the same join under plain equality loses exactly that row
+    val v = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "view")
+      .groupBy(nullif(pmod(round(col("value")).cast("long"), lit(10L)), lit(0L))
+        .as("bucket")).count()
+    val c = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "click")
+      .groupBy(nullif(pmod(round(col("value")).cast("long"), lit(10L)), lit(0L))
+        .as("cb")).count()
+    val plainEq = v.join(c, col("bucket") === col("cb")).count()
+    assert(plainEq == r.count() - 1, "plain = must drop only the NULL row")
+  }
+
   test("q194 percentile_disc picks an element, percentile_cont interpolates") {
     val r = run("q194_ordered_set_aggs", dir).collect()
     assert(r.length == 1)
