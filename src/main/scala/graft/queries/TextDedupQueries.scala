@@ -278,6 +278,56 @@ object TextDedupQueries extends QueryModule {
       |SELECT doc_a, doc_b, n_bands FROM pr
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q203: cross-source duplication matrix — q27's minhash candidate
+    * pairs rolled up by (source, source): which pairs of corpus sources
+    * share near-duplicate content, and at what rate relative to the
+    * possible pairs (n·m cross-source, n·(n−1)/2 within-source). The
+    * matrix is the planning artifact source-level dedup and mixture
+    * decisions read — a hot cell means two feeds mirror each other and
+    * one should be dropped wholesale, which per-document dedup alone
+    * never surfaces. Source labels attach AFTER candidate generation
+    * (two id-key joins against the tiny doc→source map), so the banded
+    * pipeline's scale shape is untouched; the symmetric cell key is
+    * (least, greatest) of the names. */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    val cells = minhashBandPairs(s, dir, minBands = 2)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), Seq("doc_a"))
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), Seq("doc_b"))
+      .groupBy(least($"sa", $"sb").as("s1"), greatest($"sa", $"sb").as("s2"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    val counts = src.groupBy($"source").agg(count(lit(1)).as("n"))
+    cells
+      .join(broadcast(counts.select($"source".as("s1"), $"n".as("n1"))), Seq("s1"))
+      .join(broadcast(counts.select($"source".as("s2"), $"n".as("n2"))), Seq("s2"))
+      .select($"s1", $"s2", $"n_dup_pairs",
+        round($"n_dup_pairs" /
+          when($"s1" === $"s2", $"n1" * ($"n1" - 1L) / 2.0)
+            .otherwise($"n1".cast("double") * $"n2"), 9).as("pair_rate"))
+      .orderBy($"s1", $"s2")
+  }
+  private val q203Sql =
+    s"""$shinglesSql,
+      |$minhashPairsSqlCtes,
+      |lab AS (SELECT least(da.source, db.source) AS s1,
+      |    greatest(da.source, db.source) AS s2
+      |  FROM pr
+      |  JOIN documents da ON pr.doc_a = da.doc_id
+      |  JOIN documents db ON pr.doc_b = db.doc_id),
+      |cells AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_dup_pairs
+      |  FROM lab GROUP BY 1, 2),
+      |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1)
+      |SELECT s1, s2, n_dup_pairs,
+      |  round(n_dup_pairs / CASE WHEN s1 = s2
+      |      THEN c1.n * (c1.n - 1) / 2.0
+      |      ELSE CAST(c1.n AS DOUBLE) * c2.n END, 9) AS pair_rate
+      |FROM cells
+      |JOIN cnt c1 ON cells.s1 = c1.source
+      |JOIN cnt c2 ON cells.s2 = c2.source
+      |ORDER BY s1, s2""".stripMargin
+
   /** q28: SimHash — 60-bit frequency-weighted signature (bit b is the sign
     * of the +-1 vote of bit b of every token's md5, hex-digit reading
     * order), plus each document's hamming-nearest neighbor AMONG BANDED
@@ -387,6 +437,7 @@ object TextDedupQueries extends QueryModule {
     QueryDef("q26_ngram_jaccard", q26, Some(q26Sql)),
     QueryDef("q27_minhash_lsh", q27, Some(q27Sql)),
     QueryDef("q28_simhash", q28, Some(q28Sql)),
+    QueryDef("q203_crossdup_matrix", q203, Some(q203Sql)),
     QueryDef("q122_pair_degree_dist", q122, Some(q122Sql)),
   )
 }

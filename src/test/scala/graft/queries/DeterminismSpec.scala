@@ -68,7 +68,8 @@ class DeterminismSpec extends SparkTestBase {
     "q193_session_window", "q194_ordered_set_aggs", "q195_try_arithmetic",
     "q196_topk_with_ties", "q197_posexplode_firstpos",
     "q198_market_share", "q199_log2_histogram",
-    "q200_interval_coverage", "q201_model_auc", "q202_null_safe_join")
+    "q200_interval_coverage", "q201_model_auc", "q202_null_safe_join",
+    "q203_crossdup_matrix")
 
   private val dir = "/root/testdata/sf0.001"
 
