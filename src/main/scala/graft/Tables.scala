@@ -40,10 +40,8 @@ object Tables {
         // predicates against the derived column can't reach the parquet
         // scan by themselves; the transposition rule (exact inverse on the
         // µs lattice) restores row-group/partition pruning for time splits
-        val opts = spark.experimental.extraOptimizations
-        if (!opts.contains(org.apache.spark.sql.graft.EpochNanosPredicatePushdown))
-          spark.experimental.extraOptimizations =
-            opts :+ org.apache.spark.sql.graft.EpochNanosPredicatePushdown
+        SessionRules.ensureOptimizerRule(
+          spark, org.apache.spark.sql.graft.EpochNanosPredicatePushdown)
         df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
     }
 

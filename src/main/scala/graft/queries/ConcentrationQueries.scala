@@ -163,9 +163,12 @@ object ConcentrationQueries extends QueryModule {
     * split 1,000,000 units across nations proportional to order revenue
     * so the parts are integers and SUM EXACTLY to the budget (floors
     * first, then +1 to the largest remainders until the leftover is
-    * spent; ties broken by name). Every step is integer arithmetic on
-    * LONGs (B·rev ≤ 1e17, no overflow; floor-div and mod on positives
-    * agree across engines), so the allocation is bit-deterministic —
+    * spent; ties broken by name). Every step is exact integer
+    * arithmetic — the B·rev product runs in DECIMAL(38,0) (HUGEINT on
+    * the oracle side) so it cannot wrap even when per-nation revenue
+    * cents exceed the ~9.2e12 that would overflow a LONG product at
+    * larger scale factors; floor-div and mod on positives agree across
+    * engines — so the allocation is bit-deterministic —
     * the property that matters when the "budget" is sampling quotas or
     * shard sizes derived from a 100 TB corpus scan. The fact table is
     * touched once (grouped cents sum); the remainder ranking runs on the
@@ -184,8 +187,9 @@ object ConcentrationQueries extends QueryModule {
     val wRank = Window.partitionBy().orderBy($"rem".desc, $"n_name")
     rev
       .withColumn("t", sum($"rev_cents").over(wAll))
-      .withColumn("base", expr("1000000 * rev_cents div t"))
-      .withColumn("rem", expr("1000000 * rev_cents % t"))
+      .withColumn("basis", $"rev_cents".cast("decimal(28,0)") * lit(1000000L))
+      .withColumn("base", expr("basis div t"))
+      .withColumn("rem", expr("basis % t"))
       .withColumn("rk", row_number().over(wRank))
       .withColumn("leftover", budget - sum($"base").over(wAll))
       .select($"n_name", $"rev_cents",
@@ -204,8 +208,10 @@ object ConcentrationQueries extends QueryModule {
       |  GROUP BY 1),
       |x AS (
       |  SELECT n_name, rev_cents,
-      |    1000000 * rev_cents // (SELECT sum(rev_cents) FROM rev) AS base,
-      |    1000000 * rev_cents % (SELECT sum(rev_cents) FROM rev) AS rem
+      |    1000000 * CAST(rev_cents AS HUGEINT)
+      |      // (SELECT sum(rev_cents) FROM rev) AS base,
+      |    1000000 * CAST(rev_cents AS HUGEINT)
+      |      % (SELECT sum(rev_cents) FROM rev) AS rem
       |  FROM rev),
       |r AS (
       |  SELECT *, row_number() OVER (ORDER BY rem DESC, n_name) AS rk,

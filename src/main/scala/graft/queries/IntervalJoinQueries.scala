@@ -18,9 +18,8 @@ object IntervalJoinQueries extends QueryModule {
     * idempotent and harmless to other queries). */
   private def q57(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val strategies = s.experimental.extraStrategies
-    if (!strategies.exists(_.isInstanceOf[IntervalJoinStrategy]))
-      s.experimental.extraStrategies = strategies :+ IntervalJoinStrategy(s)
+    graft.SessionRules.ensureStrategy(s)(
+      _.isInstanceOf[IntervalJoinStrategy], IntervalJoinStrategy(s))
 
     val bands = Tables.nation(s, dir)
       .select($"n_nationkey".as("band_id"),

@@ -260,13 +260,16 @@ object SetSubqueryQueries extends QueryModule {
       .select($"bucket", $"n_views", $"n_clicks")
       .orderBy($"bucket".asc_nulls_first)
   }
+  // The oracle mirrors Spark's pmod (non-negative residue) via the
+  // ((x % 10) + 10) % 10 identity so engine and oracle agree even if
+  // events.value were ever negative (DuckDB's bare % keeps the sign).
   private val q202Sql =
     """WITH v AS (
-      |  SELECT nullif(CAST(round(value) AS BIGINT) % 10, 0) AS bucket,
+      |  SELECT nullif(((CAST(round(value) AS BIGINT) % 10) + 10) % 10, 0) AS bucket,
       |    CAST(count(*) AS BIGINT) AS n_views
       |  FROM events WHERE event_type = 'view' GROUP BY 1),
       |c AS (
-      |  SELECT nullif(CAST(round(value) AS BIGINT) % 10, 0) AS bucket,
+      |  SELECT nullif(((CAST(round(value) AS BIGINT) % 10) + 10) % 10, 0) AS bucket,
       |    CAST(count(*) AS BIGINT) AS n_clicks
       |  FROM events WHERE event_type = 'click' GROUP BY 1)
       |SELECT v.bucket, v.n_views, c.n_clicks

@@ -364,9 +364,7 @@ object TimeSeriesQueries extends QueryModule {
     * exclusive UNBOUNDED..-1 frames, which the rule never touches). */
   private def q133(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rule = org.apache.spark.sql.graft.GlobalScanRewrite
-    if (!s.experimental.extraOptimizations.contains(rule))
-      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ rule
+    graft.SessionRules.ensureOptimizerRule(s, org.apache.spark.sql.graft.GlobalScanRewrite)
     s.conf.set("spark.graft.rewrite.globalScan", "true")
     val daily = Tables.orders(s, dir)
       .groupBy(to_date($"o_orderdate").as("day"))

@@ -40,6 +40,20 @@ import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, Time
   * The rule therefore fires only when the cast's zone is UTC (the engine
   * pins `spark.sql.session.timeZone=UTC` everywhere); a plain TIMESTAMP
   * column needs no cast and no zone check.
+  *
+  * Domain assumption (both sides): the equivalences above hold only while
+  * `micros*1000` does not wrap a LONG, i.e. for instants before
+  * 2262-04-11 — past that, Spark's non-ANSI Multiply wraps silently and
+  * the original and rewritten predicates disagree. The LITERAL side is
+  * guarded (ceilDiv uses addExact; on overflow the rewrite is skipped),
+  * but the COLUMN side has no runtime guard: the engine's epoch-ns
+  * contract (`Tables.tsAsEpochNanos`) is itself only meaningful within
+  * the same pre-2262 range, so a source file carrying later instants is
+  * out of contract before this rule ever sees it. Do not register the
+  * rule for data that can exceed that range, and note that under ANSI
+  * eval mode the un-rewritten multiply would raise instead of wrap —
+  * the rewrite would then mask the error by answering from the raw
+  * column.
   */
 object EpochNanosPredicatePushdown extends Rule[LogicalPlan] {
 
