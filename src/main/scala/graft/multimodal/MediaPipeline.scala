@@ -1,26 +1,44 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioSystem, UnsupportedAudioFileException}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, processed by per-partition batch operators.
   *
-  * The real codecs (JPEG/PNG decode, audio resample, video frame extraction)
-  * are NOT available in this environment — every `decode*` below is a
-  * clearly marked DETERMINISTIC STUB that derives its output from the
-  * payload bytes alone, so the Spark-side contract (schema, encoders,
-  * partition-iterator batch shape, column pruning of the heavy payload) is
-  * real and testable, and swapping in a native codec later changes only the
-  * function body, not the pipeline.
+  * Image and audio decode are REAL: `javax.imageio.ImageIO` (PNG/JPEG/BMP/
+  * GIF — whatever readers the JVM ships) and `javax.sound.sampled` (WAV/
+  * AIFF/AU). Dimensions, channel counts, sample rates, frame counts, and RMS
+  * all come from decoded pixels/samples, gated end-to-end against an oracle
+  * that recomputes them arithmetically from [[MediaFixtures]]' synthetic
+  * payloads (q54, q204). The two places a codec genuinely does not exist in
+  * a bare JVM stay clearly-marked deterministic stand-ins: the 16-dim image
+  * EMBEDDING is a 4x4 mean-intensity grid over the real decoded pixels (a
+  * real vision encoder slots into `poolEmbedding`), and VIDEO container
+  * demux is byte-slicing (the JDK has no demuxer; the 1→N explode shape is
+  * the contract).
+  *
+  * Corrupt payloads never kill a job: `decodeImages`/`decodeAudio` return
+  * per-row ok/err results (`ImageIO.read` returning null, truncated files,
+  * and `UnsupportedAudioFileException` all land in the reject path), so a
+  * 100 TB scan with a 1e-6 corruption rate yields a quarantine table, not a
+  * stage retry storm.
   *
   * Scale notes: payloads are the dominant bytes at 100 TB. Operators keep
   * them out of shuffles — features/metadata are projected BEFORE any wide
   * stage, and the payload column is dropped as early as possible. The
-  * `mapPartitions` shape mirrors a batched UDF: amortized per-batch setup
-  * (codec init), streaming iterators, no per-row JVM churn.
+  * `mapPartitions` shape mirrors a batched UDF: amortized per-batch setup,
+  * streaming iterators, no per-row JVM churn.
   */
 object MediaPipeline {
+
+  // in-memory stream cache: ImageIO otherwise spills every decode to a temp
+  // file, a syscall per row on the executor hot path
+  ImageIO.setUseCache(false)
 
   /** One media asset: payload is the opaque encoded bytes. */
   final case class MediaAsset(
@@ -47,47 +65,92 @@ object MediaPipeline {
       frame_no: Int,
       frame_payload: Array[Byte])
 
-  /** DETERMINISTIC STUB for image decode + embed: a real implementation
-    * decodes payload → pixels and runs a vision encoder; this derives
-    * pseudo-dimensions and a 16-dim pseudo-embedding from a rolling hash of
-    * the bytes. Batch shape, schema, and determinism are the contract. */
+  /** Per-row decode outcome for the audit/quarantine path. */
+  final case class ImageDecode(
+      asset_id: Long,
+      ok: Boolean,
+      width: Option[Int],
+      height: Option[Int],
+      channels: Option[Int],
+      err: Option[String])
+
+  final case class AudioDecode(
+      asset_id: Long,
+      ok: Boolean,
+      sample_rate: Option[Int],
+      n_samples: Option[Long],
+      rms: Option[Double],
+      err: Option[String])
+
+  /** Real image decode + grid-pooled embedding. Undecodable payloads are
+    * DROPPED here (use [[decodeImages]] when the rejects matter); decode
+    * runs inside the partition iterator so per-batch setup amortizes. */
   def imageFeatures(assets: Dataset[MediaAsset]): Dataset[ImageFeatures] = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "image").mapPartitions { it =>
-      // per-partition setup happens once here (codec init in the real impl)
-      it.map { a =>
-        val h = bytesHash(a.payload)
-        val emb = Array.tabulate(16)(i =>
-          (((h >>> (i * 2)) & 0xff).toInt / 255.0f) - 0.5f)
-        ImageFeatures(
-          asset_id = a.asset_id,
-          width = 64 + (h & 0x3f).toInt * 8,
-          height = 64 + ((h >>> 6) & 0x3f).toInt * 8,
-          channels = 3,
-          embedding = emb)
+      it.flatMap { a =>
+        readImage(a.payload).toOption.map { img =>
+          ImageFeatures(
+            asset_id = a.asset_id,
+            width = img.getWidth,
+            height = img.getHeight,
+            channels = img.getRaster.getNumBands,
+            embedding = poolEmbedding(img))
+        }
       }
     }
   }
 
-  /** DETERMINISTIC STUB for audio decode: pseudo sample-rate/duration/RMS
-    * from the byte stream (real impl: PCM decode + windowed RMS). */
+  /** Real audio decode: sample rate and frame count from the container
+    * header, RMS from the decoded PCM16 samples. Undecodable payloads are
+    * dropped (see [[decodeAudio]] for the audited variant). */
   def audioFeatures(assets: Dataset[MediaAsset]): Dataset[AudioFeatures] = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "audio").mapPartitions { it =>
-      it.map { a =>
-        val h = bytesHash(a.payload)
-        AudioFeatures(
-          asset_id = a.asset_id,
-          sample_rate = if ((h & 1) == 0) 44100 else 16000,
-          n_samples = a.payload.length.toLong * 128,
-          rms = ((h >>> 8) & 0xffff).toInt / 65535.0)
+      it.flatMap { a =>
+        readAudio(a.payload).toOption.map { case (rate, frames, rms) =>
+          AudioFeatures(a.asset_id, rate, frames, rms)
+        }
       }
     }
   }
 
-  /** DETERMINISTIC STUB for video frame sampling: every `stride`-th slice
-    * of the payload becomes a "frame" (real impl: container demux +
-    * keyframe extraction). Explodes 1 → N rows, the shape that matters. */
+  /** Audited image decode: every input row yields exactly one output row,
+    * ok=false carrying the reject reason instead of failing the task. */
+  def decodeImages(assets: Dataset[MediaAsset]): Dataset[ImageDecode] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      it.map { a =>
+        readImage(a.payload) match {
+          case Right(img) => ImageDecode(a.asset_id, ok = true,
+            Some(img.getWidth), Some(img.getHeight),
+            Some(img.getRaster.getNumBands), None)
+          case Left(err) => ImageDecode(a.asset_id, ok = false,
+            None, None, None, Some(err))
+        }
+      }
+    }
+  }
+
+  /** Audited audio decode — same contract as [[decodeImages]]. */
+  def decodeAudio(assets: Dataset[MediaAsset]): Dataset[AudioDecode] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { a =>
+        readAudio(a.payload) match {
+          case Right((rate, frames, rms)) => AudioDecode(a.asset_id, ok = true,
+            Some(rate), Some(frames), Some(rms), None)
+          case Left(err) => AudioDecode(a.asset_id, ok = false,
+            None, None, None, Some(err))
+        }
+      }
+    }
+  }
+
+  /** Video frame sampling: every `stride`-th slice of the payload becomes a
+    * "frame". The JDK ships no container demuxer, so the slicing is a
+    * deterministic stand-in; the 1 → N explode (and keeping the heavy bytes
+    * out of any shuffle) is the real contract. */
   def sampleFrames(assets: Dataset[MediaAsset], stride: Int = 4): Dataset[VideoFrame] = {
     import assets.sparkSession.implicits._
     assets.filter(_.kind == "video").flatMap { a =>
@@ -115,15 +178,83 @@ object MediaPipeline {
       .select(col("asset_id"), col("embedding")) // payload long gone
   }
 
-  /** FNV-1a over the payload — the deterministic seed for every stub. */
-  private def bytesHash(bytes: Array[Byte]): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xff).toLong
-      h *= 0x100000001b3L
-      i += 1
+  // ---- decode internals (executor-side; exceptions become reject rows) ----
+
+  private def readImage(bytes: Array[Byte]): Either[String, java.awt.image.BufferedImage] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) Left("unrecognized image format") else Right(img)
+    } catch {
+      case e: Exception => Left(s"image decode failed: ${e.getClass.getSimpleName}")
     }
-    h
+
+  /** WAV/AIFF/AU → (sampleRate, frameCount, rms of normalized samples).
+    * RMS is computed over all channels from the 16-bit PCM stream; the
+    * sum-of-squares accumulates in double (exact for any realistic clip:
+    * 2^30 samples of amplitude 2^15 stay under 2^53). */
+  private def readAudio(bytes: Array[Byte]): Either[String, (Int, Long, Double)] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16)
+          Left(s"unsupported sample size: ${fmt.getSampleSizeInBits}")
+        else {
+          val frames = in.getFrameLength
+          val data = in.readAllBytes()
+          var sumSq = 0.0
+          var n = 0L
+          var i = 0
+          val big = fmt.isBigEndian
+          while (i + 1 < data.length) {
+            val s =
+              if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+              else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            sumSq += s.toDouble * s.toDouble
+            n += 1
+            i += 2
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0
+          Right((fmt.getSampleRate.toInt, frames, rms))
+        }
+      } finally in.close()
+    } catch {
+      case _: UnsupportedAudioFileException => Left("unrecognized audio format")
+      case e: Exception => Left(s"audio decode failed: ${e.getClass.getSimpleName}")
+    }
+
+  /** 4x4 mean-intensity grid over the decoded raster → 16-dim embedding in
+    * [-0.5, 0.5]. A real vision encoder replaces exactly this function; the
+    * pooling itself is real pixel math (band-averaged, integer-summed,
+    * deterministic). */
+  private def poolEmbedding(img: java.awt.image.BufferedImage): Array[Float] = {
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](16)
+    var cell = 0
+    while (cell < 16) {
+      val cx = cell % 4
+      val cy = cell / 4
+      val x0 = cx * w / 4; val x1 = math.max((cx + 1) * w / 4, x0 + 1)
+      val y0 = cy * h / 4; val y1 = math.max((cy + 1) * h / 4, y0 + 1)
+      var sum = 0L
+      var cnt = 0L
+      var y = y0
+      while (y < math.min(y1, h)) {
+        var x = x0
+        while (x < math.min(x1, w)) {
+          var b = 0
+          while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
+          cnt += bands
+          x += 1
+        }
+        y += 1
+      }
+      out(cell) = if (cnt == 0) 0.0f else (sum.toDouble / cnt / 255.0 - 0.5).toFloat
+      cell += 1
+    }
+    out
   }
 }

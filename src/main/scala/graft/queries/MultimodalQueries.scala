@@ -1,40 +1,44 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
-import graft.multimodal.MediaPipeline
+import graft.multimodal.{MediaFixtures, MediaPipeline}
 import graft.multimodal.MediaPipeline.MediaAsset
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing under the oracle: documents' bytes become media
-  * payloads (image/audio/video round-robin by id), flow through the REAL
-  * MediaPipeline operators (typed Dataset, mapPartitions/flatMap batch
-  * shapes, encoders), and the checked output is only fields the oracle can
-  * derive arithmetically from payload length — embedding dimensionality,
-  * synthetic sample counts, strided frame counts. The hash-derived stub
-  * fields (pseudo-pixels, RMS) stay engine-side; their determinism is
-  * covered by MediaPipelineSpec.
+/** Multimodal decode under the oracle: documents' ids parameterize REAL
+  * synthetic media ([[MediaFixtures]] — PNG via ImageIO, WAV as RIFF/PCM16),
+  * the payloads are encoded AND decoded distributed on executors through the
+  * real `javax.imageio`/`javax.sound.sampled` codecs in MediaPipeline, and
+  * the checked output is decoded properties (dimensions, bands, sample rate,
+  * frame count, RMS) that the oracle recomputes arithmetically from the id —
+  * DuckDB never sees a payload byte, so a hash match proves the decode is
+  * real and exact. Video stays the byte-slicing frame explode (no JDK
+  * demuxer); its frame arithmetic is likewise id-derivable.
   */
 object MultimodalQueries extends QueryModule {
 
-  /** q54: per-asset metric by modality —
-    * image: embedding length (16), audio: n_samples = len·128,
-    * video: frames kept by stride-4 sampling of 16 chunks. */
+  private def syntheticAsset(id: Long): MediaAsset = (id % 3) match {
+    case 0 => MediaAsset(id, "image", MediaFixtures.pngPayload(id), Map("origin" -> "synthetic"))
+    case 1 => MediaAsset(id, "audio", MediaFixtures.wavPayload(id), Map("origin" -> "synthetic"))
+    case _ => MediaAsset(id, "video", MediaFixtures.videoPayload(id), Map("origin" -> "synthetic"))
+  }
+
+  /** q54: per-asset decoded metric by modality —
+    * image: width/height/bands from the REAL PNG decode, packed as
+    * (w·1000 + h)·10 + channels; audio: rate·100000 + frames from the REAL
+    * WAV decode; video: frames kept by stride-4 sampling of 16 chunks. */
   private def q54(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val assets = Tables.documents(s, dir)
-      .select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) =>
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
-        }
-        MediaAsset(id, kind, text.getBytes("UTF-8"), Map("origin" -> "documents"))
-      }
+      .select($"doc_id").as[Long].map(syntheticAsset)
     val images = MediaPipeline.imageFeatures(assets).toDF()
       .select($"asset_id", lit("image").as("kind"),
-        size($"embedding").cast("long").as("metric"))
+        (($"width" * 1000 + $"height") * 10 + $"channels")
+          .cast("long").as("metric"))
     val audio = MediaPipeline.audioFeatures(assets).toDF()
-      .select($"asset_id", lit("audio").as("kind"), $"n_samples".as("metric"))
+      .select($"asset_id", lit("audio").as("kind"),
+        ($"sample_rate".cast("long") * 100000L + $"n_samples").as("metric"))
     val video = MediaPipeline.sampleFrames(assets).toDF()
       .groupBy($"asset_id")
       .agg(count(lit(1)).as("metric"))
@@ -42,18 +46,25 @@ object MultimodalQueries extends QueryModule {
     images.unionByName(audio).unionByName(video)
       .orderBy($"asset_id")
   }
+  // mirrors MediaFixtures: imageWidth/Height/Gray, audioRate/Frames, videoLen
   private val q54Sql =
-    """WITH d AS (SELECT doc_id AS asset_id, octet_length(encode(text)) AS len,
+    """WITH d AS (SELECT doc_id AS asset_id,
       |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |      ELSE 'video' END AS kind
-      |  FROM documents)
-      |SELECT asset_id, kind,
-      |  CASE kind
-      |    WHEN 'image' THEN 16
-      |    WHEN 'audio' THEN len * 128
-      |    ELSE ((((len + greatest(len // 16, 1) - 1) // greatest(len // 16, 1)) + 3) // 4)
-      |  END AS metric
-      |FROM d ORDER BY asset_id""".stripMargin
+      |  FROM documents),
+      |v AS (SELECT asset_id, 64 + (asset_id % 100) * 3 AS len
+      |  FROM d WHERE kind = 'video')
+      |SELECT d.asset_id, d.kind,
+      |  CAST(CASE d.kind
+      |    WHEN 'image' THEN
+      |      ((8 + d.asset_id % 16) * 1000 + 8 + (d.asset_id // 16) % 16) * 10
+      |        + CASE WHEN d.asset_id % 2 = 0 THEN 1 ELSE 3 END
+      |    WHEN 'audio' THEN
+      |      (8000 * (1 + d.asset_id % 3)) * 100000 + 100 + d.asset_id % 50
+      |    ELSE ((v.len + (v.len // 16) - 1) // (v.len // 16) + 3) // 4
+      |  END AS BIGINT) AS metric
+      |FROM d LEFT JOIN v ON d.asset_id = v.asset_id
+      |ORDER BY d.asset_id""".stripMargin
 
   /** q141: frame-level sampling output — the 1→N explode at ROW
     * granularity (q54 checks only per-asset counts): every video asset's
@@ -92,8 +103,61 @@ object MultimodalQueries extends QueryModule {
       |  CAST(frame_len AS BIGINT) AS frame_len
       |FROM f ORDER BY asset_id, frame_no""".stripMargin
 
+  /** q204: decode audit — every asset decodes to exactly one row, ok=false
+    * rows carry NULL metrics instead of failing the scan (the quarantine
+    * contract a 100 TB corpus with stray corrupt files needs). Ids divisible
+    * by 17 get deliberately undecodable payloads; everything else round-trips
+    * through the real codecs, and the decoded sample-rate/frame-count/RMS
+    * and pixel dimensions are id-arithmetic for the oracle. The constant-
+    * amplitude WAV makes the decoded RMS exactly amplitude/32768 (see
+    * MediaFixtures), so even the floating-point column is hash-stable. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir)
+      .select($"doc_id").as[Long].map { id =>
+        val kind = if (id % 2 == 0) "image" else "audio"
+        val payload =
+          if (id % 17 == 0) MediaFixtures.corruptPayload(id)
+          else if (kind == "image") MediaFixtures.pngPayload(id)
+          else MediaFixtures.wavPayload(id)
+        MediaAsset(id, kind, payload, Map.empty)
+      }
+    val img = MediaPipeline.decodeImages(assets).toDF()
+      .select($"asset_id", lit("image").as("kind"), $"ok",
+        $"width", $"height", $"channels",
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("long").as("n_samples"),
+        lit(null).cast("double").as("rms6"))
+    val aud = MediaPipeline.decodeAudio(assets).toDF()
+      .select($"asset_id", lit("audio").as("kind"), $"ok",
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("channels"),
+        $"sample_rate", $"n_samples", round($"rms", 6).as("rms6"))
+    img.unionByName(aud).orderBy($"asset_id")
+  }
+  private val q204Sql =
+    """SELECT doc_id AS asset_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      |  doc_id % 17 <> 0 AS ok,
+      |  CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 17 <> 0
+      |    THEN 8 + doc_id % 16 END AS INTEGER) AS width,
+      |  CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 17 <> 0
+      |    THEN 8 + (doc_id // 16) % 16 END AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 17 <> 0
+      |    THEN 1 END AS INTEGER) AS channels,
+      |  CAST(CASE WHEN doc_id % 2 = 1 AND doc_id % 17 <> 0
+      |    THEN 8000 * (1 + doc_id % 3) END AS INTEGER) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 1 AND doc_id % 17 <> 0
+      |    THEN 100 + doc_id % 50 END AS BIGINT) AS n_samples,
+      |  CAST(CASE WHEN doc_id % 2 = 1 AND doc_id % 17 <> 0
+      |    THEN round((1000 + (doc_id % 7) * 500) / 32768.0, 6)
+      |  END AS DOUBLE) AS rms6
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q54_multimodal_metrics", q54, Some(q54Sql)),
     QueryDef("q141_frame_sample", q141, Some(q141Sql)),
+    QueryDef("q204_decode_audit", q204, Some(q204Sql)),
   )
 }

@@ -4,36 +4,80 @@ import graft.SparkTestBase
 import graft.multimodal.MediaPipeline._
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: schemas, batch shape, determinism, payload pruning. */
+/** Multimodal decode: real codec round-trips, reject paths, schemas, batch
+  * shape, determinism, payload pruning. */
 class MediaPipelineSpec extends SparkTestBase {
 
-  private def asset(id: Long, kind: String, seed: Int): MediaAsset =
-    MediaAsset(id, kind, Array.tabulate(256 + seed)(i => ((i * seed + id) % 251).toByte),
-      Map("origin" -> s"unit-$id"))
+  private def img(id: Long) =
+    MediaAsset(id, "image", MediaFixtures.pngPayload(id), Map("origin" -> s"unit-$id"))
+  private def aud(id: Long) =
+    MediaAsset(id, "audio", MediaFixtures.wavPayload(id), Map("origin" -> s"unit-$id"))
+  private def vid(id: Long) =
+    MediaAsset(id, "video", MediaFixtures.videoPayload(id), Map("origin" -> s"unit-$id"))
 
   private lazy val assets = {
     import spark.implicits._
-    spark.createDataset(Seq(
-      asset(1, "image", 3), asset(2, "image", 5), asset(3, "audio", 7),
-      asset(4, "video", 11), asset(5, "image", 13)))
+    spark.createDataset(Seq(img(1), img(2), aud(3), vid(4), img(5)))
   }
 
-  test("image features: schema, one row per image asset, deterministic") {
+  test("image features decode real PNGs: exact dimensions, bands, determinism") {
     val f1 = imageFeatures(assets).collect().sortBy(_.asset_id)
     val f2 = imageFeatures(assets).collect().sortBy(_.asset_id)
     assert(f1.map(_.asset_id).toSeq == Seq(1L, 2L, 5L))
-    assert(f1.forall(_.embedding.length == 16))
-    assert(f1.forall(f => f.width >= 64 && f.height >= 64 && f.channels == 3))
-    // deterministic stub: identical output across runs
+    f1.foreach { f =>
+      assert(f.width == MediaFixtures.imageWidth(f.asset_id))
+      assert(f.height == MediaFixtures.imageHeight(f.asset_id))
+      assert(f.channels == (if (MediaFixtures.imageGray(f.asset_id)) 1 else 3))
+      assert(f.embedding.length == 16)
+      assert(f.embedding.forall(v => v >= -0.5f && v <= 0.5f))
+    }
+    // the pooled embedding is real pixel math: identical across runs
     assert(f1.zip(f2).forall { case (a, b) =>
       a.asset_id == b.asset_id && a.embedding.sameElements(b.embedding) })
+    // and not degenerate (the test pattern has a gradient)
+    assert(f1.exists(_.embedding.distinct.length > 1))
   }
 
-  test("audio features: only audio assets, plausible ranges") {
+  test("audio features decode real WAVs: rate, frames, exact RMS") {
     val f = audioFeatures(assets).collect()
     assert(f.map(_.asset_id).toSeq == Seq(3L))
-    assert(Set(44100, 16000).contains(f.head.sample_rate))
-    assert(f.head.rms >= 0.0 && f.head.rms <= 1.0)
+    val a = f.head
+    assert(a.sample_rate == MediaFixtures.audioRate(3))
+    assert(a.n_samples == MediaFixtures.audioFrames(3).toLong)
+    // constant-amplitude signal: decoded RMS is exactly amp/32768
+    assert(a.rms == MediaFixtures.audioAmplitude(3) / 32768.0)
+  }
+
+  test("decodeImages quarantines corrupt payloads instead of failing") {
+    import spark.implicits._
+    val mixed = spark.createDataset(Seq(
+      img(10),
+      MediaAsset(11, "image", MediaFixtures.corruptPayload(11), Map.empty),
+      MediaAsset(12, "image", MediaFixtures.wavPayload(12), Map.empty), // wrong codec
+      img(13)))
+    val out = decodeImages(mixed).collect().sortBy(_.asset_id)
+    assert(out.map(_.asset_id).toSeq == Seq(10L, 11L, 12L, 13L)) // 1 row per input
+    val byId = out.map(d => d.asset_id -> d).toMap
+    assert(byId(10L).ok && byId(13L).ok)
+    assert(byId(10L).width.contains(MediaFixtures.imageWidth(10)))
+    assert(!byId(11L).ok && byId(11L).err.nonEmpty && byId(11L).width.isEmpty)
+    assert(!byId(12L).ok && byId(12L).err.nonEmpty)
+  }
+
+  test("decodeAudio quarantines corrupt and truncated payloads") {
+    import spark.implicits._
+    val truncated = MediaFixtures.wavPayload(21).take(20) // header cut mid-way
+    val mixed = spark.createDataset(Seq(
+      aud(20),
+      MediaAsset(21, "audio", truncated, Map.empty),
+      MediaAsset(22, "audio", MediaFixtures.corruptPayload(22), Map.empty)))
+    val out = decodeAudio(mixed).collect().sortBy(_.asset_id)
+    assert(out.length == 3)
+    val byId = out.map(d => d.asset_id -> d).toMap
+    assert(byId(20L).ok && byId(20L).sample_rate.contains(MediaFixtures.audioRate(20)))
+    assert(byId(20L).rms.contains(MediaFixtures.audioAmplitude(20) / 32768.0))
+    assert(!byId(21L).ok && byId(21L).err.nonEmpty)
+    assert(!byId(22L).ok && byId(22L).err.nonEmpty)
   }
 
   test("video frame sampling explodes 1 asset into strided frames") {
