@@ -49,6 +49,47 @@ class VersionedCatalogSpec extends SparkTestBase {
     assert(cat.read("dq", c1).collect().map(_.getString(1)).toSeq == Seq("PASS"))
   }
 
+  test("interleaved publishes of DISJOINT tables both land, serialized") {
+    import spark.implicits._
+    val wh = tmpDir("vcat-occ-ok")
+    val cat1 = new VersionedCatalog(spark, wh)
+    val cat2 = new VersionedCatalog(spark, wh)
+    cat1.publish(Map(
+      "gold" -> Seq((1, "a")).toDF("id", "v"),
+      "dq" -> Seq((1, "PASS")).toDF("id", "status")))
+    // cat2 commits dq AFTER cat1 snapshots its base but BEFORE cat1 commits
+    cat1.raceHook = () =>
+      cat2.publish(Map("dq" -> Seq((1, "PASS"), (2, "FAIL")).toDF("id", "status")))
+    val c = cat1.publish(Map("gold" -> Seq((1, "a"), (2, "b")).toDF("id", "v")))
+    cat1.raceHook = () => ()
+    // cat1 rebased on cat2's commit: the final commit carries BOTH writes
+    assert(c == 2L && cat1.currentCommit() == 2L)
+    assert(counts(cat1) == (2L, 2L))
+    // and cat2's intermediate commit is still time-travelable
+    assert(counts(cat1, 1L) == (1L, 2L))
+  }
+
+  test("a conflicting concurrent write on the SAME table raises, not silently drops") {
+    import spark.implicits._
+    val wh = tmpDir("vcat-occ-conflict")
+    val cat1 = new VersionedCatalog(spark, wh)
+    val cat2 = new VersionedCatalog(spark, wh)
+    cat1.publish(Map("gold" -> Seq((1, "a")).toDF("id", "v")))
+    cat1.raceHook = () =>
+      cat2.publish(Map("gold" -> Seq((9, "z")).toDF("id", "v")))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      cat1.publish(Map("gold" -> Seq((1, "a"), (2, "b")).toDF("id", "v")))
+    }
+    cat1.raceHook = () => ()
+    assert(e.getMessage.contains("gold"))
+    // the concurrent winner's write is intact — nothing was dropped
+    assert(cat1.currentCommit() == 1L)
+    assert(cat1.read("gold").collect().map(_.getInt(0)).toSeq == Seq(9))
+    // and a retried publish from fresh reads succeeds
+    cat1.publish(Map("gold" -> Seq((9, "z"), (2, "b")).toDF("id", "v")))
+    assert(cat1.read("gold").count() == 2L)
+  }
+
   test("vacuum reclaims unreachable versions but keeps retained commits readable") {
     import spark.implicits._
     val wh = tmpDir("vcat-vac")
