@@ -291,8 +291,103 @@ object DqQueries extends QueryModule {
       |  round(CAST(max(cusum) AS DOUBLE) / max(t), 6) AS peak_ratio
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q181: DQ triage — the reference's use-case-4 question verbatim ("did
+    * anything fail in the latest pipeline run?", docs/use_cases.md:44-57):
+    * a multi-run data_quality_checks relation (three simulated run dates,
+    * each re-running the gap/stale checks over the data as of that run,
+    * plus the PASS row-count summary), then the triage SELECT — latest
+    * run via scalar subquery, FAIL rows only, ordered by layer, check,
+    * key. The checks relation is built with one broadcast of the 3-row
+    * runs dim (never a data-sized cross join) and one window/agg pair per
+    * family; the triage filter is a broadcast semi-join on the 1-row max. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val runs = Seq("1998-08-01", "1998-08-02", "1998-08-03").toDF("rd")
+      .select($"rd".cast(DateType).as("run_dt"))
+    val d = Tables.orders(s, dir).select($"o_custkey", $"o_orderkey",
+      $"o_orderdate".cast(DateType).as("od"))
+    val scoped = d.crossJoin(broadcast(runs)).filter($"od" <= $"run_dt")
+    val w = Window.partitionBy($"run_dt", $"o_custkey").orderBy($"od", $"o_orderkey")
+    val gaps = scoped
+      .withColumn("prev_od", lag($"od", 1).over(w))
+      .withColumn("gap_days", datediff($"od", $"prev_od"))
+      .filter($"gap_days" > 365)
+      .select($"run_dt", lit("silver").as("layer"),
+        lit("missing_activity").as("check_name"),
+        $"o_custkey".cast(StringType).as("symbol"),
+        lit("FAIL").as("check_status"),
+        $"gap_days".cast(DoubleType).as("metric_value"),
+        concat(lit("gap of "), $"gap_days".cast(StringType),
+          lit(" days ending "), $"od".cast(StringType)).as("details"))
+    val stale = scoped.groupBy($"run_dt", $"o_custkey")
+      .agg(max($"od").as("last_od"))
+      .withColumn("days_stale", datediff($"run_dt", $"last_od"))
+      .filter($"days_stale" > 365)
+      .select($"run_dt", lit("silver").as("layer"),
+        lit("stale_data").as("check_name"),
+        $"o_custkey".cast(StringType).as("symbol"),
+        lit("FAIL").as("check_status"),
+        $"days_stale".cast(DoubleType).as("metric_value"),
+        concat(lit("no activity for "), $"days_stale".cast(StringType),
+          lit(" days (last "), $"last_od".cast(StringType), lit(")")).as("details"))
+    val counts = scoped.groupBy($"run_dt").agg(count(lit(1)).as("n"))
+      .select($"run_dt", lit("pipeline").as("layer"),
+        lit("row_counts").as("check_name"),
+        lit(null).cast(StringType).as("symbol"),
+        lit("PASS").as("check_status"),
+        $"n".cast(DoubleType).as("metric_value"),
+        concat(lit("orders="), $"n".cast(StringType)).as("details"))
+    val checks = gaps.unionByName(stale).unionByName(counts)
+    val latest = checks.agg(max($"run_dt").as("mx"))
+    checks.join(broadcast(latest), $"run_dt" === $"mx")
+      .filter($"check_status" === "FAIL")
+      .select($"run_dt", $"layer", $"check_name", $"symbol",
+        $"check_status", $"metric_value", $"details")
+      .orderBy($"layer", $"check_name", $"symbol")
+  }
+  private val q181Sql =
+    """WITH runs(run_dt) AS (VALUES (DATE '1998-08-01'),
+      |    (DATE '1998-08-02'), (DATE '1998-08-03')),
+      |d AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od
+      |  FROM orders),
+      |scoped AS (SELECT r.run_dt, d.o_custkey, d.o_orderkey, d.od
+      |  FROM d CROSS JOIN runs r WHERE d.od <= r.run_dt),
+      |l AS (SELECT run_dt, o_custkey, od, LAG(od) OVER (
+      |    PARTITION BY run_dt, o_custkey ORDER BY od, o_orderkey) AS prev_od
+      |  FROM scoped),
+      |gaps AS (SELECT run_dt, 'silver' AS layer,
+      |    'missing_activity' AS check_name,
+      |    CAST(o_custkey AS VARCHAR) AS symbol, 'FAIL' AS check_status,
+      |    CAST(date_diff('day', prev_od, od) AS DOUBLE) AS metric_value,
+      |    concat('gap of ', CAST(date_diff('day', prev_od, od) AS VARCHAR),
+      |      ' days ending ', CAST(od AS VARCHAR)) AS details
+      |  FROM l WHERE date_diff('day', prev_od, od) > 365),
+      |m AS (SELECT run_dt, o_custkey, max(od) AS last_od
+      |  FROM scoped GROUP BY 1, 2),
+      |stale AS (SELECT run_dt, 'silver' AS layer, 'stale_data' AS check_name,
+      |    CAST(o_custkey AS VARCHAR) AS symbol, 'FAIL' AS check_status,
+      |    CAST(date_diff('day', last_od, run_dt) AS DOUBLE) AS metric_value,
+      |    concat('no activity for ',
+      |      CAST(date_diff('day', last_od, run_dt) AS VARCHAR),
+      |      ' days (last ', CAST(last_od AS VARCHAR), ')') AS details
+      |  FROM m WHERE date_diff('day', last_od, run_dt) > 365),
+      |counts AS (SELECT run_dt, 'pipeline' AS layer,
+      |    'row_counts' AS check_name, CAST(NULL AS VARCHAR) AS symbol,
+      |    'PASS' AS check_status, CAST(count(*) AS DOUBLE) AS metric_value,
+      |    concat('orders=', CAST(count(*) AS VARCHAR)) AS details
+      |  FROM scoped GROUP BY run_dt),
+      |checks AS (SELECT * FROM gaps UNION ALL SELECT * FROM stale
+      |  UNION ALL SELECT * FROM counts)
+      |SELECT run_dt, layer, check_name, symbol, check_status,
+      |  metric_value, details
+      |FROM checks
+      |WHERE run_dt = (SELECT max(run_dt) FROM checks)
+      |  AND check_status = 'FAIL'
+      |ORDER BY layer, check_name, symbol""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q32_gap_detection", q32, Some(q32Sql)),
+    QueryDef("q181_dq_triage", q181, Some(q181Sql)),
     QueryDef("q33_stale_check", q33, Some(q33Sql)),
     QueryDef("q34_jump_check", q34, Some(q34Sql)),
     QueryDef("q35_pipeline_counts", q35, Some(q35Sql)),
