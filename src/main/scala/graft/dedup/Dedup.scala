@@ -17,6 +17,46 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default per-bucket member cap for the LSH candidate generators: a
+    * bucket of n members emits n(n-1)/2 pairs, so 100k members is already
+    * a 5e9-pair single-bucket join task — far past any healthy corpus
+    * (real buckets hold a handful of near-dups) and a reliable signature
+    * of degenerate input (mass-identical documents). */
+  val DefaultMaxBucket: Int = 100000
+
+  /** Skew guard for the banded candidate joins: ZERO rows on a healthy
+    * corpus, and any (band, signature) bucket with more than `cap`
+    * members fails the job LOUDLY with the offending bucket named —
+    * instead of one straggler task quietly going quadratic. Implemented
+    * as an error stream unioned into the pair output, so the check rides
+    * the same job (no extra action) and its aggregate shuffles on the
+    * same keys as the candidate join (exchange-reusable). Splitting the
+    * bucket is deliberately NOT offered: salting would silently drop
+    * cross-salt candidate pairs, and star-collapsing changes band-count/
+    * verification semantics — a degenerate corpus needs exact-dup
+    * collapse first, not a quietly lossy guess. */
+  private def hotBucketGuard(banded: DataFrame, keys: Seq[String], cap: Int,
+                             what: String,
+                             out: org.apache.spark.sql.types.StructType): DataFrame = {
+    import banded.sparkSession.implicits._
+    val msg = concat(
+      lit(s"$what: LSH bucket over cap=$cap: ("),
+      concat_ws(", ", keys.map(col): _*), lit(") has "),
+      $"__n".cast("string"),
+      lit(" members - a degenerate (near-identical) corpus makes this " +
+        "bucket quadratic; collapse exact duplicates first, coarsen the " +
+        "banding, or raise maxBucket"))
+    banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter($"__n" > cap)
+      // the raise lives in a FILTER, not a projected column: an unused
+      // projection is legal to prune (and count()-only consumers would
+      // silently lose the guard), but a non-foldable filter condition
+      // always evaluates — any row reaching it throws
+      .filter(coalesce(raise_error(msg).cast("boolean"), lit(true)))
+      .select(out.fields.toIndexedSeq.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+  }
+
   /** Exact dedup on a content hash; survivor = min of `idCol`. */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
     val h = md5(concat_ws(" ", contentCols.map(col): _*))
@@ -211,15 +251,17 @@ object Dedup {
     * label propagation — no driver-side pair list.
     */
   def nearMinhash(df: DataFrame, idCol: String, textCol: String,
-                  shingleLen: Int = 3, bands: Int = 8, minBands: Int = 2): DataFrame =
-    df.join(dupIds(minhashPairs(df, idCol, textCol, shingleLen, bands, minBands),
-      "ida", "idb"), col(idCol) === col("__dup"), "left_anti")
+                  shingleLen: Int = 3, bands: Int = 8, minBands: Int = 2,
+                  maxBucket: Int = DefaultMaxBucket): DataFrame =
+    df.join(dupIds(minhashPairs(df, idCol, textCol, shingleLen, bands, minBands,
+      maxBucket), "ida", "idb"), col(idCol) === col("__dup"), "left_anti")
 
   /** The candidate-pair miner behind [[nearMinhash]], exposed so survivor
     * policies other than min-id (see [[survivorsBy]]) can reuse the exact
     * same edge definition. Returns (`ida`, `idb`) with `ida < idb`. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleLen: Int = 3, bands: Int = 8, minBands: Int = 2): DataFrame = {
+                   shingleLen: Int = 3, bands: Int = 8, minBands: Int = 2,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -240,10 +282,17 @@ object Dedup {
     val hashed = sh.select($"__id", md5($"__shingle").as("__hx"))
     val mins = (0 until bands).map(b =>
       min(substring($"__hx", b * 2 + 1, 16)).as(s"__w$b"))
+    // lazily pinned: the signature pipeline (shingle explode + md5 + wide
+    // minima) is the expensive stage, and it now has TWO consumers — the
+    // banded self-join (whose two sides already collapse into one
+    // exchange) and the hot-bucket guard aggregate, whose partial-agg
+    // child defeats exchange reuse. Without the pin the guard re-ran the
+    // whole pipeline (q68 3.5 -> 5.7 s); with it, one materialization
     val sig = hashed.groupBy($"__id")
       .agg(mins.head, mins.tail: _*)
       .select($"__id", posexplode(array((0 until bands).map(b =>
         col(s"__w$b")): _*)).as(Seq("__band", "__mh")))
+      .localCheckpoint(false)
 
     val pairs = sig.as("a").join(sig.as("b").hint("shuffle_hash"),
         $"a.__band" === $"b.__band" && $"a.__mh" === $"b.__mh" &&
@@ -252,7 +301,9 @@ object Dedup {
       .agg(count(lit(1)).as("nb"))
       .filter($"nb" >= minBands)
       .select($"ida", $"idb")
-    pairs
+    pairs.unionByName(
+      hotBucketGuard(sig, Seq("__band", "__mh"), maxBucket,
+        "Dedup.minhashPairs", pairs.schema))
   }
 
   /** Dedup with an explicit survivor policy: per connected group of
@@ -293,7 +344,8 @@ object Dedup {
     * short vectors never throw under ANSI mode).
     */
   def nearCosine(df: DataFrame, idCol: String, vecCol: String,
-                 threshold: Double, bands: Int = 16, bandBits: Int = 4): DataFrame = {
+                 threshold: Double, bands: Int = 16, bandBits: Int = 4,
+                 maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).as("__id"),
@@ -334,6 +386,10 @@ object Dedup {
         ($"na" * $"nb"), 6) >= threshold)
       .select($"ida", $"idb")
       .dropDuplicates("ida", "idb")
+      .unionByName(hotBucketGuard(banded, Seq("__band", "__sig"), maxBucket,
+        "Dedup.nearCosine", new org.apache.spark.sql.types.StructType()
+          .add("ida", base.schema("__id").dataType)
+          .add("idb", base.schema("__id").dataType)))
 
     df.join(dupIds(pairs, "ida", "idb"), col(idCol) === col("__dup"), "left_anti")
   }

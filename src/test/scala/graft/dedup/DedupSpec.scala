@@ -53,6 +53,34 @@ class DedupSpec extends SparkTestBase {
     assert(removeSome.count() < emb.count())
   }
 
+  test("a planted hot LSH bucket fails loudly instead of going quadratic") {
+    import spark.implicits._
+    // 300 IDENTICAL texts: every band signature collides, so one bucket
+    // holds all 300 members — over a cap of 100 the guard must kill the
+    // job with a diagnostic, not let the join emit ~45k pairs per band
+    val degenerate = (1L to 300L).toDF("doc_id")
+      .withColumn("text", lit("the same exact document body repeated verbatim"))
+    val e = intercept[Exception] {
+      Dedup.minhashPairs(degenerate, "doc_id", "text", maxBucket = 100).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("LSH bucket over cap=100")), msgs(e).mkString("; "))
+
+    // identical vectors trip the cosine guard the same way
+    val vecs = (1L to 300L).toDF("vec_id")
+      .withColumn("embedding", array((0 until 8).map(i => lit(0.5f + i)): _*))
+    val e2 = intercept[Exception] {
+      Dedup.nearCosine(vecs, "vec_id", "embedding", threshold = 0.99,
+        maxBucket = 100).count()
+    }
+    assert(msgs(e2).exists(m => m.contains("LSH bucket over cap=100")), msgs(e2).mkString("; "))
+
+    // under the cap the guard is invisible: same pairs as before it existed
+    val ok = Dedup.minhashPairs(degenerate, "doc_id", "text", maxBucket = 1000)
+    assert(ok.count() == 300L * 299L / 2)
+  }
+
   test("near-dup group resolution is distributed: no driver-collected pair list") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
