@@ -327,6 +327,23 @@ object Dedup {
       .drop("__cid", "__lbl", "__grp", "__rn")
   }
 
+  /** Scale-safe sign-bit band width for [[nearCosine]]: a FIXED bandBits
+    * means a fixed 2^bandBits buckets per band, so random-vector bucket
+    * occupancy grows with n and the candidate stream is asymptotically
+    * QUADRATIC whatever the constant (measured in the round-6 rehearsal:
+    * 16x4 banding emits ~n²/20 candidates — 2.0M at n=2k, 200M at n=20k).
+    * Growing the width like log2(n/targetBucket) pins expected occupancy
+    * at ~targetBucket, making the candidate stream O(n·bands·targetBucket)
+    * while true near-dups (sign-agreement probability → 1) still collide.
+    * Callers at corpus scale should pass `bandBits = cosineBandBits(n)`;
+    * the 16x4 default is the gate-pinned small-corpus recall setting. */
+  def cosineBandBits(n: Long, targetBucket: Int = 16): Int = {
+    require(n > 0 && targetBucket > 0)
+    val needed = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, n / targetBucket))
+    math.max(4, math.min(24, needed))
+  }
+
   /** Near-dup dedup on embedding cosine >= `threshold`; same group/survivor
     * semantics.
     *

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal fixture writer: inflates the sf0.1 tables the flagship
+  * operator family touches (documents, embeddings, lineitem) by an integer
+  * replication factor, writing an sfN-shaped directory under target/.
+  *
+  * Replicas are INDEPENDENT corpora, not exact copies — mass exact
+  * duplication would make every dedup gate artificially quadratic (one
+  * giant near-dup group) and measure the degenerate case the hot-bucket
+  * guard exists to reject, not organic growth:
+  *  - documents: ids shift by k·10^7 and every WORD gets a replica suffix,
+  *    so within-replica shingle/near-dup structure is preserved exactly
+  *    while no shingle collides across replicas;
+  *  - embeddings: ids shift and each dimension's sign flips by a
+  *    (dim, replica)-keyed hash — sign patterns preserve norms and every
+  *    within-replica cosine (s_i^2 = 1) while decorrelating replicas;
+  *  - lineitem: order keys shift; the value columns the inference gates
+  *    aggregate are untouched, so per-group row counts scale cleanly.
+  *
+  * Usage: runMain graft.tools.ScaleUp [reps] [srcDir] [dstDir]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(2).getOrElse(s"target/scale/x$reps")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val OFF = 10000000L
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until reps).map { k =>
+      if (k == 0) docs
+      else docs
+        .withColumn("doc_id", $"doc_id" + lit(k * OFF))
+        .withColumn("text", array_join(
+          transform(split($"text", " "), w => concat(w, lit(s"_r$k"))), " "))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until reps).map { k =>
+      if (k == 0) emb
+      else emb
+        .withColumn("vec_id", $"vec_id" + lit(k * OFF))
+        .withColumn("embedding", zip_with(
+          $"embedding",
+          transform(sequence(lit(0), size($"embedding") - 1),
+            i => pmod(hash(i, lit(k)), lit(2))),
+          (x, s) => when(s === 0, x).otherwise(-x)))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until reps).map { k =>
+      if (k == 0) li else li.withColumn("l_orderkey", $"l_orderkey" + lit(k * OFF))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    println(s"wrote x$reps tables to $dst")
+    spark.stop()
+  }
+}

@@ -81,6 +81,18 @@ class DedupSpec extends SparkTestBase {
     assert(ok.count() == 300L * 299L / 2)
   }
 
+  test("cosineBandBits grows with the corpus and pins bucket occupancy") {
+    assert(Dedup.cosineBandBits(2000) == 7)      // 2000/16 = 125 -> 7 bits
+    assert(Dedup.cosineBandBits(20000) == 11)    // 10x corpus -> +~3 bits
+    assert(Dedup.cosineBandBits(2000000000L) == 24) // clamped: sig width cap
+    assert(Dedup.cosineBandBits(1) == 4)            // floor: recall regime
+    // expected occupancy n / 2^bits stays ~targetBucket across 6 decades
+    for (n <- Seq(1000L, 100000L, 10000000L, 100000000L)) {
+      val occ = n.toDouble / (1L << Dedup.cosineBandBits(n))
+      assert(occ <= 32 && occ >= 2, s"n=$n occupancy=$occ")
+    }
+  }
+
   test("near-dup group resolution is distributed: no driver-collected pair list") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
