@@ -48,13 +48,16 @@ class ScaleShapeSpec extends SparkTestBase {
     }
   }
 
-  test("q142 k-means plans broadcast centroid joins, no BNLJ, no driver-local data") {
+  test("q142 k-means assignment is map-only: no join, no driver-local data") {
+    // round 6: the centroid model rides the driver (bounded k*dims) and
+    // assignment is a typed map over the scan — the final plan must have
+    // no join of ANY kind and no data-sized local relation
     val plan = SparkEntry.queries("q142_kmeans_assign")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("LocalTableScan"), s"driver-local data in plan:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), s"centroid join lost its broadcast:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"nested-loop fallback in plan:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"assignment should be map-only, found a join:\n$plan")
+    assert(plan.contains("FileScan parquet"), s"lost the direct scan:\n$plan")
   }
 
   test("q146 prefix-join keeps its shuffle-hash strategy on all big joins") {
