@@ -7,9 +7,10 @@ import javax.imageio.ImageIO
 /** Deterministic synthetic media payloads, parameterized by asset id.
   *
   * These are REAL encoded files — PNG via the JDK's ImageIO writer, WAV as a
-  * hand-built RIFF/PCM16 container — whose decoded properties (dimensions,
-  * channel count, sample rate, frame count, RMS) are pure arithmetic over the
-  * id. That closes the oracle loop for the decode gates: the engine
+  * hand-built RIFF/PCM16 container, video as an animated GIF written frame by
+  * frame through ImageIO's sequence writer — whose decoded properties
+  * (dimensions, channel count, sample rate, frame count, per-frame pixel
+  * sums, RMS) are pure arithmetic over the id. That closes the oracle loop for the decode gates: the engine
   * encodes → decodes distributed on executors, while DuckDB recomputes the
   * expected metrics from the id without ever seeing a byte of payload.
   *
@@ -81,13 +82,55 @@ object MediaFixtures {
     buf.array()
   }
 
-  // ---- video: no container codec ships with the JDK, so "video" payloads
-  // stay length-parameterized opaque bytes for the frame-slicing pipeline ----
+  // ---- video: animated GIF (multi-frame container the JDK really demuxes).
+  // Each frame is a constant gray value through an EXPLICIT 256-level
+  // grayscale palette: the default GIF writer quantizes to its own palette
+  // (measured: value 7 decoded back as 1), but with an identity
+  // IndexColorModel the LZW round-trip is bit-exact, so every decoded
+  // frame's dimensions and pixel sum are pure arithmetic over (id, frame) ----
 
-  def videoLen(id: Long): Int = 64 + (id % 100).toInt * 3
+  def videoWidth(id: Long): Int      = 8 + (id % 9).toInt
+  def videoHeight(id: Long): Int     = 8 + ((id / 9) % 9).toInt
+  def videoFrameCount(id: Long): Int = 3 + (id % 6).toInt
+  /** Constant pixel value of frame `f` — proves the demux yields the right
+    * frame in the right order, not just the right count. */
+  def framePixel(id: Long, f: Int): Int = ((id + 17L * f) % 251).toInt
 
-  def videoPayload(id: Long): Array[Byte] =
-    Array.tabulate(videoLen(id))(i => ((i * 31 + id) % 251).toByte)
+  private val grayPalette: java.awt.image.IndexColorModel = {
+    val g = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, g, g, g)
+  }
+
+  def gifPayload(id: Long): Array[Byte] = {
+    val w = videoWidth(id)
+    val h = videoHeight(id)
+    val out = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < videoFrameCount(id)) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        val v = framePixel(id, f)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, v); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    out.toByteArray
+  }
 
   /** Deliberately undecodable bytes for the reject-path gates. */
   def corruptPayload(id: Long): Array[Byte] =

@@ -15,12 +15,12 @@ import org.apache.spark.sql.functions._
   * AIFF/AU). Dimensions, channel counts, sample rates, frame counts, and RMS
   * all come from decoded pixels/samples, gated end-to-end against an oracle
   * that recomputes them arithmetically from [[MediaFixtures]]' synthetic
-  * payloads (q54, q204). The two places a codec genuinely does not exist in
-  * a bare JVM stay clearly-marked deterministic stand-ins: the 16-dim image
-  * EMBEDDING is a 4x4 mean-intensity grid over the real decoded pixels (a
-  * real vision encoder slots into `poolEmbedding`), and VIDEO container
-  * demux is byte-slicing (the JDK has no demuxer; the 1→N explode shape is
-  * the contract).
+  * payloads (q54, q141, q204). Video demux is REAL too: multi-frame
+  * containers (animated GIF — the format a bare JVM genuinely demuxes) go
+  * through ImageIO's sequence reader, and each sampled frame's dimensions
+  * and pixel sums come from the decoded raster. The one remaining stand-in
+  * is the 16-dim image EMBEDDING: a 4x4 mean-intensity grid over the real
+  * decoded pixels (a real vision encoder slots into `poolEmbedding`).
   *
   * Corrupt payloads never kill a job: `decodeImages`/`decodeAudio` return
   * per-row ok/err results (`ImageIO.read` returning null, truncated files,
@@ -60,10 +60,20 @@ object MediaPipeline {
       n_samples: Long,
       rms: Double)
 
+  /** One decoded video frame: dimensions and the pixel-sample sum come from
+    * the REAL frame raster, so they prove the demux decoded the right frame. */
   final case class VideoFrame(
       asset_id: Long,
       frame_no: Int,
-      frame_payload: Array[Byte])
+      width: Int,
+      height: Int,
+      px_sum: Long)
+
+  final case class VideoDecode(
+      asset_id: Long,
+      ok: Boolean,
+      n_frames: Option[Int],
+      err: Option[String])
 
   /** Per-row decode outcome for the audit/quarantine path. */
   final case class ImageDecode(
@@ -147,17 +157,32 @@ object MediaPipeline {
     }
   }
 
-  /** Video frame sampling: every `stride`-th slice of the payload becomes a
-    * "frame". The JDK ships no container demuxer, so the slicing is a
-    * deterministic stand-in; the 1 → N explode (and keeping the heavy bytes
-    * out of any shuffle) is the real contract. */
+  /** REAL video frame sampling: demux a multi-frame container (animated GIF —
+    * the one video-ish format `javax.imageio` genuinely demuxes) and keep
+    * every `stride`-th decoded frame. Only the frame's measured features
+    * (dims, pixel sum) leave the partition; raster bytes never reach a
+    * shuffle. Undecodable payloads are dropped here — [[decodeVideo]] is the
+    * audited variant. Decode is strided at the READ level: skipped frames are
+    * never rasterized (GIF LZW still streams past them, but no pixel work). */
   def sampleFrames(assets: Dataset[MediaAsset], stride: Int = 4): Dataset[VideoFrame] = {
     import assets.sparkSession.implicits._
-    assets.filter(_.kind == "video").flatMap { a =>
-      val frameSize = math.max(1, a.payload.length / 16)
-      a.payload.grouped(frameSize).zipWithIndex.collect {
-        case (bytes, idx) if idx % stride == 0 =>
-          VideoFrame(a.asset_id, idx, bytes)
+    assets.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap(a => demuxPayload(a.payload, stride).toOption.toSeq.flatten
+        .map { case (no, w, h, sum) => VideoFrame(a.asset_id, no, w, h, sum) })
+    }
+  }
+
+  /** Audited video demux — one row per asset, ok=false on container errors.
+    * Counts frames from the container directory without rasterizing them,
+    * so the audit is cheap even on long clips. */
+  def decodeVideo(assets: Dataset[MediaAsset]): Dataset[VideoDecode] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "video").mapPartitions { it =>
+      it.map { a =>
+        countFrames(a.payload) match {
+          case Right(n) => VideoDecode(a.asset_id, ok = true, Some(n), None)
+          case Left(err) => VideoDecode(a.asset_id, ok = false, None, Some(err))
+        }
       }
     }
   }
@@ -186,6 +211,52 @@ object MediaPipeline {
       if (img == null) Left("unrecognized image format") else Right(img)
     } catch {
       case e: Exception => Left(s"image decode failed: ${e.getClass.getSimpleName}")
+    }
+
+  /** Multi-frame container demux via ImageIO's sequence reader (GIF in a
+    * bare JVM; TIFF readers plug into the same path). Returns every
+    * `stride`-th frame as (frame_no, width, height, pixel-sample sum) —
+    * the sum accumulates `getRGB & 0xff` (palette-resolved intensity), exact
+    * in Long for any frame under 2^45 pixels. */
+  private def demuxPayload(
+      bytes: Array[Byte], stride: Int): Either[String, Seq[(Int, Int, Int, Long)]] =
+    withReader(bytes) { reader =>
+      val n = reader.getNumImages(true)
+      (0 until n).filter(_ % stride == 0).map { i =>
+        val img = reader.read(i)
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        (i, w, h, sum)
+      }
+    }
+
+  private def countFrames(bytes: Array[Byte]): Either[String, Int] =
+    withReader(bytes)(_.getNumImages(true))
+
+  private def withReader[A](bytes: Array[Byte])(
+      f: javax.imageio.ImageReader => A): Either[String, A] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Left("unrecognized container format")
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            Right(f(reader))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch {
+      case e: Exception => Left(s"video demux failed: ${e.getClass.getSimpleName}")
     }
 
   /** WAV/AIFF/AU → (sampleRate, frameCount, rms of normalized samples).

@@ -13,21 +13,23 @@ import org.apache.spark.sql.functions._
   * the checked output is decoded properties (dimensions, bands, sample rate,
   * frame count, RMS) that the oracle recomputes arithmetically from the id —
   * DuckDB never sees a payload byte, so a hash match proves the decode is
-  * real and exact. Video stays the byte-slicing frame explode (no JDK
-  * demuxer); its frame arithmetic is likewise id-derivable.
+  * real and exact. Video is real as well: animated GIFs demuxed frame by
+  * frame through ImageIO's sequence reader, each sampled frame's dimensions
+  * and pixel sum measured from the decoded raster (q141 at frame grain).
   */
 object MultimodalQueries extends QueryModule {
 
   private def syntheticAsset(id: Long): MediaAsset = (id % 3) match {
     case 0 => MediaAsset(id, "image", MediaFixtures.pngPayload(id), Map("origin" -> "synthetic"))
     case 1 => MediaAsset(id, "audio", MediaFixtures.wavPayload(id), Map("origin" -> "synthetic"))
-    case _ => MediaAsset(id, "video", MediaFixtures.videoPayload(id), Map("origin" -> "synthetic"))
+    case _ => MediaAsset(id, "video", MediaFixtures.gifPayload(id), Map("origin" -> "synthetic"))
   }
 
   /** q54: per-asset decoded metric by modality —
     * image: width/height/bands from the REAL PNG decode, packed as
     * (w·1000 + h)·10 + channels; audio: rate·100000 + frames from the REAL
-    * WAV decode; video: frames kept by stride-4 sampling of 16 chunks. */
+    * WAV decode; video: frames kept by stride-2 sampling of the REAL GIF
+    * demux (= ceil(container frame count / 2)). */
   private def q54(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val assets = Tables.documents(s, dir)
@@ -39,68 +41,61 @@ object MultimodalQueries extends QueryModule {
     val audio = MediaPipeline.audioFeatures(assets).toDF()
       .select($"asset_id", lit("audio").as("kind"),
         ($"sample_rate".cast("long") * 100000L + $"n_samples").as("metric"))
-    val video = MediaPipeline.sampleFrames(assets).toDF()
+    val video = MediaPipeline.sampleFrames(assets, stride = 2).toDF()
       .groupBy($"asset_id")
       .agg(count(lit(1)).as("metric"))
       .select($"asset_id", lit("video").as("kind"), $"metric")
     images.unionByName(audio).unionByName(video)
       .orderBy($"asset_id")
   }
-  // mirrors MediaFixtures: imageWidth/Height/Gray, audioRate/Frames, videoLen
+  // mirrors MediaFixtures: imageWidth/Height/Gray, audioRate/Frames, videoFrameCount
   private val q54Sql =
-    """WITH d AS (SELECT doc_id AS asset_id,
-      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-      |      ELSE 'video' END AS kind
-      |  FROM documents),
-      |v AS (SELECT asset_id, 64 + (asset_id % 100) * 3 AS len
-      |  FROM d WHERE kind = 'video')
-      |SELECT d.asset_id, d.kind,
-      |  CAST(CASE d.kind
-      |    WHEN 'image' THEN
-      |      ((8 + d.asset_id % 16) * 1000 + 8 + (d.asset_id // 16) % 16) * 10
-      |        + CASE WHEN d.asset_id % 2 = 0 THEN 1 ELSE 3 END
-      |    WHEN 'audio' THEN
-      |      (8000 * (1 + d.asset_id % 3)) * 100000 + 100 + d.asset_id % 50
-      |    ELSE ((v.len + (v.len // 16) - 1) // (v.len // 16) + 3) // 4
+    """SELECT doc_id AS asset_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS kind,
+      |  CAST(CASE doc_id % 3
+      |    WHEN 0 THEN
+      |      ((8 + doc_id % 16) * 1000 + 8 + (doc_id // 16) % 16) * 10
+      |        + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END
+      |    WHEN 1 THEN
+      |      (8000 * (1 + doc_id % 3)) * 100000 + 100 + doc_id % 50
+      |    ELSE (3 + doc_id % 6 + 1) // 2
       |  END AS BIGINT) AS metric
-      |FROM d LEFT JOIN v ON d.asset_id = v.asset_id
-      |ORDER BY d.asset_id""".stripMargin
+      |FROM documents
+      |ORDER BY asset_id""".stripMargin
 
-  /** q141: frame-level sampling output — the 1→N explode at ROW
-    * granularity (q54 checks only per-asset counts): every video asset's
-    * stride-4 sampled frames with their byte lengths. Frame boundaries
-    * are pure arithmetic over payload length (chunks of max(len/16, 1),
-    * ceil-division count, short final chunk), so the oracle reproduces
-    * each frame's length without seeing a byte of the payload — the
-    * payload itself is dropped in the same projection that measures it,
-    * before any exchange (the MediaPipeline rule: features move, bytes
-    * do not). */
+  /** q141: frame-level demux output — the 1→N explode at ROW granularity
+    * (q54 checks only per-asset counts): every video asset's GIF payload is
+    * REALLY demuxed on executors (ImageIO sequence reader) and each stride-2
+    * sampled frame reports its decoded width/height and raster pixel sum.
+    * MediaFixtures writes constant-value frames through an identity gray
+    * palette, so the pixel sum is exactly framePixel(id,f)·w·h — the oracle
+    * recomputes all three columns arithmetically without a payload byte, and
+    * a hash match proves the demux yields the right frames in the right
+    * order with bit-exact pixels. Raster bytes die inside the partition
+    * (the MediaPipeline rule: features move, bytes do not). */
   private def q141(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val assets = Tables.documents(s, dir)
-      .select($"doc_id", $"text").as[(Long, String)]
-      .map { case (id, text) =>
+      .select($"doc_id").as[Long]
+      .map { id =>
         MediaAsset(id, if (id % 3 == 2) "video" else "other",
-          text.getBytes("UTF-8"), Map.empty)
+          if (id % 3 == 2) MediaFixtures.gifPayload(id) else Array.empty[Byte],
+          Map.empty)
       }
-    MediaPipeline.sampleFrames(assets).toDF()
-      .select($"asset_id", $"frame_no",
-        length($"frame_payload").cast("long").as("frame_len"))
+    MediaPipeline.sampleFrames(assets, stride = 2).toDF()
       .orderBy($"asset_id", $"frame_no")
   }
   private val q141Sql =
-    """WITH d AS (SELECT doc_id AS asset_id,
-      |    octet_length(encode(text)) AS len
-      |  FROM documents WHERE doc_id % 3 = 2),
-      |p AS (SELECT asset_id, len, greatest(len // 16, 1) AS fs FROM d),
-      |n AS (SELECT asset_id, len, fs, (len + fs - 1) // fs AS nchunks FROM p),
-      |f AS (SELECT asset_id, t.i AS frame_no,
-      |    CASE WHEN t.i < nchunks - 1 THEN fs
-      |      ELSE len - fs * (nchunks - 1) END AS frame_len
-      |  FROM n, UNNEST(range(0, nchunks)) AS t(i)
-      |  WHERE t.i % 4 = 0)
+    """WITH d AS (SELECT doc_id AS asset_id FROM documents WHERE doc_id % 3 = 2),
+      |f AS (SELECT asset_id, t.i AS frame_no
+      |  FROM d, UNNEST(range(0, 3 + asset_id % 6)) AS t(i)
+      |  WHERE t.i % 2 = 0)
       |SELECT asset_id, CAST(frame_no AS INT) AS frame_no,
-      |  CAST(frame_len AS BIGINT) AS frame_len
+      |  CAST(8 + asset_id % 9 AS INT) AS width,
+      |  CAST(8 + (asset_id // 9) % 9 AS INT) AS height,
+      |  CAST(((asset_id + 17 * frame_no) % 251)
+      |    * (8 + asset_id % 9) * (8 + (asset_id // 9) % 9) AS BIGINT) AS px_sum
       |FROM f ORDER BY asset_id, frame_no""".stripMargin
 
   /** q204: decode audit — every asset decodes to exactly one row, ok=false

@@ -13,7 +13,7 @@ class MediaPipelineSpec extends SparkTestBase {
   private def aud(id: Long) =
     MediaAsset(id, "audio", MediaFixtures.wavPayload(id), Map("origin" -> s"unit-$id"))
   private def vid(id: Long) =
-    MediaAsset(id, "video", MediaFixtures.videoPayload(id), Map("origin" -> s"unit-$id"))
+    MediaAsset(id, "video", MediaFixtures.gifPayload(id), Map("origin" -> s"unit-$id"))
 
   private lazy val assets = {
     import spark.implicits._
@@ -80,12 +80,35 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(!byId(22L).ok && byId(22L).err.nonEmpty)
   }
 
-  test("video frame sampling explodes 1 asset into strided frames") {
-    val frames = sampleFrames(assets, stride = 4).collect()
+  test("video demux decodes real GIF frames: dims, order, exact pixel sums") {
+    val frames = sampleFrames(assets, stride = 1).collect().sortBy(_.frame_no)
     assert(frames.map(_.asset_id).distinct.toSeq == Seq(4L))
-    assert(frames.map(_.frame_no).toSeq == frames.map(_.frame_no).sorted.toSeq)
-    assert(frames.forall(_.frame_no % 4 == 0))
-    assert(frames.forall(_.frame_payload.nonEmpty))
+    // every container frame present, in order, with bit-exact constant rasters
+    assert(frames.map(_.frame_no).toSeq == (0 until MediaFixtures.videoFrameCount(4)))
+    frames.foreach { f =>
+      assert(f.width == MediaFixtures.videoWidth(4))
+      assert(f.height == MediaFixtures.videoHeight(4))
+      assert(f.px_sum ==
+        MediaFixtures.framePixel(4, f.frame_no).toLong * f.width * f.height)
+    }
+    // striding keeps exactly the 0-mod frames
+    val strided = sampleFrames(assets, stride = 2).collect()
+    assert(strided.map(_.frame_no).sorted.toSeq ==
+      (0 until MediaFixtures.videoFrameCount(4)).filter(_ % 2 == 0))
+  }
+
+  test("decodeVideo audits container health without rasterizing frames") {
+    import spark.implicits._
+    val mixed = spark.createDataset(Seq(
+      vid(30),
+      MediaAsset(31, "video", MediaFixtures.corruptPayload(31), Map.empty),
+      MediaAsset(32, "video", MediaFixtures.wavPayload(32), Map.empty))) // wrong container
+    val out = decodeVideo(mixed).collect().sortBy(_.asset_id)
+    assert(out.map(_.asset_id).toSeq == Seq(30L, 31L, 32L)) // 1 row per input
+    val byId = out.map(d => d.asset_id -> d).toMap
+    assert(byId(30L).ok && byId(30L).n_frames.contains(MediaFixtures.videoFrameCount(30)))
+    assert(!byId(31L).ok && byId(31L).err.nonEmpty)
+    assert(!byId(32L).ok && byId(32L).err.nonEmpty)
   }
 
   test("resize target lands in meta without touching payload") {
