@@ -48,6 +48,7 @@ object SparkEntry {
     graft.queries.ProfilingQueries,
     graft.queries.FunnelQueries,
     graft.queries.AffinityQueries,
+    graft.queries.CurationOpsQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and shard writing: ranking fusion for retrieval ensembles (q205),
+  * annotator-agreement QA (q206), normalization-aware canonicalization
+  * (q207), and the stage-by-stage dedup funnel accounting every curation
+  * run reports (q208).
+  *
+  * Scale notes (100 TB posture):
+  *  - q205 never ranks the full corpus: fused top-k provably lives inside
+  *    the union of each list's top-K head (TakeOrderedAndProject), and the
+  *    exact global ranks of those candidates come from ONE streaming pass
+  *    with map-side partial counts — no global sort, no single-partition
+  *    window;
+  *  - q206 is a single 5-cell aggregate (map-side combinable);
+  *  - q207 is a pure per-row projection until a per-source aggregate whose
+  *    DISTINCTs run over md5 digests, never full document bodies;
+  *  - q208 reuses the production [[graft.dedup.Dedup.nearMinhash]] path
+  *    (banded candidate join + label propagation), adding only constant-size
+  *    per-stage aggregates on top.
+  */
+object CurationOpsQueries extends QueryModule {
+
+  /** q205: reciprocal-rank fusion (RRF, Cormack et al. 2009) of two
+    * document rankings — list A by length (n_chars), list B by lexical
+    * diversity (type-token ratio in exact integer fixed point); score
+    * 1/(60+rankA) + 1/(60+rankB), fused top-100.
+    *
+    * The engine side is candidate-pruned: any doc outside BOTH top-300
+    * heads has rrf < 2/361, while the 100 docs with rankA <= 100 all have
+    * rrf >= 1/160 > 2/361 — so fused top-100 ⊆ (headA ∪ headB) is a
+    * theorem (2/(60+K+1) <= 1/160 needs K >= 259; K = 300). Exact global
+    * ranks for the ~600 candidates come from one corpus pass against the
+    * broadcast candidate list (rank = 1 + rows strictly better), partial
+    * counts map-side. The oracle ranks the whole corpus with row_number —
+    * a hash match proves the pruning lossless. */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"n_chars".as("ka"),
+        expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000000 div size(toks)")
+          .as("kb"))
+    val headA = base.orderBy($"ka".desc, $"doc_id").limit(300)
+    val headB = base.orderBy($"kb".desc, $"doc_id").limit(300)
+    val cand = headA.unionByName(headB).dropDuplicates("doc_id")
+      .select($"doc_id".as("cid"), $"ka".as("cka"), $"kb".as("ckb"))
+    // data-derived constant key → BroadcastHashJoin, not BNLJ (q143 pattern)
+    val ranks = base.withColumn("one", pmod($"doc_id", lit(1L)))
+      .join(broadcast(cand.withColumn("one", pmod($"cid", lit(1L)))), Seq("one"))
+      .groupBy($"cid")
+      .agg(
+        (sum(when($"ka" > $"cka" || ($"ka" === $"cka" && $"doc_id" < $"cid"),
+          1L).otherwise(0L)) + 1L).as("rank_a"),
+        (sum(when($"kb" > $"ckb" || ($"kb" === $"ckb" && $"doc_id" < $"cid"),
+          1L).otherwise(0L)) + 1L).as("rank_b"))
+    ranks.select($"cid".as("doc_id"), $"rank_a", $"rank_b",
+        round(lit(1.0) / (lit(60) + $"rank_a") + lit(1.0) / (lit(60) + $"rank_b"), 8)
+          .as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id").limit(100)
+  }
+  private val q205Sql =
+    """WITH k AS (SELECT doc_id, n_chars AS ka,
+      |    len(list_distinct(string_split(text, ' '))) * 1000000
+      |      // len(string_split(text, ' ')) AS kb
+      |  FROM documents),
+      |r AS (SELECT doc_id,
+      |    row_number() OVER (ORDER BY ka DESC, doc_id) AS ra,
+      |    row_number() OVER (ORDER BY kb DESC, doc_id) AS rb
+      |  FROM k)
+      |SELECT doc_id, CAST(ra AS BIGINT) AS rank_a, CAST(rb AS BIGINT) AS rank_b,
+      |  round(CAST(1 AS DOUBLE) / (60 + ra) + CAST(1 AS DOUBLE) / (60 + rb), 8)
+      |    AS rrf
+      |FROM r ORDER BY rrf DESC, doc_id LIMIT 100""".stripMargin
+
+  /** q206: Cohen's kappa between two label sources — the metadata `lang`
+    * column vs an independent stopword-marker heuristic (the agreement
+    * audit run before trusting crowd/model labels). The 2x2 contingency
+    * table and both marginals come from ONE 5-cell aggregate; kappa's
+    * numerator and denominator stay in exact LONG arithmetic (safe below
+    * ~3e9 rows; the corpus invariant) with a single final division. */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = "('the','a','of','and','to','in','is','it')"
+    val flags = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select(($"lang" === "en").as("a"),
+        (expr(s"size(filter(toks, t -> t IN $stop))") >= 3).as("b"))
+    val agg = flags.agg(
+      count(lit(1)).as("n"),
+      sum(when($"a", 1L).otherwise(0L)).as("a1"),
+      sum(when($"b", 1L).otherwise(0L)).as("b1"),
+      sum(when($"a" && $"b", 1L).otherwise(0L)).as("n11"),
+      sum(when(!$"a" && !$"b", 1L).otherwise(0L)).as("n00"))
+    val chance = $"a1" * $"b1" + ($"n" - $"a1") * ($"n" - $"b1")
+    agg.select($"n11", ($"a1" - $"n11").as("n10"), ($"b1" - $"n11").as("n01"),
+      $"n00",
+      round(($"n" * ($"n11" + $"n00") - chance).cast("double") /
+        nullif(($"n" * $"n" - chance).cast("double"), lit(0.0)), 6).as("kappa"))
+  }
+  private val q206Sql =
+    """WITH f AS (SELECT lang = 'en' AS a,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the','a','of','and','to','in','is','it'))) >= 3 AS b
+      |  FROM documents),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+      |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+      |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM f)
+      |SELECT n11, a1 - n11 AS n10, b1 - n11 AS n01, n00,
+      |  round(CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE) /
+      |    nullif(CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE), 0.0), 6)
+      |    AS kappa
+      |FROM g""".stripMargin
+
+  /** q207: normalization-aware canonicalization — the lower/strip-punct/
+    * squeeze-whitespace pass every web corpus gets before exact dedup.
+    * The corpus is already canonical, so the gate first derives a noisy
+    * variant deterministically (position-keyed casing flips, injected
+    * ' !' punctuation tokens, trailing spaces — both engines compute the
+    * same bytes from (doc_id, position)), then proves the normalizer
+    * recovers the canonical text exactly and reports how many distinct
+    * bodies collapse. DISTINCTs aggregate md5 digests, not document
+    * bodies, so the shuffle carries 16 bytes/doc. */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val noisy = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("noisy", concat(array_join(expr(
+        """transform(sequence(1, size(toks)), i -> concat(
+          |  CASE WHEN (doc_id + i) % 3 = 0 THEN upper(element_at(toks, i))
+          |       ELSE element_at(toks, i) END,
+          |  CASE WHEN (doc_id + i) % 7 = 0 THEN ' !' ELSE '' END))""".stripMargin),
+        " "), lit("   ")))
+      .withColumn("norm",
+        trim(regexp_replace(regexp_replace(lower($"noisy"), "[^a-z0-9 ]", ""),
+          " +", " ")))
+    noisy.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"norm" === $"text", 1L).otherwise(0L)).as("n_recovered"),
+        countDistinct(md5($"noisy")).as("distinct_noisy"),
+        countDistinct(md5($"norm")).as("distinct_norm"))
+      .orderBy($"source")
+  }
+  private val q207Sql =
+    """WITH t AS (SELECT doc_id, source, text,
+      |    string_split(text, ' ') AS toks FROM documents),
+      |x AS (SELECT doc_id, source, text,
+      |    array_to_string(list_transform(range(1, len(toks) + 1), i ->
+      |      (CASE WHEN (doc_id + i) % 3 = 0 THEN upper(toks[i])
+      |            ELSE toks[i] END) ||
+      |      (CASE WHEN (doc_id + i) % 7 = 0 THEN ' !' ELSE '' END)), ' ')
+      |      || '   ' AS noisy
+      |  FROM t),
+      |n AS (SELECT doc_id, source, text, noisy,
+      |    trim(regexp_replace(regexp_replace(lower(noisy), '[^a-z0-9 ]', '', 'g'),
+      |      ' +', ' ', 'g')) AS norm
+      |  FROM x)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN norm = text THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+      |  CAST(count(DISTINCT md5(noisy)) AS BIGINT) AS distinct_noisy,
+      |  CAST(count(DISTINCT md5(norm)) AS BIGINT) AS distinct_norm
+      |FROM n GROUP BY source ORDER BY source""".stripMargin
+
+  /** q208: curation-funnel accounting — docs and tokens surviving each
+    * dedup stage (raw → exact text dedup → MinHash near-dup dedup), the
+    * before/after report every corpus build publishes. The near-dup stage
+    * IS the production [[graft.dedup.Dedup.nearMinhash]] path (banded
+    * candidate join + distributed label propagation); the oracle replays
+    * the full recursive-closure chain, so this gate hash-pins the whole
+    * funnel end to end. The kept-fraction joins stages through a 3-row
+    * window — no data-sized reaggregation. */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select($"doc_id", $"text",
+      size(split($"text", " ")).cast("long").as("nt"))
+    def roll(df: DataFrame, stage: String): DataFrame = {
+      import df.sparkSession.implicits._
+      df.agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+        .select(lit(stage).as("stage"), $"n_docs", $"n_tokens")
+    }
+    val raw = roll(tok, "1_raw")
+    val exact = roll(tok.groupBy($"text").agg(min($"nt").as("nt")), "2_exact")
+    val nearDup = roll(
+      graft.dedup.Dedup.nearMinhash(docs, "doc_id", "text")
+        .select(size(split($"text", " ")).cast("long").as("nt")), "3_near_dup")
+    val w = Window.orderBy($"stage")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    raw.unionByName(exact).unionByName(nearDup)
+      .withColumn("docs_kept_pct",
+        round($"n_docs".cast("double") / first($"n_docs").over(w), 6))
+      .orderBy($"stage")
+  }
+  private val q208Sql =
+    s"""${TextDedupQueries.shinglesSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      |${TextDedupQueries.minhashPairsSqlCtes},
+      |edges AS (SELECT doc_a AS s, doc_b AS d FROM pr
+      |  UNION SELECT doc_b, doc_a FROM pr),
+      |reach AS (
+      |  SELECT s AS id, s AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s
+      |),
+      |comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+      |tok AS (SELECT doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+      |stages AS (
+      |  SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok
+      |  UNION ALL
+      |  SELECT '2_exact', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
+      |  FROM (SELECT text, min(nt) AS nt FROM tok GROUP BY text)
+      |  UNION ALL
+      |  SELECT '3_near_dup', CAST(count(*) AS BIGINT), CAST(sum(nt) AS BIGINT)
+      |  FROM tok t LEFT JOIN comp c ON t.doc_id = c.id
+      |  WHERE c.id IS NULL OR c.root = t.doc_id)
+      |SELECT stage, n_docs, n_tokens,
+      |  round(CAST(n_docs AS DOUBLE) / first_value(n_docs) OVER (ORDER BY stage
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+      |    AS docs_kept_pct
+      |FROM stages ORDER BY stage""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q205_rrf_fusion", q205, Some(q205Sql)),
+    QueryDef("q206_cohens_kappa", q206, Some(q206Sql)),
+    QueryDef("q207_text_normalize", q207, Some(q207Sql)),
+    QueryDef("q208_curation_funnel", q208, Some(q208Sql)),
+  )
+}

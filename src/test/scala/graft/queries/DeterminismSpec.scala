@@ -69,7 +69,11 @@ class DeterminismSpec extends SparkTestBase {
     "q196_topk_with_ties", "q197_posexplode_firstpos",
     "q198_market_share", "q199_log2_histogram",
     "q200_interval_coverage", "q201_model_auc", "q202_null_safe_join",
-    "q203_crossdup_matrix")
+    "q203_crossdup_matrix",
+    // curation-ops batch: candidate-pruned RRF ranks, one-pass kappa
+    // contingency, md5-digest DISTINCTs, funnel over the minhash path
+    "q205_rrf_fusion", "q206_cohens_kappa", "q207_text_normalize",
+    "q208_curation_funnel")
 
   private val dir = "/root/testdata/sf0.001"
 
