@@ -49,6 +49,7 @@ object SparkEntry {
     graft.queries.FunnelQueries,
     graft.queries.AffinityQueries,
     graft.queries.CurationOpsQueries,
+    graft.queries.FrameSemanticsQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

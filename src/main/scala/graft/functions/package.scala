@@ -9,4 +9,5 @@ package object functions {
   val text: org.apache.spark.sql.graft.text.type = org.apache.spark.sql.graft.text
   val bloom: org.apache.spark.sql.graft.bloom.type = org.apache.spark.sql.graft.bloom
   val sketches: org.apache.spark.sql.graft.sketches.type = org.apache.spark.sql.graft.sketches
+  val bpe: org.apache.spark.sql.graft.bpe.type = org.apache.spark.sql.graft.bpe
 }

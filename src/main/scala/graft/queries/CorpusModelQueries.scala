@@ -167,6 +167,76 @@ object CorpusModelQueries extends QueryModule {
       |SELECT vec_id, CAST(cid AS INT) AS cluster FROM a2
       |ORDER BY vec_id""".stripMargin
 
+  /** q213: BPE merge APPLICATION — the other half of tokenizer induction
+    * (q144 mines the merge table; this encodes the corpus with it). The
+    * top-30 cross-word pairs (a ≠ b; self-pairs excluded — see
+    * [[org.apache.spark.sql.graft.BpeEncode]] for why) become the
+    * rank-ordered rule table; encoding is then a PER-ROW native
+    * expression with the rules embedded as a literal — the broadcast-
+    * rules shape: the driver collects exactly 30 bounded rows (never
+    * data-sized), and the encode pass itself is zero-shuffle,
+    * embarrassingly parallel — how tokenization must run at 100 TB.
+    * The DuckDB oracle replays greedy BEST-FIRST rounds (a recursive CTE
+    * picking the best-ranked present pair per doc per round), so the
+    * hash gate also proves the rank-order-exhaustive ≡ best-first
+    * equivalence the expression's single-level-rules argument claims. */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+    val ranks = toks
+      .where(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))"))
+        .as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .where($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"a", $"b").limit(30)
+      .select($"a", $"b").collect()                 // bounded: exactly <=30 rows
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val enc = graft.functions.bpe.encode($"w", ranks)
+    toks.select($"doc_id", size($"w").cast("long").as("n_before"), enc.as("enc"))
+      .select($"doc_id", $"n_before", size($"enc").cast("long").as("n_after"),
+        concat_ws("\u001f", $"enc").as("encoded"))
+      .orderBy($"doc_id")
+  }
+  private val q213Sql =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT w[s.i] AS a, w[s.i + 1] AS b
+      |  FROM t, UNNEST(range(1, len(w))) AS s(i) WHERE len(w) >= 2),
+      |ranks AS (
+      |  SELECT a, b, row_number() OVER (ORDER BY count(*) DESC, a, b) AS rk
+      |  FROM p WHERE a <> b GROUP BY a, b
+      |  ORDER BY count(*) DESC, a, b LIMIT 30),
+      |state(doc_id, round, toks) AS (
+      |  SELECT doc_id, 0, w FROM t
+      |  UNION ALL
+      |  SELECT s.doc_id, s.round + 1,
+      |    list_filter(list_transform(range(1, len(s.toks) + 1),
+      |      x -> CASE
+      |        WHEN x < len(s.toks) AND s.toks[x] = br.a AND s.toks[x+1] = br.b
+      |          THEN s.toks[x] || ' ' || s.toks[x+1]
+      |        WHEN x > 1 AND s.toks[x-1] = br.a AND s.toks[x] = br.b
+      |          THEN NULL
+      |        ELSE s.toks[x] END),
+      |      e -> e IS NOT NULL)
+      |  FROM state s JOIN LATERAL (
+      |    SELECT r.a, r.b FROM ranks r
+      |    WHERE list_contains(
+      |      list_transform(range(1, len(s.toks)),
+      |        i -> s.toks[i] || chr(31) || s.toks[i+1]),
+      |      r.a || chr(31) || r.b)
+      |    ORDER BY r.rk LIMIT 1) br ON true),
+      |fin AS (SELECT doc_id, arg_max(toks, round) AS toks
+      |  FROM state GROUP BY doc_id)
+      |SELECT f.doc_id, CAST(len(t.w) AS BIGINT) AS n_before,
+      |  CAST(len(f.toks) AS BIGINT) AS n_after,
+      |  array_to_string(f.toks, chr(31)) AS encoded
+      |FROM fin f JOIN t ON f.doc_id = t.doc_id
+      |ORDER BY f.doc_id""".stripMargin
+
   /** q147: cluster-balanced selection — the diversity-sampling step after
     * semantic clustering: cap every k-means cluster at 25 members
     * (smallest vec_id first, a stand-in for any per-item quality rank),
@@ -462,6 +532,7 @@ object CorpusModelQueries extends QueryModule {
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),
+    QueryDef("q213_bpe_encode", q213, Some(q213Sql)),
     QueryDef("q143_token_rarity", q143, Some(q143Sql)),
     QueryDef("q144_bpe_pairs", q144, Some(q144Sql)),
     QueryDef("q145_mixture_reweight", q145, Some(q145Sql)),

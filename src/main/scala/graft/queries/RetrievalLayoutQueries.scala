@@ -269,7 +269,52 @@ object RetrievalLayoutQueries extends QueryModule {
     QueryDef("q81_hll_sketch_merge", q81, Some(q81Sql)),
     QueryDef("q88_cms_heavy_hitters", q88, Some(q88Sql)),
     QueryDef("q109_phrase_search", q109, Some(q109Sql)),
+    QueryDef("q212_proximity_search", q212, Some(q212Sql)),
   )
+
+  /** q212: conjunctive proximity retrieval — documents containing ALL of
+    * three query terms, ranked by how tightly the first two co-occur:
+    * per-doc term frequencies plus the minimum positional gap between any
+    * "spark" and any "join" occurrence. This is the AND-of-postings +
+    * proximity-boost shape every keyword engine serves: each term's
+    * postings filter out of the token stream BEFORE any shuffle, tfs
+    * aggregate per (doc, term), the conjunction is an inner join of the
+    * (small) per-term doc lists, and the min-gap join fans out tf_a·tf_b
+    * rows per doc — bounded by per-doc term frequency, never by corpus
+    * size. A naive engine rescans every document per query; this touches
+    * only postings. Oracle recomputes by per-doc list arithmetic. */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+    def postings(t: String) = toks.filter($"tok" === t).select($"doc_id", $"pos")
+    val ta = postings("spark"); val tb = postings("join"); val tc = postings("window")
+    val tfs = ta.groupBy($"doc_id").agg(count(lit(1)).as("tf_spark"))
+      .join(tb.groupBy($"doc_id").agg(count(lit(1)).as("tf_join")), Seq("doc_id"))
+      .join(tc.groupBy($"doc_id").agg(count(lit(1)).as("tf_window")), Seq("doc_id"))
+    val gap = ta.join(tb.select($"doc_id", $"pos".as("pos_b")), Seq("doc_id"))
+      .groupBy($"doc_id").agg(min(abs($"pos" - $"pos_b")).as("min_gap"))
+    tfs.join(gap, Seq("doc_id"))
+      .select($"doc_id", $"tf_spark", $"tf_join", $"tf_window",
+        $"min_gap".cast("long").as("min_gap"))
+      .orderBy($"min_gap", $"doc_id")
+  }
+  private val q212Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |m AS (SELECT doc_id,
+      |    list_filter(range(1, len(w) + 1), i -> w[i] = 'spark') AS pa,
+      |    list_filter(range(1, len(w) + 1), i -> w[i] = 'join') AS pb,
+      |    list_filter(range(1, len(w) + 1), i -> w[i] = 'window') AS pc
+      |  FROM t),
+      |h AS (SELECT doc_id,
+      |    CAST(len(pa) AS BIGINT) AS tf_spark,
+      |    CAST(len(pb) AS BIGINT) AS tf_join,
+      |    CAST(len(pc) AS BIGINT) AS tf_window,
+      |    CAST(list_min(flatten(list_transform(pa,
+      |      a -> list_transform(pb, b -> abs(a - b))))) AS BIGINT) AS min_gap
+      |  FROM m WHERE len(pa) > 0 AND len(pb) > 0 AND len(pc) > 0)
+      |SELECT doc_id, tf_spark, tf_join, tf_window, min_gap
+      |FROM h ORDER BY min_gap, doc_id""".stripMargin
 
   /** q109: positional phrase search — exact-phrase retrieval ("table
     * hash") through a positional inverted index: tokens posexplode once,

@@ -235,8 +235,49 @@ object TrainingPrepQueries extends QueryModule {
       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM b GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** q211: top-n-gram mass — the fraction of a document's bigram slots
+    * occupied by its single most frequent bigram (Gopher-style
+    * "fraction of characters in the most common n-gram" repetition
+    * filter, token-bigram form; Rae et al. 2022 §A1.1 — the signal that
+    * catches boilerplate q71's DISTINCT ratio misses: one phrase
+    * repeated many times among otherwise-diverse text). Per-doc bigram
+    * counting is one per-row transform + hash agg keyed (doc, bigram);
+    * the winner is selected map-side by `min(struct(-cnt, bigram))` —
+    * highest count, lexicographically-first tie-break, no window sort
+    * anywhere. Share divides once at the end, 6 dp. */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .where(size($"w") >= 2)
+      .select($"doc_id", (size($"w") - 1).as("n_bigrams"),
+        explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+          .as("bg"))
+      .groupBy($"doc_id", $"n_bigrams", $"bg").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id", $"n_bigrams")
+      .agg(min(struct((-$"cnt").as("neg"), $"bg".as("bg"))).as("top"))
+      .select($"doc_id", $"n_bigrams", $"top.bg".as("top_bigram"),
+        (-$"top.neg").as("top_cnt"))
+      .withColumn("top_share", round($"top_cnt" / $"n_bigrams".cast("double"), 6))
+      .orderBy($"doc_id")
+  }
+  private val q211Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT doc_id, len(w) - 1 AS n_bigrams,
+      |    w[s.i] || ' ' || w[s.i + 1] AS bg
+      |  FROM t, UNNEST(range(1, len(w))) AS s(i) WHERE len(w) >= 2),
+      |c AS (SELECT doc_id, n_bigrams, bg, count(*) AS cnt
+      |  FROM p GROUP BY doc_id, n_bigrams, bg),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY cnt DESC, bg) AS rn FROM c)
+      |SELECT doc_id, n_bigrams, bg AS top_bigram, cnt AS top_cnt,
+      |  round(cnt / CAST(n_bigrams AS DOUBLE), 6) AS top_share
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q71_repetition_ratio", q71, Some(q71Sql)),
+    QueryDef("q211_top_ngram_mass", q211, Some(q211Sql)),
     QueryDef("q150_shard_manifest", q150, Some(q150Sql)),
     QueryDef("q72_embedding_quantization", q72, Some(q72Sql)),
     QueryDef("q73_sequence_packing", q73, Some(q73Sql)),

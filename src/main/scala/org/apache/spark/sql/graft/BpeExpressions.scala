@@ -1,0 +1,122 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{AbstractDataType, AnyDataType, ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BPE-style merge application over a token array: the APPLY half of
+  * tokenizer induction (q144 mines the merge table; this encodes with it).
+  *
+  * `merges` is the learned rule list in PRIORITY ORDER (rank 0 = most
+  * frequent pair), as a foldable array<struct<a,b>> literal — the
+  * broadcast-rules shape: the table is driver-built from a bounded
+  * aggregate (top-R pairs), embedded as a literal, and every executor
+  * applies it row-locally. Tokenization is embarrassingly parallel — zero
+  * shuffle — which is exactly how it must run at 100 TB.
+  *
+  * Semantics: standard greedy BPE — repeatedly merge the best-ranked
+  * adjacent pair present, all its occurrences left-to-right, until no
+  * rule applies; a merged token is `a + " " + b`. Two deliberate
+  * restrictions keep the semantics engine-portable and exactly
+  * oracle-checkable:
+  *
+  *   1. Rules are SINGLE-LEVEL (both sides are corpus words, never merged
+  *      tokens). A merged token contains a space and corpus words do not,
+  *      so applying one rule can never create an occurrence of another —
+  *      rules only destroy occurrences. Best-first rounds are therefore
+  *      order-equivalent to applying each rule EXHAUSTIVELY in rank
+  *      order, which is what eval does (one linear pass per rule).
+  *   2. Self-pairs (a = b) are excluded from the rule table: left-to-right
+  *      non-overlap on an odd run ("a a a") is tokenizer-implementation-
+  *      defined, and with a ≠ b adjacent occurrences cannot overlap at
+  *      all, so the pass semantics are unambiguous.
+  *
+  * Native expression for the same reason as [[SimHashBits]]: the
+  * equivalent nested `aggregate × transform × filter` lambda stack runs
+  * interpreted per rule per token; here it is rules × one array pass in
+  * one compiled call per row.
+  */
+case class BpeEncode(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType), AnyDataType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "bpe_encode"
+
+  // The rule table is a query constant: parse the literal once per
+  // expression instance, not per row. Evaluated lazily so the instance
+  // survives serialization (the literal re-evals on the executor).
+  @transient private lazy val rules: Array[(UTF8String, UTF8String)] = {
+    require(right.foldable, "bpe_encode merges must be a literal rule table")
+    val arr = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    val out = new Array[(UTF8String, UTF8String)](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      val st = arr.getStruct(i, 2)
+      val a = st.getUTF8String(0)
+      val b = st.getUTF8String(1)
+      require(a != null && b != null && !a.equals(b),
+        s"bpe_encode rules must be non-null with a != b, got ($a, $b)")
+      out(i) = (a, b)
+      i += 1
+    }
+    out
+  }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(toks: Any, mergesIgnored: Any): Any = {
+    val arr = toks.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var cur = new Array[UTF8String](n)
+    var len = n
+    var i = 0
+    while (i < n) { cur(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i); i += 1 }
+    var r = 0
+    while (r < rules.length && len > 1) {
+      val (a, b) = rules(r)
+      // one left-to-right pass merging every (a, b) occurrence in place
+      var read = 0
+      var write = 0
+      while (read < len) {
+        val t = cur(read)
+        if (read + 1 < len && t != null && t.equals(a) &&
+            cur(read + 1) != null && cur(read + 1).equals(b)) {
+          cur(write) = UTF8String.concatWs(space, a, b)
+          read += 2
+        } else {
+          cur(write) = t
+          read += 1
+        }
+        write += 1
+      }
+      len = write
+      r += 1
+    }
+    val out = new Array[Any](len)
+    i = 0
+    while (i < len) { out(i) = cur(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-level entry point. */
+object bpe {
+  /** Apply a rank-ordered merge table (array<struct<a,b>> literal) to an
+    * array<string> token column. */
+  def encode(tokens: Column, merges: Column): Column =
+    ColumnBridge.lift(BpeEncode(ColumnBridge.unwrap(tokens), ColumnBridge.unwrap(merges)))
+
+  /** Rank-ordered rule pairs as a Scala Seq (driver-collected bounded
+    * top-R table) — embedded as an array<struct> literal. */
+  def encode(tokens: Column, merges: Seq[(String, String)]): Column =
+    encode(tokens, org.apache.spark.sql.functions.typedLit(merges))
+}
