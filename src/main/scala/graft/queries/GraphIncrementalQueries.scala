@@ -33,6 +33,53 @@ object GraphIncrementalQueries extends QueryModule {
     * 10-day "increment" (the new micro-batch). */
   private val cutoffNs = 1705795200000000000L
 
+  /** q214: incremental maintenance of a JOIN view — the delta-join
+    * algebra q82 stops short of. The maintained view is per-nation order
+    * stats over orders ⋈ customer; a batch delivers BOTH new orders
+    * (o_orderkey % 10 = 0) and new customers (c_custkey % 20 = 0), and
+    * the view advances by the inclusion–exclusion expansion
+    *
+    *   (O+ΔO) ⋈ (C+ΔC) = O⋈C  +  ΔO⋈C  +  O⋈ΔC  +  ΔO⋈ΔC
+    *
+    * — three delta terms added to the stored base view, never a full
+    * recompute. Every term's aggregate is partial-combinable (count +
+    * DECIMAL sum), so the merge is one re-aggregation of four partials.
+    * The oracle computes the full join in one pass: the hash gate proves
+    * the expansion is EXACT, not approximately refreshed. Scale: each
+    * delta term joins a batch-sized side against the base — the batch
+    * side broadcasts (hinted); the base⋈base term here stands for the
+    * stored materialization, which at 100 TB is read, not recomputed. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+    val ord = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val custB = cust.where(pmod($"c_custkey", lit(20L)) =!= 0L)
+    val custD = cust.where(pmod($"c_custkey", lit(20L)) === 0L)
+    val ordB = ord.where(pmod($"o_orderkey", lit(10L)) =!= 0L)
+    val ordD = ord.where(pmod($"o_orderkey", lit(10L)) === 0L)
+    // broadcast whichever side is the batch-sized delta (both, for ΔΔ)
+    def term(o: DataFrame, c: DataFrame): DataFrame =
+      o.join(c, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey").agg(
+          count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(28,2)")).as("rev"))
+    term(ordB, custB)                            // stored base view
+      .unionByName(term(broadcast(ordD), custB)) // ΔO ⋈ C
+      .unionByName(term(ordB, broadcast(custD))) // O ⋈ ΔC
+      .unionByName(term(broadcast(ordD), custD)) // ΔO ⋈ ΔC
+      .groupBy($"c_nationkey")
+      .agg(sum($"n").as("n_orders"),
+        round(sum($"rev").cast("double"), 2).as("revenue"))
+      .orderBy($"c_nationkey")
+  }
+  private val q214Sql =
+    """SELECT c.c_nationkey, count(*) AS n_orders,
+      |  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,2))) AS DOUBLE), 2)
+      |    AS revenue
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
+
   /** q82: incremental aggregate maintenance — per-group (count, decimal
     * sum, min, max) partials computed separately over history and
     * increment, then merged by re-aggregation. The output is the MERGED
@@ -248,6 +295,7 @@ object GraphIncrementalQueries extends QueryModule {
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q82_incremental_agg", q82, Some(q82Sql)),
+    QueryDef("q214_delta_join_view", q214, Some(q214Sql)),
     QueryDef("q83_triangle_count", q83, Some(q83Sql)),
     QueryDef("q84_outlier_zscore", q84, Some(q84Sql)),
     QueryDef("q89_correlation_matrix", q89, Some(q89Sql)),

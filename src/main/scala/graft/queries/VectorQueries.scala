@@ -62,6 +62,41 @@ object VectorQueries extends QueryModule {
     import s.implicits._
     exactTopK(s, dir, 5).orderBy($"vec_id", $"rk")
   }
+
+  /** q215: reciprocal nearest neighbors — unordered pairs (a, b) where
+    * each is the other's TOP-1 cosine neighbor. The mutual filter is the
+    * standard "is this really the same thing?" tightening over one-way
+    * nearest neighbors (used to seed merge decisions in semantic-dedup
+    * and cluster-agglomeration pipelines — cf. Abbas et al. 2023's
+    * within-cluster pairing): one-way argmax is noisy under hubness; a
+    * hub vector is many items' top-1 but reciprocates at most once.
+    * Built on exactTopK(k=1) — the bounded-aggregate argmax with the
+    * (cos desc, id asc) tie-break — plus ONE self-join on the per-vector
+    * one-row result, so the reciprocity step is linear however the
+    * top-1s were produced (swap in the q59 IVF candidates at scale; the
+    * mutual join is unchanged). */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nn1 = exactTopK(s, dir, 1).select($"vec_id", $"nn_vec", $"cos_sim")
+    nn1.where($"vec_id" < $"nn_vec").as("x")
+      .join(nn1.where($"vec_id" > $"nn_vec").as("y"),
+        $"x.vec_id" === $"y.nn_vec" && $"x.nn_vec" === $"y.vec_id")
+      .select($"x.vec_id".as("vec_a"), $"x.nn_vec".as("vec_b"),
+        $"x.cos_sim".as("cos_sim"))
+      .orderBy($"vec_a")
+  }
+  private val q215Sql =
+    s"""$normedSql,
+      |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_vec,
+      |    round($cosDuck, 6) AS cos_sim
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos_sim DESC, nn_vec) AS rk FROM p),
+      |t1 AS (SELECT vec_id, nn_vec, cos_sim FROM r WHERE rk = 1)
+      |SELECT x.vec_id AS vec_a, x.nn_vec AS vec_b, x.cos_sim AS cos_sim
+      |FROM t1 x JOIN t1 y ON x.vec_id = y.nn_vec AND x.nn_vec = y.vec_id
+      |WHERE x.vec_id < x.nn_vec
+      |ORDER BY vec_a""".stripMargin
   private val q29Sql =
     s"""$normedSql,
       |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_vec,
@@ -459,6 +494,7 @@ object VectorQueries extends QueryModule {
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q29_knn_cosine", q29, Some(q29Sql)),
+    QueryDef("q215_mutual_nn", q215, Some(q215Sql)),
     QueryDef("q30_ann_lsh_bucketed", q30, Some(q30Sql)),
     QueryDef("q31_cosine_neardup", q31, Some(q31Sql)),
     QueryDef("q59_ann_ivf", q59, Some(q59Sql)),
