@@ -68,6 +68,61 @@ object WarehouseQueries extends QueryModule {
       |  valid_to_us IS NULL AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  /** q216: point-in-time-correct feature join — each purchase fact is
+    * attributed the dimension version in effect AT ITS EVENT TIME: the
+    * `k` attribute of the user's latest signup with (ts, event_id) at or
+    * before the purchase's, plus that signup's ordinal (the version a
+    * feature store would log). This is THE anti-leakage join of training
+    * pipelines: joining the CURRENT dimension row backfills future
+    * attribute values into past facts. Engine shape is the union-LOCF
+    * kernel (q99/q188): dimension and fact streams union, ONE window
+    * pass per user carries `last(k, ignoreNulls)` and a running signup
+    * count — no join at all, so there is no per-fact probe against the
+    * version table and nothing skews on hot users beyond the window
+    * sort. Purchases before any signup keep NULL (outer semantics,
+    * pinned by the gate). The oracle takes the textbook other route — a
+    * LATERAL top-1 probe of the version table per fact — so the hash
+    * compare proves kernel == correlated-join semantics, ties included. */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val dim = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        lit(null).cast("double").as("value"))
+    val fact = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id",
+        lit(null).cast("long").as("k"), $"value")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(fact)
+      .withColumn("plan_k", last($"k", ignoreNulls = true).over(w))
+      .withColumn("plan_version", count($"k").over(w))
+      .filter($"value".isNotNull)                      // keep fact rows
+      .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"),
+        $"value", $"plan_k",
+        when($"plan_version" > 0, $"plan_version").as("plan_version"))
+      .orderBy($"event_id")
+  }
+  private val q216Sql =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn, event_type,
+      |    value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |s AS (SELECT user_id, tsn, event_id, k,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY tsn, event_id) AS BIGINT) AS version
+      |  FROM e WHERE event_type = 'signup'),
+      |p AS (SELECT event_id, user_id, tsn, value FROM e
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.tsn // 1000 AS ts_us, p.value,
+      |  v.k AS plan_k, v.version AS plan_version
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT s.k, s.version FROM s
+      |  WHERE s.user_id = p.user_id
+      |    AND (s.tsn < p.tsn OR (s.tsn = p.tsn AND s.event_id <= p.event_id))
+      |  ORDER BY s.tsn DESC, s.event_id DESC LIMIT 1) v ON true
+      |ORDER BY p.event_id""".stripMargin
+
   /** q75: time-windowed funnel — view, then click within 2 h of the first
     * view, then purchase within 2 h of that click. Each stage is a filtered
     * aggregate joined to the previous stage's survivors; the conversion
@@ -332,6 +387,7 @@ object WarehouseQueries extends QueryModule {
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
+    QueryDef("q216_pit_feature_join", q216, Some(q216Sql)),
     QueryDef("q75_funnel_window", q75, Some(q75Sql)),
     QueryDef("q76_cohort_retention", q76, Some(q76Sql)),
     QueryDef("q77_skew_salted_join", q77, Some(q77Sql)),
