@@ -10,4 +10,5 @@ package object functions {
   val bloom: org.apache.spark.sql.graft.bloom.type = org.apache.spark.sql.graft.bloom
   val sketches: org.apache.spark.sql.graft.sketches.type = org.apache.spark.sql.graft.sketches
   val bpe: org.apache.spark.sql.graft.bpe.type = org.apache.spark.sql.graft.bpe
+  val hindex: org.apache.spark.sql.graft.hindex.type = org.apache.spark.sql.graft.hindex
 }

@@ -101,4 +101,56 @@ object Graph {
     }
     rank.select($"id", $"r".as("rank_scaled"))
   }
+
+  /** Coreness (k-core number) of every vertex via iterated neighborhood
+    * H-index (Lü et al. 2016): start from degree, repeatedly replace each
+    * vertex's estimate with the H-index of its neighbors' estimates; the
+    * fixed point is exactly the core decomposition. Estimates are
+    * integers and MONOTONICALLY non-increasing, so the fixpoint — and
+    * every intermediate round — is deterministic under any partitioning
+    * (the q217 oracle replays the identical recurrence).
+    *
+    * Scale shape: each round is ONE probe join of the (pre-checkpointed)
+    * edge list against the O(|V|) estimate table plus ONE hash aggregate
+    * — the custom partial-combinable [[org.apache.spark.sql.graft
+    * .HIndexLong]] histogram buffer, so there is no per-vertex sort and
+    * map-side combine caps the exchange at |V| histogram rows. Bucketing
+    * edges by `dst` on a real cluster makes the probe join local; round
+    * count is bounded by graph structure (typically O(diameter-ish),
+    * 14–20 on the gate corpora), not by |V|.
+    *
+    * @param edges     SYMMETRIC edge list (src, dst) — coreness is an
+    *                  undirected notion; pass both directions
+    * @param maxRounds loud upper bound: throws if the fixpoint is not
+    *                  reached (silent truncation would emit coreness
+    *                  OVER-estimates)
+    * @return (id, coreness)
+    */
+  def coreness(edges: DataFrame, maxRounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select($"src", $"dst").localCheckpoint(true)
+    var c = e.groupBy($"src".as("id"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val nb = e.join(c.withColumnRenamed("id", "nid"), $"dst" === $"nid")
+        .select($"src".as("id"), $"c".as("nc"))
+      val next = nb.groupBy($"id")
+        .agg(org.apache.spark.sql.graft.hindex.hIndex($"nc").as("c"))
+        .localCheckpoint(true)
+      // both sides are materialized checkpoints: the convergence probe is
+      // a cheap |V|-row join, and estimates only DECREASE, so equality of
+      // the whole table reduces to "no row changed"
+      converged = next.join(c.select($"id", $"c".as("pc")), "id")
+        .where($"c" =!= $"pc").isEmpty
+      c = next
+      round += 1
+    }
+    require(converged,
+      s"coreness did not converge within $maxRounds rounds — raise the " +
+        "bound; truncating would report inflated core numbers")
+    c.select($"id", $"c".as("coreness"))
+  }
 }

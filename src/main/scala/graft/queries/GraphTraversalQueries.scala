@@ -113,8 +113,65 @@ object GraphTraversalQueries extends QueryModule {
        |ORDER BY 1""".stripMargin
   }
 
+  /** q217: coreness (k-core number per vertex) of the co-purchase
+    * ADJACENCY graph — the sparser consecutive-linenumber variant, whose
+    * degree spread gives a 7..20 core spectrum (the full co-purchase
+    * clique graph is so dense its core structure is flat). Computed by
+    * iterated neighborhood H-index ([[graft.graph.Graph.coreness]]):
+    * per-round ONE probe join + ONE hash aggregate through the
+    * partial-combinable HIndexLong histogram — no per-vertex sort. The
+    * oracle replays the identical integer recurrence as a recursive CTE
+    * (window-ranked H-index), run for a fixed 28 rounds: past the
+    * fixpoint rounds repeat verbatim, and the engine raises loudly if 28
+    * rounds ever stop sufficing, so the two can only agree at the true
+    * core decomposition. Coreness is the standard corpus-graph
+    * diagnostic for "structurally central" items (dense-core mining /
+    * influence floors) where raw degree over-counts hub-adjacency. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val adj = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+    val edges = adj.select($"u".as("src"), $"v".as("dst"))
+      .union(adj.select($"v".as("src"), $"u".as("dst"))).distinct()
+    Graph.coreness(edges, maxRounds = 28)
+      .select($"id".as("part_id"), $"coreness")
+      .orderBy($"part_id")
+  }
+  private val q217Sql = {
+    val R = 28
+    s"""WITH RECURSIVE adj AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey
+       |    AND b.l_linenumber = a.l_linenumber + 1
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |e AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT u AS src, v AS dst FROM adj
+       |  UNION ALL SELECT v, u FROM adj)),
+       |st(round, id, c) AS (
+       |  SELECT 0, src, count(*) FROM e GROUP BY 2
+       |  UNION ALL
+       |  SELECT round + 1, id, max(h) FROM (
+       |    SELECT s.round AS round, e.src AS id,
+       |      CASE WHEN s.c < row_number() OVER (PARTITION BY s.round, e.src
+       |                                         ORDER BY s.c DESC, e.dst)
+       |           THEN s.c
+       |           ELSE row_number() OVER (PARTITION BY s.round, e.src
+       |                                   ORDER BY s.c DESC, e.dst) END AS h
+       |    FROM e JOIN st s ON s.id = e.dst) q
+       |  WHERE round < $R GROUP BY round, id)
+       |SELECT id AS part_id, c AS coreness FROM st WHERE round = $R
+       |ORDER BY part_id""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q94_bfs_reach", q94, Some(q94Sql)),
     QueryDef("q95_pagerank", q95, Some(q95Sql)),
+    QueryDef("q217_coreness", q217, Some(q217Sql)),
   )
 }

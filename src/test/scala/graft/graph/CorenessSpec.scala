@@ -1,0 +1,56 @@
+package graft.graph
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Handchecks for Graph.coreness and the HIndexLong aggregate: known core
+  * decompositions, partition-invariance of the histogram buffer, and the
+  * loud non-convergence bound. */
+class CorenessSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sym(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("coreness: triangle with a dangling path — tail peels to 1-core") {
+    // triangle {1,2,3} with tail 3-4-5: every tail node has degree >= 1
+    // only after 5 peels, so the cascade needs multiple rounds. (A path
+    // CONNECTING two triangles would stay 2-core — internal degree 2.)
+    val edges = sym((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graph.coreness(edges, maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("coreness: k4 with a pendant — clique 3, pendant 1") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = sym(k4 :+ (4L -> 9L): _*)
+    val got = Graph.coreness(edges, maxRounds = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 9L -> 1L))
+  }
+
+  test("HIndexLong: known h-indexes, order- and partition-invariant") {
+    val vals = Seq(3L, 0L, 6L, 1L, 5L)                  // h = 3
+    for (parts <- Seq(1, 3, 5)) {
+      val h = vals.map(v => ("g", v)).toDF("g", "v").repartition(parts)
+        .groupBy($"g").agg(graft.functions.hindex.hIndex($"v").as("h"))
+        .collect().head.getLong(1)
+      assert(h == 3L, s"parts=$parts")
+    }
+    // all equal values: h = min(count, value)
+    val h2 = Seq(4L, 4L, 4L).map(v => ("g", v)).toDF("g", "v")
+      .groupBy($"g").agg(graft.functions.hindex.hIndex($"v").as("h"))
+      .collect().head.getLong(1)
+    assert(h2 == 3L)
+  }
+
+  test("coreness raises loudly when the round bound is too small") {
+    // a 12-node path needs several rounds; 1 round cannot converge
+    val path = (1L until 12L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] {
+      Graph.coreness(sym(path: _*), maxRounds = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
+}
