@@ -41,11 +41,18 @@ object CurationOpsQueries extends QueryModule {
     * a hash match proves the pruning lossless. */
   private def q205(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // materialize the per-doc scalars BEFORE the candidate fan-out join:
+    // without the barrier Catalyst inlines the split/array_distinct
+    // expressions into the post-join projection and recomputes them per
+    // (doc, candidate) pair — measured 11.9 s -> the tokenization ran
+    // |candidates| times per document (the fan-out is the rank-count
+    // pass's job; the token work must stay per-doc)
     val base = Tables.documents(s, dir)
       .withColumn("toks", split($"text", " "))
       .select($"doc_id", $"n_chars".as("ka"),
         expr("CAST(size(array_distinct(toks)) AS BIGINT) * 1000000 div size(toks)")
           .as("kb"))
+      .localCheckpoint(true)
     val headA = base.orderBy($"ka".desc, $"doc_id").limit(300)
     val headB = base.orderBy($"kb".desc, $"doc_id").limit(300)
     val cand = headA.unionByName(headB).dropDuplicates("doc_id")
