@@ -429,8 +429,54 @@ object TextDedupQueries extends QueryModule {
        |FROM documents d LEFT JOIN deg g ON d.doc_id = g.id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q218: containment dedup — documents whose ENTIRE text occurs
+    * token-aligned inside another document (truncations/quotes/mirror
+    * fragments: the near-dup class MinHash under-weights because a short
+    * doc inside a long one has low Jaccard). Token alignment is the
+    * deliberate contract (padding both sides with spaces): document
+    * dedup reasons about token sequences, and alignment is what makes
+    * the candidate step SOUND — a contained doc shares every one of its
+    * shingles with its container, so its globally RAREST shingle (by
+    * document frequency, shingle text tie-break) is guaranteed present
+    * in the container. Candidates are therefore one equi-join on that
+    * single rarest-shingle key per doc: fan-out is df(rarest shingle) —
+    * rare by construction — instead of the naive n² text scan the oracle
+    * runs (the hash match proves the pruning lossless). Verification is
+    * one `contains` per candidate. */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+    val dfreq = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfreq.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy($"doc_id")
+      .agg(min(struct($"df", $"shingle")).as("m"))
+      .select($"doc_id", $"m.shingle".as("rsh"))
+    val cand = rare.join(
+        sh.select($"doc_id".as("container"), $"shingle".as("rsh"))
+          .hint("shuffle_hash"),
+        Seq("rsh"))
+      .filter($"doc_id" =!= $"container")
+      .select($"doc_id", $"container")
+    val texts = Tables.documents(s, dir).select($"doc_id", $"text")
+    cand
+      .join(texts.hint("shuffle_hash"), Seq("doc_id"))
+      .join(texts.select($"doc_id".as("cid"), $"text".as("ctext"))
+          .hint("shuffle_hash"),
+        $"container" === $"cid")
+      .filter(contains(concat(lit(" "), $"ctext", lit(" ")),
+        concat(lit(" "), $"text", lit(" "))))
+      .select($"doc_id".as("contained_doc"), $"container".as("container_doc"))
+      .orderBy($"contained_doc", $"container_doc")
+  }
+  private val q218Sql =
+    """SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc
+      |FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
+      |  AND position(' ' || a.text || ' ' IN ' ' || b.text || ' ') > 0
+      |ORDER BY contained_doc, container_doc""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q22_token_quality", q22, Some(q22Sql)),
+    QueryDef("q218_containment_dedup", q218, Some(q218Sql)),
     QueryDef("q23_lang_id", q23, Some(q23Sql)),
     QueryDef("q24_fingerprint", q24, Some(q24Sql)),
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
