@@ -275,9 +275,60 @@ object TrainingPrepQueries extends QueryModule {
       |  round(cnt / CAST(n_bigrams AS DOUBLE), 6) AS top_share
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** q219: deterministic in-batch negative sampling — the contrastive-
+    * training step that pairs every anchor with k negatives drawn from
+    * its OWN batch (the in-batch-negatives discipline: no global
+    * candidate pool ever materializes). Batches are the q149/q60 hash
+    * ring: bucket = 16-bit md5 bucket of vec_id mod B, with B sized so
+    * batches hold ~32 vectors (B derives from one bounded count — the
+    * only driver scalar). Negatives are same-batch vectors of a
+    * DIFFERENT label, ranked by the pair hash md5(anchor:cand) — a pure
+    * function of the ids, so the sample is reproducible run-over-run,
+    * epoch-salt-able, and partitioning-independent. Candidate fan-out is
+    * batch-bounded (~32 rows per anchor, whatever the corpus size); the
+    * shuffle key is the batch id. Anchors whose batch lacks other-label
+    * members emit nothing — pinned by the gate, and the signal to
+    * re-salt batches in production. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).select($"vec_id", $"label")
+    val n = emb.count()                        // bounded driver scalar
+    val b = math.max(1L, (n + 31L) / 32L)
+    val batched = emb.withColumn("batch",
+      pmod(CurationQueries.hashBucket("vec_id"), lit(b)))
+    val cand = batched.as("a").join(batched.as("b"),
+        $"a.batch" === $"b.batch" && $"a.label" =!= $"b.label")
+      .select($"a.vec_id".as("anchor_id"), $"a.batch".as("batch"),
+        $"b.vec_id".as("neg_id"), $"b.label".as("neg_label"),
+        md5(concat($"a.vec_id".cast("string"), lit(":"),
+          $"b.vec_id".cast("string"))).as("ph"))
+    val w = Window.partitionBy($"anchor_id").orderBy($"ph", $"neg_id")
+    cand.withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= 4)
+      .select($"anchor_id", $"rk", $"neg_id", $"neg_label", $"batch")
+      .orderBy($"anchor_id", $"rk")
+  }
+  private val q219Sql = {
+    val bucket = CurationQueries.duckBucket("vec_id")
+    s"""WITH nn AS (SELECT greatest(1, (count(*) + 31) // 32) AS b
+      |  FROM embeddings),
+      |e AS (SELECT vec_id, label, $bucket % (SELECT b FROM nn) AS batch
+      |  FROM embeddings),
+      |c AS (SELECT a.vec_id AS anchor_id, a.batch AS batch,
+      |    b.vec_id AS neg_id, b.label AS neg_label,
+      |    md5(CAST(a.vec_id AS VARCHAR) || ':' || CAST(b.vec_id AS VARCHAR))
+      |      AS ph
+      |  FROM e a JOIN e b ON a.batch = b.batch AND a.label <> b.label),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+      |    ORDER BY ph, neg_id) AS BIGINT) AS rk FROM c)
+      |SELECT anchor_id, rk, neg_id, neg_label, batch
+      |FROM r WHERE rk <= 4 ORDER BY anchor_id, rk""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q71_repetition_ratio", q71, Some(q71Sql)),
     QueryDef("q211_top_ngram_mass", q211, Some(q211Sql)),
+    QueryDef("q219_negative_sampling", q219, Some(q219Sql)),
     QueryDef("q150_shard_manifest", q150, Some(q150Sql)),
     QueryDef("q72_embedding_quantization", q72, Some(q72Sql)),
     QueryDef("q73_sequence_packing", q73, Some(q73Sql)),

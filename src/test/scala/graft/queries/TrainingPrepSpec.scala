@@ -68,4 +68,32 @@ class TrainingPrepSpec extends SparkTestBase {
         $"x.last_doc" > $"y.first_doc").count()
     assert(overlaps == 0, "consecutive bins overlap in doc ranges")
   }
+
+  test("q219 negatives: cross-label only, in-batch only, <= 4 per anchor") {
+    val df = SparkEntry.queries("q219_negative_sampling")(spark, dir)
+    import spark.implicits._
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // <= 4 negatives per anchor, ranks dense from 1
+    val byAnchor = rows.groupBy(_.getAs[Long]("anchor_id"))
+    byAnchor.foreach { case (a, rs) =>
+      val rks = rs.map(_.getAs[Long]("rk")).sorted.toSeq
+      assert(rks == (1L to rks.length), s"anchor $a ranks not dense: $rks")
+      assert(rks.length <= 4)
+    }
+    // anchors never sample their own label, and stay inside their batch
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      assert(emb(r.getAs[Long]("anchor_id")) != r.getAs[Int]("neg_label"),
+        "negative shares the anchor's label")
+    }
+  }
+
+  test("q219 is deterministic: two runs produce identical samples") {
+    val a = SparkEntry.queries("q219_negative_sampling")(spark, dir).collect()
+    val b = SparkEntry.queries("q219_negative_sampling")(spark, dir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
 }
