@@ -108,8 +108,53 @@ object FrameSemanticsQueries extends QueryModule {
       |  AND CAST(l.l_shipdate AS DATE) = g.day
       |ORDER BY l.l_suppkey, l.l_orderkey, l.l_linenumber""".stripMargin
 
+  /** q220: the other two ANSI frame exclusions — EXCLUDE GROUP (drop the
+    * current row AND its order-by peers from the frame) and EXCLUDE TIES
+    * (drop the peers but keep the current row). Pinned to a RANGE frame
+    * deliberately: a value-range frame that spans offset 0 always
+    * contains the FULL peer group, so the rewrites are exact algebra —
+    * group-excluded = frame − peers, ties-excluded = frame − peers +
+    * self — whereas under a ROWS frame a tie group can straddle the
+    * frame edge and the subtraction would remove rows the frame never
+    * held. The peer aggregate is RANGE BETWEEN CURRENT ROW AND CURRENT
+    * ROW over the SAME sort, so CollapseWindow keeps the whole family on
+    * one exchange (plan-asserted). Use case: "surrounding days vs today"
+    * baselines where same-day rows must not contaminate the baseline. */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"l_suppkey").orderBy($"dnum")
+    val frame = ord.rangeBetween(-2, 2)
+    val peers = ord.rangeBetween(0, 0)
+    Tables.lineitem(s, dir)
+      .withColumn("dnum", datediff(to_date($"l_shipdate"), lit("1970-01-01")))
+      .withColumn("qty", $"l_quantity".cast("decimal(18,2)"))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"dnum",
+        (sum($"qty").over(frame) - sum($"qty").over(peers))
+          .cast("double").as("qty_excl_group"),
+        (sum($"qty").over(frame) - sum($"qty").over(peers) + $"qty")
+          .cast("double").as("qty_excl_ties"),
+        (count(lit(1)).over(frame) - count(lit(1)).over(peers)).as("n_excl_group"))
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+  }
+  private val q220Sql =
+    """WITH li AS (SELECT l_suppkey, l_orderkey, l_linenumber,
+      |    datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS dnum,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS qty
+      |  FROM lineitem)
+      |SELECT l_suppkey, l_orderkey, l_linenumber, dnum,
+      |  CAST(coalesce(sum(qty) OVER weg, 0) AS DOUBLE) AS qty_excl_group,
+      |  CAST(sum(qty) OVER wet AS DOUBLE) AS qty_excl_ties,
+      |  count(*) OVER weg AS n_excl_group
+      |FROM li
+      |WINDOW weg AS (PARTITION BY l_suppkey ORDER BY dnum
+      |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP),
+      |  wet AS (PARTITION BY l_suppkey ORDER BY dnum
+      |    RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q209_window_exclude", q209, Some(q209Sql)),
     QueryDef("q210_groups_frame", q210, Some(q210Sql)),
+    QueryDef("q220_exclude_group_ties", q220, Some(q220Sql)),
   )
 }

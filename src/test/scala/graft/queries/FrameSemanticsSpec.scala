@@ -64,8 +64,29 @@ class FrameSemanticsSpec extends SparkTestBase {
     assert(got(204L) == (90.0, 3L))  // Jan6: Jan5 group + itself
   }
 
-  test("q209/q210 plans: one exchange per window family (rewrite adds none)") {
-    for (q <- Seq("q209_window_exclude", "q210_groups_frame")) {
+  test("q220: EXCLUDE GROUP drops same-day rows, EXCLUDE TIES keeps self") {
+    val got = SparkEntry.queries("q220_exclude_group_ties")(spark, fixtures)
+      .collect()
+      .map(r => r.getAs[Long]("l_orderkey") ->
+        (r.getAs[Double]("qty_excl_group"), r.getAs[Double]("qty_excl_ties"),
+          r.getAs[Long]("n_excl_group")))
+      .toMap
+    // supplier 2: Jan1 is >2 days from everything → empty exclusion frame
+    assert(got(201L) == (0.0, 10.0, 0L))
+    // Jan5 tie pair: group-excluded drops BOTH 20 and 30; ties-excluded
+    // keeps the current row only
+    assert(got(202L) == (40.0, 60.0, 1L))
+    assert(got(203L) == (40.0, 70.0, 1L))
+    assert(got(204L) == (50.0, 90.0, 2L))
+    // supplier 1 (1,2,3 on consecutive days, no ties): group == ties − self
+    assert(got(101L) == (5.0, 6.0, 2L))
+    assert(got(102L) == (4.0, 6.0, 2L))
+    assert(got(103L) == (3.0, 6.0, 2L))
+  }
+
+  test("q209/q210/q220 plans: one exchange per window family (rewrite adds none)") {
+    for (q <- Seq("q209_window_exclude", "q210_groups_frame",
+        "q220_exclude_group_ties")) {
       val plan = SparkEntry.queries(q)(spark, fixtures)
         .queryExecution.executedPlan.toString()
       val n = "Exchange hashpartitioning".r.findAllIn(plan).size
