@@ -483,6 +483,62 @@ object CorpusModelQueries extends QueryModule {
     * their order agree across engines; everything after grouping is
     * integer until the final division. The oracle replays training
     * (q160's CTEs) and the same identity with a window prefix sum. */
+  /** q221: probe calibration (reliability curve) — q201 grades the
+    * probe's RANKING (AUC); this grades its PROBABILITIES: decile-bucket
+    * the predicted scores and compare each bucket's mean prediction with
+    * its empirical positive rate (the gap column is the reliability
+    * diagram a model-based quality filter publishes before its scores
+    * are used as sampling weights rather than a threshold). Same
+    * replayed training loop as q160/q201; binning is one floor() per
+    * row, per-bucket stats are one combinable aggregate; mean
+    * predictions DECIMAL-sum the 9 dp scores so bucket means are
+    * partitioning-exact. */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feat = featFrame(s, dir)
+    val model = graft.ml.LinearProbe.fitGD(feat, "f", "label",
+      dims = 3, lr = 0.5, iters = 3)
+    feat.select($"label", model.scoreCol($"f").as("score"))
+      .withColumn("bin", least(lit(9L), floor($"score" * 10).cast("long")))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"label" === 1.0, 1L).otherwise(0L)).as("n_pos"),
+        round(sum($"score".cast(DecimalType(28, 9))).cast("double") /
+          count(lit(1)), 6).as("mean_pred"))
+      .withColumn("pos_rate", round($"n_pos".cast("double") / $"n", 6))
+      .withColumn("gap", round($"mean_pred" - $"pos_rate", 6))
+      .orderBy($"bin")
+  }
+  private val q221Sql = {
+    val m = s"(w.b + w.w1 * f1 + w.w2 * f2 + w.w3 * f3)"
+    val p = s"round(0.5 + 0.5 * $m / (1.0 + abs($m)), 9)"
+    s"""WITH feat AS (SELECT lang,
+      |    n_chars / 100.0 AS f1,
+      |    len(string_split(text, ' ')) / 10.0 AS f2,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS f3,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label
+      |  FROM documents),
+      |w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),
+      |${gdRound("w0", "wa")},
+      |${gdRound("wa", "wb")},
+      |${gdRound("wb", "wc")},
+      |scored AS (SELECT label, $p AS score FROM feat CROSS JOIN wc w),
+      |b AS (SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+      |    label, score FROM scored)
+      |SELECT bin, count(*) AS n,
+      |  CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |  round(CAST(sum(CAST(score AS DECIMAL(28,9))) AS DOUBLE) / count(*), 6)
+      |    AS mean_pred,
+      |  round(CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS pos_rate,
+      |  round(round(CAST(sum(CAST(score AS DECIMAL(28,9))) AS DOUBLE)
+      |      / count(*), 6) -
+      |    round(CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(*), 6), 6) AS gap
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   private def q201(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val feat = featFrame(s, dir)
@@ -539,6 +595,7 @@ object CorpusModelQueries extends QueryModule {
     QueryDef("q147_cluster_balanced", q147, Some(q147Sql)),
     QueryDef("q151_semdedup", q151, Some(q151Sql)),
     QueryDef("q160_linear_probe", q160, Some(q160Sql)),
+    QueryDef("q221_calibration", q221, Some(q221Sql)),
     QueryDef("q201_model_auc", q201, Some(q201Sql)),
   )
 }

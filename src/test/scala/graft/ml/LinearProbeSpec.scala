@@ -69,4 +69,25 @@ class LinearProbeSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(auc == expected, s"rank-sum $auc vs pairwise $expected")
   }
+
+  test("q221 calibration buckets: conserved counts, bounded means") {
+    val rows = graft.SparkEntry.queries("q221_calibration")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == 500L, s"bucket counts must partition the corpus: $total")
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val mp = r.getAs[Double]("mean_pred")
+      val pr = r.getAs[Double]("pos_rate")
+      assert(bin >= 0 && bin <= 9)
+      // a bucket's mean prediction lies inside the bucket's score range
+      // (9 is the clamp bucket: scores in [0.9, 1.0))
+      assert(mp >= bin / 10.0 - 1e-6 && mp < (bin + 1) / 10.0 + 1e-6,
+        s"bin $bin mean_pred $mp outside bucket")
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap") - BigDecimal(mp - pr)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
 }
