@@ -61,9 +61,14 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
+    // shift part keys too: replicas must be DISJOINT graphs (the ×k
+    // co-purchase/coreness rehearsal measures corpus growth, not the
+    // densification of one fixed part universe)
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     (0 until reps).map { k =>
-      if (k == 0) li else li.withColumn("l_orderkey", $"l_orderkey" + lit(k * OFF))
+      if (k == 0) li
+      else li.withColumn("l_orderkey", $"l_orderkey" + lit(k * OFF))
+        .withColumn("l_partkey", $"l_partkey" + lit(k * OFF))
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
