@@ -45,6 +45,49 @@ class CorenessSpec extends SparkTestBase {
     assert(h2 == 3L)
   }
 
+  test("coreness equals brute-force peeling on random graphs (property)") {
+    // reference: coreness(v) = max k such that v survives the k-core
+    // peel — computed by the textbook repeated-removal loop
+    def peelCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var core = Map.empty[Long, Long]
+      var k = 1L
+      var alive = nodes.toSet
+      var es = edges
+      while (alive.nonEmpty) {
+        // peel everything below degree k to fixpoint
+        var changed = true
+        while (changed) {
+          val deg = es.groupBy(_._1).map { case (n, g) => n -> g.size }
+          val drop = alive.filter(n => deg.getOrElse(n, 0) < k)
+          changed = drop.nonEmpty
+          if (changed) {
+            // a dropped node's coreness is the last k it survived
+            drop.foreach(n => core += n -> (k - 1))
+            alive --= drop
+            es = es.filter(e => alive(e._1) && alive(e._2))
+          }
+        }
+        k += 1
+      }
+      core
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(8)
+      val pairs = (for {
+        a <- 1L to n; b <- (a + 1) to n
+        if rnd.nextInt(100) < 30
+      } yield (a, b)).toSeq
+      if (pairs.nonEmpty) {
+        val expected = peelCoreness(pairs ++ pairs.map(_.swap))
+        val got = Graph.coreness(sym(pairs: _*), maxRounds = 40)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expected, s"trial $trial: $got vs $expected\n$pairs")
+      }
+    }
+  }
+
   test("coreness raises loudly when the round bound is too small") {
     // a 12-node path needs several rounds; 1 round cannot converge
     val path = (1L until 12L).map(i => (i, i + 1))
