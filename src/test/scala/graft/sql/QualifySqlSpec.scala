@@ -57,6 +57,43 @@ class QualifySqlSpec extends SparkTestBase {
     assert(viaShim.collect().toSeq == expected.collect().toSeq)
   }
 
+  test("EVERY statement of the reference's example_queries.sql runs verbatim") {
+    // Read the reference file at test time (never copied into this repo):
+    // a user must be able to paste the whole analyst playbook unchanged.
+    val path = java.nio.file.Paths.get("/root/reference/sql/example_queries.sql")
+    assume(java.nio.file.Files.exists(path), "reference checkout not present")
+    val text = java.nio.file.Files.readString(path)
+    val stmts = text.split(";").map(_.trim).filter { s =>
+      s.replaceAll("(?m)^--.*$", "").trim.nonEmpty
+    }
+    assert(stmts.length == 14, s"expected the 14 reference statements, got ${stmts.length}")
+
+    import spark.implicits._
+    // gold rows engineered so every statement returns data: three symbols,
+    // consecutive dates including Q8's literal DATE '2025-12-23', and a
+    // >2% mover at the max date for Q6's threshold screen
+    val rows = for {
+      (sym, base) <- Seq(("SPY", 100.0), ("GLD", 50.0), ("QQQ", 200.0))
+      d <- 20 to 24
+    } yield (sym, f"2025-12-$d%02d", base + d,
+      Some(if (sym == "QQQ") 0.03 else 0.001 * d),
+      // QQQ's vol EXPANDS at the last date so Q7's 1.5x screen fires
+      Some(if (sym == "QQQ" && d == 24) 0.5 else 0.01 * d),
+      Some(base * 10))
+    rows.toDF("symbol", "ds", "close", "return_1d", "vol_20d", "avg_volume_20d")
+      .withColumn("date", to_date(col("ds"))).drop("ds")
+      .createOrReplaceTempView("gold_market_features_daily")
+
+    stmts.zipWithIndex.foreach { case (stmt, i) =>
+      val out = QualifySql.sql(spark, stmt).collect()
+      assert(out.nonEmpty, s"statement ${i + 1} returned no rows:\n$stmt")
+    }
+    // the QUALIFY statements (latest snapshot per symbol) must emit
+    // exactly one row per symbol
+    val snap = QualifySql.sql(spark, stmts(0)).collect()
+    assert(snap.length == 3)
+  }
+
   test("statements without a top-level QUALIFY pass through untouched") {
     val plain = "SELECT a, b FROM t WHERE x = 1 ORDER BY a"
     assert(QualifySql.rewrite(plain) eq plain)
