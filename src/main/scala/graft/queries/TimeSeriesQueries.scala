@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, QueryModule, Tables}
 import graft.operators.AsOfJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series operators the reference's daily grain never needed but any
@@ -619,8 +620,62 @@ object TimeSeriesQueries extends QueryModule {
       |  round(CAST(wsum AS DOUBLE) / wtot / 100.0, 6) AS twap
       |FROM f WHERE wtot > 0 ORDER BY user_id""".stripMargin
 
+  /** q222: largest-triangle downsampling — the visualization-grade
+    * decimation every tick dashboard runs before plotting (Steinarsson
+    * 2013): per day bucket keep the point whose triangle with its raw
+    * neighbors has the largest area, so spikes and reversals survive
+    * where naive first/avg-per-bucket erases them. This is the
+    * PARALLEL one-bucket variant (LTOB): anchors are each point's
+    * immediate raw neighbors, not the previously SELECTED point — the
+    * sequential dependency in textbook LTTB cannot shard, LTOB is one
+    * lag/lead window + one per-bucket argmax. Twice-the-area is exact
+    * LONG arithmetic over (µs, cents) — |Δx·Δy − Δx·Δy| ≲ 1e16 —
+    * ranked with a (−area2, tsu) min-struct so ties pin to the
+    * earliest point; bucket ends (first/last raw point per series)
+    * have no two neighbors and are KEPT by convention (area2 NULL
+    * ranks them first in their bucket, matching LTTB's always-keep-
+    * endpoints rule when buckets align). */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"tsu", $"event_id")
+    val pts = Tables.events(s, dir)
+      .select($"event_type", expr("ts div 1000").as("tsu"), $"event_id",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("px", lag($"tsu", 1).over(w))
+      .withColumn("py", lag($"cents", 1).over(w))
+      .withColumn("nx", lead($"tsu", 1).over(w))
+      .withColumn("ny", lead($"cents", 1).over(w))
+      .withColumn("area2", abs(($"px" - $"nx") * ($"cents" - $"py") -
+        ($"px" - $"tsu") * ($"py" - $"ny")))
+      .withColumn("bucket", expr("tsu div 86400000000"))
+    pts.groupBy($"event_type", $"bucket")
+      .agg(min(struct((-coalesce($"area2", lit(Long.MaxValue))).as("na"),
+        $"tsu".as("tsu"), $"event_id".as("eid"), $"cents".as("cents"))).as("m"))
+      .select($"event_type", $"bucket", $"m.tsu".as("tsu"),
+        $"m.eid".as("event_id"), $"m.cents".as("cents"))
+      .orderBy($"event_type", $"bucket")
+  }
+  private val q222Sql =
+    """WITH p AS (SELECT event_type, epoch_us(ts) AS tsu, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |n AS (SELECT *,
+      |    lag(tsu) OVER w AS px, lag(cents) OVER w AS py,
+      |    lead(tsu) OVER w AS nx, lead(cents) OVER w AS ny
+      |  FROM p WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id)),
+      |a AS (SELECT event_type, tsu, event_id, cents,
+      |    tsu // 86400000000 AS bucket,
+      |    abs((px - nx) * (cents - py) - (px - tsu) * (py - ny)) AS area2
+      |  FROM n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+      |    ORDER BY coalesce(-area2, -9223372036854775807), tsu, event_id)
+      |    AS rk FROM a)
+      |SELECT event_type, bucket, tsu, event_id, cents
+      |FROM r WHERE rk = 1 ORDER BY event_type, bucket""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
+    QueryDef("q222_lttb_downsample", q222, Some(q222Sql)),
     QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
     QueryDef("q85_ewma", q85, Some(q85Sql)),
     QueryDef("q91_max_drawdown", q91, Some(q91Sql)),
