@@ -34,12 +34,19 @@ object MediaFixtures {
     val kind =
       if (imageGray(id)) BufferedImage.TYPE_BYTE_GRAY else BufferedImage.TYPE_3BYTE_BGR
     val img = new BufferedImage(w, h, kind)
+    // raster samples, not setRGB: on TYPE_BYTE_GRAY setRGB routes the
+    // value through sRGB->gray color conversion (gamma LUT), so the
+    // decoded sample would NOT be the formula value — and the resize
+    // gate (q223) oracle-checks actual pixel arithmetic
+    val raster = img.getRaster
+    val bands = raster.getNumBands
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val v = ((x * 7 + y * 13 + id) % 255).toInt
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        var b = 0
+        while (b < bands) { raster.setSample(x, y, b, v); b += 1 }
         x += 1
       }
       y += 1

@@ -187,9 +187,93 @@ object MediaPipeline {
     }
   }
 
+  /** One REALLY resized image: the output dims, the re-encoded PNG
+    * payload, and the pixel sum measured by decoding that payload BACK —
+    * proving the emitted bytes are a valid lossless round trip, not just
+    * an in-memory raster. */
+  case class ResizedImage(
+      asset_id: Long,
+      ok: Boolean,
+      out_w: Option[Int],
+      out_h: Option[Int],
+      pixel_sum: Option[Long],
+      payload: Array[Byte],
+      err: Option[String])
+
+  /** REAL pixel resize: decode → nearest-neighbor resample → re-encode
+    * PNG → decode the re-encoded bytes and measure them. The sampling map
+    * is pinned to `src(x·srcW div outW, y·srcH div outH)` (floor), NOT
+    * delegated to AWT's scaling ops, so the resampled raster is exact
+    * integer arithmetic any oracle can replay; PNG is lossless, so the
+    * round-tripped pixel sum equals the resampled one — the q223 gate
+    * hash-checks that chain end to end. Payload bytes never cross a
+    * shuffle (everything happens inside the partition iterator);
+    * undecodable inputs yield ok=false audit rows. */
+  def resizeImages(assets: Dataset[MediaAsset], outW: Int, outH: Int): Dataset[ResizedImage] = {
+    require(outW > 0 && outH > 0, s"target dims must be positive: $outW x $outH")
+    import assets.sparkSession.implicits._
+    assets.filter(_.kind == "image").mapPartitions { it =>
+      it.map { a =>
+        readImage(a.payload) match {
+          case Right(img) =>
+            val srcW = img.getWidth
+            val srcH = img.getHeight
+            val gray = img.getRaster.getNumBands == 1
+            val out = new java.awt.image.BufferedImage(outW, outH,
+              if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+              else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            // band-wise raster copy: setRGB would route gray pixels
+            // through sRGB color conversion (gamma LUT) and silently
+            // change values; sample copies are conversion-free
+            val srcR = img.getRaster
+            val outR = out.getRaster
+            val bands = srcR.getNumBands
+            var y = 0
+            while (y < outH) {
+              val sy = y * srcH / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * srcW / outW
+                var b = 0
+                while (b < bands) {
+                  outR.setSample(x, y, b, srcR.getSample(sx, sy, b)); b += 1
+                }
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            val bytes = bos.toByteArray
+            readImage(bytes) match {
+              case Right(rt) =>
+                val r = rt.getRaster
+                var sum = 0L
+                var yy = 0
+                while (yy < rt.getHeight) {
+                  var xx = 0
+                  while (xx < rt.getWidth) {
+                    sum += r.getSample(xx, yy, 0); xx += 1
+                  }
+                  yy += 1
+                }
+                ResizedImage(a.asset_id, ok = true, Some(rt.getWidth),
+                  Some(rt.getHeight), Some(sum), bytes, None)
+              case Left(err) =>
+                ResizedImage(a.asset_id, ok = false, None, None, None,
+                  Array.empty, Some(s"round-trip decode failed: $err"))
+            }
+          case Left(err) =>
+            ResizedImage(a.asset_id, ok = false, None, None, None,
+              Array.empty, Some(err))
+        }
+      }
+    }
+  }
+
   /** Metadata-only resize: records the target size in `meta` without
-    * touching payload bytes (lazy resize — the real decode applies it).
-    * Pure column ops: stays in whole-stage codegen. */
+    * touching payload bytes (lazy resize — [[resizeImages]] is the eager
+    * pixel path). Pure column ops: stays in whole-stage codegen. */
   def withResizeTarget(assets: DataFrame, w: Int, h: Int): DataFrame =
     assets.withColumn("meta",
       map_concat(col("meta"), map(

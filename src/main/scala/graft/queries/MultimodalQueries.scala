@@ -150,9 +150,39 @@ object MultimodalQueries extends QueryModule {
       |  END AS DOUBLE) AS rms6
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q223: the REAL resize pipeline end to end — every image asset's PNG
+    * is decoded on executors, nearest-neighbor resampled to 6×5 with the
+    * pinned `src(x·w div 6, y·h div 5)` map, re-encoded as PNG, and the
+    * re-encoded bytes decoded AGAIN to measure width/height/pixel-sum
+    * (so the gate certifies emitted-payload validity and PNG
+    * losslessness, not just an in-memory raster). The oracle never sees
+    * a byte: it replays the resample arithmetic over the fixture's
+    * id-parameterized pixel formula — 30 terms per asset via an
+    * unnested 6×5 grid. */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir)
+      .select($"doc_id").as[Long].map(syntheticAsset)
+    MediaPipeline.resizeImages(assets, 6, 5).toDF()
+      .filter($"ok")
+      .select($"asset_id", $"out_w", $"out_h", $"pixel_sum")
+      .orderBy($"asset_id")
+  }
+  private val q223Sql =
+    """WITH img AS (SELECT doc_id AS id,
+      |    8 + doc_id % 16 AS sw, 8 + (doc_id // 16) % 16 AS sh
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |grid AS (SELECT i.id, i.sw, i.sh, x.x AS x, y.y AS y
+      |  FROM img i, UNNEST(range(0, 6)) x(x), UNNEST(range(0, 5)) y(y))
+      |SELECT id AS asset_id, 6 AS out_w, 5 AS out_h,
+      |  CAST(sum(((x * sw // 6) * 7 + (y * sh // 5) * 13 + id) % 255)
+      |    AS BIGINT) AS pixel_sum
+      |FROM grid GROUP BY id ORDER BY asset_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q54_multimodal_metrics", q54, Some(q54Sql)),
     QueryDef("q141_frame_sample", q141, Some(q141Sql)),
     QueryDef("q204_decode_audit", q204, Some(q204Sql)),
+    QueryDef("q223_resize_pipeline", q223, Some(q223Sql)),
   )
 }
