@@ -123,6 +123,59 @@ object WarehouseQueries extends QueryModule {
       |  ORDER BY s.tsn DESC, s.event_id DESC LIMIT 1) v ON true
       |ORDER BY p.event_id""".stripMargin
 
+  /** q224: CDC changelog apply with DELETE tombstones — materialize the
+    * final row state from an ordered I/U/D op stream (the Delta-CDF /
+    * Debezium apply step). The semantics the gate pins: a tombstone
+    * WIPES — per-column values from before the last D must never leak
+    * into a row re-inserted afterwards (the classic CDC-apply bug that
+    * per-column LOCF over the whole history commits); a user whose LAST
+    * op is D has no row at all; partial updates touch only their column
+    * (signups carry `plan`, purchases/clicks carry `amount`), so a
+    * re-inserted row can legitimately have NULL amount. Op order is
+    * event_id (monotone with ts in this corpus). One window pass finds
+    * each user's last tombstone, one filtered grouped aggregate builds
+    * the surviving rows — no joins, combinable aggregates. */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ops = Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        when($"event_type" === "error", "D")
+          .when($"event_type" === "signup", "I")
+          .when($"event_type".isin("purchase", "click"), "U").as("op"),
+        get_json_object($"props", "$.k").cast("long").as("k"), $"value")
+      .where($"op".isNotNull)
+    val w = Window.partitionBy($"user_id")
+    ops
+      .withColumn("last_d", max(when($"op" === "D", $"event_id")).over(w))
+      .where($"event_id" > coalesce($"last_d", lit(-1L)))
+      .groupBy($"user_id")
+      .agg(
+        max(when($"op" === "I", struct($"event_id", $"k"))).as("pi"),
+        max(when($"op" === "U", struct($"event_id", $"value"))).as("pu"),
+        count(lit(1)).as("n_live_ops"))
+      .select($"user_id", $"pi.k".as("plan"),
+        round($"pu.value", 2).as("amount"), $"n_live_ops")
+      .orderBy($"user_id")
+  }
+  private val q224Sql =
+    """WITH ops AS (SELECT user_id, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D'
+      |         WHEN event_type = 'signup' THEN 'I'
+      |         WHEN event_type IN ('purchase', 'click') THEN 'U' END AS op,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, value
+      |  FROM events
+      |  WHERE event_type IN ('error', 'signup', 'purchase', 'click')),
+      |d AS (SELECT *, max(CASE WHEN op = 'D' THEN event_id END)
+      |    OVER (PARTITION BY user_id) AS last_d FROM ops),
+      |live AS (SELECT * FROM d WHERE event_id > coalesce(last_d, -1))
+      |SELECT user_id,
+      |  arg_max(CASE WHEN op = 'I' THEN k END,
+      |    CASE WHEN op = 'I' THEN event_id END) AS plan,
+      |  round(arg_max(CASE WHEN op = 'U' THEN value END,
+      |    CASE WHEN op = 'U' THEN event_id END), 2) AS amount,
+      |  count(*) AS n_live_ops
+      |FROM live GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** q75: time-windowed funnel — view, then click within 2 h of the first
     * view, then purchase within 2 h of that click. Each stage is a filtered
     * aggregate joined to the previous stage's survivors; the conversion
@@ -388,6 +441,7 @@ object WarehouseQueries extends QueryModule {
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
     QueryDef("q216_pit_feature_join", q216, Some(q216Sql)),
+    QueryDef("q224_changelog_apply", q224, Some(q224Sql)),
     QueryDef("q75_funnel_window", q75, Some(q75Sql)),
     QueryDef("q76_cohort_retention", q76, Some(q76Sql)),
     QueryDef("q77_skew_salted_join", q77, Some(q77Sql)),
