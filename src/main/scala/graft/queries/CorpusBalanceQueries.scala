@@ -50,6 +50,103 @@ object CorpusBalanceQueries extends QueryModule {
       |FROM r WHERE (cum - n_chars) * 10 < total * 9
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** q225: Simpson diversity of each source's token distribution — the
+    * log-free concentration/diversity statistic (Simpson 1949):
+    * λ = Σ p², diversity = 1 − λ, effective vocabulary = 1/λ (how many
+    * equally-likely tokens the slice behaves like). The corpus-balance
+    * metric mixture tuning uses where entropy would need ln (banned by
+    * the libm-free determinism rule): λ stays an exact rational —
+    * Σ c² / n² over LONG token counts — so the only doubles are two
+    * final divisions of exact integers, rounded 8 dp. Shape: one
+    * (source, token) count, one Σc² rollup per source — combinable
+    * aggregates, no window, no join. */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum($"c" * $"c").as("sum_c2"))
+      .select($"source", $"n_tokens", $"vocab",
+        round(lit(1.0) - $"sum_c2".cast("double") /
+          ($"n_tokens" * $"n_tokens").cast("double"), 8).as("simpson_diversity"),
+        round(($"n_tokens" * $"n_tokens").cast("double") /
+          $"sum_c2".cast("double"), 8).as("effective_vocab"))
+      .orderBy($"source")
+  }
+  private val q225Sql =
+    """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2),
+      |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(sum(c * c) AS BIGINT) AS sum_c2
+      |  FROM c GROUP BY 1)
+      |SELECT source, n_tokens, vocab,
+      |  round(1.0 - CAST(sum_c2 AS DOUBLE)
+      |    / CAST(n_tokens * n_tokens AS DOUBLE), 8) AS simpson_diversity,
+      |  round(CAST(n_tokens * n_tokens AS DOUBLE)
+      |    / CAST(sum_c2 AS DOUBLE), 8) AS effective_vocab
+      |FROM s ORDER BY source""".stripMargin
+
+  /** q226: Wasserstein-1 (earth-mover) distance between two sources'
+    * document-LENGTH distributions — the drift statistic that, unlike
+    * q124's TVD, weighs HOW FAR mass moved (a corpus whose docs all grew
+    * 10 tokens drifts a lot in W1, barely in TVD). Uses the 1-D identity
+    * W1 = ∫|F_A − F_B|: with integer support, W1·n_A·n_B =
+    * Σ_v |cumA(v)·n_B − cumB(v)·n_A| · (next_v − v) — every term exact
+    * LONG, one double division at the end (8 dp). The cumsum runs over
+    * the LENGTH-VALUE domain (≤ max doc tokens, ~100 cells — the q120
+    * tiny-domain precedent), never over documents, so the single-
+    * partition window touches a bounded histogram however large the
+    * corpus; the data-sized work is one conditional count per value. */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.documents(s, dir)
+      .filter($"source".isin("src0", "src1"))
+      .select($"source", size(split($"text", " ")).cast("long").as("len"))
+      .groupBy($"len").agg(
+        sum(when($"source" === "src0", 1L).otherwise(0L)).as("ca"),
+        sum(when($"source" === "src1", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy($"len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = cells
+      .withColumn("cuma", sum($"ca").over(w))
+      .withColumn("cumb", sum($"cb").over(w))
+      .withColumn("gap", lead($"len", 1).over(Window.orderBy($"len")) - $"len")
+      .where($"gap".isNotNull)
+    // totals enter as a 1-row broadcast on a derived-constant key
+    // (q145/q143 pattern: BroadcastHashJoin, never BNLJ)
+    val totals = cells.agg(sum($"ca").as("n_a"), sum($"cb").as("n_b"))
+      .withColumn("one", pmod($"n_a", lit(1L)) * lit(0L))
+    cum.withColumn("one", pmod($"len", lit(1L)) * lit(0L))
+      .join(broadcast(totals), Seq("one"))
+      .agg(first($"n_a").as("n_a"), first($"n_b").as("n_b"),
+        sum(abs($"cuma" * $"n_b" - $"cumb" * $"n_a") * $"gap").as("w1s"))
+      .select($"n_a", $"n_b",
+        round($"w1s".cast("double") / ($"n_a" * $"n_b").cast("double"), 8)
+          .as("w1_tokens"))
+  }
+  private val q226Sql =
+    """WITH l AS (SELECT source, len(string_split(text, ' ')) AS len
+      |  FROM documents WHERE source IN ('src0', 'src1')),
+      |cells AS (SELECT len,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM l GROUP BY len),
+      |c AS (SELECT len, sum(ca) OVER wo AS cuma, sum(cb) OVER wo AS cumb,
+      |    lead(len) OVER (ORDER BY len) - len AS gap
+      |  FROM cells WINDOW wo AS (ORDER BY len ROWS UNBOUNDED PRECEDING)),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |    CAST(sum(cb) AS BIGINT) AS n_b FROM cells)
+      |SELECT t.n_a, t.n_b,
+      |  round(CAST(sum(abs(c.cuma * t.n_b - c.cumb * t.n_a) * c.gap) AS DOUBLE)
+      |    / CAST(t.n_a * t.n_b AS DOUBLE), 8) AS w1_tokens
+      |FROM c CROSS JOIN t WHERE c.gap IS NOT NULL
+      |GROUP BY t.n_a, t.n_b""".stripMargin
+
   /** q124: total-variation distance between two sources' token
     * distributions — the drift statistic for "did this slice's language
     * shift". TVD = ½·Σ_tokens |p_a − p_b|; per-token probabilities are
@@ -152,6 +249,8 @@ object CorpusBalanceQueries extends QueryModule {
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q123_top_p_mass", q123, Some(q123Sql)),
+    QueryDef("q225_simpson_diversity", q225, Some(q225Sql)),
+    QueryDef("q226_wasserstein_drift", q226, Some(q226Sql)),
     QueryDef("q124_token_tvd", q124, Some(q124Sql)),
     QueryDef("q125_centroid_cosine", q125, Some(q125Sql)),
   )

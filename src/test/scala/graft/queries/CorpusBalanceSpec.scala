@@ -49,6 +49,27 @@ class CorpusBalanceSpec extends SparkTestBase {
     assert(row.getAs[Double]("tvd") == 0.55)
   }
 
+  test("q225 Simpson diversity: uniform-ish vs concentrated, by hand") {
+    val got = SparkEntry.queries("q225_simpson_diversity")(spark, fixtures)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"),
+          r.getAs[Double]("simpson_diversity"), r.getAs[Double]("effective_vocab")))
+      .toMap
+    // src0: a,a,b,x,y -> sum c^2 = 7 over n=5: 1-7/25, 25/7
+    assert(got("src0") == (5L, 4L, 0.72, 3.57142857))
+    // src1: a,b,b,b -> sum c^2 = 10 over n=4
+    assert(got("src1") == (4L, 2L, 0.375, 1.6))
+  }
+
+  test("q226 W1 length drift equals the optimal-transport cost by hand") {
+    val r = SparkEntry.queries("q226_wasserstein_drift")(spark, fixtures)
+      .collect().head
+    // src0 lengths {1,1,3}, src1 {4}: transport cost (3+3+1)/3 = 7/3
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 1L)
+    assert(r.getAs[Double]("w1_tokens") == 2.33333333)
+  }
+
   test("q125 centroid cosine: orthogonal, parallel, and 3-4-5 cases") {
     val got = SparkEntry.queries("q125_centroid_cosine")(spark, fixtures).collect()
       .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
