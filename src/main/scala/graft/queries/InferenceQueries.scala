@@ -308,6 +308,59 @@ object InferenceQueries extends QueryModule {
     * a single double expression over four exact longs — division and sqrt
     * are IEEE-correctly-rounded, so both engines produce the identical
     * bits before the round(…, 6). */
+  /** q227: quantile treatment effect — the A/B readout on DISTRIBUTION
+    * shape: per-arm exact p25/p50/p75 of purchase value and their
+    * differences (quantile lift). The mean-based z-test (q180) misses
+    * effects that move the tails without moving the mean; QTE is the
+    * standard companion readout. Arms are the q180/q60 hash split (pure
+    * function of user id), quantiles are Spark's exact `percentile` vs
+    * DuckDB's `quantile_cont` — same type-7 interpolation on the dyadic
+    * lattice (the q159 precedent); deltas subtract the already-6dp-
+    * rounded quantiles so they stay bit-stable. */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val arms = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .withColumn("arm",
+        when(CurationQueries.hashBucket("user_id") % 2 === 0, "A").otherwise("B"))
+    val q = arms.groupBy()
+      .agg(
+        sum(when($"arm" === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === "B", 1L).otherwise(0L)).as("n_b"),
+        round(expr("percentile(CASE WHEN arm = 'A' THEN value END, 0.25)"), 6).as("p25_a"),
+        round(expr("percentile(CASE WHEN arm = 'A' THEN value END, 0.5)"), 6).as("p50_a"),
+        round(expr("percentile(CASE WHEN arm = 'A' THEN value END, 0.75)"), 6).as("p75_a"),
+        round(expr("percentile(CASE WHEN arm = 'B' THEN value END, 0.25)"), 6).as("p25_b"),
+        round(expr("percentile(CASE WHEN arm = 'B' THEN value END, 0.5)"), 6).as("p50_b"),
+        round(expr("percentile(CASE WHEN arm = 'B' THEN value END, 0.75)"), 6).as("p75_b"))
+    q.select($"n_a", $"n_b", $"p25_a", $"p50_a", $"p75_a",
+      $"p25_b", $"p50_b", $"p75_b",
+      round($"p25_b" - $"p25_a", 6).as("qte_25"),
+      round($"p50_b" - $"p50_a", 6).as("qte_50"),
+      round($"p75_b" - $"p75_a", 6).as("qte_75"))
+  }
+  private val q227Sql = {
+    val bucket = CurationQueries.duckBucket("user_id")
+    s"""WITH p AS (SELECT value,
+      |    CASE WHEN $bucket % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      |  FROM events WHERE event_type = 'purchase'),
+      |q AS (SELECT
+      |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    round(quantile_cont(CASE WHEN arm = 'A' THEN value END, 0.25), 6) AS p25_a,
+      |    round(quantile_cont(CASE WHEN arm = 'A' THEN value END, 0.5), 6) AS p50_a,
+      |    round(quantile_cont(CASE WHEN arm = 'A' THEN value END, 0.75), 6) AS p75_a,
+      |    round(quantile_cont(CASE WHEN arm = 'B' THEN value END, 0.25), 6) AS p25_b,
+      |    round(quantile_cont(CASE WHEN arm = 'B' THEN value END, 0.5), 6) AS p50_b,
+      |    round(quantile_cont(CASE WHEN arm = 'B' THEN value END, 0.75), 6) AS p75_b
+      |  FROM p)
+      |SELECT n_a, n_b, p25_a, p50_a, p75_a, p25_b, p50_b, p75_b,
+      |  round(p25_b - p25_a, 6) AS qte_25,
+      |  round(p50_b - p50_a, 6) AS qte_50,
+      |  round(p75_b - p75_a, 6) AS qte_75
+      |FROM q""".stripMargin
+  }
+
   private def q180(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perUser = Tables.events(s, dir)
@@ -435,6 +488,7 @@ object InferenceQueries extends QueryModule {
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q114_ks_test", q114, Some(q114Sql)),
     QueryDef("q180_ab_ztest", q180, Some(q180Sql)),
+    QueryDef("q227_quantile_lift", q227, Some(q227Sql)),
     QueryDef("q182_cum_hazard", q182, Some(q182Sql)),
     QueryDef("q115_mannwhitney_u", q115, Some(q115Sql)),
     QueryDef("q116_group_ols", q116, Some(q116Sql)),

@@ -176,6 +176,68 @@ object WarehouseQueries extends QueryModule {
       |  count(*) AS n_live_ops
       |FROM live GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q228: growth accounting — the DAU ledger every product team keeps:
+    * per day, actives decompose EXACTLY into new (first-ever day) +
+    * retained (also active the previous day) + resurrected (returning
+    * after a gap), and churned(d) counts users active on d−1 but not d
+    * (so actives(d−1) = retained(d) + churned(d) — both identities are
+    * conservation laws the gate hash-pins). Trailing churn at the
+    * corpus horizon is counted on last_active+1 by convention (a user's
+    * final day always emits one churn). Shape: one distinct to
+    * (user, day) grain, one per-user window for prev/next day, then two
+    * day-grain aggregates full-outer-merged — no day spine table, days
+    * materialize from the data. */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val ud = Tables.events(s, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"))
+      .distinct()
+      .withColumn("prev_day", lag($"day", 1).over(w))
+      .withColumn("next_day", lead($"day", 1).over(w))
+    val act = ud.groupBy($"day").agg(
+      count(lit(1)).as("n_active"),
+      sum(when($"prev_day".isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when($"prev_day" === $"day" - 1, 1L).otherwise(0L)).as("n_retained"),
+      sum(when($"prev_day".isNotNull && $"prev_day" < $"day" - 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churn = ud
+      .where($"next_day".isNull || $"next_day" > $"day" + 1)
+      .groupBy(($"day" + 1).as("day"))
+      .agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("day"), "full_outer")
+      .select($"day",
+        coalesce($"n_active", lit(0L)).as("n_active"),
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        coalesce($"n_retained", lit(0L)).as("n_retained"),
+        coalesce($"n_resurrected", lit(0L)).as("n_resurrected"),
+        coalesce($"n_churned", lit(0L)).as("n_churned"))
+      .orderBy($"day")
+  }
+  private val q228Sql =
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+      |n AS (SELECT *,
+      |    lag(day) OVER w AS prev_day, lead(day) OVER w AS next_day
+      |  FROM ud WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |act AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+      |    CAST(sum(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(sum(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_retained,
+      |    CAST(sum(CASE WHEN prev_day < day - 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_resurrected
+      |  FROM n GROUP BY day),
+      |ch AS (SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+      |  FROM n WHERE next_day IS NULL OR next_day > day + 1 GROUP BY day + 1)
+      |SELECT coalesce(act.day, ch.day) AS day,
+      |  coalesce(n_active, 0) AS n_active, coalesce(n_new, 0) AS n_new,
+      |  coalesce(n_retained, 0) AS n_retained,
+      |  coalesce(n_resurrected, 0) AS n_resurrected,
+      |  coalesce(n_churned, 0) AS n_churned
+      |FROM act FULL OUTER JOIN ch ON act.day = ch.day
+      |ORDER BY day""".stripMargin
+
   /** q75: time-windowed funnel — view, then click within 2 h of the first
     * view, then purchase within 2 h of that click. Each stage is a filtered
     * aggregate joined to the previous stage's survivors; the conversion
@@ -442,6 +504,7 @@ object WarehouseQueries extends QueryModule {
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
     QueryDef("q216_pit_feature_join", q216, Some(q216Sql)),
     QueryDef("q224_changelog_apply", q224, Some(q224Sql)),
+    QueryDef("q228_growth_accounting", q228, Some(q228Sql)),
     QueryDef("q75_funnel_window", q75, Some(q75Sql)),
     QueryDef("q76_cohort_retention", q76, Some(q76Sql)),
     QueryDef("q77_skew_salted_join", q77, Some(q77Sql)),
