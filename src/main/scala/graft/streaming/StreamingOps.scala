@@ -97,4 +97,53 @@ object StreamingOps {
           }
       }
   }
+
+  /** One CDC op: seq orders ops globally (monotone ingestion id); op is
+    * I/U/D; I carries `plan`, U carries `amount`, D carries nothing. */
+  final case class CdcOp(user_id: Long, seq: Long, op: String,
+      plan: Option[Long], amount: Option[Double])
+
+  /** Per-key CDC state (public for encoder codegen): last applied seq so
+    * replayed/out-of-order ops within a batch resolve deterministically,
+    * and the live column values since the last tombstone. */
+  final case class CdcState(lastSeq: Long, exists: Boolean,
+      plan: Option[Long], amount: Option[Double], liveOps: Long)
+
+  /** Materialized row state after each micro-batch (Update emission). */
+  final case class CdcRow(user_id: Long, exists: Boolean,
+      plan: Option[Long], amount: Option[Double], n_live_ops: Long)
+
+  /** Streaming CDC changelog apply — the incremental dual of the batch
+    * q224 gate, same tombstone contract: D wipes (column values from
+    * before the delete never leak into a re-inserted row), a trailing D
+    * leaves exists=false, partial updates touch only their column. State
+    * per key is ONE CdcState (constant size — never the op history), ops
+    * within a micro-batch apply in `seq` order, and each batch emits the
+    * key's post-batch state (Update mode — the changelog of the
+    * materialized view). StreamingCdcSpec pins batch/stream parity:
+    * any split of the same op stream into micro-batches converges to
+    * q224's batch answer. */
+  def applyChangelog(ops: Dataset[CdcOp]): Dataset[CdcRow] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.user_id)
+      .mapGroupsWithState[CdcState, CdcRow](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[CdcOp], state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(CdcState(Long.MinValue, exists = false, None, None, 0L))
+          batch.toSeq.sortBy(_.seq).foreach { o =>
+            if (o.seq > st.lastSeq) {
+              st = o.op match {
+                case "D" => CdcState(o.seq, exists = false, None, None, 0L)
+                case "I" => st.copy(lastSeq = o.seq, exists = true,
+                  plan = o.plan.orElse(st.plan), liveOps = st.liveOps + 1)
+                case "U" => st.copy(lastSeq = o.seq, exists = true,
+                  amount = o.amount.orElse(st.amount), liveOps = st.liveOps + 1)
+                case other => throw new IllegalArgumentException(
+                  s"unknown CDC op '$other' for user $userId seq ${o.seq}")
+              }
+            }
+          }
+          state.update(st)
+          CdcRow(userId, st.exists, st.plan, st.amount, st.liveOps)
+      }
+  }
 }

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.streaming.StreamingOps._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming CDC apply: tombstone semantics across micro-batch
+  * boundaries and batch/stream parity with the q224 contract. */
+class StreamingCdcSpec extends SparkTestBase {
+
+  private def run(batches: Seq[Seq[CdcOp]]): Map[Long, CdcRow] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[CdcOp]
+    val name = s"cdc_${System.nanoTime()}"
+    val q = applyChangelog(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // Update mode re-emits a key per batch: keep the LAST emission
+      spark.table(name).as[CdcRow].collect()
+        .zipWithIndex.groupBy(_._1.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_._2)._1 }
+    } finally q.stop()
+  }
+
+  test("a tombstone in a LATER batch wipes state built earlier") {
+    val got = run(Seq(
+      Seq(CdcOp(1, 1, "I", Some(5L), None), CdcOp(1, 2, "U", None, Some(20.0))),
+      Seq(CdcOp(1, 3, "D", None, None), CdcOp(1, 4, "I", Some(7L), None))))
+    assert(got(1L) == CdcRow(1L, exists = true, Some(7L), None, 1L),
+      s"pre-delete amount leaked across batches: ${got(1L)}")
+  }
+
+  test("trailing delete leaves exists=false; replayed seqs are idempotent") {
+    val got = run(Seq(
+      Seq(CdcOp(2, 1, "I", Some(9L), None)),
+      Seq(CdcOp(2, 2, "U", None, Some(30.0)), CdcOp(2, 2, "U", None, Some(30.0))),
+      Seq(CdcOp(2, 3, "D", None, None))))
+    assert(got(2L) == CdcRow(2L, exists = false, None, None, 0L))
+  }
+
+  test("any micro-batch split of the same ops converges to the batch answer") {
+    val ops = Seq(
+      CdcOp(1, 1, "I", Some(5L), None), CdcOp(1, 2, "U", None, Some(20.0)),
+      CdcOp(1, 3, "D", None, None), CdcOp(1, 4, "I", Some(7L), None),
+      CdcOp(2, 5, "I", Some(9L), None), CdcOp(2, 6, "U", None, Some(30.0)),
+      CdcOp(3, 7, "I", Some(1L), None), CdcOp(3, 8, "D", None, None))
+    val expected = Map(
+      1L -> CdcRow(1L, exists = true, Some(7L), None, 1L),
+      2L -> CdcRow(2L, exists = true, Some(9L), Some(30.0), 2L),
+      3L -> CdcRow(3L, exists = false, None, None, 0L))
+    for (splitAt <- Seq(1, 3, 5, 8)) {
+      val (a, b) = ops.splitAt(splitAt)
+      val batches = if (b.isEmpty) Seq(a) else Seq(a, b)
+      assert(run(batches) == expected, s"split at $splitAt diverged")
+    }
+  }
+}
