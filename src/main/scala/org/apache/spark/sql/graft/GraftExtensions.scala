@@ -47,6 +47,16 @@ object GraftFunctions {
         require(args.length == 2, "cms_estimate(sketch, item) takes exactly 2 arguments")
         CmsEstimate(args(0), args(1))
       }, "built-in")
+    reg.createOrReplaceTempFunction("bpe_encode",
+      args => {
+        require(args.length == 2, "bpe_encode(tokens, merges) takes exactly 2 arguments")
+        BpeEncode(args(0), args(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction("hindex_long",
+      args => {
+        require(args.length == 1, "hindex_long(values) takes exactly 1 argument")
+        HIndexLong(args(0))
+      }, "built-in")
   }
 
   // integral literals only — a fractional literal (word_shingles(t, 2.9))

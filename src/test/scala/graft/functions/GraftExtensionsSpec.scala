@@ -33,4 +33,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(1), r.getDouble(2))).toSeq ==
       Seq((11L, 0.9), (12L, 0.7)))
   }
+
+  test("bpe_encode works from SQL text with a literal rule table") {
+    val out = spark.sql(
+      """SELECT bpe_encode(array('a', 'b', 'c'),
+        |  array(named_struct('a', 'a', 'b', 'b'))) AS e""".stripMargin)
+      .head.getSeq[String](0)
+    assert(out == Seq("a b", "c"))
+  }
+
+  test("hindex_long works from SQL text as an aggregate") {
+    spark.sql("SELECT * FROM VALUES (1, 3), (1, 0), (1, 6), (1, 1), (1, 5) AS t(g, v)")
+      .createOrReplaceTempView("hvals")
+    val h = spark.sql(
+      "SELECT hindex_long(CAST(v AS BIGINT)) AS h FROM hvals GROUP BY g")
+      .head.getLong(0)
+    assert(h == 3L)
+  }
 }
