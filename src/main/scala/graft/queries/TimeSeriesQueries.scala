@@ -620,6 +620,49 @@ object TimeSeriesQueries extends QueryModule {
       |  round(CAST(wsum AS DOUBLE) / wtot / 100.0, 6) AS twap
       |FROM f WHERE wtot > 0 ORDER BY user_id""".stripMargin
 
+  /** q229: peak concurrency — the sweep-line max-overlap statistic
+    * (capacity planning: "how many 10-minute sessions were ever open at
+    * once, per event type"). Each event opens a half-open [ts, ts+10 min)
+    * interval; endpoints become ±1 deltas and the running delta sum IS
+    * the live-session count, so the peak is max(prefix sum). The scan
+    * runs through `DistributedScan.prefixSums` ordered by
+    * (type, t, delta) GLOBALLY — correct within each type without any
+    * per-type partitioned window because every type's deltas sum to
+    * zero, so the cumulative entering a type's first row is exactly 0
+    * (no single-partition sort on a data-sized stream anywhere). The
+    * delta tie-key orders −1 before +1 at equal timestamps: back-to-back
+    * touching intervals are NOT concurrent (half-open semantics). The
+    * oracle formulates it the OTHER way — a per-type partitioned window
+    * — so the zero-base argument itself is what the hash compare
+    * certifies. */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val durNs = 600L * 1000000000L
+    val ev = Tables.events(s, dir).select($"event_type", $"ts")
+    val pts = ev.select($"event_type", $"ts".as("t"), lit(1L).as("delta"))
+      .unionByName(ev.select($"event_type", ($"ts" + durNs).as("t"),
+        lit(-1L).as("delta")))
+    graft.operators.DistributedScan
+      .prefixSums(pts, Seq(col("event_type"), col("t"), col("delta")), Seq("delta"))
+      .groupBy($"event_type")
+      .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max($"delta_cum").as("peak_concurrency"))
+      .orderBy($"event_type")
+  }
+  private val q229Sql =
+    """WITH e AS (SELECT event_type, epoch_ns(ts) AS t FROM events),
+      |pts AS (SELECT event_type, t, CAST(1 AS BIGINT) AS delta FROM e
+      |  UNION ALL
+      |  SELECT event_type, t + 600000000000, CAST(-1 AS BIGINT) FROM e),
+      |c AS (SELECT event_type,
+      |    sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+      |      ROWS UNBOUNDED PRECEDING) AS live
+      |  FROM pts)
+      |SELECT event_type,
+      |  CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+      |  CAST(max(live) AS BIGINT) AS peak_concurrency
+      |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q222: largest-triangle downsampling — the visualization-grade
     * decimation every tick dashboard runs before plotting (Steinarsson
     * 2013): per day bucket keep the point whose triangle with its raw
@@ -692,6 +735,7 @@ object TimeSeriesQueries extends QueryModule {
     QueryDef("q190_eod_balance", q190, Some(q190Sql)),
     QueryDef("q191_twap", q191, Some(q191Sql)),
     QueryDef("q200_interval_coverage", q200, Some(q200Sql)),
+    QueryDef("q229_peak_concurrency", q229, Some(q229Sql)),
   )
 
   /** q200: interval-union coverage — total time covered by the UNION of
