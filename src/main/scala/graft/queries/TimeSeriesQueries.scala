@@ -620,6 +620,59 @@ object TimeSeriesQueries extends QueryModule {
       |  round(CAST(wsum AS DOUBLE) / wtot / 100.0, 6) AS twap
       |FROM f WHERE wtot > 0 ORDER BY user_id""".stripMargin
 
+  /** q230: decayed leaderboard — "what's trending": per (event_type,
+    * user) activity value summed under a 1-day half-life, so yesterday
+    * counts half of today and last month barely registers. The decay
+    * weight is an exact POWER OF TWO (2^(30−age_days), ages beyond 30 d
+    * decay to zero) — cents·weights sum as exact LONGs, so the ranking
+    * never hinges on float decay (exp/pow are banned by the libm-free
+    * determinism rule; a half-life IS the libm-free decay). The corpus
+    * horizon (max day) enters as a 1-row broadcast on a derived-constant
+    * key (q145 pattern); top-3 per event_type by (score desc, user asc)
+    * is one window over type-bounded groups. */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"user_id",
+        expr("ts div 86400000000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val horizon = ev.agg(max($"day").as("maxday"))
+      .withColumn("one", pmod($"maxday", lit(1L)) * lit(0L))
+    val scored = ev.withColumn("one", pmod($"day", lit(1L)) * lit(0L))
+      .join(broadcast(horizon), Seq("one"))
+      .withColumn("age", $"maxday" - $"day")
+      .where($"age" <= 30)
+      .withColumn("w", expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - age AS INT))"))
+      .groupBy($"event_type", $"user_id")
+      .agg(sum($"cents" * $"w").as("score_scaled"))
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"score_scaled".desc, $"user_id")
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .where($"rk" <= 3)
+      .select($"event_type", $"rk", $"user_id",
+        round($"score_scaled".cast("double") / (1L << 30).toDouble / 100.0, 6)
+          .as("decayed_value"))
+      .orderBy($"event_type", $"rk")
+  }
+  private val q230Sql =
+    """WITH e AS (SELECT event_type, user_id,
+      |    epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |h AS (SELECT max(day) AS maxday FROM e),
+      |s AS (SELECT event_type, user_id,
+      |    CAST(sum(cents * (CAST(1 AS BIGINT) << (30 - (h.maxday - day))))
+      |      AS BIGINT) AS score_scaled
+      |  FROM e CROSS JOIN h
+      |  WHERE h.maxday - day <= 30
+      |  GROUP BY event_type, user_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+      |    ORDER BY score_scaled DESC, user_id) AS BIGINT) AS rk FROM s)
+      |SELECT event_type, rk, user_id,
+      |  round(CAST(score_scaled AS DOUBLE) / 1073741824.0 / 100.0, 6)
+      |    AS decayed_value
+      |FROM r WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin
+
   /** q229: peak concurrency — the sweep-line max-overlap statistic
     * (capacity planning: "how many 10-minute sessions were ever open at
     * once, per event type"). Each event opens a half-open [ts, ts+10 min)
@@ -736,6 +789,7 @@ object TimeSeriesQueries extends QueryModule {
     QueryDef("q191_twap", q191, Some(q191Sql)),
     QueryDef("q200_interval_coverage", q200, Some(q200Sql)),
     QueryDef("q229_peak_concurrency", q229, Some(q229Sql)),
+    QueryDef("q230_decayed_leaderboard", q230, Some(q230Sql)),
   )
 
   /** q200: interval-union coverage — total time covered by the UNION of

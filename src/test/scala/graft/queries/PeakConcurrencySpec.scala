@@ -30,4 +30,27 @@ class PeakConcurrencySpec extends SparkTestBase {
     assert(got("view") == (3L, 3L))
     assert(got("click") == (2L, 1L), "touching half-open intervals must not stack")
   }
+
+  test("q230: half-life ranking by hand — recency beats raw size") {
+    val dir = tmpDir("decay")
+    def ev(id: Long, u: Long, t: String, v: Double) =
+      (id, Timestamp.valueOf(t), u, "view", v, "{}")
+    Seq(
+      // user 1: 100.0 three days ago -> decayed 12.5
+      ev(1, 1, "2024-01-01 10:00:00", 100.0),
+      // user 2: 20.0 today -> decayed 20.0 (outranks the bigger stale one)
+      ev(2, 2, "2024-01-04 10:00:00", 20.0),
+      // user 3: 40 days ago -> decayed out entirely, but still ranked 0? no: filtered
+      ev(3, 3, "2023-11-20 10:00:00", 999.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q230_decayed_leaderboard")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("rk") ->
+        (r.getAs[Long]("user_id"), r.getAs[Double]("decayed_value")))
+      .toMap
+    assert(got(1L) == (2L, 20.0))
+    assert(got(2L) == (1L, 12.5))
+    assert(got.size == 2, "beyond-horizon activity must not appear at all")
+  }
 }
