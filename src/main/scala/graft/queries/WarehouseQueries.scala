@@ -238,6 +238,50 @@ object WarehouseQueries extends QueryModule {
       |FROM act FULL OUTER JOIN ch ON act.day = ch.day
       |ORDER BY day""".stripMargin
 
+  /** q231: SLA attainment — order-to-ship latency per order priority:
+    * line count, exact mean latency days (LONG day sum, one division),
+    * and the fraction shipped within 30/60/90 days — the fulfillment
+    * scorecard (TPC-H Q4's shape inverted: attainment rates, not late
+    * counts). Latency is whole days on the date lattice (both engines
+    * datediff on DATE-cast timestamps); the fact table joins the orders
+    * dim once on the order key and everything after is one combinable
+    * grouped aggregate. */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+    val ord = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .withColumn("lat",
+        datediff(to_date($"l_shipdate"), to_date($"o_orderdate")).cast("long"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"lat").cast("double") / count(lit(1)), 6).as("mean_latency_days"),
+        round(sum(when($"lat" <= 30, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("within_30d"),
+        round(sum(when($"lat" <= 60, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("within_60d"),
+        round(sum(when($"lat" <= 90, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("within_90d"))
+      .orderBy($"o_orderpriority")
+  }
+  private val q231Sql =
+    """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  round(CAST(sum(datediff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE))) AS DOUBLE) / count(*), 6)
+      |    AS mean_latency_days,
+      |  round(CAST(sum(CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) <= 30 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS within_30d,
+      |  round(CAST(sum(CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) <= 60 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS within_60d,
+      |  round(CAST(sum(CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+      |      CAST(l.l_shipdate AS DATE)) <= 90 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS within_90d
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin
+
   /** q75: time-windowed funnel — view, then click within 2 h of the first
     * view, then purchase within 2 h of that click. Each stage is a filtered
     * aggregate joined to the previous stage's survivors; the conversion
@@ -505,6 +549,7 @@ object WarehouseQueries extends QueryModule {
     QueryDef("q216_pit_feature_join", q216, Some(q216Sql)),
     QueryDef("q224_changelog_apply", q224, Some(q224Sql)),
     QueryDef("q228_growth_accounting", q228, Some(q228Sql)),
+    QueryDef("q231_sla_attainment", q231, Some(q231Sql)),
     QueryDef("q75_funnel_window", q75, Some(q75Sql)),
     QueryDef("q76_cohort_retention", q76, Some(q76Sql)),
     QueryDef("q77_skew_salted_join", q77, Some(q77Sql)),

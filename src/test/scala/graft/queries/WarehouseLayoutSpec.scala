@@ -91,4 +91,16 @@ class WarehouseLayoutSpec extends SparkTestBase {
       .count()
     assert(bad == 0, s"$bad SCD2 intervals do not abut their successor")
   }
+
+  test("q231 attainment curves are monotone and bounded") {
+    val rows = SparkEntry.queries("q231_sla_attainment")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, c) = (r.getAs[Double]("within_30d"),
+        r.getAs[Double]("within_60d"), r.getAs[Double]("within_90d"))
+      assert(a <= b && b <= c && c <= 1.0 && a >= 0.0,
+        s"${r.getString(0)}: attainment must be a CDF: $a $b $c")
+      assert(r.getAs[Double]("mean_latency_days") >= 0.0)
+    }
+  }
 }
