@@ -135,8 +135,10 @@ object Graph {
     // estimates are pointwise NON-INCREASING (h-index of neighbor
     // estimates can only fall as its inputs fall), so the whole-table
     // fixpoint test reduces to one monotone scalar: sum(c) unchanged.
+    // sum over zero rows is NULL — coalesce so an empty edge list
+    // converges to the empty estimate frame instead of NPE-ing.
     def total(df: DataFrame): Long =
-      df.agg(sum($"c")).collect().head.getLong(0)
+      df.agg(coalesce(sum($"c"), lit(0L))).collect().head.getLong(0)
     // one h-index application as a plan fragment: probe join (estimate
     // table is the checkpointed O(|V|) build side — AQE broadcasts it
     // locally; bucketed-by-dst makes the fallback join local on a

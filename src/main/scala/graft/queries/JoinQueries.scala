@@ -15,25 +15,33 @@ object JoinQueries extends QueryModule {
 
   /** J1: equi + range (interval) self-join — trailing-60-day order history
     * per customer. Plans as a shuffled join on the equi key (o_custkey) with
-    * the date range as residual; per-key fan-out is bounded by order counts,
-    * and AQE's skew-join split handles heavy customers at scale. */
+    * the date range as residual, THROUGH the lossless hot-key salt guard
+    * ([[graft.operators.SkewedSelfJoin]]): an in-plan count probe marks keys
+    * whose match side exceeds the threshold and splits their anchor rows
+    * across salt buckets with the match side replicated per bucket — AQE's
+    * skew split cannot separate one key's rows, so a hot symbol/customer
+    * would otherwise pin the whole key group on one quadratic task (the
+    * 100× hazard SURVEY §4 flags on the reference's interval self-join).
+    * Zero hot keys at gate scale: the salted branch is empty and the plan
+    * degrades to the plain shuffled join (hash-identical results either
+    * way — SkewedSelfJoinSpec proves pair-multiset equality on a planted
+    * hot key). */
   private def q11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val o = Tables.orders(s, dir).select(
-      $"o_custkey", $"o_orderkey",
-      $"o_orderdate".cast(DateType).as("od"),
-      $"o_totalprice")
-    val g  = o.as("g")
-    val g2 = o.as("g2")
-    g.join(g2,
-        $"g.o_custkey" === $"g2.o_custkey" &&
-        $"g2.od".between(date_sub($"g.od", 60), $"g.od"))
-      .groupBy($"g.o_custkey".as("cust"), $"g.o_orderkey".as("okey"))
+    val o = Tables.orders(s, dir)
+    val anchor = o.select($"o_custkey", $"o_orderkey",
+      $"o_orderdate".cast(DateType).as("od"))
+    val matchSide = o.select($"o_custkey",
+      $"o_orderdate".cast(DateType).as("m_od"),
+      $"o_totalprice".as("m_price"))
+    graft.operators.SkewedSelfJoin.saltedIntervalJoin(
+        anchor, matchSide, "o_custkey",
+        $"m_od".between(date_sub($"od", 60), $"od"),
+        hotThreshold = 10000)
+      .groupBy($"o_custkey", $"o_orderkey")
       .agg(
         count(lit(1)).as("n_trailing"),
-        sum($"g2.o_totalprice".cast(dec)).cast(DoubleType).as("trailing_spend"))
-      .withColumnRenamed("cust", "o_custkey")
-      .withColumnRenamed("okey", "o_orderkey")
+        sum($"m_price".cast(dec)).cast(DoubleType).as("trailing_spend"))
       .orderBy($"o_custkey", $"o_orderkey")
   }
   private val q11Sql =

@@ -179,8 +179,54 @@ object MultimodalQueries extends QueryModule {
       |    AS BIGINT) AS pixel_sum
       |FROM grid GROUP BY id ORDER BY asset_id""".stripMargin
 
+  /** q232: the pooled image embedding itself, hash-gated cell by cell —
+    * every image asset's PNG is decoded on executors and its 16-dim 4×4
+    * mean-intensity grid embedding (the vector SemDeDup/cosine-dedup/ANN
+    * consume) is exploded to (asset_id, cell, v) rows. The oracle replays
+    * the pooling arithmetic from the fixture's id-parameterized pixel
+    * formula: per cell, integer pixel sums over the exact `c*w div 4`
+    * boundaries, then the SAME double expression sum/cnt/255 − 0.5 cast
+    * to float32. Bit-exactness holds because (a) IEEE division is
+    * correctly rounded, so the band-multiplied Spark sum (3S)/(3N) and
+    * the oracle's S/N round to the identical double, and (b) DuckDB's
+    * DOUBLE→REAL cast and Java's `toFloat` are the same round-to-nearest.
+    * A hash match proves the embedding is real decoded-pixel math, not a
+    * stand-in — closing the one link between the multimodal path and the
+    * similarity stack that q54/q223 didn't pin. */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = Tables.documents(s, dir)
+      .select($"doc_id").as[Long]
+      .map { id =>
+        MediaAsset(id, if (id % 3 == 0) "image" else "other",
+          if (id % 3 == 0) MediaFixtures.pngPayload(id) else Array.empty[Byte],
+          Map.empty)
+      }
+    MediaPipeline.imageFeatures(assets).toDF()
+      .select($"asset_id", posexplode($"embedding"))
+      .select($"asset_id", $"pos".cast("int").as("cell"), $"col".as("v"))
+      .orderBy($"asset_id", $"cell")
+  }
+  private val q232Sql =
+    """WITH img AS (SELECT doc_id AS id,
+      |    8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 16 AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (SELECT id, w, h, x.i AS x, y.i AS y,
+      |    (x.i * 7 + y.i * 13 + id) % 255 AS v
+      |  FROM img, UNNEST(range(0, w)) AS x(i), UNNEST(range(0, h)) AS y(i)),
+      |cells AS (SELECT p.id, c.i AS cell, p.v
+      |  FROM px p, UNNEST(range(0, 16)) AS c(i)
+      |  WHERE p.x >= ((c.i % 4) * p.w) // 4
+      |    AND p.x < (((c.i % 4) + 1) * p.w) // 4
+      |    AND p.y >= ((c.i // 4) * p.h) // 4
+      |    AND p.y < (((c.i // 4) + 1) * p.h) // 4)
+      |SELECT id AS asset_id, CAST(cell AS INT) AS cell,
+      |  CAST(CAST(sum(v) AS DOUBLE) / count(*) / 255.0 - 0.5 AS REAL) AS v
+      |FROM cells GROUP BY 1, 2 ORDER BY asset_id, cell""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q54_multimodal_metrics", q54, Some(q54Sql)),
+    QueryDef("q232_image_embedding", q232, Some(q232Sql)),
     QueryDef("q141_frame_sample", q141, Some(q141Sql)),
     QueryDef("q204_decode_audit", q204, Some(q204Sql)),
     QueryDef("q223_resize_pipeline", q223, Some(q223Sql)),

@@ -441,8 +441,11 @@ object TextDedupQueries extends QueryModule {
     * in the container. Candidates are therefore one equi-join on that
     * single rarest-shingle key per doc: fan-out is df(rarest shingle) —
     * rare by construction — instead of the naive n² text scan the oracle
-    * runs (the hash match proves the pruning lossless). Verification is
-    * one `contains` per candidate. */
+    * runs (the hash match proves the pruning lossless). Docs under 3
+    * tokens have no shingles and take the analogous rarest-TOKEN
+    * candidate join (see inline note) so losslessness holds with no
+    * minimum-length corpus invariant. Verification is one `contains`
+    * per candidate. */
   private def q218(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingles(s, dir)
@@ -457,8 +460,36 @@ object TextDedupQueries extends QueryModule {
         Seq("rsh"))
       .filter($"doc_id" =!= $"container")
       .select($"doc_id", $"container")
+    // Docs with <3 tokens have no shingles, but the oracle's all-pairs
+    // scan still finds them inside containers — the shingle path alone
+    // would silently depend on a "every doc has >=3 tokens" corpus
+    // invariant. Same soundness argument one level down: a token-aligned
+    // contained doc shares every TOKEN with its container, so its rarest
+    // token (corpus document frequency, token-text tie-break) is
+    // guaranteed present in the container's token set — one equi-join on
+    // that token, fan-out df(rarest token). Token df is computed only for
+    // tokens short docs actually use (semi-reduction: at most 2 distinct
+    // tokens per short doc — AQE broadcasts the small sides below in the
+    // normal thin-slice case and falls back to partitioned joins if a
+    // degenerate corpus is mostly short docs), so when no short docs
+    // exist this path costs one extra documents scan and empty joins.
+    val docs = withToks(Tables.documents(s, dir)).select($"doc_id", $"toks")
+    val shortToks = docs.filter(size($"toks") < 3)
+      .select($"doc_id", explode(array_distinct($"toks")).as("tok"))
+    val tokRows = docs.select($"doc_id", explode(array_distinct($"toks")).as("tok"))
+    val tdf = tokRows
+      .join(shortToks.select($"tok").distinct(), Seq("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val shortRare = shortToks.join(tdf, Seq("tok"))
+      .groupBy($"doc_id").agg(min(struct($"df", $"tok")).as("m"))
+      .select($"doc_id", $"m.tok".as("rtok"))
+    val shortCand = shortRare.join(
+        tokRows.select($"doc_id".as("container"), $"tok".as("rtok")),
+        Seq("rtok"))
+      .filter($"doc_id" =!= $"container")
+      .select($"doc_id", $"container")
     val texts = Tables.documents(s, dir).select($"doc_id", $"text")
-    cand
+    cand.unionByName(shortCand)
       .join(texts.hint("shuffle_hash"), Seq("doc_id"))
       .join(texts.select($"doc_id".as("cid"), $"text".as("ctext"))
           .hint("shuffle_hash"),

@@ -86,18 +86,24 @@ object WarehouseQueries extends QueryModule {
   private def q216(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
+    // The LOCF carrier is the WHOLE signup struct, not the bare k: a
+    // signup with NULL props.k must still bump the version count and must
+    // overwrite an older non-null k (the oracle's LATERAL top-1 returns
+    // the latest signup's possibly-NULL k). Carrying last(k, ignoreNulls)
+    // directly would skip null-k signups — parity would then rest on an
+    // unstated "k is never null" corpus invariant.
     val dim = ev.filter($"event_type" === "signup")
       .select($"user_id", $"ts", $"event_id",
-        get_json_object($"props", "$.k").cast("long").as("k"),
+        struct(get_json_object($"props", "$.k").cast("long").as("k")).as("sig"),
         lit(null).cast("double").as("value"))
     val fact = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"ts", $"event_id",
-        lit(null).cast("long").as("k"), $"value")
+        lit(null).cast("struct<k:bigint>").as("sig"), $"value")
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dim.unionByName(fact)
-      .withColumn("plan_k", last($"k", ignoreNulls = true).over(w))
-      .withColumn("plan_version", count($"k").over(w))
+      .withColumn("plan_k", last($"sig", ignoreNulls = true).over(w)("k"))
+      .withColumn("plan_version", count($"sig").over(w))
       .filter($"value".isNotNull)                      // keep fact rows
       .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"),
         $"value", $"plan_k",
@@ -544,10 +550,68 @@ object WarehouseQueries extends QueryModule {
       |  round(sum(lr) / 100.0, 2) AS lost_rev
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q233: the streaming CDC apply promoted to a first-class oracle gate
+    * (the batch/stream parity specs run on MemoryStream fixtures; this
+    * runs the REAL Structured Streaming path against the same parquet the
+    * batch gate reads). The events file streams through FileStreamSource
+    * into [[graft.streaming.StreamingOps.applyChangelog]]
+    * (mapGroupsWithState, constant per-key state), the Update-mode memory
+    * sink collects each key's post-batch state, and the surviving rows are
+    * shaped to q224's exact output contract — the oracle IS q224's SQL, so
+    * a hash match proves streaming-operator semantics == the batch
+    * changelog apply on real data, tombstones and null payloads included.
+    * AvailableNow + an effectively-unbounded maxFilesPerTrigger pins a
+    * single data micro-batch (asserted loudly), so "last emission per key"
+    * needs no batch-ordinal bookkeeping. */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    // FileStreamSource needs an explicit schema: take it from a batch
+    // footer read (metadata only — no data scan).
+    val schema = s.read.parquet(path).schema
+    // a bare file path is rejected ("basePath must be a directory"): the
+    // source expects a directory or a GLOB. Wrapping the first character
+    // in a one-char class keeps the same matches while forcing glob mode,
+    // so the gate runs against single-file and directory layouts alike.
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
+    }
+    val ops = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(streamPath)
+      .select($"user_id", $"event_id".as("seq"),
+        when($"event_type" === "error", "D")
+          .when($"event_type" === "signup", "I")
+          .when($"event_type".isin("purchase", "click"), "U").as("op"),
+        get_json_object($"props", "$.k").cast("long").as("plan"),
+        $"value".as("amount"))
+      .where($"op".isNotNull)
+      .as[graft.streaming.StreamingOps.CdcOp]
+    val sink = "q233_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = graft.streaming.StreamingOps.applyChangelog(ops)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"q233 expects ONE data micro-batch (last-emission-per-key needs no " +
+        s"batch bookkeeping then); got $dataBatches — raise maxFilesPerTrigger")
+    s.table(sink)
+      .filter($"exists")
+      .select($"user_id", $"plan", round($"amount", 2).as("amount"),
+        $"n_live_ops")
+      .orderBy($"user_id")
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
     QueryDef("q216_pit_feature_join", q216, Some(q216Sql)),
     QueryDef("q224_changelog_apply", q224, Some(q224Sql)),
+    QueryDef("q233_changelog_apply_streaming", q233, Some(q224Sql)),
     QueryDef("q228_growth_accounting", q228, Some(q228Sql)),
     QueryDef("q231_sla_attainment", q231, Some(q231Sql)),
     QueryDef("q75_funnel_window", q75, Some(q75Sql)),

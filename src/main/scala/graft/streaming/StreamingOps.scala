@@ -133,10 +133,15 @@ object StreamingOps {
             if (o.seq > st.lastSeq) {
               st = o.op match {
                 case "D" => CdcState(o.seq, exists = false, None, None, 0L)
+                // Last-write-wins INCLUDING null payloads — batch q224
+                // takes the last I/U's payload even when it is null
+                // (max of struct(event_id, value)), so keeping the prior
+                // value on a None payload would silently diverge from
+                // the documented batch/stream parity.
                 case "I" => st.copy(lastSeq = o.seq, exists = true,
-                  plan = o.plan.orElse(st.plan), liveOps = st.liveOps + 1)
+                  plan = o.plan, liveOps = st.liveOps + 1)
                 case "U" => st.copy(lastSeq = o.seq, exists = true,
-                  amount = o.amount.orElse(st.amount), liveOps = st.liveOps + 1)
+                  amount = o.amount, liveOps = st.liveOps + 1)
                 case other => throw new IllegalArgumentException(
                   s"unknown CDC op '$other' for user $userId seq ${o.seq}")
               }

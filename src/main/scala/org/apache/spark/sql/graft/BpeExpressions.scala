@@ -61,6 +61,14 @@ case class BpeEncode(left: Expression, right: Expression)
       val b = st.getUTF8String(1)
       require(a != null && b != null && !a.equals(b),
         s"bpe_encode rules must be non-null with a != b, got ($a, $b)")
+      // The best-first == rank-order-exhaustive equivalence proof assumes
+      // SINGLE-LEVEL rules: merged tokens are joined with a space, so a
+      // rule side containing a space could only match a previously merged
+      // pair — multi-level semantics this operator does not implement.
+      // Reject loudly instead of silently producing neither semantics.
+      require(!a.contains(space) && !b.contains(space),
+        s"bpe_encode rule sides must not contain the merge separator " +
+          s"(space): got ($a, $b) — multi-level merge tables are unsupported")
       out(i) = (a, b)
       i += 1
     }

@@ -88,6 +88,11 @@ class CorenessSpec extends SparkTestBase {
     }
   }
 
+  test("coreness of an empty edge list is the empty frame, not an NPE") {
+    val got = Graph.coreness(sym().limit(0), maxRounds = 4).collect()
+    assert(got.isEmpty, got.mkString(","))
+  }
+
   test("coreness raises loudly when the round bound is too small") {
     // a 12-node path needs several rounds; 1 round cannot converge
     val path = (1L until 12L).map(i => (i, i + 1))

@@ -38,6 +38,26 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(f1.exists(_.embedding.distinct.length > 1))
   }
 
+  test("pooled embedding == independent per-cell mean over the fixture formula") {
+    // independent reimplementation of the 4x4 grid pooling from the
+    // fixture's pixel formula (x*7 + y*13 + id) % 255 — bit-exact float32
+    def expected(id: Long): Array[Float] = {
+      val w = MediaFixtures.imageWidth(id)
+      val h = MediaFixtures.imageHeight(id)
+      (0 until 16).map { cell =>
+        val cx = cell % 4; val cy = cell / 4
+        val xs = (cx * w / 4) until ((cx + 1) * w / 4)
+        val ys = (cy * h / 4) until ((cy + 1) * h / 4)
+        val vals = for (y <- ys; x <- xs) yield (x * 7 + y * 13 + id) % 255
+        (vals.sum.toDouble / vals.size / 255.0 - 0.5).toFloat
+      }.toArray
+    }
+    imageFeatures(assets).collect().foreach { f =>
+      assert(f.embedding.sameElements(expected(f.asset_id)),
+        s"asset ${f.asset_id}: ${f.embedding.toSeq} != ${expected(f.asset_id).toSeq}")
+    }
+  }
+
   test("audio features decode real WAVs: rate, frames, exact RMS") {
     val f = audioFeatures(assets).collect()
     assert(f.map(_.asset_id).toSeq == Seq(3L))

@@ -42,6 +42,20 @@ class StreamingCdcSpec extends SparkTestBase {
     assert(got(2L) == CdcRow(2L, exists = false, None, None, 0L))
   }
 
+  test("a null payload on a later I/U overwrites (batch last-write-wins parity)") {
+    // Batch q224 takes the LAST I/U's payload even when it is null
+    // (max of struct(event_id, value)) — keeping the prior value on a
+    // None payload would silently diverge from that contract.
+    val got = run(Seq(
+      Seq(CdcOp(4, 1, "I", Some(5L), None), CdcOp(4, 2, "I", None, None)),
+      Seq(CdcOp(5, 3, "I", Some(3L), None), CdcOp(5, 4, "U", None, Some(10.0)),
+        CdcOp(5, 5, "U", None, None))))
+    assert(got(4L) == CdcRow(4L, exists = true, None, None, 2L),
+      s"null-plan I must overwrite: ${got(4L)}")
+    assert(got(5L) == CdcRow(5L, exists = true, Some(3L), None, 3L),
+      s"null-amount U must overwrite: ${got(5L)}")
+  }
+
   test("any micro-batch split of the same ops converges to the batch answer") {
     val ops = Seq(
       CdcOp(1, 1, "I", Some(5L), None), CdcOp(1, 2, "U", None, Some(20.0)),

@@ -85,4 +85,12 @@ class BpeEncodeSpec extends SparkTestBase {
     val e = intercept[Exception] { encode(Seq("a", "a"), Seq("a" -> "a")) }
     assert(e.getMessage.contains("a != b"), e.getMessage)
   }
+
+  test("rule sides containing the merge separator are rejected loudly") {
+    // multi-level rules ("a b" -> c) would need iterative re-merging the
+    // single-pass encoder does not implement — accepting them would
+    // silently produce neither semantics
+    val e = intercept[Exception] { encode(Seq("a", "b", "c"), Seq("a b" -> "c")) }
+    assert(e.getMessage.contains("merge separator"), e.getMessage)
+  }
 }
