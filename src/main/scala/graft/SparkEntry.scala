@@ -50,6 +50,7 @@ object SparkEntry {
     graft.queries.AffinityQueries,
     graft.queries.CurationOpsQueries,
     graft.queries.FrameSemanticsQueries,
+    graft.queries.EvalMetricsQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

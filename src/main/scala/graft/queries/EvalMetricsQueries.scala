@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Evaluation metrics a training-data/retrieval pipeline runs over its own
+  * outputs: ranking quality (nDCG@k, MRR), ranking agreement (rank-biased
+  * overlap), cohort survival (Kaplan-Meier product-limit), and a
+  * deterministic bootstrap confidence interval.
+  *
+  * Float-determinism strategy: wherever a textbook formula needs an
+  * irrational weight table (1/log2(pos+1), p^d/d), the weights are
+  * INTEGER LITERALS baked identically into the Spark plan and the oracle
+  * SQL (scaled 1e6 / 1e12) — per-row arithmetic is then exact and the
+  * hash compare needs no float tolerance at all. Where a genuinely
+  * data-dependent transcendental is unavoidable (ln in Kaplan-Meier and
+  * Adamic-Adar), the result is rounded to 6 dp — double error across
+  * ≤a few hundred accumulated terms is ~1e-12, five orders of magnitude
+  * under the rounding grain.
+  *
+  * Scale notes (100 TB posture):
+  *   - q234/q235 are one window pass per ranking over the grouping key
+  *     (source/lang) — the partition sort is the cost; nothing global.
+  *   - q237 groups to per-user rows (one shuffle), then the KM recurrence
+  *     runs on the DURATION-grain table whose cardinality is bounded by
+  *     the day span, not the user count — the single-partition window on
+  *     it is a few hundred rows by construction.
+  *   - q238 is the m-out-of-n bootstrap: the draw table is B·n rows
+  *     equi-joined on the row index — linear, distributed, no driver
+  *     loop. The global row_number is the one scale-sensitive step (at
+  *     petabyte scale swap it for the two-level DistributedScan offsets
+  *     or the Poisson bootstrap, which needs no index at all); the LCG
+  *     is demonstration-grade and would be a splitmix at production.
+  */
+object EvalMetricsQueries extends QueryModule {
+
+  /** round(1e6 / log2(pos+1)) for pos = 1..10 — identical literals in the
+    * oracle, so DCG sums are pure integers. */
+  private val ndcgW = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** Suffix-summed RBO weights, SW(m) = Σ_{d=m..20} round(1e12·(1−p)/p·p^d/d)
+    * at p = 0.9: an item whose worse rank is m sits in both depth-d prefixes
+    * for every d ≥ m, so its total RBO contribution is this suffix sum —
+    * the whole metric collapses to ONE pass over items. */
+  private val rboSW = Seq(251483303740L, 151483303740L, 106483303740L,
+    79483303740L, 61258303740L, 48136303740L, 38294803740L, 30702789454L,
+    24724078204L, 19941109204L, 16066904314L, 12897100313L, 10282012012L,
+    8109477116L, 6293858667L, 4768739170L, 3481919594L, 2391907718L,
+    1465397624L, 675425859L)
+
+  /** q234: nDCG@10 + MRR per source — the ranking-eval pass every retrieval
+    * stack runs on its judged lists. Each `source` is a query; its docs are
+    * ranked by (n_chars DESC, doc_id) and carry a graded relevance
+    * doc_id % 4 ∈ {0..3}. Gains are (2^rel − 1); position discounts are the
+    * integer literal table (see [[ndcgW]]), so DCG and ideal-DCG are exact
+    * BIGINTs and nDCG is a single double division rounded at 6 dp. MRR is
+    * reported as the exact first relevant position (rel ≥ 2) plus its
+    * reciprocal. Ideal ranking ties (equal rel) cannot change IDCG: only
+    * the rel multiset of the top 10 enters the sum. */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byScore = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id")
+    val byRel = Window.partitionBy($"source")
+      .orderBy($"rel".desc, $"doc_id")
+    val wArr = array(ndcgW.map(lit): _*)
+    // (2^rel − 1) for rel ∈ 0..3 as an exact lookup (shiftleft's Scala
+    // signature takes a constant shift, and a 4-entry table is clearer)
+    val gain = element_at(array(lit(0L), lit(1L), lit(3L), lit(7L)),
+      $"rel".cast("int") + 1)
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars", ($"doc_id" % 4).as("rel"))
+      .withColumn("pos", row_number().over(byScore))
+      .withColumn("ipos", row_number().over(byRel))
+      .groupBy($"source")
+      .agg(
+        sum(when($"pos" <= 10, gain * element_at(wArr, $"pos".cast("int")))
+          .otherwise(0L)).as("dcg_u"),
+        sum(when($"ipos" <= 10, gain * element_at(wArr, $"ipos".cast("int")))
+          .otherwise(0L)).as("idcg_u"),
+        min(when($"rel" >= 2, $"pos")).as("first_rel_pos"))
+      .select($"source",
+        round($"dcg_u".cast("double") / nullif($"idcg_u", lit(0L)).cast("double"), 6)
+          .as("ndcg10"),
+        $"first_rel_pos".cast("int").as("first_rel_pos"),
+        round(lit(1.0) / $"first_rel_pos", 6).as("mrr"))
+      .orderBy($"source")
+  }
+  private val q234Sql = {
+    val w = ndcgW.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT source, doc_id, n_chars, doc_id % 4 AS rel
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS pos,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY rel DESC, doc_id) AS ipos
+       |  FROM d),
+       |a AS (SELECT source,
+       |    sum(CASE WHEN pos <= 10
+       |      THEN ((1::BIGINT << rel) - 1) * ($w)[pos] ELSE 0 END) AS dcg_u,
+       |    sum(CASE WHEN ipos <= 10
+       |      THEN ((1::BIGINT << rel) - 1) * ($w)[ipos] ELSE 0 END) AS idcg_u,
+       |    min(CASE WHEN rel >= 2 THEN pos END) AS first_rel_pos
+       |  FROM r GROUP BY source)
+       |SELECT source,
+       |  round(CAST(dcg_u AS DOUBLE) / CAST(nullif(idcg_u, 0) AS DOUBLE), 6)
+       |    AS ndcg10,
+       |  CAST(first_rel_pos AS INT) AS first_rel_pos,
+       |  round(1.0::DOUBLE / first_rel_pos, 6) AS mrr
+       |FROM a ORDER BY source""".stripMargin
+  }
+
+  /** q235: rank-biased overlap (p = 0.9, depth 20) between two rankings of
+    * each language's docs — the ranking-agreement check run when swapping a
+    * scorer (did the new ranking reorder the head?). Rankings: by
+    * (n_chars DESC, doc_id) vs the pseudo-shuffled (doc_id % 997, doc_id).
+    * An item with ranks (r1, r2) is in both depth-d prefixes iff
+    * max(r1, r2) ≤ d, so RBO = Σ_items SW(max-rank) with the precomputed
+    * integer suffix table [[rboSW]] — one windowed pass per ranking + one
+    * filtered sum per group, everything exact (scaled 1e12; identical
+    * rankings score 878423345429 ≈ 0.878, the depth-20 floor of 1). */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r1w = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+    val r2w = Window.partitionBy($"lang").orderBy(($"doc_id" % 997).asc, $"doc_id")
+    val swArr = array(rboSW.map(lit): _*)
+    Tables.documents(s, dir)
+      .select($"lang", $"doc_id", $"n_chars")
+      .withColumn("r1", row_number().over(r1w))
+      .withColumn("r2", row_number().over(r2w))
+      .withColumn("m", greatest($"r1", $"r2"))
+      .groupBy($"lang")
+      .agg(
+        sum(when($"m" <= 20, element_at(swArr, $"m".cast("int")))
+          .otherwise(0L)).as("rbo_e12"),
+        sum(when($"m" <= 20, 1L).otherwise(0L)).as("n_head_common"))
+      .orderBy($"lang")
+  }
+  private val q235Sql = {
+    val sw = rboSW.mkString("[", ", ", "]")
+    s"""WITH r AS (SELECT lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_chars DESC, doc_id) AS r1,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY doc_id % 997, doc_id) AS r2
+       |  FROM documents),
+       |m AS (SELECT lang, greatest(r1, r2) AS m FROM r)
+       |SELECT lang,
+       |  CAST(sum(CASE WHEN m <= 20 THEN ($sw)[m] ELSE 0 END) AS BIGINT)
+       |    AS rbo_e12,
+       |  CAST(sum(CASE WHEN m <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_head_common
+       |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** q237: Kaplan-Meier product-limit survival for time-to-first-purchase —
+    * the estimator that handles right-censoring correctly (a naive
+    * conversion-by-day curve silently treats users who HAVEN'T purchased
+    * YET as never-purchasing). Per user: duration = days from first event
+    * to first purchase (a DEATH), or to the corpus horizon if no purchase
+    * ever (CENSORED — the user was only observed that long). At each
+    * duration t with deaths: at_risk n_t = users with duration ≥ t, and
+    * S(t) = Π_{t'≤t} (1 − d_t'/n_t'), computed as exp(Σ ln(1 − d/n)) and
+    * rounded at 6 dp. The recurrence runs on the duration-grain table
+    * (cardinality ≤ the day span — a few hundred rows), so its
+    * single-partition window is bounded by construction, not by users. */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .select($"user_id", expr("ts div 86400000000000").as("day"), $"event_type")
+      .groupBy($"user_id")
+      .agg(min($"day").as("first_day"),
+        min(when($"event_type" === "purchase", $"day")).as("purch_day"),
+        max($"day").as("last_day"))
+    val horizon = perUser.agg(max($"last_day").as("horizon"))
+    val durs = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when($"purch_day".isNotNull, $"purch_day" - $"first_day")
+          .otherwise($"horizon" - $"first_day").as("dur"),
+        $"purch_day".isNotNull.cast("int").as("death"))
+    val byDur = durs.groupBy($"dur")
+      .agg(count(lit(1)).as("n_at"), sum($"death").as("deaths"))
+    val ord = Window.orderBy($"dur")
+    val all = Window.orderBy($"dur")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byDur
+      .withColumn("at_risk", sum($"n_at").over(all))
+      // d == n happens exactly when the last at-risk cohort all dies:
+      // S drops to literal 0 there — ln(0) is kept OUT of the sum and the
+      // zero is carried by a flag instead
+      .withColumn("log_s",
+        sum(when($"deaths" < $"at_risk",
+          log(lit(1.0) - $"deaths".cast("double") / $"at_risk"))).over(ord))
+      .withColumn("wiped",
+        max(($"deaths" === $"at_risk").cast("int")).over(ord))
+      .filter($"deaths" > 0)
+      .select($"dur".as("duration_days"), $"at_risk", $"deaths",
+        when($"wiped" === 1, lit(0.0))
+          .otherwise(round(exp($"log_s"), 6)).as("survival"))
+      .orderBy($"duration_days")
+  }
+  private val q237Sql =
+    """WITH ev AS (SELECT user_id,
+      |    epoch_ns(ts) // 86400000000000 AS day, event_type FROM events),
+      |u AS (SELECT user_id, min(day) AS first_day,
+      |    min(CASE WHEN event_type = 'purchase' THEN day END) AS purch_day,
+      |    max(day) AS last_day
+      |  FROM ev GROUP BY user_id),
+      |h AS (SELECT max(last_day) AS horizon FROM u),
+      |d AS (SELECT CASE WHEN purch_day IS NOT NULL
+      |      THEN purch_day - first_day
+      |      ELSE h.horizon - first_day END AS dur,
+      |    CASE WHEN purch_day IS NOT NULL THEN 1 ELSE 0 END AS death
+      |  FROM u, h),
+      |g AS (SELECT dur, count(*) AS n_at, sum(death) AS deaths
+      |  FROM d GROUP BY dur),
+      |k AS (SELECT dur, deaths,
+      |    sum(n_at) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+      |      AND UNBOUNDED FOLLOWING) AS at_risk
+      |  FROM g),
+      |s AS (SELECT dur, deaths, at_risk,
+      |    sum(CASE WHEN deaths < at_risk
+      |      THEN ln(1.0 - CAST(deaths AS DOUBLE) / at_risk) END)
+      |      OVER (ORDER BY dur) AS log_s,
+      |    max(CASE WHEN deaths = at_risk THEN 1 ELSE 0 END)
+      |      OVER (ORDER BY dur) AS wiped
+      |  FROM k)
+      |SELECT dur AS duration_days, CAST(at_risk AS BIGINT) AS at_risk,
+      |  CAST(deaths AS BIGINT) AS deaths,
+      |  CASE WHEN wiped = 1 THEN 0.0
+      |    ELSE round(exp(log_s), 6) END AS survival
+      |FROM s WHERE deaths > 0 ORDER BY duration_days""".stripMargin
+
+  /** q238: deterministic m-out-of-n bootstrap CI for the mean order value —
+    * B = 40 replicates, each drawing n rows with replacement via one LCG
+    * step from a (replicate, index)-keyed seed (x = (1103515245·s + 12345)
+    * mod 2^31 — integer arithmetic both engines compute identically, so
+    * the "random" draws are bit-reproducible). Replicate means are exact
+    * DECIMAL sums divided once and rounded at 4 dp; the 95% CI is order
+    * statistics 1 and 39 of the 40 means (2.5%/97.5% quantile indexes) —
+    * no percentile-function semantics to disagree over. */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .withColumn("i",
+        row_number().over(Window.orderBy($"o_orderkey")).cast("long"))
+    val n = base.agg(count(lit(1)).as("n"))
+    // seed folds into [0, 2^31) BEFORE the LCG multiply so a·s never
+    // exceeds int64 at any n (2654435761 is the Knuth golden-ratio
+    // multiplier spreading replicates apart in seed space)
+    val draws = base.select($"i").crossJoin(broadcast(n))
+      .select($"i", $"n", explode(sequence(lit(1L), lit(40L))).as("b"))
+      .select($"b", ((lit(1103515245L) *
+        (($"b" * 2654435761L + $"i") % 2147483648L)
+        + 12345L) % 2147483648L % $"n" + 1L).as("target"))
+    val means = draws
+      .join(base.select($"i".as("target"), $"o_totalprice"), Seq("target"))
+      .groupBy($"b")
+      .agg(round(sum($"o_totalprice".cast(dec)).cast("double") /
+        count(lit(1)), 4).as("mean4"))
+    val ranked = means
+      .withColumn("r", row_number().over(Window.orderBy($"mean4", $"b")))
+    val point = Tables.orders(s, dir)
+      .agg(round(sum($"o_totalprice".cast(dec)).cast("double") /
+        count(lit(1)), 4).as("point4"), count(lit(1)).as("n_rows"))
+    ranked.agg(
+        min(when($"r" === 1, $"mean4")).as("lo4"),
+        min(when($"r" === 39, $"mean4")).as("hi4"))
+      .crossJoin(point)
+      .select($"n_rows", $"point4", $"lo4", $"hi4")
+  }
+  private val q238Sql =
+    """WITH base AS (SELECT o_totalprice,
+      |    CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS i
+      |  FROM orders),
+      |n AS (SELECT count(*) AS n FROM base),
+      |draws AS (SELECT b.b,
+      |    (1103515245 * ((b.b * 2654435761 + base.i) % 2147483648)
+      |      + 12345) % 2147483648 % n.n + 1 AS target
+      |  FROM base, n, UNNEST(range(1, 41)) AS b(b)),
+      |means AS (SELECT d.b,
+      |    round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      / count(*), 4) AS mean4
+      |  FROM draws d JOIN base o ON o.i = d.target GROUP BY d.b),
+      |r AS (SELECT mean4,
+      |    row_number() OVER (ORDER BY mean4, b) AS r FROM means)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+      |  (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |      AS DOUBLE) / count(*), 4) FROM orders) AS point4,
+      |  (SELECT mean4 FROM r WHERE r = 1) AS lo4,
+      |  (SELECT mean4 FROM r WHERE r = 39) AS hi4""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q234_ndcg_mrr", q234, Some(q234Sql)),
+    QueryDef("q235_rank_biased_overlap", q235, Some(q235Sql)),
+    QueryDef("q237_kaplan_meier", q237, Some(q237Sql)),
+    QueryDef("q238_bootstrap_ci", q238, Some(q238Sql)),
+  )
+}

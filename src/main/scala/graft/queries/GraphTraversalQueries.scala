@@ -169,9 +169,57 @@ object GraphTraversalQueries extends QueryModule {
        |ORDER BY part_id""".stripMargin
   }
 
+  /** q236: Adamic-Adar link prediction on the co-purchase graph — the
+    * "parts that SHOULD co-occur but don't yet" recommender primitive: for
+    * each non-adjacent pair (u, v), score Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)),
+    * top-100. The two-hop expansion goes THROUGH middle vertices, so its
+    * cost is Σ_w deg(w)² — quadratic in hub degree; the scale guard caps
+    * middles at deg ≤ 64 (identically in the oracle). The cap is
+    * principled, not just pragmatic: 1/ln(deg) already discounts hubs to
+    * noise (1/ln(10⁴) ≈ 0.11 per hub vs 1/ln(2) ≈ 1.44 per rare middle),
+    * so dropping deg>64 middles removes the quadratic cost while barely
+    * perturbing scores — and deg ≥ 2 is required anyway (ln(1) = 0).
+    * Scores are rounded at 6 dp BEFORE the top-k ordering, with (u, v) as
+    * the total tie-break, so the LIMIT is engine-stable. */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = copurchaseEdges(s, dir)
+    val deg = e.groupBy($"src".as("w")).agg(count(lit(1)).as("deg"))
+    val mid = e.join(deg.filter($"deg".between(2, 64)), $"dst" === $"w")
+      .select($"src", $"w", $"deg")
+    val pairs = mid.as("x").join(mid.as("y"),
+        $"x.w" === $"y.w" && $"x.src" < $"y.src")
+      .select($"x.src".as("u"), $"y.src".as("v"), $"x.deg".as("wdeg"))
+    pairs.groupBy($"u", $"v")
+      .agg(round(sum(lit(1.0) / log($"wdeg".cast("double"))), 6).as("aa6"),
+        count(lit(1)).as("common"))
+      .join(e.select($"src".as("u"), $"dst".as("v")), Seq("u", "v"),
+        "left_anti")
+      .orderBy($"aa6".desc, $"u", $"v")
+      .limit(100)
+  }
+  private val q236Sql =
+    """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |deg AS (SELECT src AS w, count(*) AS deg FROM e GROUP BY 1),
+      |mid AS (SELECT e.src, e.dst AS w, d.deg FROM e
+      |  JOIN deg d ON e.dst = d.w WHERE d.deg BETWEEN 2 AND 64),
+      |p AS (SELECT x.src AS u, y.src AS v, x.deg AS wdeg
+      |  FROM mid x JOIN mid y ON x.w = y.w AND x.src < y.src),
+      |sc AS (SELECT u, v,
+      |    round(sum(1.0::DOUBLE / ln(CAST(wdeg AS DOUBLE))), 6) AS aa6,
+      |    CAST(count(*) AS BIGINT) AS common
+      |  FROM p GROUP BY 1, 2),
+      |ne AS (SELECT sc.* FROM sc
+      |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = sc.u AND e.dst = sc.v))
+      |SELECT u, v, aa6, common FROM ne
+      |ORDER BY aa6 DESC, u, v LIMIT 100""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q94_bfs_reach", q94, Some(q94Sql)),
     QueryDef("q95_pagerank", q95, Some(q95Sql)),
     QueryDef("q217_coreness", q217, Some(q217Sql)),
+    QueryDef("q236_adamic_adar", q236, Some(q236Sql)),
   )
 }

@@ -73,6 +73,32 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
+    // orders: disjoint customer/order universes per replica — the interval
+    // self-join (q11) shuffles on o_custkey, so replicas grow the key
+    // population while preserving each customer's order history shape
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    (0 until reps).map { k =>
+      if (k == 0) ord
+      else ord.withColumn("o_orderkey", $"o_orderkey" + lit(k * OFF))
+        .withColumn("o_custkey", $"o_custkey" + lit(k * OFF))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
+    // events: disjoint user/event universes per replica (ids shift by
+    // k·OFF); timestamps are kept, so per-user operators (PIT join, CDC
+    // apply, frame exclusions) see k× independent histories while the
+    // time-GLOBAL sweep-line concurrency gate sees genuinely higher
+    // simultaneity — which is what organic growth looks like for it.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    (0 until reps).map { k =>
+      if (k == 0) ev
+      else ev.withColumn("event_id", $"event_id" + lit(k * OFF))
+        .withColumn("user_id", $"user_id" + lit(k * OFF))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
     println(s"wrote x$reps tables to $dst")
     spark.stop()
   }
