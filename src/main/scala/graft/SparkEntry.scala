@@ -51,6 +51,7 @@ object SparkEntry {
     graft.queries.CurationOpsQueries,
     graft.queries.FrameSemanticsQueries,
     graft.queries.EvalMetricsQueries,
+    graft.queries.StreamingGateQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Structured Streaming operators promoted to first-class oracle gates —
+  * the REAL streaming execution path (FileStreamSource → stateful exec →
+  * sink), not a MemoryStream spec, hash-compared against a batch oracle
+  * over the same parquet. q233 (CDC apply via mapGroupsWithState) lives
+  * with its batch twin in WarehouseQueries; this module holds the joins.
+  *
+  * Scale notes (100 TB posture): a stream-stream join keys its state
+  * store by the equi column (user_id) and bounds retained rows by the
+  * watermark + the event-time range condition — state is O(rows inside
+  * the time window per key), not O(history). The inner join emits
+  * eagerly per micro-batch; nothing waits on watermark advancement, so
+  * the single-batch AvailableNow run emits every pair. */
+object StreamingGateQueries extends QueryModule {
+
+  /** q239: stream-stream interval join — every purchase paired with the
+    * same user's clicks in the preceding hour (the online feature-join /
+    * attribution shape). Both sides stream from the events file through
+    * real watermarked FileStreamSources into Spark's stream-stream join
+    * exec with an event-time range condition (what bounds the state
+    * store); the oracle is the equivalent batch self-join in DuckDB, so
+    * the hash match proves streaming join semantics == batch interval
+    * join, boundary inclusivity and all. Timestamps are compared on the
+    * µs lattice on both sides (DuckDB truncates parquet ns to µs). */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
+    }
+    def src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(streamPath)
+      .select($"user_id", $"event_id", $"event_type",
+        // ns long or µs timestamp on disk — normalize to a µs TIMESTAMP
+        // (the event-time type watermarks and range conditions need)
+        (if (schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else $"ts".cast("timestamp")).as("ets"))
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_event"),
+        $"ets".as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = src.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_event"),
+        $"ets".as("cts"))
+      .withWatermark("cts", "1 hour")
+    val sink = "q239_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = purchases.join(clicks,
+        $"user_id" === $"c_user" &&
+          $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" <= $"pts")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select($"purchase_event", $"click_event", $"user_id",
+        unix_micros($"pts").as("purchase_ts_us"),
+        unix_micros($"cts").as("click_ts_us"))
+      .orderBy($"purchase_event", $"click_event")
+  }
+  private val q239Sql =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_ns(ts) // 1000 AS tsu FROM events)
+      |SELECT p.event_id AS purchase_event, c.event_id AS click_event,
+      |  p.user_id, p.tsu AS purchase_ts_us, c.tsu AS click_ts_us
+      |FROM e p JOIN e c
+      |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND p.user_id = c.user_id
+      |  AND c.tsu BETWEEN p.tsu - 3600000000 AND p.tsu
+      |ORDER BY purchase_event, click_event""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q239_stream_stream_join", q239, Some(q239Sql)),
+  )
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.operators.AsOfJoin
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -769,8 +769,137 @@ object TimeSeriesQueries extends QueryModule {
       |SELECT event_type, bucket, tsu, event_id, cents
       |FROM r WHERE rk = 1 ORDER BY event_type, bucket""".stripMargin
 
+  /** q240: segmented-trend changepoint — the single best two-piece linear
+    * fit of the daily revenue series: the split day minimizing
+    * SSE(left OLS) + SSE(right OLS), with both segments' slopes (the
+    * trend-break detector behind "did growth bend here?"). One pass
+    * builds day-grain (x = day ordinal, y = revenue); running windows
+    * produce prefix sums of (1, x, x², y, xy, y²) — kept EXACT end to
+    * end (x-moments BIGINT, money moments in cents / cents² DECIMAL(38,0))
+    * so window-sum association cannot shift an ulp — then every candidate
+    * split evaluates both segments' SSE in O(1) from prefix vs
+    * total−prefix, closed-form: sse = vy − cxy²/vx on centered moments,
+    * computed with IDENTICAL operation order in the oracle so the argmin
+    * compares bit-equal doubles. Linear in the series, no join, one
+    * bounded day-grain window (the series table is the day span, not the
+    * fact table). Candidates keep ≥2 points per side. */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg((sum($"o_totalprice".cast(dec)) * 100).cast("long").as("cents"))
+    val ord = Window.orderBy($"day")
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("x", row_number().over(ord).cast("long"))
+      .withColumn("y2", ($"cents".cast(d19) * $"cents".cast(d19)).cast(d38))
+      .select($"day", $"x", $"cents", $"y2",
+        sum($"x").over(run).as("sx"),
+        sum($"x" * $"x").over(run).as("sxx"),
+        sum($"cents").over(run).as("sy"),
+        sum($"x" * $"cents").over(run).as("sxy"),
+        sum($"y2").over(run).as("syy"))
+    val tot = pre.agg(max($"x").as("n_t"), max($"sx").as("sx_t"),
+      max($"sxx").as("sxx_t"), max($"sy").as("sy_t"),
+      max($"sxy").as("sxy_t"), max($"syy").as("syy_t"))
+    def seg(n: Column, sx: Column, sxx: Column, sy: Column, sxy: Column,
+            syy: Column): (Column, Column) = {
+      val nd = n.cast("double")
+      val sxd = sx.cast("double")
+      val sxxd = sxx.cast("double")
+      val syd = sy.cast("double") / 100.0
+      val sxyd = sxy.cast("double") / 100.0
+      val syyd = syy.cast("double") / 10000.0
+      val vx = sxxd - sxd * sxd / nd
+      val cxy = sxyd - sxd * syd / nd
+      val vy = syyd - syd * syd / nd
+      (cxy / vx, vy - cxy * cxy / vx)
+    }
+    val cand = pre.crossJoin(broadcast(tot))
+      .filter($"x" >= 2 && $"x" <= $"n_t" - 2)
+    val (slopeL, sseL) = seg($"x", $"sx", $"sxx", $"sy", $"sxy", $"syy")
+    val (slopeR, sseR) = seg($"n_t" - $"x", $"sx_t" - $"sx",
+      $"sxx_t" - $"sxx", $"sy_t" - $"sy", $"sxy_t" - $"sxy",
+      $"syy_t" - $"syy")
+    cand.select($"day".as("break_day"), $"x".cast("long").as("n_left"),
+        ($"n_t" - $"x").cast("long").as("n_right"),
+        round(slopeL, 6).as("slope_left"), round(slopeR, 6).as("slope_right"),
+        round(sseL + sseR, 2).as("sse"))
+      .orderBy($"sse", $"break_day")
+      .limit(1)
+  }
+  private val q240Sql =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |pre AS (SELECT day,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS x,
+      |    cents, CAST(cents AS HUGEINT) * cents AS y2
+      |  FROM daily),
+      |rs AS (SELECT day, x,
+      |    sum(x) OVER w AS sx, sum(x * x) OVER w AS sxx,
+      |    sum(cents) OVER w AS sy, sum(x * cents) OVER w AS sxy,
+      |    sum(y2) OVER w AS syy
+      |  FROM pre
+      |  WINDOW w AS (ORDER BY x ROWS UNBOUNDED PRECEDING)),
+      |tot AS (SELECT max(x) AS n_t, max(sx) AS sx_t, max(sxx) AS sxx_t,
+      |    max(sy) AS sy_t, max(sxy) AS sxy_t, max(syy) AS syy_t FROM rs),
+      |cand AS (SELECT rs.*, t.* FROM rs, tot t
+      |  WHERE x >= 2 AND x <= n_t - 2),
+      |sc AS (SELECT day, x, n_t,
+      |    (CAST(sxy AS DOUBLE) / 100.0
+      |       - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 100.0)
+      |         / CAST(x AS DOUBLE))
+      |      / (CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |           / CAST(x AS DOUBLE)) AS slope_l,
+      |    (CAST(syy AS DOUBLE) / 10000.0
+      |       - (CAST(sy AS DOUBLE) / 100.0) * (CAST(sy AS DOUBLE) / 100.0)
+      |         / CAST(x AS DOUBLE))
+      |      - (CAST(sxy AS DOUBLE) / 100.0
+      |         - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 100.0)
+      |           / CAST(x AS DOUBLE))
+      |        * (CAST(sxy AS DOUBLE) / 100.0
+      |           - CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 100.0)
+      |             / CAST(x AS DOUBLE))
+      |        / (CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |             / CAST(x AS DOUBLE)) AS sse_l,
+      |    (CAST(sxy_t - sxy AS DOUBLE) / 100.0
+      |       - CAST(sx_t - sx AS DOUBLE)
+      |         * (CAST(sy_t - sy AS DOUBLE) / 100.0)
+      |         / CAST(n_t - x AS DOUBLE))
+      |      / (CAST(sxx_t - sxx AS DOUBLE)
+      |         - CAST(sx_t - sx AS DOUBLE) * CAST(sx_t - sx AS DOUBLE)
+      |           / CAST(n_t - x AS DOUBLE)) AS slope_r,
+      |    (CAST(syy_t - syy AS DOUBLE) / 10000.0
+      |       - (CAST(sy_t - sy AS DOUBLE) / 100.0)
+      |         * (CAST(sy_t - sy AS DOUBLE) / 100.0)
+      |         / CAST(n_t - x AS DOUBLE))
+      |      - (CAST(sxy_t - sxy AS DOUBLE) / 100.0
+      |         - CAST(sx_t - sx AS DOUBLE)
+      |           * (CAST(sy_t - sy AS DOUBLE) / 100.0)
+      |           / CAST(n_t - x AS DOUBLE))
+      |        * (CAST(sxy_t - sxy AS DOUBLE) / 100.0
+      |           - CAST(sx_t - sx AS DOUBLE)
+      |             * (CAST(sy_t - sy AS DOUBLE) / 100.0)
+      |             / CAST(n_t - x AS DOUBLE))
+      |        / (CAST(sxx_t - sxx AS DOUBLE)
+      |           - CAST(sx_t - sx AS DOUBLE) * CAST(sx_t - sx AS DOUBLE)
+      |             / CAST(n_t - x AS DOUBLE)) AS sse_r
+      |  FROM cand)
+      |SELECT day AS break_day, x AS n_left, n_t - x AS n_right,
+      |  round(slope_l, 6) AS slope_left, round(slope_r, 6) AS slope_right,
+      |  round(sse_l + sse_r, 2) AS sse
+      |FROM sc ORDER BY sse, break_day LIMIT 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
+    QueryDef("q240_segmented_trend", q240, Some(q240Sql)),
     QueryDef("q222_lttb_downsample", q222, Some(q222Sql)),
     QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
     QueryDef("q85_ewma", q85, Some(q85Sql)),

@@ -24,10 +24,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * top-level QUALIFY pass through unchanged.
   *
   * Scope (documented, checked, loudly enforced): one QUALIFY per top-level
-  * SELECT, and the select list must expose nameable outputs — plain
-  * (possibly qualified) columns or aliased expressions. `SELECT *` is
-  * rejected rather than guessed at (the outer projection would need the
-  * input schema to strip `__qualify` portably).
+  * SELECT, and the select list must either expose nameable outputs — plain
+  * (possibly qualified) columns or aliased expressions — or contain star
+  * items (`*` / `t.*`), in which case the outer projection becomes
+  * `SELECT * EXCEPT (__qualify)` (parsed by OSS Spark 4.x), so the input
+  * schema never needs to be known at rewrite time. The one star case that
+  * stays rejected-by-Spark is duplicate output names from multiple
+  * `t.*` expansions — ambiguous regardless of QUALIFY.
   */
 object QualifySql {
 
@@ -62,8 +65,14 @@ object QualifySql {
     val tail = if (tailPos >= text.length) ""
       else " " + text.substring(tailPos).trim.stripSuffix(";")
 
-    val names = outputNames(selectList)
-    s"SELECT ${names.mkString(", ")} FROM (SELECT $selectList, ($pred) AS __qualify " +
+    // star select lists can't be name-projected without the input schema;
+    // strip the helper column with star-EXCEPT instead (OSS Spark 4.x)
+    val outer =
+      if (splitTopLevel(selectList).map(_.trim)
+          .exists(it => it == "*" || it.endsWith(".*")))
+        "SELECT * EXCEPT (__qualify)"
+      else s"SELECT ${outputNames(selectList).mkString(", ")}"
+    s"$outer FROM (SELECT $selectList, ($pred) AS __qualify " +
       s"$body) __qualify_sub WHERE __qualify$tail"
   }
 

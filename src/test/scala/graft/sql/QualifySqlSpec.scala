@@ -113,8 +113,24 @@ class QualifySqlSpec extends SparkTestBase {
 
   test("unsupported shapes fail loudly instead of guessing") {
     intercept[IllegalArgumentException](QualifySql.rewrite(
-      "SELECT * FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"))
-    intercept[IllegalArgumentException](QualifySql.rewrite(
       "SELECT a + b FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"))
+  }
+
+  test("SELECT * QUALIFY runs via star-EXCEPT (no schema needed at rewrite)") {
+    val out = QualifySql.rewrite(
+      "SELECT * FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1")
+    assert(out.startsWith("SELECT * EXCEPT (__qualify) FROM (SELECT"), out)
+    import spark.implicits._
+    Seq(("a", 1, 10), ("a", 2, 20), ("b", 3, 5))
+      .toDF("k", "v", "w").createOrReplaceTempView("star_t")
+    val got = QualifySql.sql(spark,
+      "SELECT * FROM star_t QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    assert(got == Seq(("a", 2, 20), ("b", 3, 5)), got.toString)
+    // qualified star too
+    val got2 = QualifySql.sql(spark,
+      "SELECT star_t.*, v + 1 AS vp FROM star_t QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) = 1")
+      .columns.toSeq
+    assert(got2 == Seq("k", "v", "w", "vp"), got2.toString)
   }
 }
