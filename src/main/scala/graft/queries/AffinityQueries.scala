@@ -31,10 +31,20 @@ object AffinityQueries extends QueryModule {
     import s.implicits._
     val items = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
-    val pairs = items.select($"ok", $"pk".as("p1"))
-      .join(items.select($"ok", $"pk".as("p2")).hint("shuffle_hash"), Seq("ok"))
-      .filter($"p1" < $"p2")
-      .groupBy($"p1", $"p2").agg(count(lit(1)).as("pair_n"))
+    // pairs expand from SORTED per-order baskets with higher-order
+    // functions — one shuffle (the basket groupBy) instead of the former
+    // items⋈items self-join's two-sided shuffle; fan-out per order is
+    // identical (|basket| choose 2) either way
+    val baskets = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(expr("array_sort(collect_set(l_partkey))").as("ps"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(" +
+          "slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+        .as("p"))
+      .groupBy($"p.p1".as("p1"), $"p.p2".as("p2"))
+      .agg(count(lit(1)).as("pair_n"))
     val top = pairs.orderBy($"pair_n".desc, $"p1", $"p2").limit(20)
     val counts = items.groupBy($"pk").agg(count(lit(1)).as("cnt"))
     val totals = items.agg(countDistinct($"ok").as("t"))
@@ -73,7 +83,50 @@ object AffinityQueries extends QueryModule {
       |CROSS JOIN tot t
       |ORDER BY pair_n DESC, p1, p2""".stripMargin
 
+  /** q242: frequent triples, the a-priori step past q179's pairs — top-20
+    * 3-itemsets by co-occurrence support (≥ 2 orders). The engine runs the
+    * classic two-pass shape: pass 1 keeps items appearing in ≥ 2 baskets
+    * (downward closure makes the prune LOSSLESS at the same threshold —
+    * every item of a support-2 triple is itself support-2), pass 2 expands
+    * 3-combinations from the pruned SORTED baskets with nested
+    * higher-order transforms (b's absolute index is i+1+j, so c slices
+    * from i+j+3 — strictly increasing positions ⟺ p1 < p2 < p3 once) and
+    * counts. The oracle is the UNPRUNED 3-way self-join ground truth, so
+    * the hash match proves the a-priori prune drops nothing. */
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val freq = items.groupBy($"pk").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= 2).select($"pk")
+    val baskets = items.join(freq, Seq("pk"), "left_semi")
+      .groupBy($"ok").agg(expr("array_sort(collect_set(pk))").as("ps"))
+      .filter(size($"ps") >= 3)
+    baskets
+      .select(explode(expr(
+        "flatten(transform(ps, (a, i) -> flatten(transform(" +
+          "slice(ps, i + 2, size(ps)), (b, j) -> transform(" +
+          "slice(ps, i + j + 3, size(ps)), " +
+          "c -> struct(a AS p1, b AS p2, c AS p3))))))")).as("t"))
+      .groupBy($"t.p1".as("p1"), $"t.p2".as("p2"), $"t.p3".as("p3"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+      .orderBy($"support".desc, $"p1", $"p2", $"p3")
+      .limit(20)
+  }
+  private val q242Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3,
+      |  CAST(count(*) AS BIGINT) AS support
+      |FROM items a
+      |JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |JOIN items c ON b.ok = c.ok AND b.pk < c.pk
+      |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+      |ORDER BY support DESC, p1, p2, p3 LIMIT 20""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q179_market_basket", q179, Some(q179Sql)),
+    QueryDef("q242_apriori_triples", q242, Some(q242Sql)),
   )
 }

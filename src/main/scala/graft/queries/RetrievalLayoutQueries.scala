@@ -261,8 +261,46 @@ object RetrievalLayoutQueries extends QueryModule {
       |  AND TIMESTAMP '2001-06-30 00:00:00'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q241: inverted-index postings-size estimate — per term, the varint
+    * byte cost of delta-encoding its sorted posting list (the layout
+    * arithmetic an index builder runs to budget shards and pick
+    * compression): gap = doc_id − previous (first entry vs −1 so every
+    * gap ≥ 1), varint bytes = ceil(bits(gap)/7) with bits = binary-string
+    * length — pure integer arithmetic on both engines, so the byte totals
+    * hash exactly. One windowed pass per term partition + one grouped
+    * sum; df ≥ 5 keeps the diagnostic at head-term grain. */
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"term").orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(array_distinct(
+        expr("filter(split(text, ' '), t -> length(t) >= 4)"))).as("term"))
+      .withColumn("gap",
+        $"doc_id" - coalesce(lag($"doc_id", 1).over(w), lit(-1L)))
+      .withColumn("vbytes", expr("(length(bin(gap)) + 6) div 7"))
+      .groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"vbytes").as("varint_bytes"),
+        max($"gap").as("max_gap"))
+      .filter($"df" >= 5)
+      .orderBy($"term")
+  }
+  private val q241Sql =
+    """WITH t AS (SELECT DISTINCT doc_id, unnest(list_filter(
+      |    string_split(text, ' '), tk -> len(tk) >= 4)) AS term
+      |  FROM documents),
+      |g AS (SELECT term, doc_id, doc_id - coalesce(
+      |    lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), -1) AS gap
+      |  FROM t),
+      |v AS (SELECT term, gap, (length(bin(gap)) + 6) // 7 AS vbytes FROM g)
+      |SELECT term, CAST(count(*) AS BIGINT) AS df,
+      |  CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+      |  CAST(max(gap) AS BIGINT) AS max_gap
+      |FROM v GROUP BY term HAVING count(*) >= 5 ORDER BY term""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q78_bm25_topk", q78, Some(q78Sql)),
+    QueryDef("q241_postings_size", q241, Some(q241Sql)),
     QueryDef("q97_minmax_skipping", q97, Some(q97Sql)),
     QueryDef("q79_chunk_dedup", q79, Some(q79Sql)),
     QueryDef("q80_zorder_layout", q80, Some(q80Sql)),

@@ -505,8 +505,54 @@ object TextDedupQueries extends QueryModule {
       |  AND position(' ' || a.text || ' ' IN ' ' || b.text || ' ') > 0
       |ORDER BY contained_doc, container_doc""".stripMargin
 
+  /** q244: LSH banding quality audit — precision/recall of the MinHash
+    * candidate pairs (q27/q67's edge definition, verbatim via
+    * [[minhashBandPairs]]) against the exact-Jaccard ≥ 0.5 ground truth
+    * ([[jaccardPairs]], q26's machinery): the measurement a dedup owner
+    * runs before trusting banding parameters on a new corpus. Counts are
+    * exact; precision/recall/F1 are single divisions of exact counts
+    * (F1 via the 2·TP/(cand+truth) identity — no rounded-ratio
+    * composition), rounded at 6 dp. Reusing the shared pair kernels means
+    * the audit can never drift from what q27/q26 actually compute. */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = jaccardPairs(s, dir, 0.5).select($"doc_a", $"doc_b")
+    val cand = minhashBandPairs(s, dir, minBands = 2)
+      .select($"doc_a", $"doc_b")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nHit = truth.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nTruth.crossJoin(nCand).crossJoin(nHit)
+      .select($"n_truth", $"n_cand", $"n_hit",
+        round($"n_hit".cast("double") / $"n_cand", 6).as("precision"),
+        round($"n_hit".cast("double") / $"n_truth", 6).as("recall"),
+        round(($"n_hit" * 2).cast("double") / ($"n_cand" + $"n_truth"), 6)
+          .as("f1"))
+  }
+  private val q244Sql =
+    s"""$shinglesSql,
+       |$jaccardPairsSqlCtes,
+       |$minhashPairsSqlCtes,
+       |truth AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= 0.5),
+       |cand AS (SELECT doc_a, doc_b FROM pr),
+       |hit AS (SELECT t.doc_a FROM truth t JOIN cand c
+       |  ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+       |  round((SELECT count(*) FROM hit)
+       |    / CAST((SELECT count(*) FROM cand) AS DOUBLE), 6) AS precision,
+       |  round((SELECT count(*) FROM hit)
+       |    / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
+       |  round((SELECT count(*) FROM hit) * 2
+       |    / CAST((SELECT count(*) FROM cand)
+       |        + (SELECT count(*) FROM truth) AS DOUBLE), 6) AS f1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q22_token_quality", q22, Some(q22Sql)),
+    QueryDef("q244_lsh_quality", q244, Some(q244Sql)),
     QueryDef("q218_containment_dedup", q218, Some(q218Sql)),
     QueryDef("q23_lang_id", q23, Some(q23Sql)),
     QueryDef("q24_fingerprint", q24, Some(q24Sql)),

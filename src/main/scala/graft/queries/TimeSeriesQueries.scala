@@ -897,9 +897,68 @@ object TimeSeriesQueries extends QueryModule {
       |  round(sse_l + sse_r, 2) AS sse
       |FROM sc ORDER BY sse, break_day LIMIT 1""".stripMargin
 
+  /** q243: seasonality-adjusted anomaly days — daily revenue scored
+    * against its OWN day-of-week cohort (raw z-scores on weekly-seasonal
+    * series flag every weekend; deseasonalizing by dow is the standard
+    * fix): day d is anomalous when |revenue − mean_dow| > 2·sd_dow. The
+    * dow key is epoch-day mod 7 (identical integers on both engines — no
+    * locale-sensitive DOW function), cohort moments are exact cents /
+    * cents² sums, and z evaluates with the same operation order in the
+    * oracle, rounded at 6 dp. One day-grain aggregate + one broadcast
+    * join against the 7-row stats table. */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg((sum($"o_totalprice".cast(dec)) * 100).cast("long").as("cents"))
+      .withColumn("dow", pmod(unix_date($"day").cast("long"), lit(7L)))
+    val stats = daily.groupBy($"dow").agg(
+      count(lit(1)).as("n"), sum($"cents").as("sx"),
+      sum(($"cents".cast(d19) * $"cents".cast(d19)).cast(d38)).as("sxx"))
+    val yd = $"cents".cast("double") / 100.0
+    val sxd = $"sx".cast("double") / 100.0
+    val sxxd = $"sxx".cast("double") / 10000.0
+    val nd = $"n".cast("double")
+    val v = (sxxd - sxd * sxd / nd) / (nd - 1.0)
+    val z = (yd - sxd / nd) / sqrt(v)
+    daily.join(broadcast(stats), "dow")
+      .filter($"n" > 1 && v > 0 && abs(z) > 2)
+      .select($"day", $"dow", round(yd, 2).as("revenue"),
+        round(z, 6).as("z"))
+      .orderBy($"day")
+  }
+  private val q243Sql =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |d2 AS (SELECT day, cents,
+      |    (day - DATE '1970-01-01') % 7 AS dow FROM daily),
+      |st AS (SELECT dow, count(*) AS n, sum(cents) AS sx,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS sxx
+      |  FROM d2 GROUP BY 1),
+      |sc AS (SELECT d2.day, d2.dow,
+      |    CAST(d2.cents AS DOUBLE) / 100.0 AS yd,
+      |    CAST(st.sx AS DOUBLE) / 100.0 AS sxd,
+      |    CAST(st.sxx AS DOUBLE) / 10000.0 AS sxxd,
+      |    CAST(st.n AS DOUBLE) AS nd, st.n AS n
+      |  FROM d2 JOIN st ON d2.dow = st.dow)
+      |SELECT day, CAST(dow AS BIGINT) AS dow, round(yd, 2) AS revenue,
+      |  round((yd - sxd / nd)
+      |    / sqrt((sxxd - sxd * sxd / nd) / (nd - 1.0)), 6) AS z
+      |FROM sc
+      |WHERE n > 1 AND (sxxd - sxd * sxd / nd) / (nd - 1.0) > 0
+      |  AND abs((yd - sxd / nd)
+      |    / sqrt((sxxd - sxd * sxd / nd) / (nd - 1.0))) > 2
+      |ORDER BY day""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q240_segmented_trend", q240, Some(q240Sql)),
+    QueryDef("q243_seasonal_anomaly", q243, Some(q243Sql)),
     QueryDef("q222_lttb_downsample", q222, Some(q222Sql)),
     QueryDef("q51_ohlc_resample", q51, Some(q51Sql)),
     QueryDef("q85_ewma", q85, Some(q85Sql)),

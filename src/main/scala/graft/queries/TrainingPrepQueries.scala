@@ -163,19 +163,28 @@ object TrainingPrepQueries extends QueryModule {
     * literal key would constant-fold into a BNLJ). */
   private def q105(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id",
-        explode(array_distinct(expr("filter(split(text, ' '), t -> length(t) >= 5)")))
-          .as("tok"))
+    // co-occurring pairs come from a SORTED per-doc token array expanded
+    // with higher-order functions — a pure projection, so the only
+    // shuffles left are the two aggregates. The former toks⋈toks self-join
+    // on doc_id shuffled the whole token stream twice to rebuild groups
+    // the source row already had (same fan-out, one less wide stage).
+    val docToks = Tables.documents(s, dir)
+      .select($"doc_id", expr(
+        "array_sort(array_distinct(filter(split(text, ' '), t -> length(t) >= 5)))")
+        .as("toks"))
+    val toks = docToks.select($"doc_id", explode($"toks").as("tok"))
     val nDocs = Tables.documents(s, dir)
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("one", pmod($"n_docs", lit(1L)))
     val margin = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
       .withColumn("one", pmod($"df", lit(1L)))
       .join(broadcast(nDocs), "one").drop("one")
-    val pairs = toks.as("x").join(toks.as("y"), "doc_id")
-      .filter($"x.tok" < $"y.tok")
-      .groupBy($"x.tok".as("tok_a"), $"y.tok".as("tok_b"))
+    val pairs = docToks
+      .select(explode(expr(
+        "flatten(transform(toks, (x, i) -> transform(" +
+          "slice(toks, i + 2, size(toks)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy($"p.a".as("tok_a"), $"p.b".as("tok_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= 5)
     pairs
