@@ -237,6 +237,101 @@ object CorpusModelQueries extends QueryModule {
       |FROM fin f JOIN t ON f.doc_id = t.doc_id
       |ORDER BY f.doc_id""".stripMargin
 
+  /** q245: TRUE multi-level BPE encode ([[org.apache.spark.sql.graft
+    * .BpeEncodeMulti]]) — merged tokens are plain concatenations and the
+    * rule table contains a COMPOUND rule whose left side is itself a
+    * merged token (the vocabulary shape q213's single-level contract
+    * rejects): rules = the top-10 mined cross-word pairs plus, at rank
+    * 11, (a₁b₁, c) where c is the most frequent token FOLLOWING the
+    * rank-1 pair in the corpus — a compound rule that can only fire on
+    * rank 1's output and is data-guaranteed to fire (checked: picking a
+    * fixed follower like b₁ never fired at gate scale, which would have
+    * made the multi-level path vacuous). The oracle replays the
+    * identical best-first loop in a
+    * recursive CTE (lowest-ranked present rule per round, all
+    * occurrences merged simultaneously — equivalent to left-to-right
+    * for a ≠ b rules), so the hash match proves the expression's
+    * re-search-from-the-top semantics on real data, not just on the
+    * property fixtures. Same broadcast-rules scale shape as q213:
+    * driver sees exactly 10 bounded rows, encode is zero-shuffle. */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+    val mined = toks
+      .where(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))"))
+        .as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .where($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"a", $"b").limit(10)
+      .select($"a", $"b").collect()                 // bounded: exactly <=10 rows
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val rules = mined ++ mined.headOption.toSeq.flatMap { case (a1, b1) =>
+      toks.where(size($"w") >= 3)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 2), " +
+            "i -> struct(w[i-1] AS a, w[i] AS b, w[i+1] AS c))")).as("t"))
+        .where($"t.a" === a1 && $"t.b" === b1 && $"t.c" =!= lit(a1 + b1))
+        .groupBy($"t.c".as("c")).agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"c").limit(1)
+        .collect()                                  // bounded: <=1 row
+        .map(r => (a1 + b1, r.getString(0)))
+    }
+    val enc = graft.functions.bpe.encodeMulti($"w", rules)
+    toks.select($"doc_id", size($"w").cast("long").as("n_before"), enc.as("enc"))
+      .select($"doc_id", $"n_before", size($"enc").cast("long").as("n_after"),
+        concat_ws("\u001f", $"enc").as("encoded"))
+      .orderBy($"doc_id")
+  }
+  private val q245Sql =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT w[s.i] AS a, w[s.i + 1] AS b
+      |  FROM t, UNNEST(range(1, len(w))) AS s(i) WHERE len(w) >= 2),
+      |mined AS (
+      |  SELECT a, b, row_number() OVER (ORDER BY count(*) DESC, a, b) AS rk
+      |  FROM p WHERE a <> b GROUP BY a, b
+      |  ORDER BY count(*) DESC, a, b LIMIT 10),
+      |tri AS (SELECT w[s.i] AS a, w[s.i + 1] AS b, w[s.i + 2] AS c
+      |  FROM t, UNNEST(range(1, len(w) - 1)) AS s(i) WHERE len(w) >= 3),
+      |r1 AS (SELECT a, b FROM mined WHERE rk = 1),
+      |fol AS (SELECT tri.c FROM tri, r1
+      |  WHERE tri.a = r1.a AND tri.b = r1.b AND tri.c <> r1.a || r1.b
+      |  GROUP BY tri.c ORDER BY count(*) DESC, tri.c LIMIT 1),
+      |ranks AS (
+      |  SELECT a, b, rk FROM mined
+      |  UNION ALL
+      |  SELECT r1.a || r1.b, fol.c, 11 FROM r1, fol),
+      |state(doc_id, round, toks) AS (
+      |  SELECT doc_id, 0, w FROM t
+      |  UNION ALL
+      |  SELECT s.doc_id, s.round + 1,
+      |    list_filter(list_transform(range(1, len(s.toks) + 1),
+      |      x -> CASE
+      |        WHEN x < len(s.toks) AND s.toks[x] = br.a AND s.toks[x+1] = br.b
+      |          THEN s.toks[x] || s.toks[x+1]
+      |        WHEN x > 1 AND s.toks[x-1] = br.a AND s.toks[x] = br.b
+      |          THEN NULL
+      |        ELSE s.toks[x] END),
+      |      e -> e IS NOT NULL)
+      |  FROM state s JOIN LATERAL (
+      |    SELECT r.a, r.b FROM ranks r
+      |    WHERE list_contains(
+      |      list_transform(range(1, len(s.toks)),
+      |        i -> s.toks[i] || chr(31) || s.toks[i+1]),
+      |      r.a || chr(31) || r.b)
+      |    ORDER BY r.rk LIMIT 1) br ON true),
+      |fin AS (SELECT doc_id, arg_max(toks, round) AS toks
+      |  FROM state GROUP BY doc_id)
+      |SELECT f.doc_id, CAST(len(t.w) AS BIGINT) AS n_before,
+      |  CAST(len(f.toks) AS BIGINT) AS n_after,
+      |  array_to_string(f.toks, chr(31)) AS encoded
+      |FROM fin f JOIN t ON f.doc_id = t.doc_id
+      |ORDER BY f.doc_id""".stripMargin
+
   /** q147: cluster-balanced selection — the diversity-sampling step after
     * semantic clustering: cap every k-means cluster at 25 members
     * (smallest vec_id first, a stand-in for any per-item quality rank),
@@ -589,6 +684,7 @@ object CorpusModelQueries extends QueryModule {
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),
     QueryDef("q213_bpe_encode", q213, Some(q213Sql)),
+    QueryDef("q245_bpe_encode_multi", q245, Some(q245Sql)),
     QueryDef("q143_token_rarity", q143, Some(q143Sql)),
     QueryDef("q144_bpe_pairs", q144, Some(q144Sql)),
     QueryDef("q145_mixture_reweight", q145, Some(q145Sql)),

@@ -116,6 +116,101 @@ case class BpeEncode(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** TRUE multi-level BPE encode: merged tokens are the plain concatenation
+  * a+b (no separator), so a rule's side may itself be a merged token and
+  * applying one rule CAN create occurrences of another — the compound
+  * vocabulary case [[BpeEncode]] deliberately rejects. Semantics are the
+  * reference best-first loop every production tokenizer implements:
+  * repeat { find the LOWEST-RANK rule with an occurrence; merge all its
+  * occurrences in one left-to-right pass } until nothing applies. Each
+  * application shortens the array, so the loop terminates in < len
+  * applications; each application is one O(rules·len) scan — still pure
+  * per-row compute, zero shuffle, rules broadcast as a literal.
+  *
+  * Unlike the single-level encoder there is NO rank-order-exhaustive
+  * shortcut: after (a,b)→ab fires, a better-ranked (ab,c) may become
+  * applicable, so the scan must re-search from the best rank each round.
+  * Self-pairs stay excluded (left-to-right non-overlap on odd runs is
+  * implementation-defined). */
+case class BpeEncodeMulti(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType), AnyDataType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "bpe_encode_multi"
+
+  @transient private lazy val rules: Array[(UTF8String, UTF8String)] = {
+    require(right.foldable, "bpe_encode_multi merges must be a literal rule table")
+    val arr = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
+    val out = new Array[(UTF8String, UTF8String)](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      val st = arr.getStruct(i, 2)
+      val a = st.getUTF8String(0)
+      val b = st.getUTF8String(1)
+      require(a != null && b != null && !a.equals(b),
+        s"bpe_encode_multi rules must be non-null with a != b, got ($a, $b)")
+      out(i) = (a, b)
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(toks: Any, mergesIgnored: Any): Any = {
+    val arr = toks.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var cur = new Array[UTF8String](n)
+    var len = n
+    var i = 0
+    while (i < n) { cur(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i); i += 1 }
+    var done = len <= 1
+    while (!done) {
+      // best-first: the lowest-rank rule with at least one occurrence
+      var best = -1
+      var r = 0
+      while (r < rules.length && best < 0) {
+        val (a, b) = rules(r)
+        var j = 0
+        while (j + 1 < len && best < 0) {
+          if (cur(j) != null && cur(j).equals(a) &&
+              cur(j + 1) != null && cur(j + 1).equals(b)) best = r
+          j += 1
+        }
+        r += 1
+      }
+      if (best < 0) done = true
+      else {
+        val (a, b) = rules(best)
+        val merged = UTF8String.concat(a, b)
+        var read = 0
+        var write = 0
+        while (read < len) {
+          val t = cur(read)
+          if (read + 1 < len && t != null && t.equals(a) &&
+              cur(read + 1) != null && cur(read + 1).equals(b)) {
+            cur(write) = merged
+            read += 2
+          } else {
+            cur(write) = t
+            read += 1
+          }
+          write += 1
+        }
+        len = write
+        done = len <= 1
+      }
+    }
+    val out = new Array[Any](len)
+    i = 0
+    while (i < len) { out(i) = cur(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry point. */
 object bpe {
   /** Apply a rank-ordered merge table (array<struct<a,b>> literal) to an
@@ -127,4 +222,12 @@ object bpe {
     * top-R table) — embedded as an array<struct> literal. */
   def encode(tokens: Column, merges: Seq[(String, String)]): Column =
     encode(tokens, org.apache.spark.sql.functions.typedLit(merges))
+
+  /** TRUE multi-level BPE (merged token = a+b, compound rules allowed) —
+    * see [[BpeEncodeMulti]]. */
+  def encodeMulti(tokens: Column, merges: Column): Column =
+    ColumnBridge.lift(BpeEncodeMulti(ColumnBridge.unwrap(tokens), ColumnBridge.unwrap(merges)))
+
+  def encodeMulti(tokens: Column, merges: Seq[(String, String)]): Column =
+    encodeMulti(tokens, org.apache.spark.sql.functions.typedLit(merges))
 }
