@@ -219,8 +219,10 @@ object GraphIncrementalQueries extends QueryModule {
     // after decimal->double rounding): clamp with greatest and emit NULL
     // rather than dividing by zero — mirrored exactly in the oracle.
     // The three matrix cells EXPLODE out of the single aggregate row:
-    // a union of three selects over `m` re-ran the whole scan+aggregate
-    // per cell (measured 2.9 s -> one pass).
+    // the former union-of-three-selects shape happened to be saved by
+    // ReusedExchange locally (wall-neutral in the bench), but the fused
+    // plan guarantees ONE scan+aggregate structurally — no reliance on
+    // an optimizer cache hit that a cluster plan change could lose.
     def corrCell(a: String, b: String, sxy: String, sx: String, sy: String,
                  sxx: String, syy: String) = {
       val denom = sqrt(greatest($"n" * col(sxx) - col(sx) * col(sx), lit(0.0))) *

@@ -56,13 +56,22 @@ object StreamingGateQueries extends QueryModule {
         $"ets".as("cts"))
       .withWatermark("cts", "1 hour")
     val sink = "q239_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = purchases.join(clicks,
-        $"user_id" === $"c_user" &&
-          $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" <= $"pts")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // a stream-stream join instantiates FOUR state stores per shuffle
+    // partition (left/right × keyed/index); at the session's 32
+    // partitions that is 128 store lifecycles per micro-batch — pure
+    // fixed overhead at any input size. 8 partitions is still plenty of
+    // parallelism for the join itself; restore the session value after.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      purchases.join(clicks,
+          $"user_id" === $"c_user" &&
+            $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" <= $"pts")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     s.table(sink)
       .select($"purchase_event", $"click_event", $"user_id",
