@@ -295,10 +295,90 @@ object EvalMetricsQueries extends QueryModule {
       |  (SELECT mean4 FROM r WHERE r = 1) AS lo4,
       |  (SELECT mean4 FROM r WHERE r = 39) AS hi4""".stripMargin
 
+  /** Poisson(1) CDF thresholds scaled by 2^31 (floor), k = 0..8: a draw
+    * u ∈ [0, 2^31) maps to weight k = #{thresholds ≤ u}. Integer literals
+    * identical in the oracle, so the "random" weights are exact on both
+    * engines; P(k > 8) ≈ 1.1e-6 is truncated to 8 (same truncation both
+    * sides — a modeling choice, not a divergence). */
+  private val poissonT = Seq(790015084L, 1580030168L, 1975037710L,
+    2106706891L, 2139624186L, 2146207645L, 2147304888L, 2147461638L,
+    2147481231L)
+
+  /** q246: POISSON bootstrap CI — the scale path q238's exact m-out-of-n
+    * cannot take: instead of drawing n indexed rows per replicate
+    * (which needs a global row index — a single-partition sort here, a
+    * DistributedScan on a cluster — and a B·n-row join), each row gets an
+    * independent Poisson(1) weight per replicate from one LCG step keyed
+    * by (replicate, o_orderkey). NO index, NO join: one explode(×B) and
+    * one 40-group aggregate — embarrassingly parallel at any corpus size
+    * (measured: q238 ran 8.3× slower at ×10 data; this shape is the
+    * standard production bootstrap precisely because nothing in it is
+    * global). Replicate means are Σw·price / Σw in exact DECIMAL, CI =
+    * order statistics 1/39 of the 40 means. The weights are
+    * bit-reproducible: u is integer LCG output, the Poisson inverse-CDF
+    * is the integer threshold table [[poissonT]]. */
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val means = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      // the ×B explode multiplies whatever parallelism the scan produced;
+      // a single-file input would otherwise expand 40× on ONE task
+      // (measured 15 s -> 2 s at sf0.1). One cheap shuffle of the n base
+      // rows buys full-width expansion — the same reasoning as sizing
+      // maxPartitionBytes on a cluster.
+      .repartition($"o_orderkey")
+      .select($"o_orderkey", $"o_totalprice",
+        explode(sequence(lit(1L), lit(40L))).as("b"))
+      .withColumn("u", (lit(1103515245L) *
+        (($"b" * 2654435761L + $"o_orderkey") % 2147483648L)
+        + 12345L) % 2147483648L)
+      // unrolled threshold count, NOT aggregate(): higher-order functions
+      // are CodegenFallback — the interpreted 9-step lambda on 40n rows
+      // measured 12.8 s vs ~2 s for this codegen'd sum of comparisons
+      .withColumn("wgt", poissonT.map(t =>
+        when($"u" >= t, 1L).otherwise(0L)).reduce(_ + _))
+      .groupBy($"b")
+      .agg(round(sum(($"o_totalprice".cast(dec) * $"wgt").cast(dec))
+          .cast("double") / sum($"wgt"), 4).as("mean4"))
+    val ranked = means
+      .withColumn("r", row_number().over(Window.orderBy($"mean4", $"b")))
+    val point = Tables.orders(s, dir)
+      .agg(round(sum($"o_totalprice".cast(dec)).cast("double") /
+        count(lit(1)), 4).as("point4"), count(lit(1)).as("n_rows"))
+    ranked.agg(
+        min(when($"r" === 1, $"mean4")).as("lo4"),
+        min(when($"r" === 39, $"mean4")).as("hi4"))
+      .crossJoin(point)
+      .select($"n_rows", $"point4", $"lo4", $"hi4")
+  }
+  private val q246Sql =
+    """WITH d AS (SELECT o_orderkey, o_totalprice, b.b,
+      |    (1103515245 * ((b.b * 2654435761 + o_orderkey) % 2147483648)
+      |      + 12345) % 2147483648 AS u
+      |  FROM orders, UNNEST(range(1, 41)) AS b(b)),
+      |w AS (SELECT b, o_totalprice,
+      |    len(list_filter([790015084, 1580030168, 1975037710, 2106706891,
+      |      2139624186, 2146207645, 2147304888, 2147461638, 2147481231],
+      |      t -> u >= t)) AS wgt
+      |  FROM d),
+      |means AS (SELECT b,
+      |    round(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * wgt
+      |        AS DECIMAL(18,2))) AS DOUBLE) / sum(wgt), 4) AS mean4
+      |  FROM w GROUP BY b),
+      |r AS (SELECT mean4,
+      |    row_number() OVER (ORDER BY mean4, b) AS r FROM means)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+      |  (SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |      AS DOUBLE) / count(*), 4) FROM orders) AS point4,
+      |  (SELECT mean4 FROM r WHERE r = 1) AS lo4,
+      |  (SELECT mean4 FROM r WHERE r = 39) AS hi4""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q234_ndcg_mrr", q234, Some(q234Sql)),
     QueryDef("q235_rank_biased_overlap", q235, Some(q235Sql)),
     QueryDef("q237_kaplan_meier", q237, Some(q237Sql)),
     QueryDef("q238_bootstrap_ci", q238, Some(q238Sql)),
+    QueryDef("q246_poisson_bootstrap", q246, Some(q246Sql)),
   )
 }

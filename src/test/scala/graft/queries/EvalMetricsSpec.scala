@@ -66,6 +66,21 @@ class EvalMetricsSpec extends SparkTestBase {
     assert(got == Seq((1L, 4L, 2L, 0.5), (3L, 2L, 1L, 0.25)), got.toString)
   }
 
+  test("q246: Poisson bootstrap is deterministic, ordered, near the exact CI") {
+    def run() = SparkEntry.queries("q246_poisson_bootstrap")(spark, fixtures)
+      .collect().head
+    val (a, b) = (run(), run())
+    assert(a == b, s"poisson bootstrap not deterministic: $a vs $b")
+    val (lo, hi) = (a.getAs[Double]("lo4"), a.getAs[Double]("hi4"))
+    assert(lo < hi, s"degenerate CI [$lo, $hi]")
+    // same point estimate as the m-out-of-n gate (it's the plain mean)
+    val exact = SparkEntry.queries("q238_bootstrap_ci")(spark, fixtures)
+      .collect().head
+    assert(a.getAs[Double]("point4") == exact.getAs[Double]("point4"))
+    // both resampling schemes straddle the point estimate on this fixture
+    assert(lo <= a.getAs[Double]("point4") && a.getAs[Double]("point4") <= hi)
+  }
+
   test("q238: bootstrap draws are deterministic and the CI is ordered") {
     def run() = SparkEntry.queries("q238_bootstrap_ci")(spark, fixtures)
       .collect().head
