@@ -90,7 +90,70 @@ object StreamingGateQueries extends QueryModule {
       |  AND c.tsu BETWEEN p.tsu - 3600000000 AND p.tsu
       |ORDER BY purchase_event, click_event""".stripMargin
 
+  /** q247: streaming tumbling-window aggregation — per (1-minute window,
+    * event_type): count and DECIMAL-exact mean value, through the real
+    * watermarked stateful-aggregation exec in UPDATE mode (which emits
+    * each batch's state without waiting for the watermark — so the
+    * single AvailableNow batch yields every window's final value; the
+    * Append-mode flush-on-watermark path is exactly what a bounded file
+    * replay cannot exercise, documented here rather than papered over).
+    * With q233 (mapGroupsWithState) and q239 (stream-stream join) this
+    * puts all three Structured Streaming stateful operators under the
+    * batch oracle. State per key is one (count, sum) pair — constant. */
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(streamPath)
+      .select($"event_type", $"value",
+        (if (schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else $"ts".cast("timestamp")).as("ets"))
+    val sink = "q247_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      src.withWatermark("ets", "1 minute")
+        .groupBy(window($"ets", "1 minute"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(dec)).as("sum_v"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"q247 expects ONE data micro-batch (Update-mode last emission per " +
+        s"window is then the final state); got $dataBatches")
+    s.table(sink)
+      .select(unix_micros($"window.start").as("window_start_us"),
+        $"event_type", $"n",
+        round($"sum_v".cast("double") / $"n", 4).as("avg_value"))
+      .orderBy($"window_start_us", $"event_type")
+  }
+  private val q247Sql =
+    """WITH e AS (SELECT event_type, value,
+      |    epoch_ns(ts) // 1000 AS tsu FROM events)
+      |SELECT (tsu // 60000000) * 60000000 AS window_start_us, event_type,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |    / count(*), 4) AS avg_value
+      |FROM e GROUP BY 1, 2
+      |ORDER BY window_start_us, event_type""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q239_stream_stream_join", q239, Some(q239Sql)),
+    QueryDef("q247_stream_windowed_agg", q247, Some(q247Sql)),
   )
 }
