@@ -247,8 +247,69 @@ object CorpusBalanceQueries extends QueryModule {
       |JOIN norms nb ON d.label_b = nb.label
       |ORDER BY d.label_a, d.label_b""".stripMargin
 
+  /** q248: population stability index per event type — the third leg of
+    * the drift triad (q124 total variation, q226 Wasserstein-1): PSI
+    * weights each bucket's probability shift by its log-ratio, the
+    * industry-standard model-monitoring alarm (>0.25 ≈ retrain). Periods
+    * split at the corpus midpoint day; buckets are unit-width integer
+    * floors of `value` (engine-portable — no data-dependent bin edges);
+    * zero-count buckets get the standard +0.5 smoothing over the bucket
+    * UNION so the log never sees 0 (the smoothing is part of the metric's
+    * definition here, mirrored exactly in the oracle). Counts are exact;
+    * pa/pb are single divisions of exact values; the per-type sum is ≤ a
+    * few hundred ln terms, five orders under the 6-dp rounding. One
+    * grouped count + one 5-row broadcast of per-type totals. */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"value".isNotNull)
+      .select($"event_type", expr("ts div 86400000000000").as("day"),
+        floor($"value").cast("long").as("bucket"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val binned = ev.crossJoin(broadcast(mid))
+      .groupBy($"event_type", $"bucket")
+      .agg(sum(when($"day" < $"mid", 1L).otherwise(0L)).as("ca"),
+        sum(when($"day" >= $"mid", 1L).otherwise(0L)).as("cb"))
+    val tot = binned.groupBy($"event_type")
+      .agg(sum($"ca").as("na"), sum($"cb").as("nb"), count(lit(1)).as("k"))
+    val pa = ($"ca".cast("double") + 0.5) /
+      ($"na".cast("double") + $"k".cast("double") * 0.5)
+    val pb = ($"cb".cast("double") + 0.5) /
+      ($"nb".cast("double") + $"k".cast("double") * 0.5)
+    binned.join(broadcast(tot), "event_type")
+      .select($"event_type", $"na", $"nb", $"k",
+        ((pa - pb) * log(pa / pb)).as("term"))
+      .groupBy($"event_type")
+      .agg(round(sum($"term"), 6).as("psi"), max($"k").as("n_buckets"),
+        max($"na").as("n_period_a"), max($"nb").as("n_period_b"))
+      .orderBy($"event_type")
+  }
+  private val q248Sql =
+    """WITH e AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(floor(value) AS BIGINT) AS bucket
+      |  FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+      |b AS (SELECT event_type, bucket,
+      |    sum(CASE WHEN day < m.mid THEN 1 ELSE 0 END) AS ca,
+      |    sum(CASE WHEN day >= m.mid THEN 1 ELSE 0 END) AS cb
+      |  FROM e, m GROUP BY 1, 2),
+      |t AS (SELECT event_type, sum(ca) AS na, sum(cb) AS nb,
+      |    count(*) AS k FROM b GROUP BY 1),
+      |p AS (SELECT b.event_type, t.na, t.nb, t.k,
+      |    (CAST(b.ca AS DOUBLE) + 0.5)
+      |      / (CAST(t.na AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE)) AS pa,
+      |    (CAST(b.cb AS DOUBLE) + 0.5)
+      |      / (CAST(t.nb AS DOUBLE) + 0.5 * CAST(t.k AS DOUBLE)) AS pb
+      |  FROM b JOIN t ON b.event_type = t.event_type)
+      |SELECT event_type, round(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+      |  CAST(max(k) AS BIGINT) AS n_buckets,
+      |  CAST(max(na) AS BIGINT) AS n_period_a,
+      |  CAST(max(nb) AS BIGINT) AS n_period_b
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q123_top_p_mass", q123, Some(q123Sql)),
+    QueryDef("q248_psi_drift", q248, Some(q248Sql)),
     QueryDef("q225_simpson_diversity", q225, Some(q225Sql)),
     QueryDef("q226_wasserstein_drift", q226, Some(q226Sql)),
     QueryDef("q124_token_tvd", q124, Some(q124Sql)),

@@ -152,8 +152,50 @@ object StreamingGateQueries extends QueryModule {
       |FROM e GROUP BY 1, 2
       |ORDER BY window_start_us, event_type""".stripMargin
 
+  /** q249: streaming deduplication — `dropDuplicates` through the real
+    * StreamingDeduplicate exec (per-key state, emit-on-first-sight in
+    * Append mode, so a single AvailableNow batch emits exactly the
+    * distinct set) against the batch DISTINCT oracle. Completes the
+    * stateful-exec coverage: mapGroupsWithState (q233), stream-stream
+    * join (q239), windowed agg (q247), dedup (here). Unbounded key state
+    * is fine for a bounded replay; an endless production stream would use
+    * dropDuplicatesWithinWatermark so the state ages out — noted, not
+    * needed for the gate's semantics. */
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
+    }
+    val sink = "q249_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1000000")
+        .parquet(streamPath)
+        .select($"user_id", $"event_type")
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    s.table(sink)
+      .select($"user_id", $"event_type")
+      .orderBy($"user_id", $"event_type")
+  }
+  private val q249Sql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q239_stream_stream_join", q239, Some(q239Sql)),
     QueryDef("q247_stream_windowed_agg", q247, Some(q247Sql)),
+    QueryDef("q249_stream_dedup", q249, Some(q249Sql)),
   )
 }
