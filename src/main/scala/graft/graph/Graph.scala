@@ -102,6 +102,45 @@ object Graph {
     rank.select($"id", $"r".as("rank_scaled"))
   }
 
+  /** Weighted single-source (multi-source) shortest paths via bounded
+    * Bellman-Ford: `rounds` relaxation sweeps, each one probe join of the
+    * edge list against the current distance table followed by a grouped
+    * MIN — after k rounds every node holds the exact shortest distance
+    * over paths of ≤ k edges. Weights and distances are BIGINT, and MIN
+    * is order-insensitive, so the per-round state is bit-identical under
+    * any partitioning and an oracle can replay the recurrence as k
+    * unrolled aggregation steps (q250).
+    *
+    * Scale shape: identical to [[pageRank]] — per round one shuffle of
+    * the O(|V|) distance table onto the edge `src` key plus one grouped
+    * min whose map-side combine caps the exchange at |V| rows; bucketing
+    * edges by `src` makes the probe local on a real cluster. Relaxation
+    * is monotone non-increasing, so stopping early at an unchanged round
+    * is exact (MIN is idempotent) — rounds past convergence are no-ops.
+    *
+    * @param edges   directed weighted edge list (`src`, `dst`, `w`) with
+    *                non-negative BIGINT weights
+    * @param sources one-column frame of seed node ids (column `id`),
+    *                distance 0
+    * @param rounds  relaxation sweep count: distances are exact for
+    *                shortest paths of up to `rounds` edges
+    * @return (`id`, `dist`) for every node reachable within `rounds` hops
+    */
+  def ssspWeighted(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select($"src", $"dst", $"w").localCheckpoint(true)
+    var dist = sources.select($"id", lit(0L).as("dist")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = dist.join(e, dist("id") === e("src"))
+        .select($"dst".as("id"), ($"dist" + $"w").as("dist"))
+      dist = dist.select($"id", $"dist").union(relax)
+        .groupBy($"id").agg(min($"dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Coreness (k-core number) of every vertex via iterated neighborhood
     * H-index (Lü et al. 2016): start from degree, repeatedly replace each
     * vertex's estimate with the H-index of its neighbors' estimates; the

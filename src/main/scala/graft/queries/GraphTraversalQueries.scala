@@ -216,10 +216,135 @@ object GraphTraversalQueries extends QueryModule {
       |SELECT u, v, aa6, common FROM ne
       |ORDER BY aa6 DESC, u, v LIMIT 100""".stripMargin
 
+  private val ssspRounds = 6
+
+  /** q250: weighted shortest paths (bounded Bellman-Ford,
+    * [[graft.graph.Graph.ssspWeighted]]) over the consecutive-linenumber
+    * adjacency graph — q94's BFS answers "how many hops", this answers
+    * "how cheap": edge cost is the minimum combined quantity over the
+    * pair's co-occurrences, distances are exact BIGINT sums, and after 6
+    * relaxation sweeps every node holds the cheapest ≤6-edge path from
+    * any seed. MIN-relaxation is order-insensitive integer math, so the
+    * oracle replays the recurrence as 6 unrolled aggregation CTEs and the
+    * hash gate certifies the whole iterative computation, per-round state
+    * included. Unreached nodes are absent (same contract as q94). */
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_quantity")
+    val adj = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(min($"a.l_quantity".cast("long") + $"b.l_quantity".cast("long"))
+        .as("w"))
+    val edges = adj.select($"u".as("src"), $"v".as("dst"), $"w")
+      .union(adj.select($"v".as("src"), $"u".as("dst"), $"w"))
+      .groupBy($"src", $"dst").agg(min($"w").as("w"))
+    val sources = edges.select($"src".as("id"))
+      .filter($"id" % 97 === 0).distinct()
+    Graph.ssspWeighted(edges, sources, ssspRounds)
+      .select($"id".as("part_id"), $"dist".as("dist_qty"))
+      .orderBy($"part_id")
+  }
+  private val q250Sql = {
+    val rounds = (1 to ssspRounds).map { i =>
+      s"""d$i AS (SELECT id, min(dist) AS dist FROM (
+         |  SELECT id, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS id, d${i - 1}.dist + e.w AS dist
+         |  FROM d${i - 1} JOIN e ON d${i - 1}.id = e.src) q GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH adj AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |    min(CAST(a.l_quantity AS BIGINT) + CAST(b.l_quantity AS BIGINT)) AS w
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey
+       |    AND b.l_linenumber = a.l_linenumber + 1
+       |  WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
+       |e AS (SELECT src, dst, min(w) AS w FROM (
+       |  SELECT u AS src, v AS dst, w FROM adj
+       |  UNION ALL SELECT v, u, w FROM adj) s GROUP BY 1, 2),
+       |d0 AS (SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist
+       |  FROM e WHERE src % 97 = 0),
+       |$rounds
+       |SELECT id AS part_id, dist AS dist_qty FROM d$ssspRounds
+       |ORDER BY 1""".stripMargin
+  }
+
+  /** q252: local clustering coefficient — per-vertex triangle closure on
+    * the consecutive-linenumber adjacency graph: c(v) = 2·T(v) / (d(v)·
+    * (d(v)−1)) for d(v) ≥ 2, the standard "how clique-like is this node's
+    * neighborhood" diagnostic (q83 enumerates triangles globally; this
+    * distributes them back onto vertices). Triangles come from the same
+    * canonical two-wedge-join closure as q83 — cost Σ deg², bounded on
+    * this sparse chain graph — then each triangle credits its three
+    * vertices via a 3-way projection union. T and d are exact longs; the
+    * coefficient is one double division over them, rounded at 6 dp, so
+    * both engines produce identical bits. */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val adj = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .select(least($"a.l_partkey", $"b.l_partkey").as("ea"),
+        greatest($"a.l_partkey", $"b.l_partkey").as("eb"))
+      .distinct()
+    val deg = adj.select($"ea".as("id")).union(adj.select($"eb".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("deg"))
+    val tri = adj.as("e1")
+      .join(adj.as("e2"), $"e1.eb" === $"e2.ea")
+      .join(adj.as("e3"), $"e1.ea" === $"e3.ea" && $"e2.eb" === $"e3.eb")
+      .select($"e1.ea".as("v1"), $"e1.eb".as("v2"), $"e2.eb".as("v3"))
+    val perNode = tri.select($"v1".as("id"))
+      .union(tri.select($"v2".as("id")))
+      .union(tri.select($"v3".as("id")))
+      .groupBy($"id").agg(count(lit(1)).as("tri"))
+    deg.filter($"deg" >= 2)
+      .join(perNode, Seq("id"), "left")
+      .select($"id".as("part_id"), $"deg",
+        coalesce($"tri", lit(0L)).as("triangles"),
+        round(lit(2.0) * coalesce($"tri", lit(0L)).cast("double") /
+          ($"deg".cast("double") * ($"deg".cast("double") - 1.0)), 6)
+          .as("clustering6"))
+      .orderBy($"part_id")
+  }
+  private val q252Sql =
+    """WITH adj0 AS (
+      |  SELECT least(a.l_partkey, b.l_partkey) AS ea,
+      |         greatest(a.l_partkey, b.l_partkey) AS eb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey
+      |    AND b.l_linenumber = a.l_linenumber + 1
+      |  WHERE a.l_partkey <> b.l_partkey),
+      |adj AS (SELECT DISTINCT ea, eb FROM adj0),
+      |deg AS (SELECT id, count(*) AS deg FROM (
+      |  SELECT ea AS id FROM adj UNION ALL SELECT eb FROM adj) s GROUP BY 1),
+      |tri AS (SELECT e1.ea AS v1, e1.eb AS v2, e2.eb AS v3
+      |  FROM adj e1 JOIN adj e2 ON e1.eb = e2.ea
+      |    JOIN adj e3 ON e1.ea = e3.ea AND e2.eb = e3.eb),
+      |pn AS (SELECT id, count(*) AS tri FROM (
+      |  SELECT v1 AS id FROM tri UNION ALL SELECT v2 FROM tri
+      |  UNION ALL SELECT v3 FROM tri) s GROUP BY 1)
+      |SELECT d.id AS part_id, d.deg,
+      |  CAST(coalesce(pn.tri, 0) AS BIGINT) AS triangles,
+      |  round(2.0 * CAST(coalesce(pn.tri, 0) AS DOUBLE) /
+      |    (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 6)
+      |    AS clustering6
+      |FROM deg d LEFT JOIN pn ON d.id = pn.id
+      |WHERE d.deg >= 2
+      |ORDER BY part_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q94_bfs_reach", q94, Some(q94Sql)),
     QueryDef("q95_pagerank", q95, Some(q95Sql)),
     QueryDef("q217_coreness", q217, Some(q217Sql)),
     QueryDef("q236_adamic_adar", q236, Some(q236Sql)),
+    QueryDef("q250_weighted_sssp", q250, Some(q250Sql)),
+    QueryDef("q252_clustering_coeff", q252, Some(q252Sql)),
   )
 }

@@ -485,8 +485,77 @@ object InferenceQueries extends QueryModule {
       |  round(CAST(sum(term) OVER (ORDER BY day) AS DOUBLE), 6) AS cum_hazard
       |FROM terms WHERE d > 0 ORDER BY day""".stripMargin
 
+  /** q251: difference-in-differences — the experiment readout when
+    * treatment was not randomized per event but switched on at a known
+    * time: arm (q180's hash split) × period (before/after 2024-01-16)
+    * cells of purchase value, mean per cell, and
+    * DiD = (T,post − T,pre) − (C,post − C,pre) — the causal effect
+    * estimate under the parallel-trends assumption. Every cell is an
+    * exact (LONG count, DECIMAL sum) pair, means are single double
+    * divisions over those exact cells rounded at 6 dp, and the DiD
+    * subtracts the rounded means identically in both engines (q227's
+    * rounded-before-delta discipline), so the gate has zero float
+    * tolerance. */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // 2024-01-16T00:00:00Z as epoch nanos (events.ts is nanos BIGINT)
+    val cutNs = 1705363200000000000L
+    val ev = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .withColumn("t",
+        when(CurationQueries.hashBucket("user_id") % 2 === 0, 0).otherwise(1))
+      .withColumn("post", when($"ts" < cutNs, 0).otherwise(1))
+    def cellN(t: Int, p: Int) =
+      sum(when($"t" === t && $"post" === p, 1L).otherwise(0L))
+    def cellS(t: Int, p: Int) =
+      sum(when($"t" === t && $"post" === p, $"value".cast("decimal(28,10)")))
+    val cells = ev.groupBy().agg(
+      cellN(0, 0).as("n_c_pre"), cellS(0, 0).as("s_c_pre"),
+      cellN(0, 1).as("n_c_post"), cellS(0, 1).as("s_c_post"),
+      cellN(1, 0).as("n_t_pre"), cellS(1, 0).as("s_t_pre"),
+      cellN(1, 1).as("n_t_post"), cellS(1, 1).as("s_t_post"))
+    def mean(s0: String, n0: String) =
+      round(col(s0).cast("double") / col(n0).cast("double"), 6)
+    cells
+      .select($"n_c_pre", $"n_c_post", $"n_t_pre", $"n_t_post",
+        mean("s_c_pre", "n_c_pre").as("m_c_pre"),
+        mean("s_c_post", "n_c_post").as("m_c_post"),
+        mean("s_t_pre", "n_t_pre").as("m_t_pre"),
+        mean("s_t_post", "n_t_post").as("m_t_post"))
+      .select($"*",
+        round(($"m_t_post" - $"m_t_pre") - ($"m_c_post" - $"m_c_pre"), 6)
+          .as("did6"))
+  }
+  private val q251Sql = {
+    val bucket = CurationQueries.duckBucket("user_id")
+    s"""WITH p AS (SELECT value,
+       |    CASE WHEN $bucket % 2 = 0 THEN 0 ELSE 1 END AS t,
+       |    CASE WHEN epoch_ns(ts) < 1705363200000000000 THEN 0 ELSE 1 END
+       |      AS post
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT
+       |    CAST(sum(CASE WHEN t = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+       |    sum(CASE WHEN t = 0 AND post = 0 THEN CAST(value AS DECIMAL(28,10)) END) AS s_c_pre,
+       |    CAST(sum(CASE WHEN t = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+       |    sum(CASE WHEN t = 0 AND post = 1 THEN CAST(value AS DECIMAL(28,10)) END) AS s_c_post,
+       |    CAST(sum(CASE WHEN t = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+       |    sum(CASE WHEN t = 1 AND post = 0 THEN CAST(value AS DECIMAL(28,10)) END) AS s_t_pre,
+       |    CAST(sum(CASE WHEN t = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+       |    sum(CASE WHEN t = 1 AND post = 1 THEN CAST(value AS DECIMAL(28,10)) END) AS s_t_post
+       |  FROM p),
+       |m AS (SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+       |    round(CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE), 6) AS m_c_pre,
+       |    round(CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE), 6) AS m_c_post,
+       |    round(CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE), 6) AS m_t_pre,
+       |    round(CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE), 6) AS m_t_post
+       |  FROM c)
+       |SELECT *, round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did6
+       |FROM m""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q114_ks_test", q114, Some(q114Sql)),
+    QueryDef("q251_diff_in_diff", q251, Some(q251Sql)),
     QueryDef("q180_ab_ztest", q180, Some(q180Sql)),
     QueryDef("q227_quantile_lift", q227, Some(q227Sql)),
     QueryDef("q182_cum_hazard", q182, Some(q182Sql)),

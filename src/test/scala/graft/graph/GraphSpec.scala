@@ -52,4 +52,37 @@ class GraphSpec extends SparkTestBase {
     val b = Graph.pageRank(e.repartition(13), 4).as[(Long, Long)].collect().toMap
     assert(a === b)
   }
+
+  test("ssspWeighted prefers the cheap long way over the expensive edge") {
+    // 1 -> 3 direct costs 10; 1 -> 2 -> 3 costs 2 + 3 = 5
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+      .toDF("src", "dst", "w")
+    val got = Graph.ssspWeighted(edges, Seq(1L).toDF("id"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 2, 3L -> 5))
+  }
+
+  test("ssspWeighted round cap bounds path length: k rounds = ≤k edges") {
+    // chain 1 -> 2 -> 3 -> 4 -> 5, unit weights
+    val edges = (1 to 4).map(i => (i.toLong, i.toLong + 1, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.ssspWeighted(edges, Seq(1L).toDF("id"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2), "node 4 needs 3 edges")
+  }
+
+  test("ssspWeighted takes the min over sources and is partition-stable") {
+    val edges = ((1L to 40L).map(i => (i, i + 1, (i % 5) + 1)) ++
+      Seq((100L, 20L, 1L))).toDF("src", "dst", "w")
+    val sources = Seq(1L, 100L).toDF("id")
+    val a = Graph.ssspWeighted(edges.repartition(1), sources, 8)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.ssspWeighted(edges.repartition(11), sources, 8)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    // 20 is adjacent to source 100 at cost 1, far cheaper than the chain
+    assert(a(20L) === 0L + 1L)
+    // relaxation through 20 must use the min'd distance, not the chain's
+    assert(a(21L) === a(20L) + (20L % 5) + 1)
+  }
 }

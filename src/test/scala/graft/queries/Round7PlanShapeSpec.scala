@@ -23,7 +23,8 @@ class Round7PlanShapeSpec extends SparkTestBase {
         "q240_segmented_trend", "q241_postings_size",
         "q242_apriori_triples", "q243_seasonal_anomaly",
         "q244_lsh_quality", "q245_bpe_encode_multi",
-        "q246_poisson_bootstrap")) {
+        "q246_poisson_bootstrap", "q250_weighted_sssp",
+        "q251_diff_in_diff", "q252_clustering_coeff")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
     }
