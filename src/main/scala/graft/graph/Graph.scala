@@ -141,6 +141,41 @@ object Graph {
     dist
   }
 
+  /** Temporal earliest-arrival reachability: edges carry a validity time
+    * and a path must be TIME-RESPECTING — each hop's edge time must be at
+    * or after the arrival time at its source (contact tracing / fraud-ring
+    * propagation semantics; Holme & Saramäki 2012). Per round: one probe
+    * join with the time constraint as a residual condition, then a grouped
+    * MIN of arrival times — the same monotone integer relaxation
+    * discipline as [[ssspWeighted]], so the state is partition-stable and
+    * an oracle replays the recurrence as unrolled aggregation steps
+    * (q254). After k rounds every node holds its exact earliest arrival
+    * over time-respecting paths of ≤ k edges.
+    *
+    * @param edges   directed timed edge list (`src`, `dst`, `t`) with
+    *                non-negative integer times
+    * @param sources seed nodes (column `id`), arrival 0 — every edge with
+    *                t ≥ 0 is usable from a seed
+    * @param rounds  relaxation sweeps = max path length in edges
+    * @return (`id`, `arrive`) for every node reachable within `rounds`
+    *         time-respecting hops
+    */
+  def temporalEarliestArrival(edges: DataFrame, sources: DataFrame,
+      rounds: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select($"src", $"dst", $"t").localCheckpoint(true)
+    var arr = sources.select($"id", lit(0L).as("arrive")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relax = arr.join(e, arr("id") === e("src") && e("t") >= arr("arrive"))
+        .select($"dst".as("id"), $"t".cast("long").as("arrive"))
+      arr = arr.select($"id", $"arrive").union(relax)
+        .groupBy($"id").agg(min($"arrive").as("arrive"))
+        .localCheckpoint(true)
+    }
+    arr
+  }
+
   /** Coreness (k-core number) of every vertex via iterated neighborhood
     * H-index (Lü et al. 2016): start from degree, repeatedly replace each
     * vertex's estimate with the H-index of its neighbors' estimates; the

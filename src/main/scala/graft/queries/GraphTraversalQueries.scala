@@ -339,6 +339,119 @@ object GraphTraversalQueries extends QueryModule {
       |WHERE d.deg >= 2
       |ORDER BY part_id""".stripMargin
 
+  private val hitsRounds = 3
+
+  /** q253: HITS hubs & authorities on the BIPARTITE customer→supplier
+    * purchase graph — the two-sided centrality PageRank (q95) cannot
+    * express: a customer is a good hub because it buys from good
+    * authorities, a supplier a good authority because good hubs buy from
+    * it. Scores are 1e6-scaled BIGINTs re-normalized each half-round by
+    * integer division against the round's max (a bounded O(1) scalar,
+    * same collect discipline as the coreness convergence probe), so every
+    * intermediate is exact and the oracle unrolls the identical
+    * recurrence with scalar-subquery maxima. Non-negative inputs make
+    * Spark `div` (truncate) and DuckDB `//` (floor) agree exactly — the
+    * q95 precedent. */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("su")).distinct()
+      .localCheckpoint(true)
+    var h = e.select($"c").distinct().select($"c", lit(1000000L).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to hitsRounds) {
+      val araw = e.join(h, "c").groupBy($"su").agg(sum($"h").as("ar"))
+        .localCheckpoint(true)
+      val ma = araw.agg(max($"ar")).collect().head.getLong(0)
+      a = araw.select($"su", expr(s"ar * 1000000 div $ma").as("a"))
+      val hraw = e.join(a, "su").groupBy($"c").agg(sum($"a").as("hr"))
+        .localCheckpoint(true)
+      val mh = hraw.agg(max($"hr")).collect().head.getLong(0)
+      h = hraw.select($"c", expr(s"hr * 1000000 div $mh").as("h"))
+    }
+    h.select($"c".as("node_id"), lit("hub").as("kind"), $"h".as("score"))
+      .union(a.select($"su".as("node_id"), lit("authority").as("kind"),
+        $"a".as("score")))
+      .orderBy($"kind", $"node_id")
+  }
+  private val q253Sql = {
+    val rounds = (1 to hitsRounds).map { i =>
+      s"""ar$i AS (SELECT e.su, CAST(sum(h${i - 1}.h) AS BIGINT) AS ar
+         |  FROM e JOIN h${i - 1} ON e.c = h${i - 1}.c GROUP BY 1),
+         |a$i AS (SELECT su,
+         |  CAST(ar * 1000000 // (SELECT max(ar) FROM ar$i) AS BIGINT) AS a
+         |  FROM ar$i),
+         |hr$i AS (SELECT e.c, CAST(sum(a$i.a) AS BIGINT) AS hr
+         |  FROM e JOIN a$i ON e.su = a$i.su GROUP BY 1),
+         |h$i AS (SELECT c,
+         |  CAST(hr * 1000000 // (SELECT max(hr) FROM hr$i) AS BIGINT) AS h
+         |  FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS su
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e),
+       |$rounds
+       |SELECT c AS node_id, 'hub' AS kind, h AS score FROM h$hitsRounds
+       |UNION ALL
+       |SELECT su, 'authority', a FROM a$hitsRounds
+       |ORDER BY kind, node_id""".stripMargin
+  }
+
+  private val temporalRounds = 4
+
+  /** q254: temporal earliest-arrival reachability
+    * ([[graft.graph.Graph.temporalEarliestArrival]]) over the timed
+    * bipartite purchase graph — contact-tracing semantics: an order on
+    * day t links its customer and supplier in BOTH directions at time t,
+    * a seed customer is "exposed" at day 0, and exposure propagates only
+    * along time-respecting paths (each hop's order must be at or after
+    * arrival at its endpoint). This is the operator behind fraud-ring /
+    * account-compromise blast-radius queries, and is NOT expressible as
+    * q94's BFS (reachability ignores edge times) or q250's SSSP (cost is
+    * the EDGE TIME reached, not a sum). Arrival days are exact integers;
+    * the oracle unrolls the min-relaxation recurrence. */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("t"))
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), ($"l_suppkey" + 1000000L).as("su"), $"t")
+      .distinct()
+    val edges = e0.select($"c".as("src"), $"su".as("dst"), $"t")
+      .union(e0.select($"su".as("src"), $"c".as("dst"), $"t"))
+    val seeds = e0.select($"c".as("id")).filter($"id" % 97 === 0).distinct()
+    Graph.temporalEarliestArrival(edges, seeds, temporalRounds)
+      .select($"id".as("node_id"), $"arrive".as("arrive_day"))
+      .orderBy($"node_id")
+  }
+  private val q254Sql = {
+    val rounds = (1 to temporalRounds).map { i =>
+      s"""d$i AS (SELECT id, min(arrive) AS arrive FROM (
+         |  SELECT id, arrive FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS id, e.t AS arrive
+         |  FROM d${i - 1} JOIN e ON d${i - 1}.id = e.src
+         |    AND e.t >= d${i - 1}.arrive) q GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c,
+       |    l_suppkey + 1000000 AS su,
+       |    CAST(datediff('day', DATE '1995-01-01',
+       |      CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT c AS src, su AS dst, t FROM e0
+       |  UNION ALL SELECT su, c, t FROM e0),
+       |d0 AS (SELECT DISTINCT c AS id, CAST(0 AS BIGINT) AS arrive
+       |  FROM e0 WHERE c % 97 = 0),
+       |$rounds
+       |SELECT id AS node_id, arrive AS arrive_day FROM d$temporalRounds
+       |ORDER BY 1""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q94_bfs_reach", q94, Some(q94Sql)),
     QueryDef("q95_pagerank", q95, Some(q95Sql)),
@@ -346,5 +459,7 @@ object GraphTraversalQueries extends QueryModule {
     QueryDef("q236_adamic_adar", q236, Some(q236Sql)),
     QueryDef("q250_weighted_sssp", q250, Some(q250Sql)),
     QueryDef("q252_clustering_coeff", q252, Some(q252Sql)),
+    QueryDef("q253_hits", q253, Some(q253Sql)),
+    QueryDef("q254_temporal_reach", q254, Some(q254Sql)),
   )
 }

@@ -85,4 +85,28 @@ class GraphSpec extends SparkTestBase {
     // relaxation through 20 must use the min'd distance, not the chain's
     assert(a(21L) === a(20L) + (20L % 5) + 1)
   }
+
+  test("temporalEarliestArrival only follows time-respecting paths") {
+    // 1 -(t5)-> 2 -(t3)-> 3: the 2->3 edge happened BEFORE arrival at 2,
+    // so 3 is unreachable; 1 -(t5)-> 2 -(t7)-> 4 works
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 3L), (2L, 4L, 7L))
+      .toDF("src", "dst", "t")
+    val got = Graph.temporalEarliestArrival(edges, Seq(1L).toDF("id"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 5, 4L -> 7))
+  }
+
+  test("temporalEarliestArrival arrival is the min edge time, partition-stable") {
+    // two routes to 3: direct at t9, or via 2 arriving t2 then t4
+    val edges = Seq((1L, 3L, 9L), (1L, 2L, 2L), (2L, 3L, 4L),
+      (3L, 5L, 6L), (3L, 5L, 3L)).toDF("src", "dst", "t")
+    val a = Graph.temporalEarliestArrival(edges.repartition(1),
+      Seq(1L).toDF("id"), 5).as[(Long, Long)].collect().toMap
+    val b = Graph.temporalEarliestArrival(edges.repartition(7),
+      Seq(1L).toDF("id"), 5).as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a(3L) === 4L, "earliest arrival takes the via-2 route")
+    // arriving at 3 at t4, the t3 edge to 5 is stale but the t6 one works
+    assert(a(5L) === 6L)
+  }
 }

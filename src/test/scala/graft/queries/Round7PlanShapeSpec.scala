@@ -24,7 +24,8 @@ class Round7PlanShapeSpec extends SparkTestBase {
         "q242_apriori_triples", "q243_seasonal_anomaly",
         "q244_lsh_quality", "q245_bpe_encode_multi",
         "q246_poisson_bootstrap", "q250_weighted_sssp",
-        "q251_diff_in_diff", "q252_clustering_coeff")) {
+        "q251_diff_in_diff", "q252_clustering_coeff", "q253_hits",
+        "q254_temporal_reach")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q went cartesian:\n$p")
     }
