@@ -114,9 +114,78 @@ object SelectionQueries extends QueryModule {
       |  round(CAST(sum(p_fp) AS DOUBLE) / (count(*) * 100000000.0), 6) AS avg_prob
       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val coverK = 8
+
+  /** q255: greedy maximum-coverage document selection — the submodular
+    * data-curation primitive ("pick the k documents that together cover
+    * the most distinct shingles"): k rounds, each selecting the document
+    * with the largest MARGINAL gain (new shingles not yet covered),
+    * tie-broken by doc_id. The greedy algorithm's (1 − 1/e) guarantee is
+    * why this exact loop is the standard subset-selection / dedup-aware
+    * sampling kernel (facility location over n-gram features).
+    *
+    * Scale shape: the covered set and candidate scores stay DISTRIBUTED
+    * — per round one anti-join of the (doc, shingle) pairs against the
+    * covered shingles, one grouped count, and a driver transfer of
+    * EXACTLY ONE row (the argmax) plus one scalar (covered count); never
+    * the gains table or the covered set. Everything is integer counts, so
+    * the oracle replays the identical k rounds as unrolled CTEs with the
+    * same (gain DESC, doc_id) argmax. Rounds where every remaining
+    * document has zero marginal gain produce no pick on either side. */
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = TextDedupQueries.shingles(s, dir)
+      .select($"doc_id", $"shingle").localCheckpoint(true)
+    var covered: DataFrame = null
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for (r <- 1 to coverK) {
+      val remaining =
+        if (covered == null) sh else sh.join(covered, Seq("shingle"), "left_anti")
+      val top = remaining.groupBy($"doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy($"gain".desc, $"doc_id").limit(1).collect()
+      if (top.nonEmpty) {
+        val (pick, gain) = (top.head.getLong(0), top.head.getLong(1))
+        val newCov = sh.filter($"doc_id" === pick).select($"shingle")
+        covered = (if (covered == null) newCov else covered.union(newCov))
+          .distinct().localCheckpoint(true)
+        picks += ((r.toLong, pick, gain, covered.count()))
+      }
+    }
+    picks.toSeq.toDF("pick_rank", "doc_id", "gain", "covered_cum")
+      .orderBy($"pick_rank")
+  }
+  private val q255Sql = {
+    val rounds = (1 to coverK).map { i =>
+      val gainSrc =
+        if (i == 1) "SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM sh GROUP BY 1"
+        else
+          s"""SELECT s.doc_id, CAST(count(*) AS BIGINT) AS gain FROM sh s
+             |  WHERE NOT EXISTS (SELECT 1 FROM c${i - 1} c
+             |                    WHERE c.shingle = s.shingle)
+             |  GROUP BY 1""".stripMargin
+      val covSrc =
+        if (i == 1) s"SELECT DISTINCT s.shingle FROM sh s JOIN p$i USING (doc_id)"
+        else
+          s"""SELECT shingle FROM c${i - 1}
+             |  UNION SELECT s.shingle FROM sh s JOIN p$i USING (doc_id)""".stripMargin
+      s"""g$i AS ($gainSrc),
+         |p$i AS (SELECT doc_id, gain FROM g$i ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$i AS ($covSrc)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to coverK).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS pick_rank, doc_id, gain,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$i) AS covered_cum FROM p$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${TextDedupQueries.shinglesSql},
+       |$rounds
+       |$out
+       |ORDER BY pick_rank""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q118_skyline", q118, Some(q118Sql)),
     QueryDef("q119_weighted_sample", q119, Some(q119Sql)),
     QueryDef("q121_bigram_lm_score", q121, Some(q121Sql)),
+    QueryDef("q255_greedy_coverage", q255, Some(q255Sql)),
   )
 }

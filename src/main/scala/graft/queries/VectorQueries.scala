@@ -492,7 +492,83 @@ object VectorQueries extends QueryModule {
       |FROM pqt p LEFT JOIN ext e ON p.qid = e.qid AND p.nn = e.nn
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val pcaIters = 5
+
+  /** q256: top principal component by power iteration over the EXACT
+    * integer Gram matrix — the distributed linear-algebra kernel under
+    * PCA whitening / spectral diagnostics of an embedding corpus. The
+    * data-sized step is ONE pass: embeddings quantized to 1e-6 integer
+    * grid, then the d(d+1)/2 Gram sums accumulate in the
+    * partial-combinable [[org.apache.spark.sql.graft.GramMatrixLong]]
+    * aggregate (map-side triangles, |exchange| = partitions·d²/2 — never
+    * n·d exploded rows, never a 2080-way self-join). Power iteration then
+    * runs on the driver over the collected d×d matrix — d² cells, the
+    * same bounded-collect contract as KMeans' k·dims centroids — in pure
+    * integer arithmetic: each round is w = G·v followed by divide-first
+    * renormalization `x div max(max|·| div 1e6, 1)` (no 1e6 multiply that
+    * could overflow int64). Truncating division matches DuckDB `//`
+    * exactly (both toward zero, verified on negatives), so the oracle
+    * replays the identical recurrence — Gram via a per-dim self-join,
+    * iterations unrolled — and the final eigenvector hash-matches
+    * bit-for-bit. */
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tri = Tables.embeddings(s, dir)
+      .select(expr(
+        "transform(cast(embedding as array<double>), x -> cast(round(x * 1000000) as bigint))")
+        .as("qv"))
+      .agg(org.apache.spark.sql.graft.gram.gramMatrixLong($"qv").as("g"))
+      .collect().head.getSeq[Long](0).toArray
+    val d = (((math.sqrt(8.0 * tri.length + 1) - 1) / 2) + 0.5).toInt
+    require(d * (d + 1) / 2 == tri.length, s"non-triangular gram: ${tri.length}")
+    def cell(i: Int, j: Int): Long = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      tri(a * d - a * (a - 1) / 2 + (b - a))
+    }
+    def renorm(x: Array[Long]): Array[Long] = {
+      val m = x.map(math.abs).max
+      val sh = math.max(m / 1000000L, 1L)
+      x.map(_ / sh)
+    }
+    val g = renorm(tri)
+    def gcell(i: Int, j: Int): Long = {
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      g(a * d - a * (a - 1) / 2 + (b - a))
+    }
+    var v = Array.fill(d)(1000000L)
+    for (_ <- 1 to pcaIters)
+      v = renorm(Array.tabulate(d)(i =>
+        (0 until d).map(j => gcell(i, j) * v(j)).sum))
+    v.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toSeq
+      .toDF("dim_idx", "comp_scaled").orderBy($"dim_idx")
+  }
+  private val q256Sql = {
+    val iters = (1 to pcaIters).map { t =>
+      s"""w$t AS (SELECT gf.i, CAST(sum(gf.g * v${t - 1}.v) AS BIGINT) AS w
+         |  FROM gf JOIN v${t - 1} ON gf.j = v${t - 1}.i GROUP BY 1),
+         |v$t AS (SELECT i, CAST(w // greatest(
+         |    (SELECT max(abs(w)) FROM w$t) // 1000000, 1) AS BIGINT) AS v
+         |  FROM w$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT e.vec_id, d.i,
+       |    CAST(round(e.v[d.i] * 1000000) AS BIGINT) AS x
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+       |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
+       |g0 AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
+       |  FROM q a JOIN q b USING (vec_id) WHERE a.i <= b.i GROUP BY 1, 2),
+       |gs AS (SELECT i, j, CAST(g // greatest(
+       |    (SELECT max(abs(g)) FROM g0) // 1000000, 1) AS BIGINT) AS g
+       |  FROM g0),
+       |gf AS (SELECT i, j, g FROM gs
+       |  UNION ALL SELECT j, i, g FROM gs WHERE i <> j),
+       |v0 AS (SELECT unnest(range(1, 65)) AS i, CAST(1000000 AS BIGINT) AS v),
+       |$iters
+       |SELECT CAST(i - 1 AS BIGINT) AS dim_idx, v AS comp_scaled
+       |FROM v$pcaIters ORDER BY 1""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q256_pca_power", q256, Some(q256Sql)),
     QueryDef("q29_knn_cosine", q29, Some(q29Sql)),
     QueryDef("q215_mutual_nn", q215, Some(q215Sql)),
     QueryDef("q30_ann_lsh_bucketed", q30, Some(q30Sql)),
