@@ -95,8 +95,143 @@ object FunnelQueries extends QueryModule {
       |  round(sum(cents) / 100.0, 2) AS revenue
       |FROM t WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val mkIters = 16
+  private val channels = Seq("click", "error", "signup", "view")
+
+  /** q259: data-driven (Markov removal-effect) attribution — the upgrade
+    * over q188's last-touch rule: build the first-order journey chain
+    * start → channels → conv/null (journey = each user's events before
+    * their first purchase, total-ordered by (ts, event_id)), estimate
+    * transition probabilities as exact 1e8-scaled integer ratios (q121's
+    * fixed-point idiom), then for each channel compute the chain's
+    * conversion probability WITH THAT CHANNEL ABSORBED TO ZERO — the
+    * removal effect (Anderl et al. 2016): how much conversion the channel
+    * actually carries, counting multi-touch paths last-touch can't see.
+    *
+    * The data-sized work is one window pass per user plus a grouped
+    * count; the transition matrix is ≤ (|channels|+1)·(|channels|+3)
+    * cells — a FIXED-enum-bounded collect — and the 5 absorbing-chain
+    * value iterations run on the driver in pure integer arithmetic
+    * (sum-of-products then one `div 1e8` per state per round), which the
+    * oracle replays as unrolled CTEs. 16 rounds bound path length; the
+    * chain's spectral radius < 1 makes the truncation identical in both
+    * engines (they run the SAME 16 rounds, so even pre-convergence state
+    * hash-matches). */
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    val r = ev.withColumn("rn",
+      row_number().over(Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+    val fp = r.filter($"event_type" === "purchase")
+      .groupBy($"user_id").agg(min($"rn").as("fp"))
+    val j = r.join(fp, Seq("user_id"), "left")
+      .filter($"event_type" =!= "purchase" && ($"fp".isNull || $"rn" < $"fp"))
+    val wj = Window.partitionBy($"user_id").orderBy($"rn")
+    val steps = j.select(
+      coalesce(lag($"event_type", 1).over(wj), lit("start")).as("a"),
+      $"event_type".as("b"))
+    val lastc = j.withColumn("rk", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"rn".desc)))
+      .filter($"rk" === 1).select($"user_id", $"event_type".as("lastc"))
+    val term = r.select($"user_id").distinct()
+      .join(fp, Seq("user_id"), "left").join(lastc, Seq("user_id"), "left")
+      .select(coalesce($"lastc", lit("start")).as("a"),
+        when($"fp".isNotNull, "conv").otherwise("null").as("b"))
+    val p = steps.union(term)
+      .groupBy($"a", $"b").agg(count(lit(1)).as("n"))
+      .withColumn("t", sum($"n").over(Window.partitionBy($"a")))
+      .select($"a", $"b", expr("n * 100000000 div t").as("p"))
+      .collect().map(row => (row.getString(0), row.getString(1)) -> row.getLong(2))
+      .toMap
+    val transients = "start" +: channels
+    def pConv(removed: String): Long = {
+      var v = transients.map(_ -> 0L).toMap
+      for (_ <- 1 to mkIters) {
+        v = transients.map { st =>
+          st -> (if (st == removed) 0L
+          else {
+            val sum = ("conv" +: "null" +: transients).map { b =>
+              val pv = p.getOrElse((st, b), 0L)
+              val vb = if (b == "conv") 100000000L
+                else if (b == "null" || b == removed) 0L
+                else v(b)
+              pv * vb
+            }.sum
+            sum / 100000000L
+          })
+        }.toMap
+      }
+      v("start")
+    }
+    val full = pConv("none")
+    val rows = ("none" +: channels).map { c =>
+      val pc = pConv(c)
+      val ppm = if (full > 0) (full - pc) * 1000000L / full else 0L
+      (c, pc, ppm)
+    }
+    rows.toDF("removed", "p_conv_scaled", "removal_ppm").orderBy($"removed")
+  }
+  private val q259Sql = {
+    def chain(tag: String, removed: String): String = {
+      val rmCase =
+        if (removed.isEmpty) "" else s" WHEN p.b = '$removed' THEN 0"
+      val guard = if (removed.isEmpty) "" else s" WHERE p.a <> '$removed'"
+      val iters = (1 to mkIters).map { t =>
+        s"""v$tag$t AS MATERIALIZED (SELECT p.a AS s, CAST(sum(p.p *
+           |    CASE WHEN p.b = 'conv' THEN 100000000
+           |         WHEN p.b = 'null' THEN 0$rmCase
+           |         ELSE coalesce(v.v, 0) END) // 100000000 AS BIGINT) AS v
+           |  FROM p LEFT JOIN v$tag${t - 1} v ON p.b = v.s$guard
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""v${tag}0 AS MATERIALIZED (SELECT unnest(['start','click','error','signup','view']) AS s,
+         |  CAST(0 AS BIGINT) AS v),
+         |$iters""".stripMargin
+    }
+    val chains = chain("n", "") +: channels.map(c => chain(c, c))
+    val res = ("none" -> "n") +: channels.map(c => c -> c)
+    val resSel = res.map { case (name, tag) =>
+      s"SELECT '$name' AS removed, (SELECT v FROM v$tag$mkIters WHERE s = 'start') AS p_conv"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH r AS (SELECT user_id, event_type, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id,
+       |    min(CASE WHEN event_type = 'purchase' THEN rn END) AS fp
+       |  FROM r GROUP BY 1),
+       |j AS (SELECT r.user_id, r.event_type, r.rn
+       |  FROM r JOIN fp USING (user_id)
+       |  WHERE r.event_type <> 'purchase' AND (fp.fp IS NULL OR r.rn < fp.fp)),
+       |steps AS (SELECT coalesce(lag(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY rn), 'start') AS a, event_type AS b
+       |  FROM j),
+       |lastc AS (SELECT user_id, event_type AS lastc FROM (
+       |  SELECT user_id, event_type, row_number() OVER (
+       |    PARTITION BY user_id ORDER BY rn DESC) AS rk FROM j) t WHERE rk = 1),
+       |term AS (SELECT coalesce(l.lastc, 'start') AS a,
+       |    CASE WHEN fp.fp IS NOT NULL THEN 'conv' ELSE 'null' END AS b
+       |  FROM fp LEFT JOIN lastc l USING (user_id)),
+       |cnt AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT a, b FROM steps UNION ALL SELECT a, b FROM term) e GROUP BY 1, 2),
+       |tot AS (SELECT a, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+       |p AS MATERIALIZED (SELECT cnt.a, cnt.b,
+       |    CAST(cnt.n * 100000000 // tot.t AS BIGINT) AS p
+       |  FROM cnt JOIN tot USING (a)),
+       |${chains.mkString(",\n")},
+       |res AS MATERIALIZED ($resSel)
+       |SELECT removed, p_conv AS p_conv_scaled,
+       |  CASE WHEN (SELECT p_conv FROM res WHERE removed = 'none') > 0
+       |    THEN CAST(((SELECT p_conv FROM res WHERE removed = 'none') - p_conv)
+       |      * 1000000 // (SELECT p_conv FROM res WHERE removed = 'none') AS BIGINT)
+       |    ELSE 0 END AS removal_ppm
+       |FROM res ORDER BY removed""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q176_funnel_paths", q176, Some(q176Sql)),
     QueryDef("q188_attribution", q188, Some(q188Sql)),
+    QueryDef("q259_markov_attribution", q259, Some(q259Sql)),
   )
 }

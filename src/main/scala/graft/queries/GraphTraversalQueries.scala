@@ -250,7 +250,7 @@ object GraphTraversalQueries extends QueryModule {
   }
   private val q250Sql = {
     val rounds = (1 to ssspRounds).map { i =>
-      s"""d$i AS (SELECT id, min(dist) AS dist FROM (
+      s"""d$i AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
          |  SELECT id, dist FROM d${i - 1}
          |  UNION ALL
          |  SELECT e.dst AS id, d${i - 1}.dist + e.w AS dist
@@ -263,10 +263,10 @@ object GraphTraversalQueries extends QueryModule {
        |    ON a.l_orderkey = b.l_orderkey
        |    AND b.l_linenumber = a.l_linenumber + 1
        |  WHERE a.l_partkey <> b.l_partkey GROUP BY 1, 2),
-       |e AS (SELECT src, dst, min(w) AS w FROM (
+       |e AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM (
        |  SELECT u AS src, v AS dst, w FROM adj
        |  UNION ALL SELECT v, u, w FROM adj) s GROUP BY 1, 2),
-       |d0 AS (SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist
+       |d0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist
        |  FROM e WHERE src % 97 = 0),
        |$rounds
        |SELECT id AS part_id, dist AS dist_qty FROM d$ssspRounds
@@ -378,18 +378,18 @@ object GraphTraversalQueries extends QueryModule {
   }
   private val q253Sql = {
     val rounds = (1 to hitsRounds).map { i =>
-      s"""ar$i AS (SELECT e.su, CAST(sum(h${i - 1}.h) AS BIGINT) AS ar
+      s"""ar$i AS MATERIALIZED (SELECT e.su, CAST(sum(h${i - 1}.h) AS BIGINT) AS ar
          |  FROM e JOIN h${i - 1} ON e.c = h${i - 1}.c GROUP BY 1),
-         |a$i AS (SELECT su,
+         |a$i AS MATERIALIZED (SELECT su,
          |  CAST(ar * 1000000 // (SELECT max(ar) FROM ar$i) AS BIGINT) AS a
          |  FROM ar$i),
-         |hr$i AS (SELECT e.c, CAST(sum(a$i.a) AS BIGINT) AS hr
+         |hr$i AS MATERIALIZED (SELECT e.c, CAST(sum(a$i.a) AS BIGINT) AS hr
          |  FROM e JOIN a$i ON e.su = a$i.su GROUP BY 1),
-         |h$i AS (SELECT c,
+         |h$i AS MATERIALIZED (SELECT c,
          |  CAST(hr * 1000000 // (SELECT max(hr) FROM hr$i) AS BIGINT) AS h
          |  FROM hr$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS su
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey AS su
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e),
        |$rounds
@@ -431,7 +431,7 @@ object GraphTraversalQueries extends QueryModule {
   }
   private val q254Sql = {
     val rounds = (1 to temporalRounds).map { i =>
-      s"""d$i AS (SELECT id, min(arrive) AS arrive FROM (
+      s"""d$i AS MATERIALIZED (SELECT id, min(arrive) AS arrive FROM (
          |  SELECT id, arrive FROM d${i - 1}
          |  UNION ALL
          |  SELECT e.dst AS id, e.t AS arrive
@@ -443,9 +443,9 @@ object GraphTraversalQueries extends QueryModule {
        |    CAST(datediff('day', DATE '1995-01-01',
        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS t
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-       |e AS (SELECT c AS src, su AS dst, t FROM e0
+       |e AS MATERIALIZED (SELECT c AS src, su AS dst, t FROM e0
        |  UNION ALL SELECT su, c, t FROM e0),
-       |d0 AS (SELECT DISTINCT c AS id, CAST(0 AS BIGINT) AS arrive
+       |d0 AS MATERIALIZED (SELECT DISTINCT c AS id, CAST(0 AS BIGINT) AS arrive
        |  FROM e0 WHERE c % 97 = 0),
        |$rounds
        |SELECT id AS node_id, arrive AS arrive_day FROM d$temporalRounds

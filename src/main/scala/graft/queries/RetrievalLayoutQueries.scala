@@ -298,7 +298,60 @@ object RetrievalLayoutQueries extends QueryModule {
       |  CAST(max(gap) AS BIGINT) AS max_gap
       |FROM v GROUP BY term HAVING count(*) >= 5 ORDER BY term""".stripMargin
 
+  /** q258: rendezvous (highest-random-weight) shard assignment and the
+    * 8→9-node rebalance matrix — the consistent-placement primitive under
+    * shard topologies (§ q150's manifest assumes a FIXED shard count;
+    * this is what changing the count costs): each doc goes to the node
+    * maximizing md5(doc_id ‖ node), so growing the ring moves ONLY the
+    * docs whose new node wins (≈1/9 of them) and the off-diagonal of the
+    * output matrix IS the migration plan. Weights are the first 8 md5 hex
+    * digits as integers (engine-identical — the q60/q180 md5-bucket
+    * contract), argmax is a per-doc window with (weight DESC, node ASC)
+    * tie-break; the 8/9-row node dims broadcast, so cost is two
+    * window passes over n·k rows, no data-sized shuffle beyond doc_id. */
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def shard(nNodes: Int, as: String): DataFrame = {
+      val nodes = (0 until nNodes).map(_.toLong).toDF("node")
+      val w = Window.partitionBy($"doc_id").orderBy($"hr".desc, $"node")
+      Tables.documents(s, dir).select($"doc_id")
+        .crossJoin(broadcast(nodes))
+        .withColumn("hr", conv(substring(md5(
+          concat($"doc_id".cast("string"), lit("_"),
+            $"node".cast("string"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"doc_id", $"node".as(as))
+    }
+    shard(8, "node_before").join(shard(9, "node_after"), "doc_id")
+      .groupBy($"node_before", $"node_after")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"node_before", $"node_after")
+  }
+  private val q258Sql = {
+    def hex8(expr: String): String =
+      (1 to 8).map { i =>
+        s"(strpos('0123456789abcdef', substr(md5($expr), $i, 1)) - 1) * ${1L << (4 * (8 - i))}"
+      }.mkString("(", " + ", ")")
+    def shardCte(n: Int, name: String): String = {
+      val hr = hex8(s"CAST(doc_id AS VARCHAR) || '_' || CAST(node AS VARCHAR)")
+      s"""$name AS (SELECT doc_id, node FROM (
+         |  SELECT d.doc_id, n.node, row_number() OVER (
+         |    PARTITION BY d.doc_id ORDER BY $hr DESC, n.node) AS rk
+         |  FROM documents d CROSS JOIN
+         |    (SELECT CAST(unnest(range(0, $n)) AS BIGINT) AS node) n) t
+         |  WHERE rk = 1)""".stripMargin
+    }
+    s"""WITH ${shardCte(8, "b")},
+       |${shardCte(9, "a")}
+       |SELECT b.node AS node_before, a.node AS node_after,
+       |  CAST(count(*) AS BIGINT) AS n_docs
+       |FROM b JOIN a USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q258_rendezvous_rebalance", q258, Some(q258Sql)),
     QueryDef("q78_bm25_topk", q78, Some(q78Sql)),
     QueryDef("q241_postings_size", q241, Some(q241Sql)),
     QueryDef("q97_minmax_skipping", q97, Some(q97Sql)),

@@ -168,9 +168,9 @@ object SelectionQueries extends QueryModule {
         else
           s"""SELECT shingle FROM c${i - 1}
              |  UNION SELECT s.shingle FROM sh s JOIN p$i USING (doc_id)""".stripMargin
-      s"""g$i AS ($gainSrc),
-         |p$i AS (SELECT doc_id, gain FROM g$i ORDER BY gain DESC, doc_id LIMIT 1),
-         |c$i AS ($covSrc)""".stripMargin
+      s"""g$i AS MATERIALIZED ($gainSrc),
+         |p$i AS MATERIALIZED (SELECT doc_id, gain FROM g$i ORDER BY gain DESC, doc_id LIMIT 1),
+         |c$i AS MATERIALIZED ($covSrc)""".stripMargin
     }.mkString(",\n")
     val out = (1 to coverK).map { i =>
       s"""SELECT CAST($i AS BIGINT) AS pick_rank, doc_id, gain,

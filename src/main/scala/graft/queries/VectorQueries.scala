@@ -544,22 +544,22 @@ object VectorQueries extends QueryModule {
   }
   private val q256Sql = {
     val iters = (1 to pcaIters).map { t =>
-      s"""w$t AS (SELECT gf.i, CAST(sum(gf.g * v${t - 1}.v) AS BIGINT) AS w
+      s"""w$t AS MATERIALIZED (SELECT gf.i, CAST(sum(gf.g * v${t - 1}.v) AS BIGINT) AS w
          |  FROM gf JOIN v${t - 1} ON gf.j = v${t - 1}.i GROUP BY 1),
-         |v$t AS (SELECT i, CAST(w // greatest(
+         |v$t AS MATERIALIZED (SELECT i, CAST(w // greatest(
          |    (SELECT max(abs(w)) FROM w$t) // 1000000, 1) AS BIGINT) AS v
          |  FROM w$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT e.vec_id, d.i,
+    s"""WITH q AS MATERIALIZED (SELECT e.vec_id, d.i,
        |    CAST(round(e.v[d.i] * 1000000) AS BIGINT) AS x
        |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
-       |g0 AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
+       |g0 AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
        |  FROM q a JOIN q b USING (vec_id) WHERE a.i <= b.i GROUP BY 1, 2),
-       |gs AS (SELECT i, j, CAST(g // greatest(
+       |gs AS MATERIALIZED (SELECT i, j, CAST(g // greatest(
        |    (SELECT max(abs(g)) FROM g0) // 1000000, 1) AS BIGINT) AS g
        |  FROM g0),
-       |gf AS (SELECT i, j, g FROM gs
+       |gf AS MATERIALIZED (SELECT i, j, g FROM gs
        |  UNION ALL SELECT j, i, g FROM gs WHERE i <> j),
        |v0 AS (SELECT unnest(range(1, 65)) AS i, CAST(1000000 AS BIGINT) AS v),
        |$iters
@@ -567,8 +567,75 @@ object VectorQueries extends QueryModule {
        |FROM v$pcaIters ORDER BY 1""".stripMargin
   }
 
+  private val lpRounds = 2
+
+  /** q257: semi-supervised label propagation over the exact-kNN graph —
+    * the "label 1%, infer the rest" workhorse for corpus annotation: one
+    * third of the vectors keep their label (vec_id % 3 = 0, a
+    * deterministic mask), every unlabeled vector then takes the MAJORITY
+    * label among its k=3 nearest labeled neighbors (count DESC, label ASC
+    * tie-break), and newly labeled vectors vote in the next round. The
+    * neighbor graph is q29's exact-cosine top-k (same rounded-cosine +
+    * id tie-break contract), votes are integer counts, and the winner
+    * rule is a deterministic window argmax — so two propagation rounds
+    * replay exactly in the oracle. Scale shape: per round one join of the
+    * static k·n edge list against the labeled set, one grouped count, one
+    * per-node window over ≤ k·|labels| vote rows; the edge list is built
+    * once (swap in q59's IVF candidates at corpus scale, rounds
+    * unchanged). */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nn = exactTopK(s, dir, 3).select($"vec_id", $"nn_vec")
+      .localCheckpoint(true)
+    val seeds = Tables.embeddings(s, dir)
+      .filter($"vec_id" % 3 === 0)
+      .select($"vec_id", $"label".cast("long").as("label"),
+        lit("seed").as("origin"))
+    var labeled = seeds.localCheckpoint(true)
+    for (r <- 1 to lpRounds) {
+      val votes = nn
+        .join(labeled.select($"vec_id".as("nid"), $"label"),
+          $"nn_vec" === $"nid")
+        .join(labeled.select($"vec_id"), Seq("vec_id"), "left_anti")
+        .groupBy($"vec_id", $"label").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"c".desc, $"label")
+      val won = votes
+        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"vec_id", $"label", lit(s"round$r").as("origin"))
+      labeled = labeled.union(won).localCheckpoint(true)
+    }
+    labeled.orderBy($"vec_id")
+  }
+  private val q257Sql = {
+    val rounds = (1 to lpRounds).map { r =>
+      s"""v$r AS MATERIALIZED (SELECT nn.vec_id, l.label, count(*) AS c
+         |  FROM nn JOIN l${r - 1} l ON nn.nn_vec = l.vec_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM l${r - 1} x
+         |                    WHERE x.vec_id = nn.vec_id)
+         |  GROUP BY 1, 2),
+         |w$r AS MATERIALIZED (SELECT vec_id, label FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY c DESC, label) AS rk FROM v$r) t WHERE rk = 1),
+         |l$r AS MATERIALIZED (SELECT * FROM l${r - 1}
+         |  UNION ALL SELECT vec_id, label, 'round$r' FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$normedSql,
+       |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_vec,
+       |    round($cosDuck, 6) AS cos_sim
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY cos_sim DESC, nn_vec) AS rk FROM p),
+       |nn AS MATERIALIZED (SELECT vec_id, nn_vec FROM r WHERE rk <= 3),
+       |l0 AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    'seed' AS origin FROM embeddings WHERE vec_id % 3 = 0),
+       |$rounds
+       |SELECT vec_id, label, origin FROM l$lpRounds ORDER BY vec_id""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q256_pca_power", q256, Some(q256Sql)),
+    QueryDef("q257_label_propagation", q257, Some(q257Sql)),
     QueryDef("q29_knn_cosine", q29, Some(q29Sql)),
     QueryDef("q215_mutual_nn", q215, Some(q215Sql)),
     QueryDef("q30_ann_lsh_bucketed", q30, Some(q30Sql)),

@@ -57,6 +57,11 @@ object GraftFunctions {
         require(args.length == 1, "hindex_long(values) takes exactly 1 argument")
         HIndexLong(args(0))
       }, "built-in")
+    reg.createOrReplaceTempFunction("gram_matrix_long",
+      args => {
+        require(args.length == 1, "gram_matrix_long(vec) takes exactly 1 argument")
+        GramMatrixLong(args(0))
+      }, "built-in")
   }
 
   // integral literals only — a fractional literal (word_shingles(t, 2.9))

@@ -50,4 +50,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head.getLong(0)
     assert(h == 3L)
   }
+
+  test("gram_matrix_long works from SQL text as an aggregate") {
+    spark.sql("SELECT * FROM VALUES (array(1L, 2L)), (array(3L, 4L)) AS t(qv)")
+      .createOrReplaceTempView("gvals")
+    val g = spark.sql("SELECT gram_matrix_long(qv) AS g FROM gvals")
+      .head.getSeq[Long](0)
+    assert(g == Seq(10L, 14L, 20L))
+  }
 }
