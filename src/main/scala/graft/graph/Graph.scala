@@ -130,13 +130,25 @@ object Graph {
     val s = edges.sparkSession
     import s.implicits._
     val e = edges.select($"src", $"dst", $"w").localCheckpoint(true)
-    var dist = sources.select($"id", lit(0L).as("dist")).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val relax = dist.join(e, dist("id") === e("src"))
-        .select($"dst".as("id"), ($"dist" + $"w").as("dist"))
-      dist = dist.select($"id", $"dist").union(relax)
+    def relax(cur: DataFrame): DataFrame =
+      cur.select($"id", $"dist")
+        .union(cur.join(e, cur("id") === e("src"))
+          .select($"dst".as("id"), ($"dist" + $"w").as("dist")))
         .groupBy($"id").agg(min($"dist").as("dist"))
-        .localCheckpoint(true)
+    var dist = sources.select($"id", lit(0L).as("dist")).localCheckpoint(true)
+    // TWO relaxations per materialized job (the coreness fusion trick):
+    // locally the per-round cost is dominated by job scheduling + the
+    // checkpoint barrier, not the join itself, and relaxation composes —
+    // relax∘relax is exactly two Bellman-Ford rounds — so fusing halves
+    // the barrier count without changing any intermediate the oracle
+    // replays (it only ever observes the final round).
+    var r = 0
+    while (r < rounds) {
+      val steps = math.min(2, rounds - r)
+      var next = dist
+      for (_ <- 1 to steps) next = relax(next)
+      dist = next.localCheckpoint(true)
+      r += steps
     }
     dist
   }
@@ -165,13 +177,20 @@ object Graph {
     val s = edges.sparkSession
     import s.implicits._
     val e = edges.select($"src", $"dst", $"t").localCheckpoint(true)
-    var arr = sources.select($"id", lit(0L).as("arrive")).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val relax = arr.join(e, arr("id") === e("src") && e("t") >= arr("arrive"))
-        .select($"dst".as("id"), $"t".cast("long").as("arrive"))
-      arr = arr.select($"id", $"arrive").union(relax)
+    def relax(cur: DataFrame): DataFrame =
+      cur.select($"id", $"arrive")
+        .union(cur.join(e, cur("id") === e("src") && e("t") >= cur("arrive"))
+          .select($"dst".as("id"), $"t".cast("long").as("arrive")))
         .groupBy($"id").agg(min($"arrive").as("arrive"))
-        .localCheckpoint(true)
+    var arr = sources.select($"id", lit(0L).as("arrive")).localCheckpoint(true)
+    // two fused sweeps per barrier — same argument as ssspWeighted
+    var r = 0
+    while (r < rounds) {
+      val steps = math.min(2, rounds - r)
+      var next = arr
+      for (_ <- 1 to steps) next = relax(next)
+      arr = next.localCheckpoint(true)
+      r += steps
     }
     arr
   }
