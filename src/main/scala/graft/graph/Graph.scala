@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph traversal primitives built on iterative DataFrame
@@ -151,6 +151,44 @@ object Graph {
       r += steps
     }
     dist
+  }
+
+  /** Personalized PageRank: identical integer recurrence to [[pageRank]]
+    * but the teleport mass lands ONLY on the seed set — the result ranks
+    * nodes by proximity to the seeds (random walk with restart), the
+    * standard "related items given this watch-list" primitive, rather
+    * than by global centrality. Seeds start at full scale, everything
+    * else at 0; per round `base(seed)=0.15·scale, base(other)=0` plus the
+    * damped contribution sum — all BIGINT with explicit integer division,
+    * so the q261 oracle replays the rounds exactly.
+    *
+    * @param edges  directed edge list (`src`, `dst`)
+    * @param isSeed predicate Column over the node id column `id`
+    * @param iters  fixed update rounds
+    */
+  def personalizedPageRank(edges: DataFrame, isSeed: Column => Column,
+      iters: Int): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val e = edges.select($"src", $"dst")
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("od")), "src")
+      .localCheckpoint(true)
+    val nodes = e.select($"src".as("id")).distinct()
+      .union(e.select($"dst".as("id"))).distinct()
+      .select($"id", isSeed($"id").cast("int").as("sd"))
+      .localCheckpoint(true)
+    val scale = 1000000000L
+    var rank = nodes.select($"id", ($"sd".cast("long") * scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(rank, e("src") === rank("id"))
+        .select($"dst", expr("r div od").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("c"))
+      rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select($"id", $"sd",
+          expr(s"sd * ${scale * 15 / 100} + (85 * coalesce(c, 0)) div 100").as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select($"id", $"r".as("rank_scaled"))
   }
 
   /** Temporal earliest-arrival reachability: edges carry a validity time

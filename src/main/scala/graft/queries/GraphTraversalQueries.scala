@@ -399,6 +399,47 @@ object GraphTraversalQueries extends QueryModule {
        |ORDER BY kind, node_id""".stripMargin
   }
 
+  /** q261: personalized PageRank (random walk with restart,
+    * [[graft.graph.Graph.personalizedPageRank]]) — proximity to a seed
+    * watch-list (customers with id % 101 = 0) on the same purchase graph
+    * as q95: teleport mass lands only on the seeds, so high-rank nodes
+    * are the suppliers-and-customers CLOSE to the seed set rather than
+    * the globally central ones (the "related to these accounts"
+    * recommender/investigation primitive). Same 1e9-scaled integer
+    * recurrence and unrolled-CTE oracle as q95, with a seed-conditional
+    * base term — the seed test is a pure id predicate, identical in both
+    * engines, no membership join. */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Graph.personalizedPageRank(purchaseEdges(s, dir),
+      id => id % 101 === 0 && id < 1000000L, prIters)
+      .select($"id".as("node_id"), $"rank_scaled")
+      .orderBy($"node_id")
+  }
+  private val q261Sql = {
+    val rounds = (1 to prIters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT n.id,
+         |  CAST(n.sd * 150000000 + (85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ed.dst AS id, sum(r${i - 1}.r // ed.od) AS c
+         |    FROM ed JOIN r${i - 1} ON ed.src = r${i - 1}.id GROUP BY 1) s
+         |  USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (SELECT c AS src, s + 1000000 AS dst FROM e0
+       |  UNION ALL SELECT s + 1000000, c FROM e0),
+       |d AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, d.od FROM e JOIN d USING (src)),
+       |nodes AS MATERIALIZED (SELECT id,
+       |    CASE WHEN id % 101 = 0 AND id < 1000000 THEN 1 ELSE 0 END AS sd
+       |  FROM (SELECT src AS id FROM e UNION SELECT dst FROM e) t),
+       |r0 AS (SELECT id, CAST(sd * 1000000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |SELECT id AS node_id, r AS rank_scaled FROM r$prIters
+       |ORDER BY 1""".stripMargin
+  }
+
   private val temporalRounds = 4
 
   /** q254: temporal earliest-arrival reachability
@@ -461,5 +502,6 @@ object GraphTraversalQueries extends QueryModule {
     QueryDef("q252_clustering_coeff", q252, Some(q252Sql)),
     QueryDef("q253_hits", q253, Some(q253Sql)),
     QueryDef("q254_temporal_reach", q254, Some(q254Sql)),
+    QueryDef("q261_personalized_pagerank", q261, Some(q261Sql)),
   )
 }

@@ -583,10 +583,12 @@ object VectorQueries extends QueryModule {
     * per-node window over ≤ k·|labels| vote rows; the edge list is built
     * once (swap in q59's IVF candidates at corpus scale, rounds
     * unchanged). */
-  private def q257(s: SparkSession, dir: String): DataFrame = {
+  /** The propagation rounds shared by q257 (exact-kNN neighbors) and
+    * q260 (IVF neighbors): seeds keep their label, unlabeled nodes take
+    * the majority label of their labeled neighbors (count DESC, label ASC
+    * tie-break), newly labeled nodes vote next round. */
+  private def lpPropagate(s: SparkSession, dir: String, nn: DataFrame): DataFrame = {
     import s.implicits._
-    val nn = exactTopK(s, dir, 3).select($"vec_id", $"nn_vec")
-      .localCheckpoint(true)
     val seeds = Tables.embeddings(s, dir)
       .filter($"vec_id" % 3 === 0)
       .select($"vec_id", $"label".cast("long").as("label"),
@@ -607,7 +609,10 @@ object VectorQueries extends QueryModule {
     }
     labeled.orderBy($"vec_id")
   }
-  private val q257Sql = {
+
+  /** Oracle text for the propagation rounds — expects CTEs `nn` and `l0`
+    * to be in scope; emits `l$lpRounds` plus the final projection. */
+  private val lpRoundsSql: String = {
     val rounds = (1 to lpRounds).map { r =>
       s"""v$r AS MATERIALIZED (SELECT nn.vec_id, l.label, count(*) AS c
          |  FROM nn JOIN l${r - 1} l ON nn.nn_vec = l.vec_id
@@ -620,6 +625,18 @@ object VectorQueries extends QueryModule {
          |l$r AS MATERIALIZED (SELECT * FROM l${r - 1}
          |  UNION ALL SELECT vec_id, label, 'round$r' FROM w$r)""".stripMargin
     }.mkString(",\n")
+    s"""l0 AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    'seed' AS origin FROM embeddings WHERE vec_id % 3 = 0),
+       |$rounds
+       |SELECT vec_id, label, origin FROM l$lpRounds ORDER BY vec_id""".stripMargin
+  }
+
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lpPropagate(s, dir,
+      exactTopK(s, dir, 3).select($"vec_id", $"nn_vec").localCheckpoint(true))
+  }
+  private val q257Sql =
     s"""$normedSql,
        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_vec,
        |    round($cosDuck, 6) AS cos_sim
@@ -627,15 +644,31 @@ object VectorQueries extends QueryModule {
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |    ORDER BY cos_sim DESC, nn_vec) AS rk FROM p),
        |nn AS MATERIALIZED (SELECT vec_id, nn_vec FROM r WHERE rk <= 3),
-       |l0 AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label,
-       |    'seed' AS origin FROM embeddings WHERE vec_id % 3 = 0),
-       |$rounds
-       |SELECT vec_id, label, origin FROM l$lpRounds ORDER BY vec_id""".stripMargin
+       |$lpRoundsSql""".stripMargin
+
+  /** q260: label propagation on IVF candidates — q257's SCALE PATH (the
+    * q29→q30 / q238→q246 baseline-vs-scale-path contract): identical
+    * propagation rounds, but the neighbor graph comes from q59's IVF
+    * index (nprobe=2 cells, top-3 per vector) instead of the n² exact
+    * scan, so candidate generation is the bucketed shuffle-on-cell join
+    * that survives corpus scale. Hash-gated against the oracle's replay
+    * of the FULL pipeline (IVF build + probe + rounds); the ×10
+    * rehearsal pairs its ratio with q257's declared-quadratic row. */
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lpPropagate(s, dir,
+      ivfRankedAndTop(s, dir)._2.filter($"rk" <= 3)
+        .select($"vec_id", $"nn_vec").localCheckpoint(true))
   }
+  private val q260Sql =
+    s"""$ivfCtes,
+       |nn AS MATERIALIZED (SELECT vec_id, mid AS nn_vec FROM top WHERE rk <= 3),
+       |$lpRoundsSql""".stripMargin
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q256_pca_power", q256, Some(q256Sql)),
     QueryDef("q257_label_propagation", q257, Some(q257Sql)),
+    QueryDef("q260_label_prop_ivf", q260, Some(q260Sql)),
     QueryDef("q29_knn_cosine", q29, Some(q29Sql)),
     QueryDef("q215_mutual_nn", q215, Some(q215Sql)),
     QueryDef("q30_ann_lsh_bucketed", q30, Some(q30Sql)),

@@ -86,6 +86,30 @@ class GraphSpec extends SparkTestBase {
     assert(a(21L) === a(20L) + (20L % 5) + 1)
   }
 
+  test("personalizedPageRank concentrates mass near the seed, not the hub") {
+    // symmetric star (hub 1, spokes 2..6) plus a tail 6 -> 7 -> 6;
+    // seed = {6}: spoke 6 and its private neighbor 7 must outrank the
+    // other spokes, which global pageRank treats identically to 6
+    val spokes = (2L to 6L)
+    val edges = (spokes.map(v => (1L, v)) ++ spokes.map(v => (v, 1L)) ++
+      Seq((6L, 7L), (7L, 6L))).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, id => id === 6L, 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r(6L) > r(2L) && r(7L) > r(2L),
+      s"seed neighborhood should dominate symmetric spokes: $r")
+    assert((2L to 5L).map(r).toSet.size === 1, "non-seed spokes symmetric")
+  }
+
+  test("personalizedPageRank is bit-identical across partitionings") {
+    val e = (1L to 60L).flatMap(i => Seq((i, i % 7 + 100L), (i % 7 + 100L, i)))
+      .toDF("src", "dst")
+    val a = Graph.personalizedPageRank(e.repartition(1), _ % 5 === 0, 4)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.personalizedPageRank(e.repartition(13), _ % 5 === 0, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
+
   test("temporalEarliestArrival only follows time-respecting paths") {
     // 1 -(t5)-> 2 -(t3)-> 3: the 2->3 edge happened BEFORE arrival at 2,
     // so 3 is unreachable; 1 -(t5)-> 2 -(t7)-> 4 works
