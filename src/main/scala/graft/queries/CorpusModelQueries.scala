@@ -109,7 +109,10 @@ object CorpusModelQueries extends QueryModule {
     }.toDF("vec_id", "cid")
   }
 
-  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+  /** The embeddings frame plus the round-2 centroid model (k·dims —
+    * bounded driver traffic), shared by the assignment (q142/q147) and
+    * the silhouette audit (q263). */
+  private def kmeansModel(s: SparkSession, dir: String): (DataFrame, Seq[(Int, Array[Double])]) = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -130,7 +133,43 @@ object CorpusModelQueries extends QueryModule {
         cid -> Array.tabulate(dims.size)(dims(_))
       }
       .sortBy(_._1)
+    (emb, c1)
+  }
+
+  private def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    val (emb, c1) = kmeansModel(s, dir)
     assignMapped(emb, c1)
+  }
+
+  /** [[assignMapped]] keeping the TWO nearest centroids and their exact
+    * 1e-12-scaled long distances — the inputs the silhouette needs. Slot
+    * updates use the same strict-< on ascending cid, so (cid1, cid2) are
+    * exactly ranks 1 and 2 of the oracle's ORDER BY d, cid. */
+  private def assignTop2(emb: DataFrame,
+                         centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    import emb.sparkSession.implicits._
+    val cents = centroids.sortBy(_._1).toArray
+    emb.as[(Long, Array[Double])].map { case (id, v) =>
+      var b1 = -1; var d1 = Long.MaxValue
+      var b2 = -1; var d2 = Long.MaxValue
+      var ci = 0
+      while (ci < cents.length) {
+        val cv = cents(ci)._2
+        var d = 0L
+        var i = 0
+        while (i < v.length) {
+          val t = (v(i) - cv(i)) * (v(i) - cv(i))
+          d += java.math.BigDecimal.valueOf(t)
+            .setScale(12, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValue()
+          i += 1
+        }
+        if (d < d1) { b2 = b1; d2 = d1; b1 = cents(ci)._1; d1 = d }
+        else if (d < d2) { b2 = cents(ci)._1; d2 = d }
+        ci += 1
+      }
+      (id, b1, d1, b2, d2)
+    }.toDF("vec_id", "cid1", "d1", "cid2", "d2")
   }
 
   private def q142(s: SparkSession, dir: String): DataFrame = {
@@ -681,8 +720,49 @@ object CorpusModelQueries extends QueryModule {
       |FROM c2""".stripMargin
   }
 
+  /** q263: per-cluster centroid silhouette — the cluster-quality readout
+    * over the q142 assignment: each point's simplified silhouette
+    * s = (d₂ − d₁) / max(d₁, d₂) from its two nearest centroids (the
+    * centroid-based silhouette that costs k distances per point, not the
+    * O(n²) pairwise original — the form that exists at corpus scale).
+    * Distances are the assignment's exact 1e-12-scaled longs, s becomes
+    * an integer ppm via divide-first renormalization (the q256 idiom —
+    * no 1e6 multiply that could overflow), and the per-cluster mean is a
+    * double over the exact (Σppm, n) cells, rounded at 6 dp. A cluster
+    * whose silhouette sits near 0 is the "re-cluster me" signal the same
+    * way q70's per-cell recall is for the IVF index. */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (emb, c1) = kmeansModel(s, dir)
+    assignTop2(emb, c1)
+      .withColumn("s_ppm", expr(
+        "(d2 - d1) div greatest(greatest(d1, d2) div 1000000, CAST(1 AS BIGINT))"))
+      .groupBy($"cid1".cast("int").as("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum($"s_ppm").cast("double") / count(lit(1)) / 1.0e6, 6)
+          .as("avg_sil6"))
+      .orderBy($"cluster")
+  }
+  private val q263Sql =
+    s"""WITH $kmeansCtes,
+      |dl AS (SELECT vec_id, cid,
+      |    CAST(d * 1000000000000 AS BIGINT) AS dl,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      |  FROM d2),
+      |t1 AS (SELECT vec_id, cid AS cid1, dl AS dv1 FROM dl WHERE rk = 1),
+      |t2 AS (SELECT vec_id, dl AS dv2 FROM dl WHERE rk = 2),
+      |sp AS (SELECT t1.vec_id, t1.cid1,
+      |    (t2.dv2 - t1.dv1) // greatest(greatest(t1.dv1, t2.dv2) // 1000000, 1)
+      |      AS s_ppm
+      |  FROM t1 JOIN t2 USING (vec_id))
+      |SELECT CAST(cid1 AS INT) AS cluster,
+      |  CAST(count(*) AS BIGINT) AS n_points,
+      |  round(CAST(sum(s_ppm) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_sil6
+      |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),
+    QueryDef("q263_cluster_silhouette", q263, Some(q263Sql)),
     QueryDef("q213_bpe_encode", q213, Some(q213Sql)),
     QueryDef("q245_bpe_encode_multi", q245, Some(q245Sql)),
     QueryDef("q143_token_rarity", q143, Some(q143Sql)),

@@ -665,8 +665,79 @@ object VectorQueries extends QueryModule {
        |nn AS MATERIALIZED (SELECT vec_id, mid AS nn_vec FROM top WHERE rk <= 3),
        |$lpRoundsSql""".stripMargin
 
+  private val gridRounds = 8
+
+  /** q262: grid-density clustering (DBSCAN-lite) over the embedding's
+    * first two dimensions — the density-based alternative to k-means
+    * (q142): histogram points into 0.05-wide grid cells, keep DENSE cells
+    * (≥ 5 points), and connect dense cells through their 8-neighborhood
+    * into clusters via 8 rounds of min-label propagation. The data-sized
+    * step is ONE grid histogram (a grouped count on the quantized key —
+    * the shuffle shape that survives any corpus size); the cell graph is
+    * grid-bounded and tiny, and its min-label rounds are the same
+    * monotone integer relaxation as q250, truncated at a FIXED 8 rounds
+    * replayed identically by the oracle (pre-convergence state is part of
+    * the contract, so truncation cannot diverge). floor(x / 0.05) is one
+    * IEEE double divide + floor — bit-identical across engines. */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = Tables.embeddings(s, dir)
+      .select($"embedding".cast("array<double>").as("v"))
+      .select(floor($"v".getItem(0) / 0.05).as("cx"),
+        floor($"v".getItem(1) / 0.05).as("cy"))
+    val cells = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 5)
+      .withColumn("cid", ($"cx" + 1000L) * 100000L + ($"cy" + 1000L))
+      .localCheckpoint(true)
+    val off = Seq(-1, 0, 1).flatMap(dx => Seq(-1, 0, 1).map(dy => (dx, dy)))
+      .filter(_ != ((0, 0))).toDF("dx", "dy")
+    val ed = cells.as("a").crossJoin(broadcast(off))
+      .join(cells.select($"cx".as("bx"), $"cy".as("by"), $"cid".as("dst")),
+        $"bx" === $"a.cx" + $"dx" && $"by" === $"a.cy" + $"dy")
+      .select($"a.cid".as("src"), $"dst")
+      .localCheckpoint(true)
+    var lab = cells.select($"cid".as("id"), $"cid".as("lab"))
+    for (_ <- 1 to gridRounds) {
+      lab = lab.select($"id", $"lab")
+        .union(lab.join(ed, lab("id") === ed("src"))
+          .select($"dst".as("id"), $"lab"))
+        .groupBy($"id").agg(min($"lab").as("lab"))
+    }
+    cells.join(lab, cells("cid") === lab("id"))
+      .select($"cid", $"cx", $"cy", $"n".as("n_points"),
+        $"lab".as("cluster_label"))
+      .orderBy($"cid")
+  }
+  private val q262Sql = {
+    val rounds = (1 to gridRounds).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT id, min(lab) AS lab FROM (
+         |  SELECT id, lab FROM l${i - 1}
+         |  UNION ALL SELECT ed.dst, l${i - 1}.lab
+         |  FROM l${i - 1} JOIN ed ON l${i - 1}.id = ed.src) q GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (SELECT CAST(floor(v[1] / 0.05) AS BIGINT) AS cx,
+       |    CAST(floor(v[2] / 0.05) AS BIGINT) AS cy
+       |  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings) e),
+       |cells AS MATERIALIZED (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n,
+       |    (cx + 1000) * 100000 + (cy + 1000) AS cid
+       |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 5),
+       |off AS (SELECT dx.x AS dx, dy.x AS dy
+       |  FROM (SELECT unnest([-1, 0, 1]) AS x) dx,
+       |       (SELECT unnest([-1, 0, 1]) AS x) dy
+       |  WHERE NOT (dx.x = 0 AND dy.x = 0)),
+       |ed AS MATERIALIZED (SELECT a.cid AS src, b.cid AS dst
+       |  FROM cells a JOIN off o ON true
+       |  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+       |l0 AS (SELECT cid AS id, cid AS lab FROM cells),
+       |$rounds
+       |SELECT c.cid, c.cx, c.cy, c.n AS n_points, l.lab AS cluster_label
+       |FROM cells c JOIN l$gridRounds l ON c.cid = l.id
+       |ORDER BY cid""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q256_pca_power", q256, Some(q256Sql)),
+    QueryDef("q262_grid_density_clusters", q262, Some(q262Sql)),
     QueryDef("q257_label_propagation", q257, Some(q257Sql)),
     QueryDef("q260_label_prop_ivf", q260, Some(q260Sql)),
     QueryDef("q29_knn_cosine", q29, Some(q29Sql)),
