@@ -364,11 +364,13 @@ object GraphTraversalQueries extends QueryModule {
     for (_ <- 1 to hitsRounds) {
       val araw = e.join(h, "c").groupBy($"su").agg(sum($"h").as("ar"))
         .localCheckpoint(true)
-      val ma = araw.agg(max($"ar")).collect().head.getLong(0)
+      // coalesce: an empty edge list must yield empty hub/authority
+      // frames, not an NPE off the null max (the q217 empty-graph lesson)
+      val ma = araw.agg(coalesce(max($"ar"), lit(1L))).collect().head.getLong(0)
       a = araw.select($"su", expr(s"ar * 1000000 div $ma").as("a"))
       val hraw = e.join(a, "su").groupBy($"c").agg(sum($"a").as("hr"))
         .localCheckpoint(true)
-      val mh = hraw.agg(max($"hr")).collect().head.getLong(0)
+      val mh = hraw.agg(coalesce(max($"hr"), lit(1L))).collect().head.getLong(0)
       h = hraw.select($"c", expr(s"hr * 1000000 div $mh").as("h"))
     }
     h.select($"c".as("node_id"), lit("hub").as("kind"), $"h".as("score"))

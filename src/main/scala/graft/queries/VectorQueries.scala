@@ -519,6 +519,10 @@ object VectorQueries extends QueryModule {
         .as("qv"))
       .agg(org.apache.spark.sql.graft.gram.gramMatrixLong($"qv").as("g"))
       .collect().head.getSeq[Long](0).toArray
+    // empty corpus → empty gram → empty eigenvector frame, not a crash
+    // in the renormalization's max over zero cells
+    if (tri.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("dim_idx", "comp_scaled")
     val d = (((math.sqrt(8.0 * tri.length + 1) - 1) / 2) + 0.5).toInt
     require(d * (d + 1) / 2 == tri.length, s"non-triangular gram: ${tri.length}")
     def cell(i: Int, j: Int): Long = {
