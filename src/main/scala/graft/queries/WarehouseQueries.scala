@@ -607,7 +607,65 @@ object WarehouseQueries extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** q264: the CDC apply through `transformWithState` — Spark 4's NEW
+    * arbitrary-state streaming API (typed state variables on RocksDB,
+    * the successor to mapGroupsWithState), run as a real
+    * FileStreamSource → TransformWithStateExec → memory-sink query and
+    * hash-gated against the SAME batch oracle as q224/q233. The fold is
+    * byte-for-byte shared with q233's processor
+    * ([[graft.streaming.StreamingOps.applyChangelogTws]]), so the three
+    * paths (batch SQL, mapGroupsWithState, transformWithState) are
+    * pinned to one fixed point. TWS only runs on the RocksDB state
+    * store provider — set for this query, restored after. */
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
+    }
+    val ops = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(streamPath)
+      .select($"user_id", $"event_id".as("seq"),
+        when($"event_type" === "error", "D")
+          .when($"event_type" === "signup", "I")
+          .when($"event_type".isin("purchase", "click"), "U").as("op"),
+        get_json_object($"props", "$.k").cast("long").as("plan"),
+        $"value".as("amount"))
+      .where($"op".isNotNull)
+      .as[graft.streaming.StreamingOps.CdcOp]
+    val sink = "q264_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    val q = try {
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      graft.streaming.StreamingOps.applyChangelogTws(ops)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"q264 expects ONE data micro-batch (last-emission-per-key needs no " +
+        s"batch bookkeeping then); got $dataBatches — raise maxFilesPerTrigger")
+    s.table(sink)
+      .filter($"exists")
+      .select($"user_id", $"plan", round($"amount", 2).as("amount"),
+        $"n_live_ops")
+      .orderBy($"user_id")
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q264_changelog_apply_tws", q264, Some(q224Sql)),
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
     QueryDef("q216_pit_feature_join", q216, Some(q216Sql)),
     QueryDef("q224_changelog_apply", q224, Some(q224Sql)),

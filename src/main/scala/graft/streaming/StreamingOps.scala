@@ -123,32 +123,73 @@ object StreamingOps {
     * materialized view). StreamingCdcSpec pins batch/stream parity:
     * any split of the same op stream into micro-batches converges to
     * q224's batch answer. */
+  /** The one CDC fold both stateful APIs share — semantics can't drift
+    * between the mapGroupsWithState and transformWithState paths. */
+  private def foldCdcBatch(userId: Long, start: CdcState,
+      batch: Iterator[CdcOp]): CdcState = {
+    var st = start
+    batch.toSeq.sortBy(_.seq).foreach { o =>
+      if (o.seq > st.lastSeq) {
+        st = o.op match {
+          case "D" => CdcState(o.seq, exists = false, None, None, 0L)
+          // Last-write-wins INCLUDING null payloads — batch q224
+          // takes the last I/U's payload even when it is null
+          // (max of struct(event_id, value)), so keeping the prior
+          // value on a None payload would silently diverge from
+          // the documented batch/stream parity.
+          case "I" => st.copy(lastSeq = o.seq, exists = true,
+            plan = o.plan, liveOps = st.liveOps + 1)
+          case "U" => st.copy(lastSeq = o.seq, exists = true,
+            amount = o.amount, liveOps = st.liveOps + 1)
+          case other => throw new IllegalArgumentException(
+            s"unknown CDC op '$other' for user $userId seq ${o.seq}")
+        }
+      }
+    }
+    st
+  }
+
+  private val cdcZero = CdcState(Long.MinValue, exists = false, None, None, 0L)
+
   def applyChangelog(ops: Dataset[CdcOp]): Dataset[CdcRow] = {
     import ops.sparkSession.implicits._
     ops.groupByKey(_.user_id)
       .mapGroupsWithState[CdcState, CdcRow](GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[CdcOp], state: GroupState[CdcState]) =>
-          var st = state.getOption.getOrElse(CdcState(Long.MinValue, exists = false, None, None, 0L))
-          batch.toSeq.sortBy(_.seq).foreach { o =>
-            if (o.seq > st.lastSeq) {
-              st = o.op match {
-                case "D" => CdcState(o.seq, exists = false, None, None, 0L)
-                // Last-write-wins INCLUDING null payloads — batch q224
-                // takes the last I/U's payload even when it is null
-                // (max of struct(event_id, value)), so keeping the prior
-                // value on a None payload would silently diverge from
-                // the documented batch/stream parity.
-                case "I" => st.copy(lastSeq = o.seq, exists = true,
-                  plan = o.plan, liveOps = st.liveOps + 1)
-                case "U" => st.copy(lastSeq = o.seq, exists = true,
-                  amount = o.amount, liveOps = st.liveOps + 1)
-                case other => throw new IllegalArgumentException(
-                  s"unknown CDC op '$other' for user $userId seq ${o.seq}")
-              }
-            }
-          }
+          val st = foldCdcBatch(userId, state.getOption.getOrElse(cdcZero), batch)
           state.update(st)
           CdcRow(userId, st.exists, st.plan, st.amount, st.liveOps)
       }
+  }
+
+  /** The same CDC apply through Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes mapGroupsWithState (typed state
+    * variables on the RocksDB store, timers, TTL). One `ValueState`
+    * holds the per-key CdcState; the fold is [[foldCdcBatch]] verbatim,
+    * so q264's hash gate proves the NEW stateful exec reaches the same
+    * fixed point as the old one and the batch oracle. Requires the
+    * RocksDB state store provider (the only provider TWS supports). */
+  class CdcProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, CdcOp, CdcRow] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[CdcState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[CdcState]("cdc",
+        org.apache.spark.sql.Encoders.product[CdcState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[CdcOp],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[CdcRow] = {
+      val st = foldCdcBatch(userId,
+        Option(state.get()).getOrElse(cdcZero), rows)
+      state.update(st)
+      Iterator.single(CdcRow(userId, st.exists, st.plan, st.amount, st.liveOps))
+    }
+  }
+
+  def applyChangelogTws(ops: Dataset[CdcOp]): Dataset[CdcRow] = {
+    import ops.sparkSession.implicits._
+    ops.groupByKey(_.user_id)
+      .transformWithState(new CdcProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
   }
 }

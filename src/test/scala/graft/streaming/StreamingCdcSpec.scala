@@ -9,14 +9,23 @@ import org.apache.spark.sql.streaming.OutputMode
   * boundaries and batch/stream parity with the q224 contract. */
 class StreamingCdcSpec extends SparkTestBase {
 
-  private def run(batches: Seq[Seq[CdcOp]]): Map[Long, CdcRow] = {
+  private def run(batches: Seq[Seq[CdcOp]], tws: Boolean = false): Map[Long, CdcRow] = {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[CdcOp]
     val name = s"cdc_${System.nanoTime()}"
-    val q = applyChangelog(input.toDS())
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Update).start()
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    val q = try {
+      if (tws) spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      (if (tws) applyChangelogTws(input.toDS()) else applyChangelog(input.toDS()))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
     try {
       batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
       // Update mode re-emits a key per batch: keep the LAST emission
@@ -70,6 +79,20 @@ class StreamingCdcSpec extends SparkTestBase {
       val (a, b) = ops.splitAt(splitAt)
       val batches = if (b.isEmpty) Seq(a) else Seq(a, b)
       assert(run(batches) == expected, s"split at $splitAt diverged")
+    }
+  }
+
+  test("transformWithState path matches mapGroupsWithState across batch splits") {
+    val ops = Seq(
+      CdcOp(1, 1, "I", Some(5L), None), CdcOp(1, 2, "U", None, Some(20.0)),
+      CdcOp(1, 3, "D", None, None), CdcOp(1, 4, "I", Some(7L), None),
+      CdcOp(2, 5, "I", Some(9L), None), CdcOp(2, 6, "U", None, None),
+      CdcOp(3, 7, "I", Some(1L), None), CdcOp(3, 8, "D", None, None))
+    for (splitAt <- Seq(2, 4, 8)) {
+      val (a, b) = ops.splitAt(splitAt)
+      val batches = if (b.isEmpty) Seq(a) else Seq(a, b)
+      assert(run(batches, tws = true) == run(batches),
+        s"TWS diverged from mapGroupsWithState at split $splitAt")
     }
   }
 }
