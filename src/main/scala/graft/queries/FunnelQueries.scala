@@ -229,9 +229,55 @@ object FunnelQueries extends QueryModule {
        |FROM res ORDER BY removed""".stripMargin
   }
 
+  /** q266: sequential-pattern support — for every ORDERED type-triple
+    * (a → … → b → … → c, gaps allowed), the number of users whose event
+    * history contains it as a subsequence, with the q131 trigram family
+    * answering only the CONTIGUOUS version. Naive subsequence mining is
+    * a C(len,3) positional join per user — hopeless on long histories;
+    * the bounded formulation inverts it: the PATTERN space is the
+    * |types|³ = 125 grid (enum-bounded, broadcast), each user collapses
+    * to one path string (q176's one-shuffle construction), and support
+    * is a regexp containment test per (user, pattern) — n·125 scans,
+    * linear in users at any history length. Both engines run the same
+    * 'a.*b.*c' initial-letter regexp; top-20 by (support DESC, pattern)
+    * keeps the LIMIT engine-stable. */
+  private def q266(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val paths = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id",
+        substring($"event_type", 1, 1).as("i"))
+      .groupBy($"user_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(ts, event_id, i))), x -> x.i), '')")
+        .as("path"))
+    val letters = Seq("c", "e", "p", "s", "v")
+    val pats = (for (a <- letters; b <- letters; c <- letters)
+      yield (s"$a$b$c", s"$a.*$b.*$c")).toDF("pattern", "re")
+    paths.crossJoin(broadcast(pats))
+      .filter(expr("path rlike re"))
+      .groupBy($"pattern").agg(count(lit(1)).as("support"))
+      .orderBy($"support".desc, $"pattern")
+      .limit(20)
+  }
+  private val q266Sql = {
+    val letters = Seq("c", "e", "p", "s", "v")
+    val rows = (for (a <- letters; b <- letters; c <- letters)
+      yield s"('$a$b$c', '$a.*$b.*$c')").mkString(", ")
+    s"""WITH paths AS (
+       |  SELECT user_id, string_agg(substr(event_type, 1, 1), ''
+       |      ORDER BY ts, event_id) AS path
+       |  FROM events GROUP BY user_id),
+       |pats(pattern, re) AS (VALUES $rows)
+       |SELECT pattern, CAST(count(*) AS BIGINT) AS support
+       |FROM paths CROSS JOIN pats
+       |WHERE regexp_matches(path, re)
+       |GROUP BY 1 ORDER BY support DESC, pattern LIMIT 20""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q176_funnel_paths", q176, Some(q176Sql)),
     QueryDef("q188_attribution", q188, Some(q188Sql)),
     QueryDef("q259_markov_attribution", q259, Some(q259Sql)),
+    QueryDef("q266_subsequence_support", q266, Some(q266Sql)),
   )
 }

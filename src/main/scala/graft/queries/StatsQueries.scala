@@ -255,7 +255,58 @@ object StatsQueries extends QueryModule {
       |FROM dev d JOIN mad a ON d.event_type = a.event_type
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q265: Theil–Sen robust trend slope per event type — the median of
+    * all pairwise day-slopes of daily revenue, the estimator that
+    * shrugs off the outlier days that wreck OLS (q116's counterpart the
+    * way q126's MAD is q84's). Daily cents are exact longs, each pair
+    * slope is the 1e6-scaled integer quotient (dy·1e6 div dx — both
+    * engines truncate toward zero), and "median" is pinned to the
+    * element at position (n+1) div 2 in (slope, day_i, day_j) order, so
+    * the statistic is exactly replayable. Scale shape: days-per-type is
+    * calendar-bounded, so the pair fan-out is C(days, 2) per type —
+    * quadratic only in a ~30-row-per-group domain, never in events; the
+    * data-sized step is the one daily aggregation. */
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type",
+        expr("ts div 86400000000000").as("day"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        $"a.event_type" === $"b.event_type" && $"a.day" < $"b.day")
+      .select($"a.event_type".as("event_type"),
+        $"a.day".as("di"), $"b.day".as("dj"),
+        expr("(b.cents - a.cents) * 1000000 div (b.day - a.day)").as("s"))
+    val w = Window.partitionBy($"event_type")
+    val rk = Window.partitionBy($"event_type").orderBy($"s", $"di", $"dj")
+    pairs
+      .withColumn("n_pairs", count(lit(1)).over(w))
+      .withColumn("rk", row_number().over(rk))
+      .filter($"rk" === expr("(n_pairs + 1) div 2"))
+      .select($"event_type", $"n_pairs",
+        $"s".as("slope_cents_ppm_per_day"))
+      .orderBy($"event_type")
+  }
+  private val q265Sql =
+    """WITH daily AS (SELECT event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type, a.day AS di, b.day AS dj,
+      |    CAST((b.cents - a.cents) * 1000000 // (b.day - a.day) AS BIGINT) AS s
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.day < b.day),
+      |r AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n_pairs,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY s, di, dj) AS rk FROM p)
+      |SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |  s AS slope_cents_ppm_per_day
+      |FROM r WHERE rk = (n_pairs + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q265_theil_sen", q265, Some(q265Sql)),
     QueryDef("q52_stats_aggregates", q52, Some(q52Sql)),
     QueryDef("q53_string_agg", q53, Some(q53Sql)),
     QueryDef("q66_approx_quantiles", q66, Some(q66Sql)),
