@@ -505,5 +505,69 @@ object GraphTraversalQueries extends QueryModule {
     QueryDef("q253_hits", q253, Some(q253Sql)),
     QueryDef("q254_temporal_reach", q254, Some(q254Sql)),
     QueryDef("q261_personalized_pagerank", q261, Some(q261Sql)),
+    QueryDef("q268_pseudo_diameter", q268, Some(q268Sql)),
   )
+
+  private val pdHops = 16
+
+  /** q268: pseudo-diameter by double-sweep BFS — the standard "how wide
+    * is this graph" diagnostic (and the lower bound a BFS-ordering /
+    * partitioning heuristic starts from): BFS from the minimum node id,
+    * take the farthest reached node (hop DESC, id ASC — deterministic
+    * argmax), BFS again from there; the second eccentricity is the
+    * pseudo-diameter. Both sweeps are [[graft.graph.Graph.bfsHops]]
+    * bounded at 16 levels (the bound is part of the contract and
+    * replayed by the oracle's capped recursive CTEs); the only driver
+    * transfers are the seed scalar and the one argmax row. */
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val adj = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+    val edges = adj.select($"u".as("src"), $"v".as("dst"))
+      .union(adj.select($"v".as("src"), $"u".as("dst"))).distinct()
+      .localCheckpoint(true)
+    val seed = edges.agg(min($"src")).collect().head.getLong(0)
+    val b1 = Graph.bfsHops(edges, Seq(seed).toDF("id"), pdHops)
+    val far1Row = b1.orderBy($"hop".desc, $"id").limit(1).collect().head
+    val (far1, ecc1) = (far1Row.getLong(0), far1Row.getInt(1))
+    val b2 = Graph.bfsHops(edges, Seq(far1).toDF("id"), pdHops)
+    val far2Row = b2.orderBy($"hop".desc, $"id").limit(1).collect().head
+    Seq((seed, far1, ecc1.toLong, far2Row.getLong(0),
+        far2Row.getInt(1).toLong))
+      .toDF("seed_id", "far1_id", "ecc1", "far2_id", "pseudo_diameter")
+  }
+  private val q268Sql =
+    s"""WITH RECURSIVE adj AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey
+       |    AND b.l_linenumber = a.l_linenumber + 1
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT u AS src, v AS dst FROM adj
+       |  UNION ALL SELECT v, u FROM adj) t),
+       |seed AS (SELECT min(src) AS id FROM e),
+       |r1(id, hop) AS (
+       |  SELECT id, 0 FROM seed
+       |  UNION
+       |  SELECT e.dst, r1.hop + 1 FROM r1 JOIN e ON r1.id = e.src
+       |  WHERE r1.hop < $pdHops),
+       |d1 AS MATERIALIZED (SELECT id, min(hop) AS hop FROM r1 GROUP BY 1),
+       |far1 AS (SELECT id, hop FROM d1 ORDER BY hop DESC, id LIMIT 1),
+       |r2(id, hop) AS (
+       |  SELECT id, 0 FROM far1
+       |  UNION
+       |  SELECT e.dst, r2.hop + 1 FROM r2 JOIN e ON r2.id = e.src
+       |  WHERE r2.hop < $pdHops),
+       |d2 AS MATERIALIZED (SELECT id, min(hop) AS hop FROM r2 GROUP BY 1),
+       |far2 AS (SELECT id, hop FROM d2 ORDER BY hop DESC, id LIMIT 1)
+       |SELECT seed.id AS seed_id, far1.id AS far1_id,
+       |  CAST(far1.hop AS BIGINT) AS ecc1, far2.id AS far2_id,
+       |  CAST(far2.hop AS BIGINT) AS pseudo_diameter
+       |FROM seed, far1, far2""".stripMargin
 }

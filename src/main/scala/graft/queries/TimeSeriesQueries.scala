@@ -955,7 +955,64 @@ object TimeSeriesQueries extends QueryModule {
       |    / sqrt((sxxd - sxd * sxd / nd) / (nd - 1.0))) > 2
       |ORDER BY day""".stripMargin
 
+  /** q267: Holt linear-trend forecast per event type — double
+    * exponential smoothing over the daily revenue series, extending
+    * q85's EWMA (level only) with a trend term: the one-step-ahead
+    * forecast a capacity/revenue dashboard actually wants. Dyadic
+    * smoothing (α = β = ½) keeps the recurrence exact in integer cents:
+    * l_t = (y_t + l_{t−1} + b_{t−1}) div 2, b_t = (l_t − l_{t−1} +
+    * b_{t−1}) div 2 — truncating division agreed between engines (q95
+    * precedent, negatives included). The data-sized step is the daily
+    * aggregation; the series itself is calendar×type-bounded, so the
+    * fold runs on the driver over a bounded collect (the q259 transition-
+    * matrix discipline) while the oracle replays the identical recurrence
+    * as a recursive CTE over the row-numbered series. */
+  private def q267(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = daily.groupBy(_._1).toSeq.map { case (tpe, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3)
+      var l = ys.head
+      var b = 0L
+      ys.tail.foreach { y =>
+        val lPrev = l
+        l = (y + lPrev + b) / 2
+        b = (l - lPrev + b) / 2
+      }
+      (tpe, ys.length.toLong, l, b, l + b)
+    }
+    rows.toDF("event_type", "n_days", "level_cents", "trend_cents",
+        "forecast_cents")
+      .orderBy($"event_type")
+  }
+  private val q267Sql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (SELECT event_type, cents,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM daily),
+      |n AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n_days FROM ser
+      |  GROUP BY 1),
+      |st(event_type, rn, l, b) AS (
+      |  SELECT event_type, rn, cents, CAST(0 AS BIGINT) FROM ser WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.event_type, s.rn,
+      |    (s.cents + st.l + st.b) // 2,
+      |    ((s.cents + st.l + st.b) // 2 - st.l + st.b) // 2
+      |  FROM st JOIN ser s
+      |    ON s.event_type = st.event_type AND s.rn = st.rn + 1)
+      |SELECT st.event_type, n.n_days, st.l AS level_cents,
+      |  st.b AS trend_cents, st.l + st.b AS forecast_cents
+      |FROM st JOIN n ON st.event_type = n.event_type AND st.rn = n.n_days
+      |ORDER BY st.event_type""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q267_holt_forecast", q267, Some(q267Sql)),
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q240_segmented_trend", q240, Some(q240Sql)),
     QueryDef("q243_seasonal_anomaly", q243, Some(q243Sql)),
