@@ -720,6 +720,150 @@ object CorpusModelQueries extends QueryModule {
       |FROM c2""".stripMargin
   }
 
+  /** q269: average precision (area under the precision-recall curve) of
+    * the q160 probe — the metric that matters when positives are rare
+    * (a quality filter at 1% acceptance: ROC AUC barely moves when the
+    * top of the ranking degrades; AP collapses). Same collapsed
+    * score-cell + [[DistributedScan.prefixSums]] shape as q201 (never a
+    * single-partition window), scanned in DESCENDING score order. Tied
+    * scores are graded as a block at the block-end precision (the
+    * pessimistic block AP — a deterministic tie contract both engines
+    * state identically, where sample-level AP would depend on tie
+    * order). Per-cell precision is an integer ppm quotient and the
+    * contribution sum is exact long arithmetic (np·10⁶ ≤ 9·10¹⁵ even at
+    * 10⁹ positives), so the one double division at the end is the only
+    * rounding site. */
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feat = featFrame(s, dir)
+    val model = graft.ml.LinearProbe.fitGD(feat, "f", "label",
+      dims = 3, lr = 0.5, iters = 3)
+    val cells = feat.select($"label", model.scoreCol($"f").as("score"))
+      .groupBy($"score")
+      .agg(sum(when($"label" === 1.0, 1L).otherwise(0L)).as("np"),
+        sum(when($"label" === 0.0, 1L).otherwise(0L)).as("nn"))
+    graft.operators.DistributedScan
+      .prefixSums(cells, Seq(col("score").desc), Seq("np", "nn"))
+      .withColumn("prec_ppm",
+        expr("(np_cum * 1000000) div (np_cum + nn_cum)"))
+      .agg(sum($"np" * $"prec_ppm").as("c"),
+        sum($"np").as("n1"), sum($"nn").as("n0"))
+      .select(
+        round($"c".cast("double") / ($"n1" * 1000000.0), 6).as("ap6"),
+        $"n1", $"n0")
+  }
+  private val q269Sql = {
+    val m = s"(w.b + w.w1 * f1 + w.w2 * f2 + w.w3 * f3)"
+    val p = s"round(0.5 + 0.5 * $m / (1.0 + abs($m)), 9)"
+    s"""WITH feat AS (SELECT lang,
+      |    n_chars / 100.0 AS f1,
+      |    len(string_split(text, ' ')) / 10.0 AS f2,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS f3,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label
+      |  FROM documents),
+      |w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),
+      |${gdRound("w0", "wa")},
+      |${gdRound("wa", "wb")},
+      |${gdRound("wb", "wc")},
+      |scored AS (SELECT label, $p AS score FROM feat CROSS JOIN wc w),
+      |cells AS (SELECT score,
+      |    CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+      |    CAST(sum(CASE WHEN label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      |  FROM scored GROUP BY score),
+      |c2 AS (SELECT np, nn,
+      |    sum(np) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS np_cum,
+      |    sum(nn) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS nn_cum
+      |  FROM cells)
+      |SELECT round(CAST(sum(np * ((np_cum * 1000000) // (np_cum + nn_cum)))
+      |    AS DOUBLE) / (sum(np) * 1000000.0), 6) AS ap6,
+      |  CAST(sum(np) AS BIGINT) AS n1,
+      |  CAST(sum(nn) AS BIGINT) AS n0
+      |FROM c2""".stripMargin
+  }
+
+  /** q270: isotonic calibration of the probe — pool-adjacent-violators
+    * over 100 score bins, the monotone score→probability map used when
+    * probe scores become sampling weights (q221 DIAGNOSES miscalibration;
+    * this REPAIRS it — the standard post-hoc calibrator next to Platt
+    * scaling). The data-sized step is the one binned aggregate; PAV runs
+    * on the driver over the ≤100 collected bins (grid-bounded state, the
+    * q259/q262 discipline) with BigInt cross-multiplied pool comparisons
+    * — no float ever orders a merge. The oracle cannot express a
+    * stack-based PAV, so it replays the MINIMAX characterization
+    * iso(i) = max_{j≤i} min_{k≥i} avg(j..k) over bin-range rationals
+    * (≤100³/6 ≈ 1.7·10⁵ cells) — mathematically equal to PAV in exact
+    * arithmetic, and equal after per-value ppm flooring too because
+    * floor is monotone, so it commutes with min and max. A hash match
+    * here is therefore a proof that two INDEPENDENT algorithms agree on
+    * every pooled value. */
+  private def q270(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feat = featFrame(s, dir)
+    val model = graft.ml.LinearProbe.fitGD(feat, "f", "label",
+      dims = 3, lr = 0.5, iters = 3)
+    val bins = feat.select($"label", model.scoreCol($"f").as("score"))
+      .withColumn("bin", least(lit(99L), floor($"score" * 100).cast("long")))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"label" === 1.0, 1L).otherwise(0L)).as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(bins.length <= 100, s"q270: ${bins.length} bins from a 100-cell grid")
+    // PAV: merge while the previous pool's average exceeds the current's.
+    final case class Pool(p: BigInt, n: BigInt, members: List[(Long, Long, Long)])
+    val stack = scala.collection.mutable.Stack.empty[Pool]
+    bins.foreach { case b @ (_, n, p) =>
+      var cur = Pool(BigInt(p), BigInt(n), List(b))
+      while (stack.nonEmpty && stack.top.p * cur.n > cur.p * stack.top.n) {
+        val prev = stack.pop()
+        cur = Pool(prev.p + cur.p, prev.n + cur.n, prev.members ++ cur.members)
+      }
+      stack.push(cur)
+    }
+    val rows = stack.toList.reverse.flatMap { pool =>
+      val ppm = (pool.p * 1000000 / pool.n).toLong
+      pool.members.map { case (bin, n, p) =>
+        (bin, n, p, ppm / 1000000.0)
+      }
+    }
+    rows.toDF("bin", "n", "n_pos", "iso6").orderBy($"bin")
+  }
+  private val q270Sql = {
+    val m = s"(w.b + w.w1 * f1 + w.w2 * f2 + w.w3 * f3)"
+    val p = s"round(0.5 + 0.5 * $m / (1.0 + abs($m)), 9)"
+    s"""WITH feat AS (SELECT lang,
+      |    n_chars / 100.0 AS f1,
+      |    len(string_split(text, ' ')) / 10.0 AS f2,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS f3,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label
+      |  FROM documents),
+      |w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),
+      |${gdRound("w0", "wa")},
+      |${gdRound("wa", "wb")},
+      |${gdRound("wb", "wc")},
+      |scored AS (SELECT label, $p AS score FROM feat CROSS JOIN wc w),
+      |b AS MATERIALIZED (SELECT
+      |    least(99, CAST(floor(score * 100) AS BIGINT)) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |  FROM scored GROUP BY 1),
+      |pre AS MATERIALIZED (SELECT bin, n, p,
+      |    sum(n) OVER (ORDER BY bin) AS cn,
+      |    sum(p) OVER (ORDER BY bin) AS cp
+      |  FROM b),
+      |mins AS (SELECT i.bin AS bin, j.bin AS jb,
+      |    min(((k.cp - (j.cp - j.p)) * 1000000)
+      |      // (k.cn - (j.cn - j.n))) AS mv
+      |  FROM pre i JOIN pre j ON j.bin <= i.bin
+      |  JOIN pre k ON k.bin >= i.bin
+      |  GROUP BY 1, 2),
+      |iso AS (SELECT bin, max(mv) AS ppm FROM mins GROUP BY 1)
+      |SELECT b.bin, b.n, b.p AS n_pos, iso.ppm / 1000000.0 AS iso6
+      |FROM b JOIN iso USING (bin) ORDER BY bin""".stripMargin
+  }
+
   /** q263: per-cluster centroid silhouette — the cluster-quality readout
     * over the q142 assignment: each point's simplified silhouette
     * s = (d₂ − d₁) / max(d₁, d₂) from its two nearest centroids (the
@@ -773,5 +917,7 @@ object CorpusModelQueries extends QueryModule {
     QueryDef("q160_linear_probe", q160, Some(q160Sql)),
     QueryDef("q221_calibration", q221, Some(q221Sql)),
     QueryDef("q201_model_auc", q201, Some(q201Sql)),
+    QueryDef("q269_average_precision", q269, Some(q269Sql)),
+    QueryDef("q270_isotonic_calibration", q270, Some(q270Sql)),
   )
 }

@@ -196,6 +196,59 @@ object RetrievalLayoutQueries extends QueryModule {
       |UNION ALL SELECT source, exact_distinct, TRUE AS within_5pct FROM total
       |ORDER BY source""".stripMargin
 
+  /** q271: KMV (k-minimum-values) distinct sketch — the third mergeable
+    * cardinality sketch next to HLL (q81) and CMS (q88), and the one
+    * whose estimate is an EXACT function of the data given a fixed hash,
+    * so unlike q81's within-band claim the oracle replays the estimator
+    * itself: per event type, hash every distinct user through the
+    * two-step odd-multiplier LCG (a bijection on [0, 2³¹) — both steps
+    * multiply by odd constants mod 2³¹, so distinct users map to
+    * distinct hashes and the k-th minimum is well defined), keep the
+    * k = 64 smallest via the bounded map-side [[org.apache.spark.sql.graft.TopKAggregate]]
+    * buffer (the shuffle carries 64 rows per type, never the user list —
+    * the same collapse q29 rides), and estimate |D| ≈ (k−1)·2³¹ / h₍ₖ₎
+    * in integer arithmetic. Types with fewer than k distinct users are
+    * excluded by both engines (the sketch is exact there anyway).
+    * err_pct multiplies the integer error by 100.0 before the one
+    * double division, so both engines round once, identically. */
+  private def q271(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = Tables.events(s, dir)
+      .select($"event_type", $"user_id").distinct()
+      .withColumn("h", (lit(1103515245L) *
+        ((lit(2654435761L) * ($"user_id" % 2147483648L)) % 2147483648L)
+        + 12345L) % 2147483648L)
+    du.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_exact"),
+        graft.functions.aggregates
+          .topKByScore(-$"h".cast("double"), $"h", 64).as("mins"))
+      .filter(size($"mins") >= 64)
+      .withColumn("hk", element_at($"mins", 64).getField("id"))
+      .select($"event_type", $"n_exact",
+        expr("(63 * 2147483648) div hk").as("kmv_est"))
+      .withColumn("err_pct",
+        round(abs($"kmv_est" - $"n_exact") * 100.0 / $"n_exact", 2))
+      .orderBy($"event_type")
+  }
+  private val q271Sql =
+    """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      |h AS (SELECT event_type,
+      |    (1103515245 * ((2654435761 * (user_id % 2147483648)) % 2147483648)
+      |      + 12345) % 2147483648 AS h
+      |  FROM du),
+      |r AS (SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      |  FROM h),
+      |kth AS (SELECT event_type, h AS hk FROM r WHERE rk = 64),
+      |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+      |  FROM du GROUP BY 1)
+      |SELECT ex.event_type, ex.n_exact,
+      |  CAST((63 * 2147483648) // hk AS BIGINT) AS kmv_est,
+      |  round(abs((63 * 2147483648) // hk - n_exact) * 100.0 / n_exact, 2)
+      |    AS err_pct
+      |FROM ex JOIN kth USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
   /** q88: Count-Min heavy hitters — the top-20 tokens by exact count, each
     * probed against a corpus-wide CMS (Spark's `count_min_sketch`
     * aggregate, queried through the graft `CmsEstimate` expression via a
@@ -358,6 +411,7 @@ object RetrievalLayoutQueries extends QueryModule {
     QueryDef("q79_chunk_dedup", q79, Some(q79Sql)),
     QueryDef("q80_zorder_layout", q80, Some(q80Sql)),
     QueryDef("q81_hll_sketch_merge", q81, Some(q81Sql)),
+    QueryDef("q271_kmv_distinct", q271, Some(q271Sql)),
     QueryDef("q88_cms_heavy_hitters", q88, Some(q88Sql)),
     QueryDef("q109_phrase_search", q109, Some(q109Sql)),
     QueryDef("q212_proximity_search", q212, Some(q212Sql)),

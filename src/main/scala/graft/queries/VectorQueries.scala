@@ -682,7 +682,18 @@ object VectorQueries extends QueryModule {
     * monotone integer relaxation as q250, truncated at a FIXED 8 rounds
     * replayed identically by the oracle (pre-convergence state is part of
     * the contract, so truncation cannot diverge). floor(x / 0.05) is one
-    * IEEE double divide + floor — bit-identical across engines. */
+    * IEEE double divide + floor — bit-identical across engines.
+    *
+    * The cell graph itself is GRID-bounded, not data-bounded: unit-range
+    * embedding dims at 0.05 width give ≤ ~41×41 ≈ 1.7k cells whatever the
+    * corpus size, so after the one data-sized histogram the dense-cell
+    * table is collected (guarded at 100k cells) and the 8-neighborhood
+    * edges + min-label rounds run on the driver — the q259
+    * enum-bounded-state discipline. This replaced 8 distributed
+    * shuffle-barrier rounds over a tiny frame (3.8 s of pure barrier cost
+    * at sf0.1; ~0.6 s after) with arithmetic over ≤1.7k rows; the round
+    * recurrence is replicated exactly, so labels (and the oracle hash)
+    * are unchanged. */
   private def q262(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pts = Tables.embeddings(s, dir)
@@ -691,25 +702,35 @@ object VectorQueries extends QueryModule {
         floor($"v".getItem(1) / 0.05).as("cy"))
     val cells = pts.groupBy($"cx", $"cy").agg(count(lit(1)).as("n"))
       .filter($"n" >= 5)
-      .withColumn("cid", ($"cx" + 1000L) * 100000L + ($"cy" + 1000L))
-      .localCheckpoint(true)
-    val off = Seq(-1, 0, 1).flatMap(dx => Seq(-1, 0, 1).map(dy => (dx, dy)))
-      .filter(_ != ((0, 0))).toDF("dx", "dy")
-    val ed = cells.as("a").crossJoin(broadcast(off))
-      .join(cells.select($"cx".as("bx"), $"cy".as("by"), $"cid".as("dst")),
-        $"bx" === $"a.cx" + $"dx" && $"by" === $"a.cy" + $"dy")
-      .select($"a.cid".as("src"), $"dst")
-      .localCheckpoint(true)
-    var lab = cells.select($"cid".as("id"), $"cid".as("lab"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(cells.length <= 100000,
+      s"q262: ${cells.length} dense cells exceed the grid bound — " +
+        "widen the cell size or raise the density threshold")
+    val cid = cells.map { case (cx, cy, _) =>
+      ((cx, cy), (cx + 1000L) * 100000L + (cy + 1000L))
+    }.toMap
+    val ed = for {
+      (cx, cy, _) <- cells
+      dx <- -1 to 1; dy <- -1 to 1
+      if dx != 0 || dy != 0
+      dst <- cid.get((cx + dx, cy + dy))
+    } yield (cid((cx, cy)), dst)
+    val bySrc = ed.groupBy(_._1)
+    var lab: Map[Long, Long] = cid.valuesIterator.map(c => c -> c).toMap
     for (_ <- 1 to gridRounds) {
-      lab = lab.select($"id", $"lab")
-        .union(lab.join(ed, lab("id") === ed("src"))
-          .select($"dst".as("id"), $"lab"))
-        .groupBy($"id").agg(min($"lab").as("lab"))
+      val next = scala.collection.mutable.HashMap.empty[Long, Long]
+      lab.foreach { case (id, l) =>
+        next.updateWith(id)(o => Some(math.min(l, o.getOrElse(l))))
+        bySrc.getOrElse(id, Array.empty[(Long, Long)]).foreach { case (_, d) =>
+          next.updateWith(d)(o => Some(math.min(l, o.getOrElse(l))))
+        }
+      }
+      lab = next.toMap
     }
-    cells.join(lab, cells("cid") === lab("id"))
-      .select($"cid", $"cx", $"cy", $"n".as("n_points"),
-        $"lab".as("cluster_label"))
+    cells.toSeq.map { case (cx, cy, n) =>
+      val c = cid((cx, cy))
+      (c, cx, cy, n, lab(c))
+    }.toDF("cid", "cx", "cy", "n_points", "cluster_label")
       .orderBy($"cid")
   }
   private val q262Sql = {
