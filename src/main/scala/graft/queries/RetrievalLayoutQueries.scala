@@ -196,6 +196,107 @@ object RetrievalLayoutQueries extends QueryModule {
       |UNION ALL SELECT source, exact_distinct, TRUE AS within_5pct FROM total
       |ORDER BY source""".stripMargin
 
+  /** q273: query-likelihood retrieval with Dirichlet smoothing (μ=2000) —
+    * the third classic lexical scorer next to TF-IDF (q61) and BM25
+    * (q78): score(d) = Σ_t ln((tf_td + μ·cf_t/|C|) / (dl_d + μ)) for the
+    * fixed query {hash, join, vector}. EVERY document scores (absent
+    * terms still contribute smoothed background mass — the property that
+    * distinguishes QL from the tf-only scorers), so the plan is one
+    * doc-length aggregate over all tokens plus one CONDITIONAL aggregate
+    * over the term-filtered stream (the filter reaches the token stream;
+    * the full vocabulary never shuffles), corpus stats ride the q78
+    * one-row broadcast. The three log terms are summed in fixed textual
+    * order and rounded at 6 dp before ranking (q78's ulp discipline);
+    * top-10 plans as TakeOrderedAndProject. */
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mu = 2000.0
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("clen"),
+        sum(when($"tok" === "hash", 1L).otherwise(0L)).cast("double").as("cf1"),
+        sum(when($"tok" === "join", 1L).otherwise(0L)).cast("double").as("cf2"),
+        sum(when($"tok" === "vector", 1L).otherwise(0L)).cast("double").as("cf3"))
+      .withColumn("one", pmod($"clen".cast("long"), lit(1L)))
+    val tf = toks.filter($"tok".isin("hash", "join", "vector"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"tok" === "hash", 1L).otherwise(0L)).as("tf1"),
+        sum(when($"tok" === "join", 1L).otherwise(0L)).as("tf2"),
+        sum(when($"tok" === "vector", 1L).otherwise(0L)).as("tf3"))
+    dl.join(tf, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("tf1", "tf2", "tf3"))
+      .withColumn("one", pmod($"dl", lit(1L)))
+      .join(broadcast(stats), "one")
+      .select($"doc_id", round(
+        log(($"tf1" + lit(mu) * $"cf1" / $"clen") / ($"dl" + lit(mu))) +
+          log(($"tf2" + lit(mu) * $"cf2" / $"clen") / ($"dl" + lit(mu))) +
+          log(($"tf3" + lit(mu) * $"cf3" / $"clen") / ($"dl" + lit(mu))), 6)
+        .as("score"))
+      .orderBy($"score".desc, $"doc_id").limit(10)
+  }
+  private val q273Sql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS DOUBLE) AS clen,
+      |    CAST(sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS DOUBLE) AS cf1,
+      |    CAST(sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS DOUBLE) AS cf2,
+      |    CAST(sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS DOUBLE) AS cf3
+      |  FROM toks),
+      |tf AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN tok = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+      |    CAST(sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+      |    CAST(sum(CASE WHEN tok = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+      |  FROM toks WHERE tok IN ('hash', 'join', 'vector') GROUP BY 1)
+      |SELECT dl.doc_id, round(
+      |    ln((coalesce(tf1, 0) + 2000.0 * cf1 / clen) / (dl + 2000.0)) +
+      |    ln((coalesce(tf2, 0) + 2000.0 * cf2 / clen) / (dl + 2000.0)) +
+      |    ln((coalesce(tf3, 0) + 2000.0 * cf3 / clen) / (dl + 2000.0)), 6)
+      |    AS score
+      |FROM dl LEFT JOIN tf USING (doc_id) CROSS JOIN st
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  /** q274: compaction planning — the table-maintenance pass that turns a
+    * skewed pile of daily segments into uniform output files (the
+    * OPTIMIZE/rewrite step every lakehouse table needs): per month,
+    * segments (here: order-day row groups) sort by size DESC then day
+    * (first-fit-decreasing order), and each is assigned the output file
+    * floor(exclusive-cumulative-rows / 5000) — the sorted next-fit policy
+    * whose assignment is a pure prefix sum, so the plan itself is one
+    * calendar-grain aggregate + one per-month window (bounded partitions;
+    * at fleet scale the same window keys by table partition). Output
+    * files then roll up to (n_segments, total_rows) — the write manifest
+    * a compactor would execute, fully deterministic. */
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segs = Tables.orders(s, dir)
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"),
+        $"o_orderdate".as("day"))
+      .agg(count(lit(1)).as("rows"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"month").orderBy($"rows".desc, $"day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    segs.withColumn("cum", coalesce(sum($"rows").over(w), lit(0L)))
+      .withColumn("out_file", expr("cum div 5000"))
+      .groupBy($"month", $"out_file")
+      .agg(count(lit(1)).as("n_segments"), sum($"rows").as("total_rows"))
+      .orderBy($"month", $"out_file")
+  }
+  private val q274Sql =
+    """WITH segs AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    o_orderdate AS day, CAST(count(*) AS BIGINT) AS rows
+      |  FROM orders GROUP BY 1, 2),
+      |asg AS (SELECT month, rows,
+      |    coalesce(sum(rows) OVER (PARTITION BY month
+      |      ORDER BY rows DESC, day ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) // 5000 AS out_file
+      |  FROM segs)
+      |SELECT month, CAST(out_file AS BIGINT) AS out_file,
+      |  CAST(count(*) AS BIGINT) AS n_segments,
+      |  CAST(sum(rows) AS BIGINT) AS total_rows
+      |FROM asg GROUP BY 1, 2 ORDER BY month, out_file""".stripMargin
+
   /** q271: KMV (k-minimum-values) distinct sketch — the third mergeable
     * cardinality sketch next to HLL (q81) and CMS (q88), and the one
     * whose estimate is an EXACT function of the data given a fixed hash,
@@ -412,6 +513,8 @@ object RetrievalLayoutQueries extends QueryModule {
     QueryDef("q80_zorder_layout", q80, Some(q80Sql)),
     QueryDef("q81_hll_sketch_merge", q81, Some(q81Sql)),
     QueryDef("q271_kmv_distinct", q271, Some(q271Sql)),
+    QueryDef("q273_dirichlet_ql", q273, Some(q273Sql)),
+    QueryDef("q274_compaction_plan", q274, Some(q274Sql)),
     QueryDef("q88_cms_heavy_hitters", q88, Some(q88Sql)),
     QueryDef("q109_phrase_search", q109, Some(q109Sql)),
     QueryDef("q212_proximity_search", q212, Some(q212Sql)),
