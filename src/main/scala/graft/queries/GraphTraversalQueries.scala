@@ -506,6 +506,7 @@ object GraphTraversalQueries extends QueryModule {
     QueryDef("q254_temporal_reach", q254, Some(q254Sql)),
     QueryDef("q261_personalized_pagerank", q261, Some(q261Sql)),
     QueryDef("q268_pseudo_diameter", q268, Some(q268Sql)),
+    QueryDef("q272_stress_centrality", q272, Some(q272Sql)),
   )
 
   private val pdHops = 16
@@ -570,4 +571,112 @@ object GraphTraversalQueries extends QueryModule {
        |  CAST(far1.hop AS BIGINT) AS ecc1, far2.id AS far2_id,
        |  CAST(far2.hop AS BIGINT) AS pseudo_diameter
        |FROM seed, far1, far2""".stripMargin
+
+  private val stHops = 4
+
+  /** q272: hop-bounded stress centrality from 4 seeds — "how many
+    * shortest paths run THROUGH this vertex", the integer sibling of
+    * betweenness (Brandes' δ-accumulation divides by σ, making the
+    * result a float whose grouped summation order no engine pins; stress
+    * keeps the SAME two-phase DP entirely in integers, so the oracle can
+    * replay it exactly). Forward: level-synchronous BFS accumulating
+    * path counts σ(v) = Σ_{preds at dist−1} σ — per level one edge-probe
+    * join + grouped sum + anti-join against the visited set (the q94
+    * frontier shape). Backward: continuation counts
+    * φ(v) = Σ_{succ w, dist(w)=dist(v)+1} (1 + φ(w)) from the horizon
+    * inward (φ ≡ 0 at the 4-hop horizon — the bound is part of the
+    * contract), same join shape in reverse. stress(v) = Σ_seeds σ·φ for
+    * interior vertices; top-20 by (stress DESC, id). σ and φ are bounded
+    * by branching^hops ≈ 10⁴ on this consecutive-line adjacency, far
+    * inside int64. Every frontier is localCheckpointed: 8 probe joins
+    * over a lineage that would otherwise double per level. */
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val adj = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+    val edges = adj.select($"u".as("src"), $"v".as("dst"))
+      .union(adj.select($"v".as("src"), $"u".as("dst"))).distinct()
+      .localCheckpoint(true)
+    val f0 = edges.select($"src").distinct().orderBy($"src").limit(4)
+      .select($"src".as("seed"), $"src".as("id"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    // forward: layers(h) = vertices first reached at dist h, with σ
+    val layers = scala.collection.mutable.ArrayBuffer(f0)
+    var visited = f0.select($"seed", $"id").localCheckpoint(true)
+    for (h <- 1 to stHops) {
+      val fh = layers(h - 1).join(edges, $"id" === $"src")
+        .groupBy($"seed", $"dst").agg(sum($"sigma").as("sigma"))
+        .select($"seed", $"dst".as("id"), $"sigma")
+        .join(visited, Seq("seed", "id"), "left_anti")
+        .localCheckpoint(true)
+      layers += fh
+      visited = visited.union(fh.select($"seed", $"id")).localCheckpoint(true)
+    }
+    // backward: φ from the horizon inward; interior stress accumulates
+    var phi = layers(stHops).select($"seed", $"id", lit(0L).as("phi"))
+    var stress: DataFrame = null
+    for (h <- (stHops - 1) to 1 by -1) {
+      val contrib = layers(h).select($"seed", $"id").join(edges, $"id" === $"src")
+        .join(phi.select($"seed", $"id".as("dst"), $"phi"), Seq("seed", "dst"))
+        .groupBy($"seed", $"id").agg(sum(lit(1L) + $"phi").as("phi"))
+      val phiH = layers(h)
+        .join(contrib, Seq("seed", "id"), "left")
+        .na.fill(0L, Seq("phi")).localCheckpoint(true)
+      val part = phiH.select($"id", ($"sigma" * $"phi").as("sp"))
+      stress = if (stress == null) part else stress.union(part)
+      phi = phiH.select($"seed", $"id", $"phi")
+    }
+    stress.groupBy($"id".as("part_id")).agg(sum($"sp").as("stress"))
+      .filter($"stress" > 0)
+      .orderBy($"stress".desc, $"part_id").limit(20)
+  }
+  private val q272Sql = {
+    val fwd = (1 to stHops).map { h =>
+      s"""f$h AS MATERIALIZED (SELECT q.seed, q.id, q.sigma FROM (
+         |  SELECT f${h - 1}.seed, e.dst AS id,
+         |    CAST(sum(f${h - 1}.sigma) AS BIGINT) AS sigma
+         |  FROM f${h - 1} JOIN e ON f${h - 1}.id = e.src
+         |  GROUP BY 1, 2) q
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} w
+         |    WHERE w.seed = q.seed AND w.id = q.id)),
+         |v$h AS MATERIALIZED (SELECT seed, id FROM v${h - 1}
+         |  UNION SELECT seed, id FROM f$h)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((stHops - 1) to 1 by -1).map { h =>
+      s"""p$h AS MATERIALIZED (SELECT f$h.seed, f$h.id,
+         |    coalesce(c.phi, 0) AS phi
+         |  FROM f$h LEFT JOIN (
+         |    SELECT f$h.seed, f$h.id, CAST(sum(1 + p${h + 1}.phi) AS BIGINT) AS phi
+         |    FROM f$h JOIN e ON f$h.id = e.src
+         |    JOIN p${h + 1} ON p${h + 1}.seed = f$h.seed AND p${h + 1}.id = e.dst
+         |    GROUP BY 1, 2) c ON c.seed = f$h.seed AND c.id = f$h.id)""".stripMargin
+    }.mkString(",\n")
+    val parts = (1 to stHops - 1).map { h =>
+      s"SELECT f$h.id, f$h.sigma * p$h.phi AS sp FROM f$h " +
+        s"JOIN p$h ON p$h.seed = f$h.seed AND p$h.id = f$h.id"
+    }.mkString(" UNION ALL ")
+    s"""WITH adj AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey
+       |    AND b.l_linenumber = a.l_linenumber + 1
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT u AS src, v AS dst FROM adj
+       |  UNION ALL SELECT v, u FROM adj) t),
+       |f0 AS MATERIALIZED (SELECT id AS seed, id, CAST(1 AS BIGINT) AS sigma
+       |  FROM (SELECT src AS id FROM e GROUP BY 1 ORDER BY 1 LIMIT 4) s),
+       |v0 AS MATERIALIZED (SELECT seed, id FROM f0),
+       |$fwd,
+       |p$stHops AS (SELECT seed, id, CAST(0 AS BIGINT) AS phi FROM f$stHops),
+       |$bwd
+       |SELECT id AS part_id, CAST(sum(sp) AS BIGINT) AS stress
+       |FROM ($parts) u
+       |GROUP BY 1 HAVING sum(sp) > 0
+       |ORDER BY stress DESC, part_id LIMIT 20""".stripMargin
+  }
 }
