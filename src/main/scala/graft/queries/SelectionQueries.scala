@@ -182,8 +182,138 @@ object SelectionQueries extends QueryModule {
        |ORDER BY pick_rank""".stripMargin
   }
 
+  /** q275: per-source priority sampling (Duffield/Lund/Thorup) with the
+    * Horvitz-Thompson total-weight estimate — the weighted-sample upgrade
+    * over q119's global h/w pick: priorities q = (w·2³¹) div (h+1) are
+    * EXACT integers (h is the two-step odd-multiplier LCG of q271, so
+    * both engines compute identical "randomness"), the top-10 per source
+    * are the sample, and the 11th priority is the threshold τ that makes
+    * Σ max(wᵢ, τ) an unbiased estimate of the source's total weight —
+    * the estimator that lets a curation pipeline sample 10⁻⁶ of a corpus
+    * and still report per-source token budgets. Per-source ranking is
+    * one window; at fleet scale the same contract rides the bounded
+    * [[org.apache.spark.sql.graft.TopKAggregate]] buffer (k+1 rows per
+    * source cross the exchange) — the q271 collapse. A source with ≤10
+    * docs has no 11th priority; τ coalesces to 0 and the estimator
+    * degenerates to the exact sum, which is the correct exhaustive-
+    * sample behavior, not a special case. */
+  private def q275(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("h", (lit(1103515245L) *
+        ((lit(2654435761L) * ($"doc_id" % 2147483648L)) % 2147483648L)
+        + 12345L) % 2147483648L)
+      .withColumn("priority", expr("(n_chars * 2147483648) div (h + 1)"))
+    val rk = d.withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"priority".desc, $"doc_id")))
+      .filter($"rk" <= 11)
+    val tau = rk.filter($"rk" === 11).select($"source", $"priority".as("tau"))
+    rk.filter($"rk" <= 10)
+      .join(tau, Seq("source"), "left").na.fill(0L, Seq("tau"))
+      .withColumn("w_est", greatest($"n_chars", $"tau"))
+      .withColumn("est_total",
+        sum($"w_est").over(Window.partitionBy($"source")))
+      .select($"source", $"rk", $"doc_id", $"n_chars", $"tau", $"est_total")
+      .orderBy($"source", $"rk")
+  }
+  private val q275Sql =
+    """WITH d AS (SELECT source, doc_id, n_chars,
+      |    (1103515245 * ((2654435761 * (doc_id % 2147483648)) % 2147483648)
+      |      + 12345) % 2147483648 AS h
+      |  FROM documents),
+      |p AS (SELECT source, doc_id, n_chars,
+      |    (n_chars * 2147483648) // (h + 1) AS priority
+      |  FROM d),
+      |r AS (SELECT source, doc_id, n_chars, priority,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY priority DESC, doc_id) AS BIGINT) AS rk
+      |  FROM p),
+      |tau AS (SELECT source, priority AS tau FROM r WHERE rk = 11),
+      |sm AS (SELECT r.source, r.rk, r.doc_id, r.n_chars,
+      |    coalesce(tau.tau, 0) AS tau,
+      |    greatest(r.n_chars, coalesce(tau.tau, 0)) AS w_est
+      |  FROM r LEFT JOIN tau USING (source) WHERE r.rk <= 10)
+      |SELECT source, rk, doc_id, n_chars, tau,
+      |  CAST(sum(w_est) OVER (PARTITION BY source) AS BIGINT) AS est_total
+      |FROM sm ORDER BY source, rk""".stripMargin
+
+  /** q276: decision-stump training — the exact 1-split weak learner
+    * (the unit AdaBoost/GBDT builds from, and the simplest "learned
+    * filter" a curation pipeline ships): over two binned features
+    * (n_chars div 50, word-count div 5, both capped at bin 99), pick the
+    * (feature, threshold) minimizing weighted Gini impurity of the
+    * is-English label. The data-sized step is one histogram aggregate
+    * per feature (≤100 cells each); split costs come from prefix sums
+    * over those cells (tiny-table windows, q112 pattern) with impurity
+    * as the EXACT integer 2·10⁶·(posL·negL div nL + posR·negR div nR) —
+    * the argmin orders on (cost, feature, bin), so no float ever decides
+    * the split. The n·pos products stay under int64 up to ~3·10⁶ rows
+    * per side at the 10⁶ scaling; beyond that the scaling constant
+    * drops — a documented knob, not a hidden overflow. */
+  private def q276(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select(when($"lang" === "en", 1L).otherwise(0L).as("pos"),
+        least(lit(99L), expr("n_chars div 50")).as("b1"),
+        least(lit(99L), expr("size(split(text, ' ')) div 5")).cast("long").as("b2"))
+    def hist(f: String, bin: org.apache.spark.sql.Column) =
+      base.groupBy(bin.as("bin")).agg(count(lit(1)).as("n"), sum($"pos").as("p"))
+        .withColumn("feature", lit(f))
+    val cells = hist("n_chars_div50", $"b1").unionByName(hist("words_div5", $"b2"))
+    val wCum = Window.partitionBy($"feature").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"feature")
+    cells
+      .withColumn("nl", sum($"n").over(wCum))
+      .withColumn("pl", sum($"p").over(wCum))
+      .withColumn("nt", sum($"n").over(wTot))
+      .withColumn("pt", sum($"p").over(wTot))
+      .withColumn("nr", $"nt" - $"nl").withColumn("pr", $"pt" - $"pl")
+      .filter($"nr" > 0)
+      .withColumn("cost_scaled", expr(
+        "(2000000 * pl * (nl - pl)) div nl + (2000000 * pr * (nr - pr)) div nr"))
+      .select($"feature", $"bin".as("split_bin"), $"cost_scaled",
+        $"nl".as("n_left"), $"pl".as("pos_left"),
+        $"nr".as("n_right"), $"pr".as("pos_right"))
+      .orderBy($"cost_scaled", $"feature", $"split_bin").limit(1)
+  }
+  private val q276Sql =
+    """WITH base AS (SELECT
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |    least(99, n_chars // 50) AS b1,
+      |    least(99, len(string_split(text, ' ')) // 5) AS b2
+      |  FROM documents),
+      |cells AS (
+      |  SELECT 'n_chars_div50' AS feature, b1 AS bin,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+      |  FROM base GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'words_div5', b2, CAST(count(*) AS BIGINT),
+      |    CAST(sum(pos) AS BIGINT)
+      |  FROM base GROUP BY 2),
+      |c2 AS (SELECT feature, bin, n, p,
+      |    sum(n) OVER (PARTITION BY feature ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS nl,
+      |    sum(p) OVER (PARTITION BY feature ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS pl,
+      |    sum(n) OVER (PARTITION BY feature) AS nt,
+      |    sum(p) OVER (PARTITION BY feature) AS pt
+      |  FROM cells)
+      |SELECT feature, bin AS split_bin,
+      |  CAST((2000000 * pl * (nl - pl)) // nl
+      |    + (2000000 * (pt - pl) * ((nt - nl) - (pt - pl))) // (nt - nl)
+      |    AS BIGINT) AS cost_scaled,
+      |  CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+      |  CAST(nt - nl AS BIGINT) AS n_right,
+      |  CAST(pt - pl AS BIGINT) AS pos_right
+      |FROM c2 WHERE nt - nl > 0
+      |ORDER BY cost_scaled, feature, split_bin LIMIT 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q118_skyline", q118, Some(q118Sql)),
+    QueryDef("q275_priority_sample", q275, Some(q275Sql)),
+    QueryDef("q276_decision_stump", q276, Some(q276Sql)),
     QueryDef("q119_weighted_sample", q119, Some(q119Sql)),
     QueryDef("q121_bigram_lm_score", q121, Some(q121Sql)),
     QueryDef("q255_greedy_coverage", q255, Some(q255Sql)),
