@@ -310,10 +310,117 @@ object SelectionQueries extends QueryModule {
       |FROM c2 WHERE nt - nl > 0
       |ORDER BY cost_scaled, feature, split_bin LIMIT 1""".stripMargin
 
+  /** Poisson(1) CDF thresholds scaled by 2³¹ — the q246 inverse-CDF
+    * table, re-declared here for the bagged-stump replicate weights. */
+  private val poissonT = Seq(790015084L, 1580030168L, 1975037710L,
+    2106706891L, 2139624186L, 2146207645L, 2147304888L, 2147461638L,
+    2147481231L)
+
+  /** q277: bagged stumps — the ensemble step over q276: B = 10 Poisson-
+    * bootstrap replicates (q246's indexless integer weights, keyed by
+    * (replicate, doc_id)) each train an exact weighted decision stump,
+    * ALL IN ONE aggregate pass: the ×B explode feeds a single
+    * (replicate, feature, bin) weighted histogram, split costs are
+    * prefix sums inside each (replicate, feature) — still ≤100-cell
+    * windows — and each replicate's argmin is one ranking over its ~200
+    * candidate rows. Output is the 10 per-replicate winners: the split-
+    * stability diagnostic bagging exists for (a feature that wins 10/10
+    * replicates is a robust filter; a 5/5 split is noise). Zero driver
+    * participation — the ensemble trains as one shuffle + tiny windows,
+    * which is why this shape survives a 10⁹-document corpus. Weighted
+    * cells can have nl = 0 (all-zero weights in a prefix), so both
+    * engines guard nl > 0 AND nr > 0 identically. */
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .repartition($"doc_id")
+      .select($"doc_id",
+        when($"lang" === "en", 1L).otherwise(0L).as("pos"),
+        least(lit(99L), expr("n_chars div 50")).as("b1"),
+        least(lit(99L), expr("size(split(text, ' ')) div 5")).cast("long").as("b2"))
+      .select($"doc_id", $"pos", $"b1", $"b2",
+        explode(sequence(lit(1L), lit(10L))).as("b"))
+      .withColumn("u", (lit(1103515245L) *
+        (($"b" * 2654435761L + $"doc_id") % 2147483648L)
+        + 12345L) % 2147483648L)
+      .withColumn("wgt", poissonT.map(t =>
+        when($"u" >= t, 1L).otherwise(0L)).reduce(_ + _))
+    def hist(f: String, bin: org.apache.spark.sql.Column) =
+      base.groupBy($"b", bin.as("bin"))
+        .agg(sum($"wgt").as("n"), sum($"wgt" * $"pos").as("p"))
+        .withColumn("feature", lit(f))
+    val cells = hist("n_chars_div50", $"b1").unionByName(hist("words_div5", $"b2"))
+    val wCum = Window.partitionBy($"b", $"feature").orderBy($"bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"b", $"feature")
+    cells
+      .withColumn("nl", sum($"n").over(wCum))
+      .withColumn("pl", sum($"p").over(wCum))
+      .withColumn("nt", sum($"n").over(wTot))
+      .withColumn("pt", sum($"p").over(wTot))
+      .withColumn("nr", $"nt" - $"nl").withColumn("pr", $"pt" - $"pl")
+      .filter($"nl" > 0 && $"nr" > 0)
+      .withColumn("cost_scaled", expr(
+        "(2000000 * pl * (nl - pl)) div nl + (2000000 * pr * (nr - pr)) div nr"))
+      .withColumn("rk", row_number().over(Window.partitionBy($"b")
+        .orderBy($"cost_scaled", $"feature", $"bin")))
+      .filter($"rk" === 1)
+      .select($"b".as("replicate"), $"feature", $"bin".as("split_bin"),
+        $"cost_scaled")
+      .orderBy($"replicate")
+  }
+  private val q277Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |    least(99, n_chars // 50) AS b1,
+      |    least(99, len(string_split(text, ' ')) // 5) AS b2
+      |  FROM documents),
+      |w AS (SELECT d.*, b.b,
+      |    (1103515245 * ((b.b * 2654435761 + doc_id) % 2147483648)
+      |      + 12345) % 2147483648 AS u
+      |  FROM d, UNNEST(range(1, 11)) AS b(b)),
+      |ww AS (SELECT b, pos, b1, b2,
+      |    CAST(CASE WHEN u >= 790015084 THEN 1 ELSE 0 END
+      |      + CASE WHEN u >= 1580030168 THEN 1 ELSE 0 END
+      |      + CASE WHEN u >= 1975037710 THEN 1 ELSE 0 END
+      |      + CASE WHEN u >= 2106706891 THEN 1 ELSE 0 END
+      |      + CASE WHEN u >= 2139624186 THEN 1 ELSE 0 END
+      |      + CASE WHEN u >= 2146207645 THEN 1 ELSE 0 END
+      |      + CASE WHEN u >= 2147304888 THEN 1 ELSE 0 END
+      |      + CASE WHEN u >= 2147461638 THEN 1 ELSE 0 END
+      |      + CASE WHEN u >= 2147481231 THEN 1 ELSE 0 END AS BIGINT) AS wgt
+      |  FROM w),
+      |cells AS (
+      |  SELECT b, 'n_chars_div50' AS feature, b1 AS bin,
+      |    CAST(sum(wgt) AS BIGINT) AS n, CAST(sum(wgt * pos) AS BIGINT) AS p
+      |  FROM ww GROUP BY 1, 3
+      |  UNION ALL
+      |  SELECT b, 'words_div5', b2, CAST(sum(wgt) AS BIGINT),
+      |    CAST(sum(wgt * pos) AS BIGINT)
+      |  FROM ww GROUP BY 1, 3),
+      |c2 AS (SELECT b, feature, bin, n, p,
+      |    sum(n) OVER (PARTITION BY b, feature ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS nl,
+      |    sum(p) OVER (PARTITION BY b, feature ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS pl,
+      |    sum(n) OVER (PARTITION BY b, feature) AS nt,
+      |    sum(p) OVER (PARTITION BY b, feature) AS pt
+      |  FROM cells),
+      |costs AS (SELECT b, feature, bin,
+      |    CAST((2000000 * pl * (nl - pl)) // nl
+      |      + (2000000 * (pt - pl) * ((nt - nl) - (pt - pl))) // (nt - nl)
+      |      AS BIGINT) AS cost_scaled
+      |  FROM c2 WHERE nl > 0 AND nt - nl > 0),
+      |rk AS (SELECT *, row_number() OVER (PARTITION BY b
+      |    ORDER BY cost_scaled, feature, bin) AS rk FROM costs)
+      |SELECT b AS replicate, feature, bin AS split_bin, cost_scaled
+      |FROM rk WHERE rk = 1 ORDER BY replicate""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q118_skyline", q118, Some(q118Sql)),
     QueryDef("q275_priority_sample", q275, Some(q275Sql)),
     QueryDef("q276_decision_stump", q276, Some(q276Sql)),
+    QueryDef("q277_bagged_stumps", q277, Some(q277Sql)),
     QueryDef("q119_weighted_sample", q119, Some(q119Sql)),
     QueryDef("q121_bigram_lm_score", q121, Some(q121Sql)),
     QueryDef("q255_greedy_coverage", q255, Some(q255Sql)),
