@@ -553,8 +553,90 @@ object InferenceQueries extends QueryModule {
        |FROM m""".stripMargin
   }
 
+  /** q278: Welch's unequal-variance t-test on per-user revenue across the
+    * q180 hash arms — the continuous-metric companion to q180's
+    * proportion z-test (the test an experimentation platform actually
+    * runs on revenue, where variances differ by construction). Per-user
+    * cents totals are exact longs, each arm collapses to the exact
+    * moment cells (n, Σx, Σx²) — one combinable aggregate, six numbers
+    * total — and t plus the Welch–Satterthwaite df are computed from
+    * those cells with formulas written textually identically in both
+    * engines (q243's moment discipline), rounded at 6 dp. Guards: both
+    * arms need n ≥ 2 and a positive variance sum or t/df are NULL —
+    * same CASE in both engines. */
+  private def q278(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+      .withColumn("arm",
+        when(CurationQueries.hashBucket("user_id") % 2 === 0, "A").otherwise("B"))
+    val cells = perUser.groupBy().agg(
+      sum(when($"arm" === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when($"arm" === "A", $"cents").otherwise(0L)).as("sx_a"),
+      sum(when($"arm" === "A", $"cents" * $"cents").otherwise(0L)).as("sxx_a"),
+      sum(when($"arm" === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when($"arm" === "B", $"cents").otherwise(0L)).as("sx_b"),
+      sum(when($"arm" === "B", $"cents" * $"cents").otherwise(0L)).as("sxx_b"))
+    val (na, sa, ssa) = ($"n_a".cast("double"), $"sx_a".cast("double"),
+      $"sxx_a".cast("double"))
+    val (nb, sb, ssb) = ($"n_b".cast("double"), $"sx_b".cast("double"),
+      $"sxx_b".cast("double"))
+    val va = (ssa - sa * sa / na) / (na - 1.0)
+    val vb = (ssb - sb * sb / nb) / (nb - 1.0)
+    val se2 = va / na + vb / nb
+    cells.select($"n_a", $"n_b",
+      round(sa / na / 100.0, 6).as("mean_a"),
+      round(sb / nb / 100.0, 6).as("mean_b"),
+      when($"n_a" < 2 || $"n_b" < 2 || se2 <= 0.0, lit(null).cast("double"))
+        .otherwise(round((sa / na - sb / nb) / sqrt(se2), 6))
+        .as("t6"),
+      when($"n_a" < 2 || $"n_b" < 2 || se2 <= 0.0, lit(null).cast("double"))
+        .otherwise(round(se2 * se2 /
+          ((va / na) * (va / na) / (na - 1.0) +
+            (vb / nb) * (vb / nb) / (nb - 1.0)), 6)).as("df6"))
+  }
+  private val q278Sql = {
+    val bucket = CurationQueries.duckBucket("user_id")
+    s"""WITH per_user AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |    CASE WHEN $bucket % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      |  FROM events GROUP BY user_id),
+      |cells AS (SELECT
+      |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS BIGINT) AS sx_a,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN cents * cents ELSE 0 END) AS BIGINT) AS sxx_a,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS BIGINT) AS sx_b,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN cents * cents ELSE 0 END) AS BIGINT) AS sxx_b
+      |  FROM per_user),
+      |d AS (SELECT n_a, n_b, sx_a, sx_b,
+      |    CAST(n_a AS DOUBLE) AS na, CAST(sx_a AS DOUBLE) AS sa,
+      |    CAST(sxx_a AS DOUBLE) AS ssa,
+      |    CAST(n_b AS DOUBLE) AS nb, CAST(sx_b AS DOUBLE) AS sb,
+      |    CAST(sxx_b AS DOUBLE) AS ssb
+      |  FROM cells),
+      |v AS (SELECT *,
+      |    (ssa - sa * sa / na) / (na - 1.0) AS va,
+      |    (ssb - sb * sb / nb) / (nb - 1.0) AS vb
+      |  FROM d),
+      |e AS (SELECT *, va / na + vb / nb AS se2 FROM v)
+      |SELECT n_a, n_b,
+      |  round(sa / na / 100.0, 6) AS mean_a,
+      |  round(sb / nb / 100.0, 6) AS mean_b,
+      |  CASE WHEN n_a < 2 OR n_b < 2 OR se2 <= 0.0 THEN NULL
+      |    ELSE round((sa / na - sb / nb) / sqrt(se2), 6) END AS t6,
+      |  CASE WHEN n_a < 2 OR n_b < 2 OR se2 <= 0.0 THEN NULL
+      |    ELSE round(se2 * se2 /
+      |      ((va / na) * (va / na) / (na - 1.0) +
+      |       (vb / nb) * (vb / nb) / (nb - 1.0)), 6) END AS df6
+      |FROM e""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q114_ks_test", q114, Some(q114Sql)),
+    QueryDef("q278_welch_ttest", q278, Some(q278Sql)),
     QueryDef("q251_diff_in_diff", q251, Some(q251Sql)),
     QueryDef("q180_ab_ztest", q180, Some(q180Sql)),
     QueryDef("q227_quantile_lift", q227, Some(q227Sql)),
