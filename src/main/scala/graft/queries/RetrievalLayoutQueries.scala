@@ -158,6 +158,64 @@ object RetrievalLayoutQueries extends QueryModule {
        |  min(ox) AS min_ox, max(ox) AS max_ox
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One Hilbert round (top-down, quadrant size s) as pure-arithmetic
+    * expression strings over columns (x, y, d) — the canonical
+    * Lam–Shapiro iteration with the bit tests rewritten as div/mod so
+    * ONE generated kernel serves both engines (only the integer-division
+    * keyword differs): rx = (x div s) % 2, ry likewise,
+    * d += s²·((3rx) xor ry) with the 2-bit xor expanded to a CASE, then
+    * the reflect-and-swap rotation. Returns (d', x', y'). */
+  private def hilbertRound(divOp: String, s: Int): (String, String, String) = {
+    val rx = s"(x $divOp $s) % 2"
+    val ry = s"(y $divOp $s) % 2"
+    (s"d + ${s * s} * (CASE WHEN $rx = 0 THEN $ry ELSE 3 - $ry END)",
+      s"CASE WHEN $ry = 1 THEN x WHEN $rx = 1 THEN 255 - y ELSE y END",
+      s"CASE WHEN $ry = 1 THEN y WHEN $rx = 1 THEN 255 - x ELSE x END")
+  }
+  private val hilbertS = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+
+  /** q279: Hilbert-curve clustering keys — the space-filling-curve
+    * layout with strictly better locality than q80's Z-order (Hilbert
+    * buckets are edge-connected: no Z-shaped jumps, so a 2-D range scan
+    * touches fewer buckets — the reason Delta/Iceberg grew hilbert
+    * alongside zorder). Same (l_partkey, l_orderkey % 256) plane and the
+    * same bucket → min/max skipping-index output as q80, so the two
+    * gates are directly comparable; the curve index is 8 unrolled
+    * rounds of the shared [[hilbertRound]] kernel — integer div/mod/CASE
+    * only, bit-identical across engines, a pure projection (zero
+    * shuffle) exactly like the z-interleave it generalizes. */
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    var df = Tables.lineitem(s, dir)
+      .select(($"l_partkey" % 256).as("px"), ($"l_orderkey" % 256).as("ox"))
+      .selectExpr("px", "ox", "px AS x", "ox AS y", "CAST(0 AS BIGINT) AS d")
+    hilbertS.foreach { sz =>
+      val (de, xe, ye) = hilbertRound("div", sz)
+      df = df.selectExpr("px", "ox", s"$xe AS x", s"$ye AS y", s"$de AS d")
+    }
+    df.select(expr("d div 1024").as("hbucket"), $"px", $"ox")
+      .groupBy($"hbucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"px").as("min_px"), max($"px").as("max_px"),
+        min($"ox").as("min_ox"), max($"ox").as("max_ox"))
+      .orderBy($"hbucket")
+  }
+  private val q279Sql = {
+    val rounds = hilbertS.zipWithIndex.map { case (sz, i) =>
+      val (de, xe, ye) = hilbertRound("//", sz)
+      s"h${i + 1} AS (SELECT px, ox, $xe AS x, $ye AS y, $de AS d FROM h$i)"
+    }.mkString(",\n")
+    s"""WITH h0 AS (SELECT l_partkey % 256 AS px, l_orderkey % 256 AS ox,
+       |    l_partkey % 256 AS x, l_orderkey % 256 AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM lineitem),
+       |$rounds
+       |SELECT d // 1024 AS hbucket, CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(px) AS min_px, max(px) AS max_px,
+       |  min(ox) AS min_ox, max(ox) AS max_ox
+       |FROM h${hilbertS.length} GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q81: two-level HLL sketch merge — per-source Datasketches HLL over
     * the token stream (lgK = 12, ~1.6% rsd), then the BINARY sketches
     * union-merged into a corpus-wide estimate. Output carries the exact
@@ -515,6 +573,7 @@ object RetrievalLayoutQueries extends QueryModule {
     QueryDef("q271_kmv_distinct", q271, Some(q271Sql)),
     QueryDef("q273_dirichlet_ql", q273, Some(q273Sql)),
     QueryDef("q274_compaction_plan", q274, Some(q274Sql)),
+    QueryDef("q279_hilbert_layout", q279, Some(q279Sql)),
     QueryDef("q88_cms_heavy_hitters", q88, Some(q88Sql)),
     QueryDef("q109_phrase_search", q109, Some(q109Sql)),
     QueryDef("q212_proximity_search", q212, Some(q212Sql)),
