@@ -507,7 +507,72 @@ object GraphTraversalQueries extends QueryModule {
     QueryDef("q261_personalized_pagerank", q261, Some(q261Sql)),
     QueryDef("q268_pseudo_diameter", q268, Some(q268Sql)),
     QueryDef("q272_stress_centrality", q272, Some(q272Sql)),
+    QueryDef("q280_ktruss", q280, Some(q280Sql)),
   )
+
+  private val trussRounds = 3
+
+  /** q280: 4-truss peeling — the EDGE-level cohesion sibling of q217's
+    * vertex coreness: an edge survives iff it closes ≥ 2 triangles with
+    * other SURVIVORS, so each round recounts per-edge support on the
+    * current subgraph and drops weak edges (support is monotone
+    * non-increasing under deletion — the same contraction argument as
+    * coreness). Fixed 3 rounds, pre-convergence state part of the
+    * contract (q262 discipline; the oracle replays the identical
+    * truncation). Per round: one wedge join — canonical u<v edges fan
+    * out by deg(u) against the symmetric adjacency, membership-checked
+    * against it again, then a grouped count; everything shuffles on
+    * vertex/edge keys, nothing is collected. Output: surviving edges
+    * with their final-round support — the dense-cohesion backbone a
+    * co-occurrence recommender mines. */
+  private def q280(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val adj0 = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+    var canon = adj0.select(least($"u", $"v").as("u"), greatest($"u", $"v").as("v"))
+      .distinct().localCheckpoint(true)
+    var last: DataFrame = null
+    for (_ <- 1 to trussRounds) {
+      val sym = canon.select($"u".as("src"), $"v".as("dst"))
+        .union(canon.select($"v".as("src"), $"u".as("dst")))
+      val sup = canon
+        .join(sym.select($"src".as("u"), $"dst".as("w")), "u")
+        .join(sym.select($"src".as("v"), $"dst".as("w")), Seq("v", "w"))
+        .groupBy($"u", $"v").agg(count(lit(1)).as("support"))
+        .filter($"support" >= 2)
+      last = sup.localCheckpoint(true)
+      canon = last.select($"u", $"v")
+    }
+    last.select($"u", $"v", $"support").orderBy($"u", $"v")
+  }
+  private val q280Sql = {
+    val rounds = (1 to trussRounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT c.u, c.v,
+         |    CAST(count(*) AS BIGINT) AS support
+         |  FROM c${i - 1} c
+         |  JOIN (SELECT u AS src, v AS dst FROM c${i - 1}
+         |        UNION ALL SELECT v, u FROM c${i - 1}) a1 ON a1.src = c.u
+         |  JOIN (SELECT u AS src, v AS dst FROM c${i - 1}
+         |        UNION ALL SELECT v, u FROM c${i - 1}) a2
+         |    ON a2.src = c.v AND a2.dst = a1.dst
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |c$i AS MATERIALIZED (SELECT u, v FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH adj AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey
+       |    AND b.l_linenumber = a.l_linenumber + 1
+       |  WHERE a.l_partkey <> b.l_partkey),
+       |c0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS u,
+       |    greatest(u, v) AS v FROM adj),
+       |$rounds
+       |SELECT u, v, support FROM s$trussRounds ORDER BY u, v""".stripMargin
+  }
 
   private val pdHops = 16
 
