@@ -760,7 +760,87 @@ object VectorQueries extends QueryModule {
        |ORDER BY cid""".stripMargin
   }
 
+  private val mmrK = 5
+
+  /** q281: maximal-marginal-relevance selection — the diverse top-k a
+    * retrieval/sampling pipeline uses instead of plain top-k when near-
+    * duplicate results waste the budget: greedily pick
+    * argmax 0.7·rel(v) − 0.3·max_{s∈S} sim(v, s), k = 5 rounds, with
+    * rel = cosine to the min-id query vector. Each round is one
+    * candidates × selected similarity pass (|S| ≤ 4 vectors broadcast)
+    * + a grouped max + a 1-row argmax — the q255 greedy-selection shape:
+    * the driver sees one row per round, the data-sized side never
+    * collects, and round cost is n·|S| dot products however large the
+    * corpus. All similarities round at 9 dp before the argmax and ties
+    * break on vec_id, so the greedy trajectory — not just the final set
+    * — is pinned; the oracle replays all 5 rounds as unrolled CTEs with
+    * the shared cosine kernel. */
+  private def q281(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val n = normed(s, dir).localCheckpoint(true)
+    val qid = n.agg(min($"vec_id")).collect().head.getLong(0)
+    val rels = n.as("a").filter($"a.vec_id" === qid)
+      .join(n.as("b"), $"b.vec_id" =!= qid)
+      .select($"b.vec_id".as("vec_id"), round(cosSpark, 9).as("rel"))
+      .localCheckpoint(true)
+    var picks = List.empty[(Int, Long, Double, Double)]
+    for (rk <- 1 to mmrK) {
+      val selIds = picks.map(_._2)
+      val row = if (selIds.isEmpty) {
+        val r = rels.orderBy($"rel".desc, $"vec_id").limit(1).collect().head
+        (rk, r.getLong(0), r.getDouble(1), r.getDouble(1))
+      } else {
+        val selVecs = broadcast(n.filter($"vec_id".isin(selIds: _*)))
+        val r = n.as("a")
+          .filter($"a.vec_id" =!= qid && !$"a.vec_id".isin(selIds: _*))
+          .join(selVecs.as("b"))
+          .select($"a.vec_id".as("vec_id"), round(cosSpark, 9).as("sim"))
+          .groupBy($"vec_id").agg(max($"sim").as("ms"))
+          .join(rels, "vec_id")
+          .select($"vec_id", $"rel",
+            round(lit(0.7) * $"rel" - lit(0.3) * $"ms", 9).as("score"))
+          .orderBy($"score".desc, $"vec_id").limit(1).collect().head
+        (rk, r.getLong(0), r.getDouble(1), r.getDouble(2))
+      }
+      picks = picks :+ row
+    }
+    picks.toDF("rk", "vec_id", "rel9", "score9")
+      .select($"rk".cast("long").as("rk"), $"vec_id", $"rel9", $"score9")
+      .orderBy($"rk")
+  }
+  private val q281Sql = {
+    val cosAB = cosDuck
+    val rounds = (2 to mmrK).map { i =>
+      val selAll = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      s"""m$i AS (SELECT a.vec_id AS vec_id, max(round($cosAB, 9)) AS ms
+         |  FROM n a JOIN n b ON b.vec_id IN ($selAll)
+         |  WHERE a.vec_id <> (SELECT qid FROM q)
+         |    AND a.vec_id NOT IN ($selAll)
+         |  GROUP BY 1),
+         |s$i AS MATERIALIZED (SELECT m.vec_id, r.rel,
+         |    round(0.7 * r.rel - 0.3 * m.ms, 9) AS score
+         |  FROM m$i m JOIN rels r USING (vec_id)
+         |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to mmrK).map { i =>
+      if (i == 1) s"SELECT CAST(1 AS BIGINT) AS rk, vec_id, rel AS rel9, rel AS score9 FROM s1"
+      else s"SELECT CAST($i AS BIGINT), vec_id, rel, score FROM s$i"
+    }.mkString(" UNION ALL ")
+    s"""$normedSql,
+       |q AS (SELECT min(vec_id) AS qid FROM n),
+       |rels AS MATERIALIZED (SELECT b.vec_id AS vec_id,
+       |    round($cosAB, 9) AS rel
+       |  FROM n a JOIN n b ON a.vec_id = (SELECT qid FROM q)
+       |    AND b.vec_id <> a.vec_id),
+       |s1 AS MATERIALIZED (SELECT vec_id, rel FROM rels
+       |  ORDER BY rel DESC, vec_id LIMIT 1),
+       |$rounds
+       |SELECT rk, vec_id, rel9, score9 FROM ($out) u ORDER BY rk""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q281_mmr_select", q281, Some(q281Sql)),
     QueryDef("q256_pca_power", q256, Some(q256Sql)),
     QueryDef("q262_grid_density_clusters", q262, Some(q262Sql)),
     QueryDef("q257_label_propagation", q257, Some(q257Sql)),
