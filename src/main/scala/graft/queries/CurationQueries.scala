@@ -464,7 +464,75 @@ object CurationQueries extends QueryModule {
       |  CAST(sum(new_terms) OVER (ORDER BY doc_id) AS BIGINT) AS vocab_cum
       |FROM base ORDER BY doc_id""".stripMargin
 
+  /** q283: UniMax water-filling — the per-source token-budget allocator
+    * for data mixing (Chung et al.'s UniMax: cap every source at a
+    * common threshold c so over-represented sources stop crowding the
+    * mix, spend B = 60% of corpus tokens): sort sources by token count,
+    * take the largest saturation prefix j* with
+    * c = (B − P_j) div (m − j) ≥ t_j, allocate min(tₛ, c), and hand the
+    * division remainder to the largest unsaturated sources (+1 each,
+    * rn > m − r — feasible because t > c ⇒ t ≥ c+1 on integers; the
+    * q187 largest-remainder discipline). The data-sized step is one
+    * per-source token count; the allocator runs on the |sources|-row
+    * frame (tiny-table windows, q112 pattern) in pure integer
+    * arithmetic, so the oracle replays every branch exactly — including
+    * the j*-maximality argument's t_{j*+1} > c corollary, which makes
+    * the +1 bonus always fit. */
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .groupBy($"source")
+      .agg(sum(size(split($"text", " ")).cast("long")).as("tokens"))
+    val wRn = Window.orderBy($"tokens", $"source")
+    val ranked = toks
+      .withColumn("rn", row_number().over(wRn).cast("long"))
+      .withColumn("p", sum($"tokens").over(
+        wRn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total", sum($"tokens").over(Window.partitionBy()))
+      .withColumn("budget", expr("(total * 6) div 10"))
+      .withColumn("pprev", $"p" - $"tokens")
+      .withColumn("tprev", coalesce(lag($"tokens", 1).over(wRn), lit(0L)))
+      .withColumn("cj", expr("(budget - pprev) div (m - rn + 1)"))
+    val star = ranked.filter($"cj" >= $"tprev")
+      .agg(max(struct($"rn", $"cj", $"pprev")).as("s"))
+      .select(($"s.rn" - 1L).as("jstar"), $"s.cj".as("c"), $"s.pprev".as("pstar"))
+    ranked.crossJoin(broadcast(star))
+      .withColumn("r", $"budget" - $"pstar" - $"c" * ($"m" - $"jstar"))
+      .withColumn("alloc",
+        when($"rn" <= $"jstar", $"tokens")
+          .otherwise($"c" + when($"rn" > $"m" - $"r", 1L).otherwise(0L)))
+      .select($"source", $"tokens", $"alloc")
+      .orderBy($"source")
+  }
+  private val q283Sql =
+    """WITH toks AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |rk AS (SELECT source, tokens,
+      |    CAST(row_number() OVER (ORDER BY tokens, source) AS BIGINT) AS rn,
+      |    CAST(sum(tokens) OVER (ORDER BY tokens, source
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+      |    CAST(count(*) OVER () AS BIGINT) AS m,
+      |    CAST(sum(tokens) OVER () AS BIGINT) AS total,
+      |    CAST(coalesce(lag(tokens) OVER (ORDER BY tokens, source), 0)
+      |      AS BIGINT) AS tprev
+      |  FROM toks),
+      |c1 AS (SELECT *, (total * 6) // 10 AS budget, p - tokens AS pprev
+      |  FROM rk),
+      |c2 AS (SELECT *, (budget - pprev) // (m - rn + 1) AS cj FROM c1),
+      |star AS (SELECT rn - 1 AS jstar, cj AS c, pprev AS pstar
+      |  FROM c2 WHERE cj >= tprev ORDER BY rn DESC LIMIT 1)
+      |SELECT c2.source, c2.tokens,
+      |  CAST(CASE WHEN c2.rn <= s.jstar THEN c2.tokens
+      |    ELSE s.c + (CASE WHEN c2.rn >
+      |      c2.m - (c2.budget - s.pstar - s.c * (c2.m - s.jstar))
+      |      THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
+      |FROM c2 CROSS JOIN star s
+      |ORDER BY c2.source""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q283_unimax_budget", q283, Some(q283Sql)),
     QueryDef("q67_connected_components", q67, Some(q67Sql)),
     QueryDef("q148_split_leakage", q148, Some(q148Sql)),
     QueryDef("q149_epoch_shuffle", q149, Some(q149Sql)),

@@ -274,10 +274,115 @@ object FunnelQueries extends QueryModule {
        |GROUP BY 1 ORDER BY support DESC, pattern LIMIT 20""".stripMargin
   }
 
+  /** q284: token-bucket rate-limit replay — "which users would a
+    * 5-burst / 1-per-10-min limiter have throttled", the admission
+    * simulation an abuse/ingest team runs before turning a limiter on.
+    * The recurrence (avail = min(5, avail + gap div 10min), admit if
+    * avail > 0) is a per-user ORDERED fold that no window frame
+    * expresses (the min-cap makes it non-associative), so this gate
+    * exercises the remaining batch iteration shape:
+    * `groupByKey(...).flatMapSortedGroups(ts, event_id)` — Spark sorts
+    * each group WITHIN the exchange (secondary sort, no per-group
+    * array materialization) and streams it through a typed fold;
+    * per-user state is one long however long the history. Refill credit
+    * is whole tokens per gap (integer div, both engines), ties on ts
+    * break by event_id, and the oracle replays the identical recurrence
+    * as a depth≈max-events-per-user recursive CTE. */
+  private def q284(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"user_id", $"ts", $"event_id")
+      .as[(Long, Long, Long)]
+    ev.groupByKey(_._1)
+      .flatMapSortedGroups($"ts", $"event_id") { (user: Long, it: Iterator[(Long, Long, Long)]) =>
+        val st = graft.streaming.StreamingOps.foldBucketOrdered(
+          graft.streaming.StreamingOps.bucketZero, it.map(_._2))
+        Iterator((user, st.n, st.adm))
+      }
+      .toDF("user_id", "n_events", "n_admitted")
+      .withColumn("n_rejected", $"n_events" - $"n_admitted")
+      .orderBy($"user_id")
+  }
+  private val q284Sql =
+    """WITH RECURSIVE
+      |ser AS MATERIALIZED (SELECT user_id, epoch_ns(ts) AS ts, event_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ns(ts), event_id) AS BIGINT) AS rn
+      |  FROM events),
+      |nn AS (SELECT user_id, max(rn) AS n_events FROM ser GROUP BY 1),
+      |st(user_id, rn, avail, adm) AS (
+      |  SELECT user_id, CAST(1 AS BIGINT), CAST(4 AS BIGINT),
+      |    CAST(1 AS BIGINT) FROM ser WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.user_id, s.rn,
+      |    CASE WHEN least(5, st.avail + (s.ts - p.ts) // 600000000000) > 0
+      |      THEN least(5, st.avail + (s.ts - p.ts) // 600000000000) - 1
+      |      ELSE least(5, st.avail + (s.ts - p.ts) // 600000000000) END,
+      |    st.adm + CASE WHEN least(5, st.avail
+      |        + (s.ts - p.ts) // 600000000000) > 0
+      |      THEN 1 ELSE 0 END
+      |  FROM st
+      |  JOIN ser s ON s.user_id = st.user_id AND s.rn = st.rn + 1
+      |  JOIN ser p ON p.user_id = st.user_id AND p.rn = st.rn)
+      |SELECT st.user_id, nn.n_events, st.adm AS n_admitted,
+      |  nn.n_events - st.adm AS n_rejected
+      |FROM st JOIN nn ON st.user_id = nn.user_id AND st.rn = nn.n_events
+      |ORDER BY st.user_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q176_funnel_paths", q176, Some(q176Sql)),
     QueryDef("q188_attribution", q188, Some(q188Sql)),
     QueryDef("q259_markov_attribution", q259, Some(q259Sql)),
     QueryDef("q266_subsequence_support", q266, Some(q266Sql)),
+    QueryDef("q284_token_bucket", q284, Some(q284Sql)),
+    QueryDef("q285_token_bucket_stream", q285, Some(q284Sql)),
   )
+
+  /** q285: the SAME token-bucket replay through a real FileStreamSource →
+    * `transformWithState` → memory-sink streaming query, hash-gated
+    * against q284's batch oracle — the q224/q233/q264 triple-path
+    * discipline applied to the rate limiter: the batch sorted-group fold
+    * and the streaming RocksDB-state processor share one fold function
+    * ([[graft.streaming.StreamingOps.foldBucketOrdered]]), and this gate
+    * pins the streaming exec to the recursive-CTE fixed point. */
+  private def q285(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
+    }
+    val ev = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(streamPath)
+      .select($"user_id",
+        (unix_micros($"ts".cast("timestamp")) * 1000L).as("ts"),
+        $"event_id")
+      .as[(Long, Long, Long)]
+    val sink = "q285_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    val q = try {
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      graft.streaming.StreamingOps.rateLimitTws(ev)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    } finally prevProvider match {
+      case Some(v) => s.conf.set(providerKey, v)
+      case None => s.conf.unset(providerKey)
+    }
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"q285 expects ONE data micro-batch (the in-batch sort then sees " +
+        s"each user's full history); got $dataBatches — raise maxFilesPerTrigger")
+    s.table(sink)
+      .select($"user_id", $"n_events", $"n_admitted",
+        ($"n_events" - $"n_admitted").as("n_rejected"))
+      .orderBy($"user_id")
+  }
 }

@@ -839,8 +839,70 @@ object VectorQueries extends QueryModule {
        |SELECT rk, vec_id, rel9, score9 FROM ($out) u ORDER BY rk""".stripMargin
   }
 
+  /** q282: matryoshka truncation recall — "how much ranking do the first
+    * 16 of 64 dimensions keep", the eval that decides whether truncated
+    * (MRL-style) embeddings can serve first-stage retrieval: for every
+    * ~157th query vector, exact top-5 by full-dimension cosine vs top-5
+    * by 16-dim-prefix cosine (prefix norms, same kernel), recall =
+    * overlap/5. Both rankings round at 9 dp with id tie-break (q29's
+    * ulp discipline) so the compared sets are pinned; candidate
+    * generation is the sampled-query × corpus pass whose cost is
+    * |queries|·n, not n² — the recall-audit shape of q70/q93 applied to
+    * the truncation axis. */
+  private def q282(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val n = normed(s, dir)
+      .withColumn("v16", slice($"v", 1, 16))
+      .withColumn("nrm16", vector.norm($"v16"))
+      .localCheckpoint(true)
+    val qs = n.filter($"vec_id" % 157 === 0)
+    def top5(simCol: Column) = qs.as("a")
+      .join(n.as("b"), $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("qid"), $"b.vec_id".as("nn"),
+        round(simCol, 9).as("sim"))
+      .groupBy($"qid")
+      .agg(aggregates.topKByScore($"sim", $"nn", 5).as("top"))
+      .select($"qid", explode($"top.id").as("nn"))
+    val full = top5(vector.dot($"a.v", $"b.v") / ($"a.nrm" * $"b.nrm"))
+    val trunc = top5(vector.dot($"a.v16", $"b.v16") / ($"a.nrm16" * $"b.nrm16"))
+    full.join(trunc, Seq("qid", "nn"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_common"))
+      .select($"qid", $"n_common",
+        round($"n_common".cast("double") / 5.0, 6).as("recall6"))
+      .orderBy($"qid")
+  }
+  private val q282Sql = {
+    val cos16 =
+      """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(range(1, 17), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
+        |    / (a.nrm16 * b.nrm16)""".stripMargin
+    s"""$normedSql,
+       |n2 AS (SELECT vec_id, v, nrm,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(v[1:16], x -> x * x)), (a, b) -> a + b)) AS nrm16
+       |  FROM n),
+       |qs AS (SELECT * FROM n2 WHERE vec_id % 157 = 0),
+       |pf AS (SELECT a.vec_id AS qid, b.vec_id AS nn,
+       |    round($cosDuck, 9) AS sim
+       |  FROM qs a JOIN n2 b ON a.vec_id <> b.vec_id),
+       |rf AS (SELECT qid, nn, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, nn) AS rk FROM pf),
+       |pt AS (SELECT a.vec_id AS qid, b.vec_id AS nn,
+       |    round($cos16, 9) AS sim
+       |  FROM qs a JOIN n2 b ON a.vec_id <> b.vec_id),
+       |rt AS (SELECT qid, nn, row_number() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, nn) AS rk FROM pt)
+       |SELECT rf.qid, CAST(count(*) AS BIGINT) AS n_common,
+       |  round(CAST(count(*) AS DOUBLE) / 5.0, 6) AS recall6
+       |FROM rf JOIN rt ON rf.qid = rt.qid AND rf.nn = rt.nn
+       |WHERE rf.rk <= 5 AND rt.rk <= 5
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q281_mmr_select", q281, Some(q281Sql)),
+    QueryDef("q282_matryoshka_recall", q282, Some(q282Sql)),
     QueryDef("q256_pca_power", q256, Some(q256Sql)),
     QueryDef("q262_grid_density_clusters", q262, Some(q262Sql)),
     QueryDef("q257_label_propagation", q257, Some(q257Sql)),

@@ -192,4 +192,63 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** Per-key token-bucket state: available tokens, last event ts (ns),
+    * whether any event was seen, and the running admit/total counters. */
+  final case class BucketState(avail: Long, prevTs: Long, seen: Boolean,
+      n: Long, adm: Long)
+  final case class BucketRow(user_id: Long, n_events: Long, n_admitted: Long)
+
+  val bucketZero: BucketState = BucketState(5L, 0L, seen = false, 0L, 0L)
+
+  /** The one token-bucket fold the batch (q284 flatMapSortedGroups) and
+    * streaming (q285 transformWithState) paths share — capacity 5, one
+    * token per 10 minutes, whole-token refill credit per gap (integer
+    * ns div). Caller guarantees ts order; the recurrence's min-cap makes
+    * it non-associative, so order IS the contract. */
+  def foldBucketOrdered(start: BucketState, tss: Iterator[Long]): BucketState = {
+    var st = start
+    tss.foreach { ts =>
+      var avail = st.avail
+      if (st.seen) avail = math.min(5L, avail + (ts - st.prevTs) / 600000000000L)
+      val admit = avail > 0
+      st = BucketState(if (admit) avail - 1 else avail, ts, seen = true,
+        st.n + 1, st.adm + (if (admit) 1 else 0))
+    }
+    st
+  }
+
+  /** q285's processor: buffers the micro-batch's rows per key, sorts by
+    * (ts, event_id) — arrival order is not time order — and runs the
+    * shared fold. Per-key persistent state is ONE BucketState; the
+    * in-batch sort is bounded by the key's rows per micro-batch (the
+    * single-replay gate feeds one batch; a production deployment feeds
+    * many small ones, bounding the buffer the same way q233's does). */
+  class BucketProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Long), BucketRow] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[BucketState] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[BucketState]("bucket",
+        org.apache.spark.sql.Encoders.product[BucketState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[(Long, Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[BucketRow] = {
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      val st = foldBucketOrdered(
+        Option(state.get()).getOrElse(bucketZero), sorted.iterator.map(_._2))
+      state.update(st)
+      Iterator.single(BucketRow(userId, st.n, st.adm))
+    }
+  }
+
+  /** Token-bucket admission over a (user_id, ts_ns, event_id) stream via
+    * transformWithState; Update mode emits each key's post-batch
+    * counters. */
+  def rateLimitTws(ev: Dataset[(Long, Long, Long)]): Dataset[BucketRow] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_._1)
+      .transformWithState(new BucketProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }
