@@ -864,6 +864,88 @@ object CorpusModelQueries extends QueryModule {
       |FROM b JOIN iso USING (bin) ORDER BY bin""".stripMargin
   }
 
+  /** q286: split-conformal prediction interval for the q160 probe — the
+    * distribution-free guarantee layer over the score: on a hash-split
+    * calibration half, take the ceil(0.9·(n+1))-th smallest
+    * nonconformity |label − score| as q̂; conformal theory then promises
+    * ≥90% of held-out docs fall within q̂, and the gate MEASURES that
+    * coverage on the disjoint eval half (the audit a scorer publishes
+    * next to its intervals). The order statistic comes from score-cell
+    * counts + [[graft.operators.DistributedScan.prefixSums]] — never a
+    * global row_number — and the split is the q60 md5 bucket, so
+    * calibration membership survives reruns and resizes. All arithmetic
+    * until the final coverage ratio is exact (counts, 9 dp scores);
+    * k = ceil is the integer (9(n+1)+9) div 10 in both engines. */
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feat = featFrame(s, dir)
+    val model = graft.ml.LinearProbe.fitGD(feat, "f", "label",
+      dims = 3, lr = 0.5, iters = 3)
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        array(($"n_chars" / 100.0), (size($"toks") / 10.0),
+          (size(array_distinct($"toks")).cast("double") / size($"toks")))
+          .as("f"),
+        when($"lang" === "en", 1.0).otherwise(0.0).as("label"))
+      .select($"doc_id", $"label", model.scoreCol($"f").as("score"))
+      .withColumn("s", abs($"label" - $"score"))
+      .withColumn("grp",
+        when(CurationQueries.hashBucket("doc_id") % 2 === 0, "calib")
+          .otherwise("eval"))
+    val cells = scored.filter($"grp" === "calib")
+      .groupBy($"s").agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum($"c").as("n_calib"))
+      .withColumn("k", expr("(9 * (n_calib + 1) + 9) div 10"))
+      .withColumn("one", pmod($"n_calib", lit(1L)))
+    val qhat = graft.operators.DistributedScan
+      .prefixSums(cells, Seq(col("s")), Seq("c"))
+      .withColumn("one", pmod($"c_cum", lit(1L)))
+      .join(broadcast(tot), "one")
+      .filter($"c_cum" >= $"k")
+      .groupBy($"n_calib").agg(min($"s").as("qhat"))
+    scored.filter($"grp" === "eval")
+      .crossJoin(broadcast(qhat))
+      .groupBy($"n_calib", $"qhat")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when($"s" <= $"qhat", 1L).otherwise(0L)).as("n_cov"))
+      .select($"n_calib", $"n_eval", round($"qhat", 9).as("qhat9"),
+        round($"n_cov".cast("double") / $"n_eval", 6).as("coverage6"))
+  }
+  private val q286Sql = {
+    val m = s"(w.b + w.w1 * f1 + w.w2 * f2 + w.w3 * f3)"
+    val p = s"round(0.5 + 0.5 * $m / (1.0 + abs($m)), 9)"
+    val bucket = CurationQueries.duckBucket("doc_id")
+    s"""WITH feat AS (SELECT doc_id,
+      |    n_chars / 100.0 AS f1,
+      |    len(string_split(text, ' ')) / 10.0 AS f2,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS f3,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS label
+      |  FROM documents),
+      |w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b),
+      |${gdRound("w0", "wa")},
+      |${gdRound("wa", "wb")},
+      |${gdRound("wb", "wc")},
+      |scored AS (SELECT doc_id, label, abs(label - $p) AS s,
+      |    CASE WHEN $bucket % 2 = 0 THEN 'calib' ELSE 'eval' END AS grp
+      |  FROM feat CROSS JOIN wc w),
+      |cells AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM scored
+      |  WHERE grp = 'calib' GROUP BY s),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_calib,
+      |    (9 * (CAST(sum(c) AS BIGINT) + 1) + 9) // 10 AS k FROM cells),
+      |sc AS (SELECT s, CAST(sum(c) OVER (ORDER BY s
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c_cum FROM cells),
+      |qh AS (SELECT t.n_calib, min(sc.s) AS qhat
+      |  FROM sc CROSS JOIN tot t WHERE sc.c_cum >= t.k GROUP BY 1)
+      |SELECT q.n_calib, CAST(count(*) AS BIGINT) AS n_eval,
+      |  round(q.qhat, 9) AS qhat9,
+      |  round(CAST(sum(CASE WHEN e.s <= q.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS coverage6
+      |FROM scored e CROSS JOIN qh q WHERE e.grp = 'eval'
+      |GROUP BY q.n_calib, q.qhat""".stripMargin
+  }
+
   /** q263: per-cluster centroid silhouette — the cluster-quality readout
     * over the q142 assignment: each point's simplified silhouette
     * s = (d₂ − d₁) / max(d₁, d₂) from its two nearest centroids (the
@@ -919,5 +1001,6 @@ object CorpusModelQueries extends QueryModule {
     QueryDef("q201_model_auc", q201, Some(q201Sql)),
     QueryDef("q269_average_precision", q269, Some(q269Sql)),
     QueryDef("q270_isotonic_calibration", q270, Some(q270Sql)),
+    QueryDef("q286_conformal_interval", q286, Some(q286Sql)),
   )
 }

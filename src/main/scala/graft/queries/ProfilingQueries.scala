@@ -260,7 +260,52 @@ object ProfilingQueries extends QueryModule {
       |      THEN round(1.0 / (l_quantity - 50), 9) END) AS max_inv_gap
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q288: differentially-private count release (Laplace mechanism,
+    * ε = 0.1, sensitivity 1 → scale b = 10) — the governance layer next
+    * to q169's PII masking: per-event-type counts with calibrated noise
+    * from the inverse Laplace CDF. "Random" draws are the q238 seeded
+    * LCG keyed by each type's alphabetical rank, so the release is
+    * bit-reproducible and the DuckDB oracle replays the mechanism
+    * exactly (a real deployment rotates the seed and withholds n_true;
+    * this gate audits the MECHANISM — noise magnitude and the ±b·ln(2u)
+    * branch structure — not a production release). u maps to (0,1) as
+    * (u+0.5)/2³¹ so ln never sees 0; outputs round at 4 dp after the one
+    * float expression, written textually identically in both engines. */
+  private def q288(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .groupBy($"event_type").agg(count(lit(1)).as("n_true"))
+    val seeded = counts
+      .withColumn("k", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"event_type")).cast("long"))
+      .withColumn("u", (lit(1103515245L) *
+        (($"k" * 2654435761L) % 2147483648L) + 12345L) % 2147483648L)
+      .withColumn("u01", ($"u" + 0.5) / 2147483648.0)
+    seeded.withColumn("noise",
+        when($"u01" < 0.5, lit(10.0) * log(lit(2.0) * $"u01"))
+          .otherwise(lit(-10.0) * log(lit(2.0) * (lit(1.0) - $"u01"))))
+      .select($"event_type", $"n_true",
+        round($"n_true" + $"noise", 4).as("released4"))
+      .orderBy($"event_type")
+  }
+  private val q288Sql =
+    """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+      |  FROM events GROUP BY 1),
+      |k AS (SELECT event_type, n_true,
+      |    CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS k
+      |  FROM c),
+      |u AS (SELECT event_type, n_true,
+      |    (1103515245 * ((k * 2654435761) % 2147483648) + 12345)
+      |      % 2147483648 AS u
+      |  FROM k),
+      |n AS (SELECT event_type, n_true, (u + 0.5) / 2147483648.0 AS u01 FROM u)
+      |SELECT event_type, n_true,
+      |  round(n_true + CASE WHEN u01 < 0.5 THEN 10.0 * ln(2.0 * u01)
+      |    ELSE -10.0 * ln(2.0 * (1.0 - u01)) END, 4) AS released4
+      |FROM n ORDER BY event_type""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q288_dp_release", q288, Some(q288Sql)),
     QueryDef("q166_regr_family", q166, Some(q166Sql)),
     QueryDef("q167_width_bucket", q167, Some(q167Sql)),
     QueryDef("q168_try_cast", q168, Some(q168Sql)),

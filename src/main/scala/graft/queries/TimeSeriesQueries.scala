@@ -1011,8 +1011,62 @@ object TimeSeriesQueries extends QueryModule {
       |FROM st JOIN n ON st.event_type = n.event_type AND st.rn = n.n_days
       |ORDER BY st.event_type""".stripMargin
 
+  /** q287: forecast backtest — the eval q267's forecaster needs before
+    * anyone trusts it: on each event type's daily-revenue series, score
+    * naive (previous observation) against seasonal-naive (7 observations
+    * back) on the last 7 observed days by MAE, in integer cents
+    * end-to-end (|actual − pred| summed exactly, one integer division —
+    * no float ever enters). Holdout rows count only where BOTH baselines
+    * have a prediction (lag-7 exists), so the comparison is paired;
+    * winner ties break to 'tie'. The series is calendar×type-bounded,
+    * the lags are per-type windows — one shuffle on event_type. */
+  private def q287(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", expr("ts div 86400000000000").as("day"))
+      .agg(sum(round($"value" * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val lagged = daily
+      .withColumn("p_naive", lag($"cents", 1).over(w))
+      .withColumn("p_snaive", lag($"cents", 7).over(w))
+      .withColumn("rn_desc", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"day".desc)))
+    lagged.filter($"rn_desc" <= 7 && $"p_snaive".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("sum(abs(cents - p_naive)) div count(1)").as("mae_naive_cents"),
+        expr("sum(abs(cents - p_snaive)) div count(1)").as("mae_snaive_cents"))
+      .withColumn("winner",
+        when($"mae_naive_cents" < $"mae_snaive_cents", "naive")
+          .when($"mae_snaive_cents" < $"mae_naive_cents", "seasonal_naive")
+          .otherwise("tie"))
+      .orderBy($"event_type")
+  }
+  private val q287Sql =
+    """WITH daily AS (SELECT event_type,
+      |    epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |lagged AS (SELECT event_type, day, cents,
+      |    lag(cents, 1) OVER (PARTITION BY event_type ORDER BY day) AS p_naive,
+      |    lag(cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS p_snaive,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day DESC) AS rd
+      |  FROM daily),
+      |h AS (SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(abs(cents - p_naive)) // count(*) AS BIGINT) AS mae_naive_cents,
+      |    CAST(sum(abs(cents - p_snaive)) // count(*) AS BIGINT) AS mae_snaive_cents
+      |  FROM lagged WHERE rd <= 7 AND p_snaive IS NOT NULL
+      |  GROUP BY 1)
+      |SELECT event_type, n_days, mae_naive_cents, mae_snaive_cents,
+      |  CASE WHEN mae_naive_cents < mae_snaive_cents THEN 'naive'
+      |    WHEN mae_snaive_cents < mae_naive_cents THEN 'seasonal_naive'
+      |    ELSE 'tie' END AS winner
+      |FROM h ORDER BY event_type""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q267_holt_forecast", q267, Some(q267Sql)),
+    QueryDef("q287_forecast_backtest", q287, Some(q287Sql)),
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q240_segmented_trend", q240, Some(q240Sql)),
     QueryDef("q243_seasonal_anomaly", q243, Some(q243Sql)),
