@@ -634,9 +634,63 @@ object InferenceQueries extends QueryModule {
       |FROM e""".stripMargin
   }
 
+  /** q289: one-way ANOVA F across ALL event types (k > 2 — where the
+    * pairwise tests q180/q278 stop): does mean per-event revenue differ
+    * anywhere among the groups? Per-group exact cells (n, Σcents,
+    * Σcents²) — one combinable aggregate, 3k numbers — then
+    * F = (SSB/(k−1)) / (SSW/(n−k)) with SSB/SSW assembled from the
+    * cells in doubles, identical expression text in both engines
+    * (q278's moment discipline). Per-group SSW/SSB terms are doubles,
+    * but their cross-group SUM is order-pinned by rounding each term at
+    * 6 dp and summing as exact DECIMAL — a float sum over even a k-row
+    * frame would depend on partition order. Output: F and the df pair. */
+  private def q289(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .withColumn("cents", round($"value" * 100).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sx"),
+        sum($"cents" * $"cents").as("sxx"))
+    // tiny k-row frame: assemble grand cells in deterministic group order
+    val g = cells.orderBy($"event_type")
+      .agg(count(lit(1)).as("k"), sum($"n").as("nt"),
+        sum($"sx").as("sxt"),
+        sum(round($"sxx".cast("double") -
+          ($"sx".cast("double") * $"sx" / $"n"), 6)
+          .cast("decimal(38,6)")).cast("double").as("ssw"),
+        sum(round($"sx".cast("double") * $"sx" / $"n", 6)
+          .cast("decimal(38,6)")).cast("double").as("sb_raw"))
+    g.select($"k", $"nt",
+        round(((($"sb_raw" - $"sxt".cast("double") * $"sxt" / $"nt")
+            / ($"k" - 1.0)) /
+          ($"ssw" / ($"nt".cast("double") - $"k"))), 6).as("f6"))
+      .select($"k", $"nt".as("n_total"), $"f6")
+  }
+  private val q289Sql =
+    """WITH cells AS (SELECT event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)
+      |      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+      |  FROM events GROUP BY 1 ORDER BY 1),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(n) AS BIGINT) AS nt,
+      |    CAST(sum(sx) AS BIGINT) AS sxt,
+      |    CAST(sum(CAST(round(CAST(sxx AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) * sx / n), 6) AS DECIMAL(38,6)))
+      |      AS DOUBLE) AS ssw,
+      |    CAST(sum(CAST(round(CAST(sx AS DOUBLE) * sx / n, 6)
+      |      AS DECIMAL(38,6))) AS DOUBLE) AS sb_raw
+      |  FROM cells)
+      |SELECT k, nt AS n_total,
+      |  round(((sb_raw - CAST(sxt AS DOUBLE) * sxt / nt) / (k - 1.0))
+      |    / (ssw / (CAST(nt AS DOUBLE) - k)), 6) AS f6
+      |FROM g""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q114_ks_test", q114, Some(q114Sql)),
     QueryDef("q278_welch_ttest", q278, Some(q278Sql)),
+    QueryDef("q289_anova_f", q289, Some(q289Sql)),
     QueryDef("q251_diff_in_diff", q251, Some(q251Sql)),
     QueryDef("q180_ab_ztest", q180, Some(q180Sql)),
     QueryDef("q227_quantile_lift", q227, Some(q227Sql)),

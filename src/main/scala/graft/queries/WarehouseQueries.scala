@@ -356,6 +356,60 @@ object WarehouseQueries extends QueryModule {
       |FROM e JOIN f ON e.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q290: cohort LTV curve — q76 counts who CAME BACK; this accumulates
+    * what each signup cohort has SPENT by day-offset (the cumulative
+    * revenue-per-cohort-age curve a growth team reads payback periods
+    * off). Purchase cents aggregate per (cohort_day, day_offset) —
+    * exact longs — then the cumulative curve is a per-cohort running
+    * sum over the calendar-bounded offset frame plus an exact
+    * per-user-count division (cents-per-user, integer div). Shuffle
+    * profile: one groupBy user (first ts), one join back, one grouped
+    * sum, one bounded window per cohort. */
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_type", $"value")
+    val first = ev.groupBy($"user_id").agg(min($"ts").as("first_ts"))
+    val sized = first
+      .select(expr("first_ts div 86400000000000").as("cohort_day"), $"user_id")
+      .groupBy($"cohort_day").agg(countDistinct($"user_id").as("cohort_users"))
+    val rev = ev.filter($"event_type" === "purchase")
+      .join(first, "user_id")
+      .select(expr("first_ts div 86400000000000").as("cohort_day"),
+        expr("(ts - first_ts) div 86400000000000").as("day_offset"),
+        round($"value" * 100).cast("long").as("cents"))
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(sum($"cents").as("cents"))
+    val w = Window.partitionBy($"cohort_day").orderBy($"day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rev.withColumn("cum_cents", sum($"cents").over(w))
+      .join(sized, "cohort_day")
+      .select($"cohort_day", $"day_offset", $"cum_cents",
+        expr("cum_cents div cohort_users").as("ltv_cents_per_user"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+  private val q290Sql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type, value
+      |  FROM events),
+      |f AS (SELECT user_id, min(tsn) AS first_ts FROM e GROUP BY 1),
+      |sized AS (SELECT first_ts // 86400000000000 AS cohort_day,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_users
+      |  FROM f GROUP BY 1),
+      |rev AS (SELECT f.first_ts // 86400000000000 AS cohort_day,
+      |    (e.tsn - f.first_ts) // 86400000000000 AS day_offset,
+      |    CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM e JOIN f ON e.user_id = f.user_id
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |c AS (SELECT cohort_day, day_offset, cents,
+      |    CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY day_offset
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |  FROM rev)
+      |SELECT c.cohort_day, c.day_offset, c.cum_cents,
+      |  c.cum_cents // s.cohort_users AS ltv_cents_per_user
+      |FROM c JOIN sized s USING (cohort_day)
+      |ORDER BY c.cohort_day, c.day_offset""".stripMargin
+
   /** q77: salted skew join — fact rows salt by hash(event_id) mod 8, the
     * dimension replicates across all 8 salts, and the join runs on
     * (user_id, salt) so one hot user fans across 8 tasks instead of one
@@ -674,6 +728,7 @@ object WarehouseQueries extends QueryModule {
     QueryDef("q231_sla_attainment", q231, Some(q231Sql)),
     QueryDef("q75_funnel_window", q75, Some(q75Sql)),
     QueryDef("q76_cohort_retention", q76, Some(q76Sql)),
+    QueryDef("q290_cohort_ltv", q290, Some(q290Sql)),
     QueryDef("q77_skew_salted_join", q77, Some(q77Sql)),
     QueryDef("q96_snapshot_diff", q96, Some(q96Sql)),
     QueryDef("q104_streaks", q104, Some(q104Sql)),
