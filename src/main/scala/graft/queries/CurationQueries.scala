@@ -531,8 +531,63 @@ object CurationQueries extends QueryModule {
       |FROM c2 CROSS JOIN star s
       |ORDER BY c2.source""".stripMargin
 
+  /** q292: Zipf slope — OLS of ln(freq) on ln(rank) over the top-1000
+    * token ranks, the one-number corpus-health diagnostic (natural text
+    * sits near −1; template/boilerplate-heavy corpora flatten, spam
+    * steepens — a drift in this slope is a cheap tripwire before
+    * retraining a tokenizer). The data-sized step is the token count;
+    * ranking the vocabulary frame and the regression run on ≤1000 rows.
+    * Per-rank ln terms are doubles, so — ANOVA's q289 lesson — every
+    * cross-rank sum is order-pinned: each term rounds at 9 dp and sums
+    * as exact DECIMAL(38,9) before the one closed-form slope. Rank ties
+    * break by token so both engines rank identically. */
+  private def q292(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freq = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("f"))
+    val ranked = freq
+      .withColumn("r", row_number().over(
+        Window.orderBy($"f".desc, $"tok")).cast("long"))
+      .filter($"r" <= 1000)
+      .select($"r", log($"r".cast("double")).as("x"),
+        log($"f".cast("double")).as("y"))
+    def pinned(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast("decimal(38,9)")).cast("double")
+    ranked.agg(count(lit(1)).as("n"),
+        pinned($"x").as("sx"), pinned($"y").as("sy"),
+        pinned($"x" * $"y").as("sxy"), pinned($"x" * $"x").as("sxx"))
+      .select($"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx"), 6).as("zipf_slope6"),
+        round(($"sy" - (($"n" * $"sxy" - $"sx" * $"sy") /
+          ($"n" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"n", 6)
+          .as("intercept6"))
+  }
+  private val q292Sql =
+    """WITH freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+      |  GROUP BY 1),
+      |ranked AS (SELECT
+      |    CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT) AS r, f
+      |  FROM freq QUALIFY r <= 1000),
+      |xy AS (SELECT r, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+      |  FROM ranked),
+      |cells AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+      |  FROM xy)
+      |SELECT n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope6,
+      |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+      |    AS intercept6
+      |FROM cells""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q283_unimax_budget", q283, Some(q283Sql)),
+    QueryDef("q292_zipf_slope", q292, Some(q292Sql)),
     QueryDef("q67_connected_components", q67, Some(q67Sql)),
     QueryDef("q148_split_leakage", q148, Some(q148Sql)),
     QueryDef("q149_epoch_shuffle", q149, Some(q149Sql)),

@@ -508,7 +508,70 @@ object GraphTraversalQueries extends QueryModule {
     QueryDef("q268_pseudo_diameter", q268, Some(q268Sql)),
     QueryDef("q272_stress_centrality", q272, Some(q272Sql)),
     QueryDef("q280_ktruss", q280, Some(q280Sql)),
+    QueryDef("q291_assortativity", q291, Some(q291Sql)),
   )
+
+  /** q291: degree assortativity — the Pearson correlation of endpoint
+    * degrees over the symmetric co-purchase-adjacency edge list
+    * (Newman's r): do high-degree parts connect to other hubs (r > 0)
+    * or to leaves (r < 0)? The quantity that says whether the graph's
+    * hubs form a rich club — which decides whether hub-capping
+    * strategies like q236's deg≤64 prune bite. Degrees are exact longs,
+    * all five moment sums over edges are exact longs (deg ≤ a few
+    * hundred here, so Σd·d′ over |E| edges sits far inside int64; the
+    * cite-able bound is |E|·maxdeg² < 2⁶³), and r is one double formula
+    * over the six cells rounded at 6 dp — the q116/q278 moment
+    * discipline on a graph. */
+  private def q291(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val adj = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+    val edges = adj.select($"u".as("src"), $"v".as("dst"))
+      .union(adj.select($"v".as("src"), $"u".as("dst"))).distinct()
+      .localCheckpoint(true)
+    val deg = edges.groupBy($"src".as("id")).agg(count(lit(1)).as("d"))
+    val cells = edges
+      .join(deg.select($"id".as("src"), $"d".as("du")), "src")
+      .join(deg.select($"id".as("dst"), $"d".as("dv")), "dst")
+      .agg(count(lit(1)).as("m"),
+        sum($"du").as("sx"), sum($"dv").as("sy"),
+        sum($"du" * $"dv").as("sxy"),
+        sum($"du" * $"du").as("sxx"), sum($"dv" * $"dv").as("syy"))
+    val (n, sx, sy) = ($"m".cast("double"), $"sx".cast("double"),
+      $"sy".cast("double"))
+    cells.select($"m".as("n_directed_edges"),
+      round((n * $"sxy" - sx * sy) /
+        (sqrt(n * $"sxx" - sx * sx) * sqrt(n * $"syy" - sy * sy)), 6)
+        .as("assortativity6"))
+  }
+  private val q291Sql =
+    """WITH adj AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey
+      |    AND b.l_linenumber = a.l_linenumber + 1
+      |  WHERE a.l_partkey <> b.l_partkey),
+      |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      |  SELECT u AS src, v AS dst FROM adj
+      |  UNION ALL SELECT v, u FROM adj) t),
+      |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d
+      |  FROM e GROUP BY 1),
+      |cells AS (SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(a.d) AS BIGINT) AS sx, CAST(sum(b.d) AS BIGINT) AS sy,
+      |    CAST(sum(a.d * b.d) AS BIGINT) AS sxy,
+      |    CAST(sum(a.d * a.d) AS BIGINT) AS sxx,
+      |    CAST(sum(b.d * b.d) AS BIGINT) AS syy
+      |  FROM e JOIN deg a ON e.src = a.id JOIN deg b ON e.dst = b.id)
+      |SELECT m AS n_directed_edges,
+      |  round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |      * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+      |    AS assortativity6
+      |FROM cells""".stripMargin
 
   private val trussRounds = 3
 
