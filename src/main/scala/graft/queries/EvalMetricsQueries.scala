@@ -374,7 +374,68 @@ object EvalMetricsQueries extends QueryModule {
       |  (SELECT mean4 FROM r WHERE r = 1) AS lo4,
       |  (SELECT mean4 FROM r WHERE r = 39) AS hi4""".stripMargin
 
+  /** q293: Kendall τ-b between two part leaderboards — rank agreement by
+    * PAIR concordance, completing the agreement family (q235's RBO is
+    * top-weighted overlap; τ-b is the unweighted pairwise view with
+    * principled tie handling): over the top-100 parts by revenue, do
+    * revenue and unit volume order them the same way? Both metrics are
+    * exact longs, so concordant/discordant/tied pair counts over the
+    * bounded 100-row frame (broadcast self-join on part id order, 4950
+    * pairs) are exact integers; τ-b = (C − D) / √((n₀−t_r)(n₀−t_q)) is
+    * one double formula, 6 dp. The data-sized step is the one revenue
+    * aggregate; everything after runs on the bounded leaderboard. */
+  private def q293(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType
+    val term = $"l_extendedprice".cast(dec(12, 2)) *
+      (lit(BigDecimal("1.00")).cast(dec(3, 2)) -
+        $"l_discount".cast(dec(4, 2)))
+    val top = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      // exact decimal sum (scale 4) ×10⁴ → integer hundredths-of-a-cent
+      .agg((sum(term) * 10000).cast("long").as("rev_c4"),
+        sum($"l_quantity".cast("long")).as("qty"))
+      .orderBy($"rev_c4".desc, $"l_partkey").limit(100)
+      .localCheckpoint(true)
+    val pairs = top.as("a").join(broadcast(top.as("b")),
+        $"a.l_partkey" < $"b.l_partkey")
+      .select(
+        signum($"a.rev_c4" - $"b.rev_c4").cast("long").as("dr"),
+        signum($"a.qty" - $"b.qty").cast("long").as("dq"))
+    pairs.agg(count(lit(1)).as("n0"),
+        sum(when($"dr" * $"dq" > 0, 1L).otherwise(0L)).as("c"),
+        sum(when($"dr" * $"dq" < 0, 1L).otherwise(0L)).as("d"),
+        sum(when($"dr" === 0, 1L).otherwise(0L)).as("tr"),
+        sum(when($"dq" === 0, 1L).otherwise(0L)).as("tq"))
+      .select($"n0", $"c", $"d",
+        round(($"c" - $"d").cast("double") /
+          sqrt(($"n0" - $"tr").cast("double") * ($"n0" - $"tq")), 6)
+          .as("tau_b6"))
+  }
+  private val q293Sql =
+    """WITH top AS (SELECT l_partkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1.00 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |      * 10000 AS BIGINT) AS rev_c4,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1
+      |  ORDER BY rev_c4 DESC, l_partkey LIMIT 100),
+      |p AS (SELECT CAST(sign(a.rev_c4 - b.rev_c4) AS BIGINT) AS dr,
+      |    CAST(sign(a.qty - b.qty) AS BIGINT) AS dq
+      |  FROM top a JOIN top b ON a.l_partkey < b.l_partkey),
+      |cells AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN dr * dq > 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN dr * dq < 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN dr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+      |    CAST(sum(CASE WHEN dq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tq
+      |  FROM p)
+      |SELECT n0, c, d,
+      |  round(CAST(c - d AS DOUBLE)
+      |    / sqrt(CAST(n0 - tr AS DOUBLE) * (n0 - tq)), 6) AS tau_b6
+      |FROM cells""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q293_kendall_tau", q293, Some(q293Sql)),
     QueryDef("q234_ndcg_mrr", q234, Some(q234Sql)),
     QueryDef("q235_rank_biased_overlap", q235, Some(q235Sql)),
     QueryDef("q237_kaplan_meier", q237, Some(q237Sql)),

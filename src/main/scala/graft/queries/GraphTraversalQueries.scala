@@ -660,7 +660,11 @@ object GraphTraversalQueries extends QueryModule {
     val edges = adj.select($"u".as("src"), $"v".as("dst"))
       .union(adj.select($"v".as("src"), $"u".as("dst"))).distinct()
       .localCheckpoint(true)
-    val seed = edges.agg(min($"src")).collect().head.getLong(0)
+    val seedRow = edges.agg(min($"src")).collect().head
+    if (seedRow.isNullAt(0))   // empty graph: empty result, not an NPE
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("seed_id", "far1_id", "ecc1", "far2_id", "pseudo_diameter")
+    val seed = seedRow.getLong(0)
     val b1 = Graph.bfsHops(edges, Seq(seed).toDF("id"), pdHops)
     val far1Row = b1.orderBy($"hop".desc, $"id").limit(1).collect().head
     val (far1, ecc1) = (far1Row.getLong(0), far1Row.getInt(1))

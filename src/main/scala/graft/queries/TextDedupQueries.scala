@@ -278,6 +278,54 @@ object TextDedupQueries extends QueryModule {
       |SELECT doc_a, doc_b, n_bands FROM pr
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q294: FUZZY decontamination — q63 removes training docs that share
+    * an exact 8-gram with the eval split; real leakage is usually a
+    * paraphrase or near-copy that exact n-grams miss, so this gate runs
+    * the q27 minhash banding across the split boundary instead: candidate
+    * pairs whose band signatures collide AND whose members sit in
+    * different q60 hash splits flag the TRAIN member (the doc a curation
+    * pipeline must drop before the eval number means anything). Reuses
+    * [[minhashBandPairs]] verbatim — the banded bipartite join is the
+    * same shuffle-on-(band, signature) shape, split labels attach after
+    * candidate generation by two id-key joins (q203's pattern), so scale
+    * behavior is exactly q27's. Output per contaminated train doc: how
+    * many eval docs it collides with and the strongest collision. */
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val split = Tables.documents(s, dir)
+      .select($"doc_id", CurationQueries.splitColumn("doc_id").as("split"))
+    minhashBandPairs(s, dir, minBands = 2)
+      .join(split.select($"doc_id".as("doc_a"), $"split".as("sa")), Seq("doc_a"))
+      .join(split.select($"doc_id".as("doc_b"), $"split".as("sb")), Seq("doc_b"))
+      .filter($"sa" =!= $"sb")
+      .select(
+        when($"sa" === "train", $"doc_a").otherwise($"doc_b").as("train_doc"),
+        when($"sa" === "train", $"doc_b").otherwise($"doc_a").as("eval_doc"),
+        $"n_bands")
+      .groupBy($"train_doc")
+      .agg(count(lit(1)).as("n_eval_matches"), max($"n_bands").as("max_bands"))
+      .orderBy($"train_doc")
+  }
+  private val q294Sql = {
+    val bucket = CurationQueries.duckBucket("doc_id")
+    s"""$shinglesSql,
+      |$minhashPairsSqlCtes,
+      |sp AS (SELECT doc_id,
+      |    CASE WHEN $bucket % 100 < 10 THEN 'eval' ELSE 'train' END AS split
+      |  FROM documents),
+      |x AS (SELECT
+      |    CASE WHEN a.split = 'train' THEN pr.doc_a ELSE pr.doc_b END AS train_doc,
+      |    CASE WHEN a.split = 'train' THEN pr.doc_b ELSE pr.doc_a END AS eval_doc,
+      |    pr.n_bands
+      |  FROM pr
+      |  JOIN sp a ON a.doc_id = pr.doc_a
+      |  JOIN sp b ON b.doc_id = pr.doc_b
+      |  WHERE a.split <> b.split)
+      |SELECT train_doc, CAST(count(*) AS BIGINT) AS n_eval_matches,
+      |  CAST(max(n_bands) AS BIGINT) AS max_bands
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q203: cross-source duplication matrix — q27's minhash candidate
     * pairs rolled up by (source, source): which pairs of corpus sources
     * share near-duplicate content, and at what rate relative to the
@@ -559,6 +607,7 @@ object TextDedupQueries extends QueryModule {
     QueryDef("q25_exact_dedup", q25, Some(q25Sql)),
     QueryDef("q26_ngram_jaccard", q26, Some(q26Sql)),
     QueryDef("q27_minhash_lsh", q27, Some(q27Sql)),
+    QueryDef("q294_fuzzy_decontamination", q294, Some(q294Sql)),
     QueryDef("q28_simhash", q28, Some(q28Sql)),
     QueryDef("q203_crossdup_matrix", q203, Some(q203Sql)),
     QueryDef("q122_pair_degree_dist", q122, Some(q122Sql)),

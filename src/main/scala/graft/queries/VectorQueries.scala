@@ -779,7 +779,11 @@ object VectorQueries extends QueryModule {
     implicit val sp: SparkSession = s
     import s.implicits._
     val n = normed(s, dir).localCheckpoint(true)
-    val qid = n.agg(min($"vec_id")).collect().head.getLong(0)
+    val qidRow = n.agg(min($"vec_id")).collect().head
+    if (qidRow.isNullAt(0))   // empty corpus: empty result, not an NPE
+      return Seq.empty[(Long, Long, Double, Double)]
+        .toDF("rk", "vec_id", "rel9", "score9")
+    val qid = qidRow.getLong(0)
     val rels = n.as("a").filter($"a.vec_id" === qid)
       .join(n.as("b"), $"b.vec_id" =!= qid)
       .select($"b.vec_id".as("vec_id"), round(cosSpark, 9).as("rel"))
