@@ -509,7 +509,67 @@ object GraphTraversalQueries extends QueryModule {
     QueryDef("q272_stress_centrality", q272, Some(q272Sql)),
     QueryDef("q280_ktruss", q280, Some(q280Sql)),
     QueryDef("q291_assortativity", q291, Some(q291Sql)),
+    QueryDef("q295_nation_modularity", q295, Some(q295Sql)),
   )
+
+  /** q295: Newman modularity of the nation partition over the
+    * customer↔supplier purchase graph (q95's edges) — "do purchases stay
+    * within a nation more than a random rewiring would predict", the
+    * standard partition-quality score (and what q291's assortativity is
+    * to degrees, this is to communities). Per community: intra-edge
+    * count and degree mass from two grouped aggregates; each community's
+    * contribution Q_c = intra/M − (d_c/M)² lands as integer ppb with
+    * per-term floors ((intra·10⁹) div M and the d² term through
+    * DECIMAL(38)/HUGEINT — d²·10⁹ exceeds int64), so the per-community
+    * rows AND their total are exact integers both engines replay. The
+    * symmetric directed edge list makes M = 2m and degrees = out-degrees
+    * — no ½ factors to disagree over. */
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("s")).distinct()
+    val cn = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+    val sn = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+    val lab = e0.join(broadcast(cn), $"c" === $"c_custkey")
+      .join(broadcast(sn), $"s" === $"s_suppkey")
+      .select($"c_nationkey".as("nc"), $"s_nationkey".as("ns"))
+    val edges = lab.select($"nc".as("a"), $"ns".as("b"))
+      .union(lab.select($"ns".as("a"), $"nc".as("b")))
+    val m = edges.groupBy().agg(count(lit(1)).as("m_edges"))
+      .withColumn("one", pmod($"m_edges", lit(1L)))
+    val per = edges
+      .groupBy($"a".as("nation"))
+      .agg(count(lit(1)).as("deg_sum"),
+        sum(when($"a" === $"b", 1L).otherwise(0L)).as("intra_edges"))
+    per.withColumn("one", pmod($"deg_sum", lit(1L)))
+      .join(broadcast(m), "one")
+      .select($"nation", $"intra_edges", $"deg_sum",
+        (expr("(intra_edges * 1000000000) div m_edges") -
+          expr("CAST((CAST(deg_sum AS DECIMAL(38,0)) * deg_sum * 1000000000)" +
+            " div (CAST(m_edges AS DECIMAL(38,0)) * m_edges) AS BIGINT)"))
+          .as("q_contrib_ppb"))
+      .orderBy($"nation")
+  }
+  private val q295Sql =
+    """WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |lab AS (SELECT cn.c_nationkey AS nc, sn.s_nationkey AS ns
+      |  FROM e0 JOIN customer cn ON e0.c = cn.c_custkey
+      |  JOIN supplier sn ON e0.s = sn.s_suppkey),
+      |e AS (SELECT nc AS a, ns AS b FROM lab
+      |  UNION ALL SELECT ns, nc FROM lab),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM e),
+      |per AS (SELECT a AS nation, CAST(count(*) AS BIGINT) AS deg_sum,
+      |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+      |  FROM e GROUP BY 1)
+      |SELECT nation, intra_edges, deg_sum,
+      |  CAST((intra_edges * 1000000000) // m_edges
+      |    - (CAST(deg_sum AS HUGEINT) * deg_sum * 1000000000)
+      |      // (CAST(m_edges AS HUGEINT) * m_edges) AS BIGINT) AS q_contrib_ppb
+      |FROM per CROSS JOIN m
+      |ORDER BY nation""".stripMargin
 
   /** q291: degree assortativity — the Pearson correlation of endpoint
     * degrees over the symmetric co-purchase-adjacency edge list

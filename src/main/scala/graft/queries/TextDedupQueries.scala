@@ -326,6 +326,48 @@ object TextDedupQueries extends QueryModule {
       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q296: n-gram novelty score — the per-document INVERSE of q79's
+    * duplication ratio, over OVERLAPPING word 5-grams: the fraction of a
+    * doc's distinct 5-grams that occur in no other document (corpus
+    * df = 1 when restricted to distinct-per-doc occurrences). High
+    * novelty marks content worth keeping when a token budget forces
+    * cuts; near-zero novelty marks boilerplate q25/q27 may still miss.
+    * Two shuffles — distinct (doc, gram), then gram df — and a per-doc
+    * ratio; docs under 5 tokens have no 5-grams and are absent by the
+    * same filter in both engines. */
+  private def q296(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .where(size($"w") >= 5)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', " +
+          "w[i-1], w[i], w[i+1], w[i+2], w[i+3]))")).as("g"))
+      .distinct()
+    val df = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+    grams.join(df.hint("shuffle_hash"), "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select($"doc_id", $"n_grams", $"n_unique",
+        round($"n_unique".cast("double") / $"n_grams", 6).as("novelty6"))
+      .orderBy($"doc_id")
+  }
+  private val q296Sql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |grams AS (SELECT DISTINCT doc_id,
+      |    w[s.i] || ' ' || w[s.i + 1] || ' ' || w[s.i + 2] || ' ' ||
+      |      w[s.i + 3] || ' ' || w[s.i + 4] AS g
+      |  FROM d, UNNEST(range(1, len(w) - 3)) AS s(i)),
+      |f AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM grams GROUP BY 1)
+      |SELECT grams.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  round(CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS novelty6
+      |FROM grams JOIN f USING (g)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q203: cross-source duplication matrix — q27's minhash candidate
     * pairs rolled up by (source, source): which pairs of corpus sources
     * share near-duplicate content, and at what rate relative to the
@@ -608,6 +650,7 @@ object TextDedupQueries extends QueryModule {
     QueryDef("q26_ngram_jaccard", q26, Some(q26Sql)),
     QueryDef("q27_minhash_lsh", q27, Some(q27Sql)),
     QueryDef("q294_fuzzy_decontamination", q294, Some(q294Sql)),
+    QueryDef("q296_ngram_novelty", q296, Some(q296Sql)),
     QueryDef("q28_simhash", q28, Some(q28Sql)),
     QueryDef("q203_crossdup_matrix", q203, Some(q203Sql)),
     QueryDef("q122_pair_degree_dist", q122, Some(q122Sql)),
