@@ -95,4 +95,15 @@ object DistributedScan {
         col(s"${c}_cum") + coalesce(col(s"${c}_off"), lit(0L)))
     }.drop("__pid" +: sumCols.map(c => s"${c}_off"): _*)
   }
+
+  /** Adds `out` = the global 1-based row number under `orderCols`, computed
+    * as the prefix sum of a literal 1 — i.e. `row_number() OVER (ORDER BY
+    * …)` without the single-partition window that formulation plans. Same
+    * total-order requirement as [[prefixSums]] (unique key tuples). Used by
+    * q238's bootstrap row index, where the naive global row_number was the
+    * engine's last in-gate data-sized unpartitioned window. */
+  def rowNumbers(df: DataFrame, orderCols: Seq[Column], out: String): DataFrame =
+    prefixSums(df.withColumn("__one", lit(1L)), orderCols, Seq("__one"))
+      .withColumnRenamed("__one_cum", out)
+      .drop("__one")
 }

@@ -34,7 +34,17 @@ import org.apache.spark.sql.functions._
   * Contract: `anchor` and `matchSide` must share ONLY the key column name
   * (rename the rest apart — the residual condition then references columns
   * unambiguously). Deterministic: the salt is a hash of the anchor row's
-  * non-key columns, not a random number.
+  * non-key columns (or `saltCols` when supplied), not a random number.
+  *
+  * Salt-balance caveat: because the salt is derived from anchor column
+  * VALUES, its balance depends on those values' cardinality WITHIN a hot
+  * key — if a hot key's anchor rows carry identical non-key values they
+  * all hash to one bucket and the quadratic task quietly returns (results
+  * stay correct; only the mitigation is defeated). Callers whose anchor
+  * payload can be constant per key must pass a high-cardinality column
+  * (a row id, an event timestamp) via `saltCols`. An anchor with ZERO
+  * non-key columns is rejected loudly (Spark's `hash()` of no children is
+  * an AnalysisException at runtime; we fail earlier with a usable message).
   */
 object SkewedSelfJoin {
 
@@ -47,13 +57,22 @@ object SkewedSelfJoin {
       key: String,
       residual: Column,
       hotThreshold: Long,
-      salts: Int = DefaultSalts): DataFrame = {
+      salts: Int = DefaultSalts,
+      saltCols: Seq[String] = Nil): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
     require(hotThreshold > 0, s"hotThreshold must be > 0, got $hotThreshold")
     val overlap = anchor.columns.toSet.intersect(matchSide.columns.toSet)
     require(overlap == Set(key),
       s"anchor and matchSide must share only the key column '$key'; " +
         s"shared: ${overlap.mkString(", ")}")
+    val saltSource =
+      if (saltCols.nonEmpty) saltCols else anchor.columns.toSeq.filterNot(_ == key)
+    require(saltSource.nonEmpty,
+      "anchor has no non-key columns to derive the deterministic salt from; " +
+        "pass saltCols with a high-cardinality column (e.g. a row id)")
+    val missing = saltSource.filterNot(anchor.columns.contains)
+    require(missing.isEmpty,
+      s"saltCols not present on anchor: ${missing.mkString(", ")}")
 
     // in-plan probe: keys whose MATCH side exceeds the threshold (the match
     // side is what gets replicated/scanned per anchor row, so its size is
@@ -84,8 +103,7 @@ object SkewedSelfJoin {
     val hotJoined = joinOn(
       aMarked.filter(col("__hot") === true).drop("__hot")
         .withColumn("__a_salt",
-          pmod(hash(anchor.columns.filterNot(_ == key).map(col): _*),
-            lit(salts))),
+          pmod(hash(saltSource.map(col): _*), lit(salts))),
       mMarked.filter(col("__hot") === true).drop("__hot")
         .withColumn("__m_salt",
           explode(sequence(lit(0), lit(salts - 1)))),

@@ -29,10 +29,11 @@ import org.apache.spark.sql.expressions.Window
   *     it is a few hundred rows by construction.
   *   - q238 is the m-out-of-n bootstrap: the draw table is B·n rows
   *     equi-joined on the row index — linear, distributed, no driver
-  *     loop. The global row_number is the one scale-sensitive step (at
-  *     petabyte scale swap it for the two-level DistributedScan offsets
-  *     or the Poisson bootstrap, which needs no index at all); the LCG
-  *     is demonstration-grade and would be a splitmix at production.
+  *     loop. The global row index is a DistributedScan.rowNumbers
+  *     two-level scan (range-partitioned local ranks + broadcast
+  *     offsets), never a single-partition window; the gated scale path
+  *     is q246's Poisson bootstrap, which needs no index at all. The
+  *     LCG is demonstration-grade and would be a splitmix at production.
   */
 object EvalMetricsQueries extends QueryModule {
 
@@ -241,14 +242,20 @@ object EvalMetricsQueries extends QueryModule {
     * the "random" draws are bit-reproducible). Replicate means are exact
     * DECIMAL sums divided once and rounded at 4 dp; the 95% CI is order
     * statistics 1 and 39 of the 40 means (2.5%/97.5% quantile indexes) —
-    * no percentile-function semantics to disagree over. */
+    * no percentile-function semantics to disagree over.
+    *
+    * Scale contract: this is the DECLARED m-out-of-n exactness baseline;
+    * its gated scale path is q246 (Poisson bootstrap — join-free, needs no
+    * row index at all, measured FLAT at ×10 in SCALE.md). The global row
+    * index here is a [[graft.operators.DistributedScan.rowNumbers]]
+    * two-level scan, not a single-partition window, so even the baseline
+    * partitions cleanly. */
   private def q238(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
-    val base = Tables.orders(s, dir)
-      .select($"o_orderkey", $"o_totalprice")
-      .withColumn("i",
-        row_number().over(Window.orderBy($"o_orderkey")).cast("long"))
+    val base = graft.operators.DistributedScan.rowNumbers(
+      Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice"),
+      Seq($"o_orderkey"), "i")
     val n = base.agg(count(lit(1)).as("n"))
     // seed folds into [0, 2^31) BEFORE the LCG multiply so a·s never
     // exceeds int64 at any n (2654435761 is the Knuth golden-ratio

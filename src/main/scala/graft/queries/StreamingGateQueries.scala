@@ -61,6 +61,14 @@ object StreamingGateQueries extends QueryModule {
     // partitions that is 128 store lifecycles per micro-batch — pure
     // fixed overhead at any input size. 8 partitions is still plenty of
     // parallelism for the join itself; restore the session value after.
+    // CONCURRENCY NOTE: this mutates the SHARED session conf around
+    // start(). It is safe here because (a) StreamExecution snapshots the
+    // session conf into the query's own cloned session at start(), so the
+    // running stream never sees the restore, and (b) the gate runners
+    // (Verify/Bench/specs) plan queries single-threaded, so no
+    // concurrently-planned batch query can observe the temporary value.
+    // A multi-threaded caller would need its own session (s.newSession())
+    // around this gate instead.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -119,6 +127,9 @@ object StreamingGateQueries extends QueryModule {
           timestamp_micros(expr("ts div 1000"))
         else $"ts".cast("timestamp")).as("ets"))
     val sink = "q247_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // same shared-conf mutation pattern as q239 — see the concurrency
+    // note there (safe under start()-time conf cloning + the gates'
+    // single-threaded planning)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -171,6 +182,7 @@ object StreamingGateQueries extends QueryModule {
       else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
     }
     val sink = "q249_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // shared-conf mutation: see q239's concurrency note
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val q = try {
       s.conf.set("spark.sql.shuffle.partitions", "8")

@@ -205,10 +205,21 @@ object StreamingOps {
     * streaming (q285 transformWithState) paths share — capacity 5, one
     * token per 10 minutes, whole-token refill credit per gap (integer
     * ns div). Caller guarantees ts order; the recurrence's min-cap makes
-    * it non-associative, so order IS the contract. */
+    * it non-associative, so order IS the contract — and the fold ENFORCES
+    * it across the micro-batch boundary: BucketProcessor only sorts within
+    * a batch, so an event older than the persisted prevTs would feed a
+    * negative gap into the refill and mint negative token credit. Such
+    * late data fails loudly here (kill the query, fix the upstream
+    * ordering/watermark) instead of silently corrupting bucket state. */
   def foldBucketOrdered(start: BucketState, tss: Iterator[Long]): BucketState = {
     var st = start
     tss.foreach { ts =>
+      if (st.seen && ts < st.prevTs)
+        throw new IllegalStateException(
+          s"token-bucket fold saw ts=$ts < persisted prevTs=${st.prevTs}: " +
+            "cross-batch late data violates the ordered-ts contract " +
+            "(in-batch sorting cannot reorder against already-folded state); " +
+            "drop or re-order late events upstream")
       var avail = st.avail
       if (st.seen) avail = math.min(5L, avail + (ts - st.prevTs) / 600000000000L)
       val admit = avail > 0

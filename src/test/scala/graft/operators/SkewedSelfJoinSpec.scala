@@ -64,4 +64,46 @@ class SkewedSelfJoinSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("share only the key column"), e.getMessage)
   }
+
+  test("key-only anchor is rejected loudly (no columns to salt on)") {
+    // hash() of zero children is an AnalysisException deep in planning;
+    // the operator must fail earlier with a message that names the fix
+    val keyOnly = anchor.select($"k")
+    val e = intercept[IllegalArgumentException] {
+      SkewedSelfJoin.saltedIntervalJoin(
+        keyOnly, matchSide, "k", lit(true), hotThreshold = 50)
+    }
+    assert(e.getMessage.contains("saltCols"), e.getMessage)
+  }
+
+  test("saltCols not on the anchor are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      SkewedSelfJoin.saltedIntervalJoin(
+        anchor, matchSide, "k", residual, hotThreshold = 50,
+        saltCols = Seq("no_such_col"))
+    }
+    assert(e.getMessage.contains("no_such_col"), e.getMessage)
+  }
+
+  test("caller-supplied saltCols: parity holds and constant payloads spread") {
+    // anchor whose NON-KEY payload is constant within the hot key — the
+    // default salt (hash of payload) would collapse to one bucket; salting
+    // on the unique row id must both stay lossless and actually spread
+    val constA = (
+      (1 to 40).map(i => (7L, 7000L + i, 10L)) ++ // av constant on hot key
+        (1 to 10).flatMap(k => (1 to 4).map(i => (k.toLong, k * 100L + i, (i * 7).toLong)))
+      ).toDF("k", "aid", "av")
+    val naive = constA.join(
+      matchSide.withColumnRenamed("k", "mk"), $"k" === $"mk" && residual).drop("mk")
+    val salted = SkewedSelfJoin.saltedIntervalJoin(
+      constA, matchSide, "k", residual, hotThreshold = 50, salts = 4,
+      saltCols = Seq("aid"))
+    assert(pairs(salted) == pairs(naive))
+    // the row-id salt spreads the constant-payload hot key across buckets
+    import org.apache.spark.sql.functions.{hash => shash}
+    val buckets = constA.filter($"k" === 7L)
+      .select(pmod(shash($"aid"), lit(4)).as("b"))
+      .distinct().count()
+    assert(buckets > 1, "row-id salt should occupy more than one bucket")
+  }
 }

@@ -80,4 +80,17 @@ class TokenBucketFoldSpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("cross-batch late data fails loudly instead of minting negative credit") {
+    // an event older than the persisted prevTs would feed a negative gap
+    // into the refill — the fold must reject it, not corrupt the bucket
+    val st = foldBucketOrdered(bucketZero, Iterator(10L * Rate))
+    val e = intercept[IllegalStateException] {
+      foldBucketOrdered(st, Iterator(9L * Rate))
+    }
+    assert(e.getMessage.contains("late data"), e.getMessage)
+    // equal timestamps are NOT late (ties are legal: zero gap, zero refill)
+    val tied = foldBucketOrdered(st, Iterator(10L * Rate))
+    assert(tied.n == 2 && tied.prevTs == 10L * Rate)
+  }
 }
