@@ -68,6 +68,33 @@ class CatalogUpsertSpec extends SparkTestBase {
     assert(catalog.read(t).count() == 2)
   }
 
+  test("worst-case batch touching EVERY partition merges exactly at high partition counts") {
+    // the upsert's only driver-sized structure is the touched-partition
+    // value list; this pins the semantics when that list is large (every
+    // partition touched: one update + one insert per partition). The
+    // measured ceiling lives in SCALE.md via graft.tools.UpsertScaleProbe:
+    // 1k parts 19.0 s / 10k parts 194.9 s — linear in partition count
+    // (~19 ms/partition, local-FS directory writes), driver heap delta
+    // 10.5 -> 74 MB (metadata-shaped, not data-sized).
+    val n = 400
+    val wh = tmpDir("graft-upsert4")
+    val catalog = new Catalog(spark, wh)
+    val base = spark.range(n.toLong * 2)
+      .select(concat(lit("s"), col("id") % n).as("symbol"),
+        (col("id") / n).cast("long").as("d"), lit(1.0).as("v"))
+    catalog.upsert(base, "wide", Seq("symbol", "d"), Seq("symbol"))
+    val batch = spark.range(n.toLong * 2)
+      .select(concat(lit("s"), col("id") % n).as("symbol"),
+        when(col("id") < n, lit(0L)).otherwise(lit(2L)).as("d"),
+        lit(2.0).as("v"))
+    catalog.upsert(batch, "wide", Seq("symbol", "d"), Seq("symbol"))
+    val out = catalog.read("wide")
+    assert(out.count() == n.toLong * 3) // 2 base rows + 1 insert per partition
+    assert(out.filter(col("d") === 0 && col("v") === 2.0).count() == n) // all updates won
+    assert(out.filter(col("d") === 1 && col("v") === 1.0).count() == n) // untouched keys kept
+    assert(out.filter(col("d") === 2).count() == n) // all inserts landed
+  }
+
   test("a crash mid-swap never loses the table: heal restores, retry lands") {
     val wh = tmpDir("graft-upsert3")
     val catalog = new Catalog(spark, wh)
