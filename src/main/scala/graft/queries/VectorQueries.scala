@@ -57,7 +57,11 @@ object VectorQueries extends QueryModule {
     * the native bounded top-k aggregate collapses the n² candidate stream
     * map-side, so nothing ever rides through the driver. At 100 TB the
     * index side no longer broadcasts whole — q30's bucketed form (or IVF
-    * cells, q59) is the upgrade, with this same per-cell shape inside. */
+    * cells, q59) is the upgrade, with this same per-cell shape inside.
+    * Baseline/scale-path contract: this is a DECLARED-quadratic exactness
+    * baseline — SCALE.md measures it super-linear as declared (3.9× wall
+    * at ×4 data = n² dot products), while the gated scale paths q30/q59
+    * measure sub-linear; q70 measures the recall the swap costs. */
   private def q29(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     exactTopK(s, dir, 5).orderBy($"vec_id", $"rk")
@@ -147,7 +151,10 @@ object VectorQueries extends QueryModule {
     * `vec_id < bid` guard evaluates every unordered pair exactly once.
     * This is the EXACTNESS baseline (O(n²) by definition); the production
     * path is `Dedup.nearCosine` — banded sign-bit LSH candidates, exact
-    * cosine confirmation — which q69 gates end to end. */
+    * cosine confirmation — which q69 gates end to end. Measured contract
+    * (SCALE.md): this baseline runs 2.5× wall at ×4 data (super-linear as
+    * declared); the q69 banded path is the reshape the engine exists for
+    * (4.4 s vs DuckDB's 90.3 s all-pairs at sf0.1). */
   private def q31(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
@@ -586,7 +593,11 @@ object VectorQueries extends QueryModule {
     * static k·n edge list against the labeled set, one grouped count, one
     * per-node window over ≤ k·|labels| vote rows; the edge list is built
     * once (swap in q59's IVF candidates at corpus scale, rounds
-    * unchanged). */
+    * unchanged). Baseline/scale-path contract: the candidate step here is
+    * q29's DECLARED-quadratic exact-kNN — measured 18× wall at ×10 in
+    * SCALE.md — and q260 is the gated IVF swap of the SAME rounds
+    * (5.8× at ×10 with the gate-pinned 16-cell index; production grows
+    * cells with n). */
   /** The propagation rounds shared by q257 (exact-kNN neighbors) and
     * q260 (IVF neighbors): seeds keep their label, unlabeled nodes take
     * the majority label of their labeled neighbors (count DESC, label ASC
