@@ -84,12 +84,14 @@ object FrameSemanticsQueries extends QueryModule {
         count(lit(1)).over(gframe).as("rows_3day_groups"))
       .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
   }
-  // DuckDB 1.x does not implement GROUPS mode either ("not implemented
-  // yet"), so the oracle derives the same semantics by an INDEPENDENT
-  // shape: aggregate per (supplier, day), index days, self-join the
-  // day-grain aggregates within ±1 index, re-attach per row. Two engines,
-  // two formulations, one answer — the rewrite is cross-checked, not
-  // mirrored.
+  // The pinned oracle engine (DuckDB 1.0.0 — checked 2026-08: `GROUPS
+  // mode for window functions is not implemented yet`) lacks GROUPS, so
+  // the oracle derives the same semantics by an INDEPENDENT shape:
+  // aggregate per (supplier, day), index days, self-join the day-grain
+  // aggregates within ±1 index, re-attach per row. Two engines, two
+  // formulations, one answer — the rewrite is cross-checked, not
+  // mirrored. If the pinned DuckDB ever gains GROUPS, switch this oracle
+  // to the literal `GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING` clause.
   private val q210Sql =
     """WITH d AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
       |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty, count(*) AS n
