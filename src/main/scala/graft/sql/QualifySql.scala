@@ -23,14 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * top-level clause keywords are found reliably. Statements without a
   * top-level QUALIFY pass through unchanged.
   *
-  * Scope (documented, checked, loudly enforced): one QUALIFY per top-level
-  * SELECT, and the select list must either expose nameable outputs — plain
-  * (possibly qualified) columns or aliased expressions — or contain star
-  * items (`*` / `t.*`), in which case the outer projection becomes
-  * `SELECT * EXCEPT (__qualify)` (parsed by OSS Spark 4.x), so the input
-  * schema never needs to be known at rewrite time. The one star case that
-  * stays rejected-by-Spark is duplicate output names from multiple
-  * `t.*` expansions — ambiguous regardless of QUALIFY.
+  * Scope: one QUALIFY per SELECT branch — a statement that is a top-level
+  * set operation (`UNION`/`INTERSECT`/`EXCEPT`) splits on the set-op
+  * keywords and each branch rewrites independently, so "latest per key
+  * from A UNION ALL latest per key from B" pastes verbatim. The outer
+  * projection uses the select list's own names when every item is a plain
+  * column or aliased expression, and degrades to `SELECT * EXCEPT
+  * (__qualify)` (parsed by OSS Spark 4.x) for star items or unaliased
+  * expressions — the input schema never needs to be known at rewrite
+  * time. The one case that stays rejected-by-Spark is duplicate output
+  * names from multiple `t.*` expansions — ambiguous regardless of
+  * QUALIFY. A set-op `EXCEPT` is distinguished from star-`EXCEPT` by the
+  * preceding token (`*`).
   */
 object QualifySql {
 
@@ -38,13 +42,50 @@ object QualifySql {
   def sql(spark: SparkSession, text: String): DataFrame =
     spark.sql(rewrite(text))
 
-  /** The pure text→text rewrite (exposed for tests/inspection). */
+  /** The pure text→text rewrite (exposed for tests/inspection): splits a
+    * top-level set operation into branches and rewrites each. Returns the
+    * input object unchanged when no branch carries a QUALIFY. */
   def rewrite(text: String): String = {
+    val toks = topLevelKeywords(text)
+    if (!toks.exists(_._1 == "QUALIFY")) return text
+    // set-op boundaries; an EXCEPT whose previous non-space char is `*`
+    // is star-EXCEPT (a projection modifier), not a set operation
+    val bounds = toks.filter { case (kw, p) =>
+      (kw == "UNION" || kw == "INTERSECT") ||
+        (kw == "EXCEPT" && {
+          val before = text.substring(0, p).reverse.dropWhile(_.isWhitespace)
+          !before.headOption.contains('*')
+        })
+    }
+    if (bounds.isEmpty) return rewriteSingle(text)
+    // each separator consumes its keyword plus a following ALL/DISTINCT
+    val cuts = bounds.map { case (kw, p) =>
+      var e = p + kw.length
+      while (e < text.length && text.charAt(e).isWhitespace) e += 1
+      val w = text.substring(e).takeWhile(ch => ch.isLetter).toUpperCase(java.util.Locale.ROOT)
+      if (w == "ALL" || w == "DISTINCT") e += w.length
+      (p, e)
+    }
+    val sb = new StringBuilder
+    var prev = 0
+    for ((p, e) <- cuts) {
+      sb.append(rewriteSingle(text.substring(prev, p)))
+      // padding spaces keep rewritten branches (which trim their tails)
+      // from abutting the set-op keyword
+      sb.append(' ').append(text.substring(p, e)).append(' ')
+      prev = e
+    }
+    sb.append(rewriteSingle(text.substring(prev)))
+    sb.toString
+  }
+
+  /** The single-SELECT desugaring (no set operations in `text`). */
+  private def rewriteSingle(text: String): String = {
     val toks = topLevelKeywords(text)
     val qualifies = toks.filter(_._1 == "QUALIFY")
     if (qualifies.isEmpty) return text
     require(qualifies.length == 1,
-      "QualifySql: multiple top-level QUALIFY clauses are not supported")
+      "QualifySql: a SELECT cannot carry more than one QUALIFY clause")
 
     def at(kw: String): Option[Int] = toks.find(_._1 == kw).map(_._2)
     val selectPos = at("SELECT").getOrElse(
@@ -65,13 +106,14 @@ object QualifySql {
     val tail = if (tailPos >= text.length) ""
       else " " + text.substring(tailPos).trim.stripSuffix(";")
 
-    // star select lists can't be name-projected without the input schema;
-    // strip the helper column with star-EXCEPT instead (OSS Spark 4.x)
-    val outer =
-      if (splitTopLevel(selectList).map(_.trim)
-          .exists(it => it == "*" || it.endsWith(".*")))
-        "SELECT * EXCEPT (__qualify)"
-      else s"SELECT ${outputNames(selectList).mkString(", ")}"
+    // star select lists and unaliased expressions can't be name-projected
+    // without the input schema; strip the helper column with star-EXCEPT
+    // instead (OSS Spark 4.x). Nameable lists keep the explicit
+    // projection (a plan-identical outer SELECT of the original names).
+    val outer = outputNames(selectList) match {
+      case Some(names) => s"SELECT ${names.mkString(", ")}"
+      case None => "SELECT * EXCEPT (__qualify)"
+    }
     s"$outer FROM (SELECT $selectList, ($pred) AS __qualify " +
       s"$body) __qualify_sub WHERE __qualify$tail"
   }
@@ -115,17 +157,16 @@ object QualifySql {
     out.result()
   }
 
-  /** Output name of each top-level-comma-separated select item: trailing
+  /** Output names of the top-level-comma-separated select items: trailing
     * `AS name`, trailing bare alias, or the last segment of a (possibly
-    * qualified) column path. Expressions without an alias are rejected. */
-  private def outputNames(selectList: String): Seq[String] = {
+    * qualified) column path. None when any item is a star or an unaliased
+    * expression — the caller then uses the star-EXCEPT projection. */
+  private def outputNames(selectList: String): Option[Seq[String]] = {
     val items = splitTopLevel(selectList)
     require(items.nonEmpty, "QualifySql: empty select list")
-    items.map { raw =>
+    val names = items.map { raw =>
       val item = raw.trim
-      require(item != "*" && !item.endsWith(".*"),
-        s"QualifySql: '*' select items are not supported with QUALIFY " +
-          "(alias the columns explicitly)")
+      if (item == "*" || item.endsWith(".*")) return None
       val words = item.split("\\s+")
       val asIdx = words.lastIndexWhere(_.equalsIgnoreCase("AS"))
       // a trailing identifier counts as a bare alias only when the item has
@@ -143,12 +184,12 @@ object QualifySql {
         else if (words.length > 1 && !hasTopLevelOp && words.last.forall(ch =>
           Character.isLetterOrDigit(ch) || ch == '_' || ch == '`')) words.last
         else if (words.length == 1) item.split('.').last
-        else throw new IllegalArgumentException(
-          s"QualifySql: cannot determine the output name of '$item' — add an alias")
-      require(cand.forall(ch => Character.isLetterOrDigit(ch) || ch == '_' || ch == '`'),
-        s"QualifySql: cannot determine the output name of '$item' — add an alias")
+        else return None // unaliased expression: fall back to star-EXCEPT
+      if (!cand.forall(ch => Character.isLetterOrDigit(ch) || ch == '_' || ch == '`'))
+        return None // e.g. a parenthesized or function-call tail
       cand
     }
+    Some(names)
   }
 
   /** Split on commas at parenthesis depth 0 (quote/comment-aware). */

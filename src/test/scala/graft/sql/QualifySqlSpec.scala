@@ -111,9 +111,49 @@ class QualifySqlSpec extends SparkTestBase {
     assert(out.startsWith("SELECT k, v FROM (SELECT "), out)
   }
 
-  test("unsupported shapes fail loudly instead of guessing") {
-    intercept[IllegalArgumentException](QualifySql.rewrite(
-      "SELECT a + b FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1"))
+  test("unaliased expressions run via the star-EXCEPT fallback") {
+    val out = QualifySql.rewrite(
+      "SELECT a + b FROM t QUALIFY ROW_NUMBER() OVER (ORDER BY a) = 1")
+    assert(out.startsWith("SELECT * EXCEPT (__qualify) FROM (SELECT"), out)
+    import spark.implicits._
+    Seq((1, 10), (2, 20), (1, 5)).toDF("a", "b").createOrReplaceTempView("ua_t")
+    val got = QualifySql.sql(spark,
+      "SELECT a + b FROM ua_t QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(6, 22), got.toString) // (1,5)->6 and (2,20)->22 survive
+  }
+
+  test("each branch of a top-level set operation rewrites independently") {
+    import spark.implicits._
+    Seq(("k1", 1, "u"), ("k1", 2, "u"), ("k2", 9, "u"))
+      .toDF("k", "v", "src").createOrReplaceTempView("un_a")
+    Seq(("k1", 7, "w"), ("k2", 3, "w"), ("k2", 4, "w"))
+      .toDF("k", "v", "src").createOrReplaceTempView("un_b")
+    val got = QualifySql.sql(spark,
+      """SELECT k, v, src FROM un_a
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1
+        |UNION ALL
+        |SELECT k, v, src FROM un_b
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1
+        |ORDER BY src, k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    // latest per key from EACH side; the trailing ORDER BY sorts the union
+    assert(got == Seq(("k1", 2, "u"), ("k2", 9, "u"), ("k1", 7, "w"), ("k2", 4, "w")), got.toString)
+    // a qualify-free branch passes through: only the qualified one rewrites
+    val half = QualifySql.rewrite(
+      "SELECT k FROM un_a UNION SELECT k FROM un_b QUALIFY ROW_NUMBER() OVER (ORDER BY k) = 1")
+    assert(half.replaceAll("\\s+", " ").startsWith("SELECT k FROM un_a UNION "), half)
+    assert(half.contains("WHERE __qualify"), half)
+    // set-op EXCEPT splits branches; star-EXCEPT in a select list does not
+    val starExc = QualifySql.sql(spark,
+      "SELECT * EXCEPT (src) FROM un_a QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1")
+    assert(starExc.columns.toSeq == Seq("k", "v"), starExc.columns.mkString(","))
+    val setExc = QualifySql.sql(spark,
+      """SELECT k FROM un_a
+        |EXCEPT
+        |SELECT k FROM un_b QUALIFY ROW_NUMBER() OVER (ORDER BY k) = 1""".stripMargin)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(setExc == Seq("k2"), setExc.toString) // un_b's qualify keeps only k1
   }
 
   test("SELECT * QUALIFY runs via star-EXCEPT (no schema needed at rewrite)") {
