@@ -161,19 +161,32 @@ object ProfilingQueries extends QueryModule {
   /** q171: equi-DEPTH histogram — ntile deciles over order totals, each
     * holding ~n/10 rows with its value range. The complement of q167's
     * equi-width buckets: this is the profile that stays informative under
-    * heavy skew (every bucket has mass). The ntile sort carries a unique
+    * heavy skew (every bucket has mass). The sort carries a unique
     * tie-break key so decile assignment at equal prices is deterministic
-    * on both engines. This gate pins the ntile FUNCTION's exact
-    * assignment semantics (floor/ceil group sizing) through a single
-    * global sort; q108 computes the same decile statistic scale-safely
-    * from percentile cut points with no total order — the declared
-    * 100 TB path. */
+    * on both engines. The ntile FUNCTION's exact semantics (the first
+    * n mod k groups take ceil(n/k) rows, the rest floor(n/k)) are
+    * reproduced ARITHMETICALLY from the global rank — assigned by
+    * [[graft.operators.DistributedScan.rowNumbers]]'s two-level scan, so
+    * no single-partition data-sized window appears (the oracle runs the
+    * literal `ntile(10) OVER`, cross-checking the formula); q108 computes
+    * the same decile statistic from percentile cut points with no total
+    * order at all — the declared 100 TB path when even a ranged scan is
+    * too much. */
   private def q171(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy($"o_totalprice", $"o_orderkey")
-    Tables.orders(s, dir)
-      .select($"o_orderkey", $"o_totalprice", ntile(10).over(w).as("decile"))
+    val ranked = graft.operators.DistributedScan.rowNumbers(
+      Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice"),
+      Seq($"o_totalprice", $"o_orderkey"), "r")
+    val n = ranked.agg(count(lit(1)).as("n"))
+    // ntile(k): rank r lands in the first (n mod k) size-(q+1) groups or
+    // the remaining size-q ones; all-integer expressions (div, not /)
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile",
+        expr("""CASE WHEN r <= (n % 10) * (n div 10 + 1)
+               |  THEN (r - 1) div (n div 10 + 1) + 1
+               |  ELSE (n % 10) + (r - (n % 10) * (n div 10 + 1) - 1)
+               |    div greatest(n div 10, 1) + 1 END""".stripMargin)
+          .cast("int"))
       .groupBy($"decile")
       .agg(count(lit(1)).as("n_orders"),
         round(min($"o_totalprice"), 2).as("lo"),

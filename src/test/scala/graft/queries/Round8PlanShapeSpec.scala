@@ -38,4 +38,14 @@ class Round8PlanShapeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"q238 went cartesian:\n$p")
   }
+
+  test("q171's ntile is rank arithmetic — no unpartitioned data-sized window") {
+    // the global ntile was the audit's one real flag (graft.tools
+    // .WindowAudit scans all 296 optimized plans; 0 flags since this
+    // rewrite): deciles now derive from DistributedScan.rowNumbers ranks
+    val hits = graft.tools.WindowAudit.unpartitionedDataWindows(
+      SparkEntry.queries("q171_ntile_deciles")(spark, dir)
+        .queryExecution.optimizedPlan)
+    assert(hits.isEmpty, hits.mkString("; "))
+  }
 }
