@@ -199,7 +199,8 @@ object VectorQueries extends QueryModule {
   /** IVF index + search, shared by q59 (the ranking) and q70 (the recall
     * measurement): returns (ranked cell assignments with `crk`, un-sorted
     * top-5 rows). */
-  private def ivfRankedAndTop(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[queries] def ivfRankedAndTop(s: SparkSession, dir: String,
+      nprobe: Int = 2): (DataFrame, DataFrame) = {
     implicit val sp: SparkSession = s
     import s.implicits._
     val celled = normed(s, dir).withColumn("cell", vector.signBits($"v", 0, 4))
@@ -223,7 +224,7 @@ object VectorQueries extends QueryModule {
         round(vector.dot($"v", $"cv") / ($"nrm" * $"cnrm"), 6).as("ccos"))
     val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"ccell")
     val ranked = assign.withColumn("crk", row_number().over(wAssign))
-      .filter($"crk" <= 2)
+      .filter($"crk" <= nprobe)
       .localCheckpoint()
     val members = ranked.filter($"crk" === 1)
       .select($"ccell".as("mcell"), $"vec_id".as("mid"), $"v".as("mv"), $"nrm".as("mnrm"))
@@ -321,9 +322,17 @@ object VectorQueries extends QueryModule {
     * or badly-seeded cell shows up as the low row, which is the signal
     * that triggers re-clustering in production). The oracle recomputes
     * both rankings and the same join in DuckDB. */
-  private def q70(s: SparkSession, dir: String): DataFrame = {
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    ivfRecallAt(s, dir, nprobe = 2)
+
+  /** q70's recall measurement at a configurable probe width — the tuning
+    * knob a deployment turns when clusters outnumber cells and nprobe=2
+    * recall degrades (AdversarialGeometrySpec measures exactly that on a
+    * 48-clusters-in-16-cells fixture). nprobe=2 IS q70 (gate-pinned). */
+  private[queries] def ivfRecallAt(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     import s.implicits._
-    val (ranked, ivf) = ivfRankedAndTop(s, dir)
+    val (ranked, ivf) = ivfRankedAndTop(s, dir, nprobe)
     val exact = exactTopK(s, dir, 5).select($"vec_id", $"nn_vec")
     val hits = exact
       .join(ivf.select($"vec_id", $"nn_vec", lit(1).as("__hit")),

@@ -139,6 +139,56 @@ class AdversarialGeometrySpec extends SparkTestBase {
         "nprobe/cell seeding before trusting the index on clustered corpora")
   }
 
+  test("clusters ≫ cells: wider nprobe recovers IVF recall (the documented knob)") {
+    // 48 tight anisotropic clusters forced into a 16-cell index — several
+    // clusters share a cell and near neighbors straddle cell boundaries,
+    // the regime where a fixed nprobe=2 genuinely loses recall. The
+    // engine's answer is the probe-width knob (ivfRecallAt), not silent
+    // degradation: this measures recall at nprobe 2 vs 4 on the same
+    // fixture and pins that widening recovers it.
+    val rng = new Lcg(0x48c15713L)
+    val dir = tmpDir("adv_many")
+    val spark0 = spark
+    import spark0.implicits._
+    val centers = Seq.fill(48) {
+      val c = Array.fill(D)(rng.nextG())
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    val rows = for {
+      (c, k) <- centers.zipWithIndex
+      i <- 0 until (8 + (k % 5) * 8) // 8..40 per cluster, skewed
+    } yield ((k * 1000 + i).toLong,
+      // wide spread (σ=0.25 on a unit center): members straddle sign-bit
+      // cell boundaries, so a query's true neighbors live in cells the
+      // narrow probe never visits — the regime that punishes nprobe=2
+      Array.tabulate(D)(d => (c(d) + 0.25 * rng.nextG()).toFloat), k)
+    rows.toDF("vec_id", "embedding", "label").repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def overall(nprobe: Int): Double = {
+      val perCell = VectorQueries.ivfRecallAt(spark, dir, nprobe).collect()
+      val nQ = perCell.map(_.getAs[Long]("n_queries")).sum
+      perCell.map(r => r.getAs[Double]("recall_at_5") * r.getAs[Long]("n_queries")).sum / nQ
+    }
+    val curve = Seq(2, 4, 8, 16).map(p => p -> overall(p))
+    info("48-cluster/16-cell recall@5 curve: " +
+      curve.map { case (p, r) => f"nprobe=$p -> $r%.4f" }.mkString(", "))
+    // the honest finding: when cluster spread reaches cell scale the
+    // 16-cell/nprobe=2 index genuinely loses recall (measured ~0.36 here)
+    // — sign-bit cells stop being informative. The contract this pins is
+    // the RECOVERY KNOB, not a flattering fixture: recall is monotone in
+    // nprobe and exact when every cell is probed, so a deployment meets
+    // any recall target by widening probes (cost grows probe-linearly) or
+    // re-clustering (the per-cell q70 rows localize which cells to split).
+    for (Seq((pa, ra), (pb, rb)) <- curve.sliding(2))
+      assert(rb >= ra - 1e-9, f"recall must be monotone in nprobe: $pa->$ra%.4f, $pb->$rb%.4f")
+    assert(curve.last._2 >= 0.999,
+      f"probing every cell is the exact ranking; got ${curve.last._2}%.4f")
+    assert(curve(1)._2 >= curve.head._2 + 0.1,
+      "nprobe=4 should recover substantial recall over nprobe=2 on this fixture")
+  }
+
   test("q244 LSH banding holds precision/recall floors on the hostile corpus") {
     val row = SparkEntry.queries("q244_lsh_quality")(spark, documentFixtureDir)
       .collect().head
