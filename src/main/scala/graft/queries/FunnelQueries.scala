@@ -328,6 +328,112 @@ object FunnelQueries extends QueryModule {
       |FROM st JOIN nn ON st.user_id = nn.user_id AND st.rn = nn.n_events
       |ORDER BY st.user_id""".stripMargin
 
+  /** q299: SHAPLEY-VALUE attribution — the game-theoretic completion of
+    * the attribution triple (q188 last-touch, q259 Markov removal): each
+    * channel's credit is its average marginal contribution to the
+    * empirical coalition value v(S) = conversion rate (ppm, floor) of
+    * journeys whose channel set is contained in S, averaged over all
+    * orderings — the axiomatic answer to "which touchpoints earn the
+    * conversion". v is a RATE, not a count, so it is NOT a sum of
+    * unanimity games and the closed-form shortcut (credit/|C|) does not
+    * apply: the full 2^n coalition enumeration with factorial weights
+    * runs for real.
+    *
+    * Scale shape (the q259 bounded-state discipline): the data-sized work
+    * is one window pass (first-purchase rank) plus one bit_or groupBy per
+    * user — after that the state is ≤ 2^n = 16 coalition cells (n = the
+    * FIXED 4-channel enum), collected bounded and expanded on the driver
+    * in exact integer arithmetic. phi_num is in ppm × k!(n−1−k)! units
+    * summed over subsets (dividing by n! = 24 is left to the reader
+    * because Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors — on possibly-negative Shapley values the two would disagree;
+    * the undivided sum is exact in both). Efficiency (Σ_i φ_i = n!·(v(N)
+    * − v(∅))) holds exactly on the floored v because the identity is
+    * linear in v — Round8PlanShapeSpec asserts it. Oracle: the identical
+    * construction over generate_series(0,15) bitmasks. */
+  private def q299(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val chBits = Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+    val n = chBits.size
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+    val r = ev.withColumn("rn",
+      row_number().over(Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+    val fp = r.groupBy($"user_id").agg(
+      min(when($"event_type" === "purchase", $"rn")).as("fp"))
+    val j = r.join(fp, Seq("user_id"))
+      .filter($"event_type" =!= "purchase" && ($"fp".isNull || $"rn" < $"fp"))
+    val bit = chBits.tail.foldLeft(
+        when($"event_type" === chBits.head._1, chBits.head._2)) {
+      case (acc, (c, b)) => acc.when($"event_type" === c, b)
+    }
+    val masks = fp.join(
+        j.groupBy($"user_id").agg(bit_or(bit).as("mask")),
+        Seq("user_id"), "left")
+      .select(coalesce($"mask", lit(0)).as("mask"),
+        when($"fp".isNotNull, 1L).otherwise(0L).as("conv"))
+    // ≤ 2^n = 16 cells — enum-bounded collect, never data-sized
+    val cells = masks.groupBy($"mask")
+      .agg(count(lit(1)).as("nj"), sum($"conv").as("nc"))
+      .collect().map(row => (row.getInt(0), (row.getLong(1), row.getLong(2))))
+    val full = (1 << n) - 1
+    def v(sMask: Int): Long = {
+      var nj = 0L; var nc = 0L
+      cells.foreach { case (m, (j0, c0)) =>
+        if ((m & ~sMask & full) == 0) { nj += j0; nc += c0 }
+      }
+      if (nj > 0) nc * 1000000L / nj else 0L
+    }
+    val vTab = (0 to full).map(v)
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val rows = chBits.map { case (c, b) =>
+      var phi = 0L
+      (0 to full).foreach { sMask =>
+        if ((sMask & b) == 0) {
+          val k = Integer.bitCount(sMask)
+          phi += fact(k) * fact(n - 1 - k) * (vTab(sMask | b) - vTab(sMask))
+        }
+      }
+      (c, phi)
+    }
+    rows.toDF("channel", "phi_num").orderBy($"channel")
+  }
+  private val q299Sql =
+    """WITH r AS (SELECT user_id, event_type, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS rn
+      |  FROM events),
+      |fp AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'purchase' THEN rn END) AS fp
+      |  FROM r GROUP BY 1),
+      |j AS (SELECT r.user_id, r.event_type
+      |  FROM r JOIN fp USING (user_id)
+      |  WHERE r.event_type <> 'purchase' AND (fp.fp IS NULL OR r.rn < fp.fp)),
+      |um AS (SELECT fp.user_id, coalesce(m.mask, 0) AS mask,
+      |    CASE WHEN fp.fp IS NOT NULL THEN 1 ELSE 0 END AS conv
+      |  FROM fp LEFT JOIN (SELECT user_id,
+      |      bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+      |        WHEN 'signup' THEN 4 ELSE 8 END) AS mask
+      |    FROM j GROUP BY 1) m USING (user_id)),
+      |sgrid AS (SELECT unnest(generate_series(0, 15)) AS s),
+      |cv AS (SELECT g.s, CAST(count(u.user_id) AS BIGINT) AS nj,
+      |    CAST(coalesce(sum(u.conv), 0) AS BIGINT) AS nc
+      |  FROM sgrid g LEFT JOIN um u ON (u.mask & (15 - g.s)) = 0
+      |  GROUP BY 1),
+      |v AS (SELECT s,
+      |    CASE WHEN nj > 0 THEN nc * 1000000 // nj ELSE 0 END AS v
+      |  FROM cv),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+      |    ('signup', 4), ('view', 8)) AS t(channel, bit))
+      |SELECT ch.channel,
+      |  CAST(sum((CASE bit_count(s.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+      |      WHEN 2 THEN 2 ELSE 6 END) * (vi.v - vs.v)) AS BIGINT) AS phi_num
+      |FROM ch
+      |JOIN sgrid s ON (s.s & ch.bit) = 0
+      |JOIN v vs ON vs.s = s.s
+      |JOIN v vi ON vi.s = (s.s | ch.bit)
+      |GROUP BY 1 ORDER BY channel""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q176_funnel_paths", q176, Some(q176Sql)),
     QueryDef("q188_attribution", q188, Some(q188Sql)),
@@ -335,6 +441,7 @@ object FunnelQueries extends QueryModule {
     QueryDef("q266_subsequence_support", q266, Some(q266Sql)),
     QueryDef("q284_token_bucket", q284, Some(q284Sql)),
     QueryDef("q285_token_bucket_stream", q285, Some(q284Sql)),
+    QueryDef("q299_shapley_attribution", q299, Some(q299Sql)),
   )
 
   /** q285: the SAME token-bucket replay through a real FileStreamSource →

@@ -205,9 +205,177 @@ object StreamingGateQueries extends QueryModule {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q297: streaming SESSION-WINDOW aggregation — `session_window` under
+    * a watermark through Spark's merging-session stateful exec
+    * (MergingSessionsExec + SessionWindowStateStoreSave), the one stateful
+    * operator family the q233/q239/q247/q249/q264/q285 set did not yet
+    * exercise. Sessions are variable-length state that MERGES when a new
+    * event bridges two open sessions — unlike fixed windows, the state
+    * key set mutates per batch, which is exactly what the dedicated exec
+    * pair exists for. Append mode (the only mode the session exec
+    * supports for flush-on-watermark) emits a session once the watermark
+    * passes its END (= last event + gap); with a zero-delay watermark the
+    * final no-data micro-batch of an AvailableNow run flushes every
+    * session except each stream-tail session still inside its gap
+    * horizon. The oracle replays BOTH the session assembly (q193's
+    * gaps-and-islands construction, closed-boundary `diff > gap`) and the
+    * eviction rule: emitted iff last_event + gap <= max event time over
+    * the whole stream, on the µs lattice with the watermark's ms
+    * truncation applied — so the hash match pins the merge semantics AND
+    * the append-mode flush contract. State per open session is one
+    * (start, end, count) triple — constant per key; at 100 TB the state
+    * store holds only open sessions inside the watermark horizon. */
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
+    }
+    val gapUs = 30L * 60L * 1000000L
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(streamPath)
+      .select($"user_id",
+        (if (schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else $"ts".cast("timestamp")).as("ets"))
+    val sink = "q297_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // shared-conf mutation: see q239's concurrency note
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      src.withWatermark("ets", "0 seconds")
+        .groupBy($"user_id", session_window($"ets", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    s.table(sink)
+      .select($"user_id",
+        unix_micros($"sw.start").as("session_start_us"),
+        (unix_micros($"sw.end") - unix_micros($"sw.start") - gapUs)
+          .as("span_us"),
+        $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+  }
+  private val q297Sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+      |l AS (SELECT *, lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) AS prev
+      |      FROM e),
+      |f AS (SELECT *, CASE WHEN prev IS NULL OR tsu - prev > 1800000000
+      |        THEN 1 ELSE 0 END AS brk FROM l),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+      |SELECT user_id, min(tsu) AS session_start_us,
+      |  max(tsu) - min(tsu) AS span_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |HAVING max(tsu) + 1800000000
+      |  <= ((SELECT max(tsu) FROM e) // 1000) * 1000
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** q298: stream-stream LEFT OUTER interval join — q239's
+    * purchase×preceding-hour-click pairing, but emitting a NULL-click row
+    * for every purchase that finds no click, which exercises the half of
+    * the symmetric-hash-join exec q239 cannot: outer-row emission is
+    * deferred until the state watermark proves no future match can
+    * arrive, then fires during state eviction (here, in the final
+    * no-data micro-batch). The oracle replays both halves exactly:
+    * matched pairs are the plain interval join; null rows are the
+    * unmatched purchases whose event time has fallen beneath the final
+    * GLOBAL watermark — which is the MIN over the two watermark nodes'
+    * own maxima (max purchase ts vs max click ts, each ms-truncated)
+    * minus the 1 h delay, NOT the max over all events: Spark advances
+    * the query watermark at the pace of the SLOWEST input, a semantic
+    * this gate pins empirically (at sf0.001 the click side trails the
+    * purchase side by 3.9 h and exactly the purchases between the two
+    * cutoffs stay un-emitted) — purchases above it are still in state
+    * when the bounded replay ends and are correctly ABSENT. State is bounded by the
+    * watermark + range condition exactly as in q239; the outer side adds
+    * only a matched/unmatched bit per buffered row. */
+  private def q298(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
+    }
+    def src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(streamPath)
+      .select($"user_id", $"event_id", $"event_type",
+        (if (schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else $"ts".cast("timestamp")).as("ets"))
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_event"),
+        $"ets".as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = src.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_event"),
+        $"ets".as("cts"))
+      .withWatermark("cts", "1 hour")
+    val sink = "q298_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // shared-conf mutation: see q239's concurrency note
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      purchases.join(clicks,
+          $"user_id" === $"c_user" &&
+            $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" <= $"pts",
+          "leftOuter")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    s.table(sink)
+      .select($"purchase_event", $"click_event", $"user_id",
+        unix_micros($"pts").as("purchase_ts_us"),
+        unix_micros($"cts").as("click_ts_us"))
+      .orderBy($"purchase_event", $"click_event")
+  }
+  private val q298Sql =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(ts) AS tsu FROM events),
+      |p AS (SELECT user_id, event_id AS purchase_event, tsu AS ptsu
+      |      FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id AS c_user, event_id AS click_event, tsu AS ctsu
+      |      FROM e WHERE event_type = 'click'),
+      |m AS (SELECT p.purchase_event, c.click_event, p.user_id,
+      |        p.ptsu, c.ctsu
+      |      FROM p JOIN c ON p.user_id = c.c_user
+      |        AND c.ctsu BETWEEN p.ptsu - 3600000000 AND p.ptsu),
+      |wm AS (SELECT least(
+      |    (max(CASE WHEN event_type = 'purchase' THEN tsu END) // 1000) * 1000,
+      |    (max(CASE WHEN event_type = 'click' THEN tsu END) // 1000) * 1000)
+      |  - 3600000000 AS w FROM e)
+      |SELECT purchase_event, click_event, user_id,
+      |  ptsu AS purchase_ts_us, ctsu AS click_ts_us FROM m
+      |UNION ALL
+      |SELECT p.purchase_event, NULL AS click_event, p.user_id,
+      |  p.ptsu AS purchase_ts_us, NULL AS click_ts_us
+      |FROM p
+      |WHERE p.purchase_event NOT IN (SELECT purchase_event FROM m)
+      |  AND p.ptsu < (SELECT w FROM wm)
+      |ORDER BY purchase_event, click_event""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q239_stream_stream_join", q239, Some(q239Sql)),
     QueryDef("q247_stream_windowed_agg", q247, Some(q247Sql)),
     QueryDef("q249_stream_dedup", q249, Some(q249Sql)),
+    QueryDef("q297_stream_session_window", q297, Some(q297Sql)),
+    QueryDef("q298_stream_left_outer_join", q298, Some(q298Sql)),
   )
 }

@@ -924,9 +924,84 @@ object VectorQueries extends QueryModule {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q300: Johnson–Lindenstrauss SIGN random projection — 64-dim
+    * embeddings compressed to 16 dims through a deterministic ±1 matrix
+    * (Achlioptas 2003: sign entries preserve pairwise distances in
+    * expectation with the same JL guarantee as Gaussians, and cost only
+    * adds/subtracts), the standard first-stage compression in front of
+    * ANN / dedup stacks (complementing q282's matryoshka TRUNCATION —
+    * this is the projection alternative when embeddings were not trained
+    * nested). Everything is exact integer: components quantized on the
+    * 1e-6 lattice (q256's idiom), the sign s(j,k) drawn from bit 11 of a
+    * Knuth multiplicative hash of the (output-dim, input-dim) cell — pure
+    * BIGINT arithmetic both engines replay literally — and the projection
+    * a Σ±qv sum, so the gate hashes with zero float tolerance. Each row
+    * also carries the measured norm distortion ‖Pv‖²/(m·‖v‖²) in ppm
+    * (floor arithmetic, overflow-safe divisor-first ordering), the
+    * quantity JL bounds — the audit a production rollout would monitor.
+    * Scale shape: a per-row map (no shuffle, no state, no broadcast —
+    * the m·d sign kernel is generated INSIDE the expression); the gate
+    * samples every 37th vector only to bound output size. The
+    * `transform`/`aggregate` lambdas are CodegenFallback (interpreted),
+    * which is fine for a 1024-multiply-add per row; a hot-path rollout
+    * at full corpus width would unroll them into native expressions the
+    * way q246 does. */
+  private def q300(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = 64; val m = 16
+    val sign = s"(CASE WHEN (((j * $d + k + 1) * 2654435761) % 4294967296) " +
+      "div 2048 % 2 = 0 THEN 1 ELSE -1 END)"
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" % 37 === 0)
+      .select($"vec_id", expr(
+        "transform(cast(embedding as array<double>), x -> " +
+          "cast(round(x * 1000000) as bigint))").as("qv"))
+      .select($"vec_id", $"qv", expr(
+        s"""transform(sequence(0, ${m - 1}), j ->
+           |  aggregate(sequence(0, ${d - 1}), cast(0 as bigint),
+           |    (acc, k) -> acc + element_at(qv, k + 1) * $sign))""".stripMargin)
+        .as("p"))
+      .select($"vec_id", $"p",
+        expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x * x)").as("n2"),
+        expr("aggregate(p, cast(0 as bigint), (a, x) -> a + x * x)").as("pn2"))
+      .select($"vec_id", posexplode($"p").as(Seq("j", "proj_scaled")),
+        expr(s"CASE WHEN ($m * n2) div 1000000 > 0 " +
+          s"THEN pn2 div (($m * n2) div 1000000) ELSE 0 END")
+          .as("distortion_ppm"))
+      .select($"vec_id", $"j".cast("long").as("j"), $"proj_scaled",
+        $"distortion_ppm")
+      .orderBy($"vec_id", $"j")
+  }
+  private val q300Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id % 37 = 0),
+      |jj AS (SELECT unnest(generate_series(0, 15)) AS j),
+      |kk AS (SELECT unnest(generate_series(0, 63)) AS k),
+      |sg AS (SELECT j, k,
+      |    CASE WHEN (((j * 64 + k + 1) * 2654435761) % 4294967296)
+      |      // 2048 % 2 = 0 THEN 1 ELSE -1 END AS s
+      |  FROM jj, kk),
+      |pr AS (SELECT e.vec_id, sg.j,
+      |    CAST(sum(e.qv[sg.k + 1] * sg.s) AS BIGINT) AS proj_scaled
+      |  FROM e, sg GROUP BY 1, 2),
+      |n2 AS (SELECT vec_id, list_reduce(list_transform(qv, x -> x * x),
+      |    (a, b) -> a + b) AS n2 FROM e),
+      |pn AS (SELECT vec_id,
+      |    CAST(sum(proj_scaled * proj_scaled) AS BIGINT) AS pn2
+      |  FROM pr GROUP BY 1)
+      |SELECT pr.vec_id, CAST(pr.j AS BIGINT) AS j, pr.proj_scaled,
+      |  CASE WHEN (16 * n2.n2) // 1000000 > 0
+      |    THEN CAST(pn.pn2 // ((16 * n2.n2) // 1000000) AS BIGINT)
+      |    ELSE 0 END AS distortion_ppm
+      |FROM pr JOIN n2 ON pr.vec_id = n2.vec_id
+      |JOIN pn ON pr.vec_id = pn.vec_id
+      |ORDER BY pr.vec_id, j""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q281_mmr_select", q281, Some(q281Sql)),
     QueryDef("q282_matryoshka_recall", q282, Some(q282Sql)),
+    QueryDef("q300_jl_projection", q300, Some(q300Sql)),
     QueryDef("q256_pca_power", q256, Some(q256Sql)),
     QueryDef("q262_grid_density_clusters", q262, Some(q262Sql)),
     QueryDef("q257_label_propagation", q257, Some(q257Sql)),

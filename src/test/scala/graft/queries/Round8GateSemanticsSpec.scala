@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Engine-internal cross-checks for the round-8 closing gates
+  * (q297–q300) — each gate is DuckDB-hash-gated already; these specs pin
+  * the SEMANTIC claims with an independent in-engine reformulation, so a
+  * regression shows up as a readable diff rather than a hash flip.
+  *
+  *  - q297: the streaming session-window result must equal the BATCH
+  *    `session_window` aggregation filtered by the append-mode flush rule
+  *    (session end ≤ final watermark = ms-floored max event time under the
+  *    zero-delay watermark).
+  *  - q298: the streaming left-outer interval join must equal the batch
+  *    left join whose null half is restricted by the global watermark —
+  *    the MIN of the two watermark nodes' own maxima (ms-floored) − 1 h.
+  *  - q299: Shapley efficiency — Σ_i φ_i = n!·(v(N) − v(∅)) holds exactly
+  *    on the floored-ppm v because the Shapley operator is linear in v;
+  *    v(N) is the overall conversion rate and v(∅) collapses to 1e6 when
+  *    any user's FIRST event is a purchase (an empty-journey user
+  *    converts by construction), recomputed here without any bitmask
+  *    machinery.
+  *  - q300: the sign projection preserves norms in the JL sense — every
+  *    measured distortion sits inside a generous (0.2×, 5×) band of the
+  *    unbiased 1e6 center — and one vector is replayed against a direct
+  *    Scala evaluation of the same kernel.
+  */
+class Round8GateSemanticsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q297 streaming session windows == batch session_window + flush rule") {
+    import spark.implicits._
+    val gapUs = 30L * 60L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", timestamp_micros(expr("ts div 1000")).as("tsm"))
+    val wmUs = {
+      val maxUs = ev.agg(max(unix_micros($"tsm"))).head.getLong(0)
+      (maxUs / 1000L) * 1000L // watermark tracks event time in ms
+    }
+    val batch = ev
+      .groupBy($"user_id", session_window($"tsm", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(unix_micros($"sw.end") <= wmUs)
+      .select($"user_id",
+        unix_micros($"sw.start").as("session_start_us"),
+        (unix_micros($"sw.end") - unix_micros($"sw.start") - gapUs)
+          .as("span_us"),
+        $"n_events")
+    val stream = SparkEntry.queries("q297_stream_session_window")(spark, dir)
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "streaming session windows diverge from batch + flush rule")
+  }
+
+  test("q298 streaming left-outer join == batch left join + min-node watermark") {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        expr("ts div 1000").as("tsu"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_event"), $"tsu".as("ptsu"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_event"),
+        $"tsu".as("ctsu"))
+    // global watermark = min over the two nodes' own maxima (ms floor) - 1h
+    val wm = math.min(
+      (p.agg(max($"ptsu")).head.getLong(0) / 1000L) * 1000L,
+      (c.agg(max($"ctsu")).head.getLong(0) / 1000L) * 1000L) - 3600000000L
+    val m = p.join(c, $"user_id" === $"c_user" &&
+      $"ctsu" >= $"ptsu" - 3600000000L && $"ctsu" <= $"ptsu")
+    val matched = m.select($"purchase_event", $"click_event", $"user_id",
+      $"ptsu".as("purchase_ts_us"), $"ctsu".as("click_ts_us"))
+    val nulls = p.join(m.select($"purchase_event").distinct(),
+        Seq("purchase_event"), "left_anti")
+      .filter($"ptsu" < wm)
+      .select($"purchase_event", lit(null).cast("long").as("click_event"),
+        $"user_id", $"ptsu".as("purchase_ts_us"),
+        lit(null).cast("long").as("click_ts_us"))
+    val batch = matched.unionAll(nulls)
+    val stream = SparkEntry.queries("q298_stream_left_outer_join")(spark, dir)
+    assert(stream.filter($"click_event".isNull).count() > 0,
+      "gate fixture must exercise the outer (null-emission) path")
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+      "streaming left-outer join diverges from batch + watermark rule")
+  }
+
+  test("q299 Shapley efficiency: sum of phi = n! * (v(full) - v(empty))") {
+    import spark.implicits._
+    val phiSum = SparkEntry.queries("q299_shapley_attribution")(spark, dir)
+      .agg(sum($"phi_num")).head.getLong(0)
+    // independent v(N)/v(∅): overall conversion rate; empty-journey users
+    // are exactly those whose first event is a purchase (they convert by
+    // construction, so v(∅) is 1e6 whenever any exists)
+    val ev = Tables.events(spark, dir)
+    val byUser = ev.groupBy($"user_id").agg(
+      max(when($"event_type" === "purchase", 1).otherwise(0)).as("conv"),
+      min(struct($"ts", $"event_id", $"event_type")).as("first"))
+    val users = byUser.count()
+    val convs = byUser.agg(sum($"conv")).head.getLong(0)
+    val anyEmpty = byUser.filter($"first.event_type" === "purchase").count() > 0
+    val vFull = convs * 1000000L / users
+    val vEmpty = if (anyEmpty) 1000000L else 0L
+    assert(phiSum == 24L * (vFull - vEmpty),
+      s"efficiency violated: sum(phi)=$phiSum vs 24*(v(N)-v(empty))=" +
+        s"${24L * (vFull - vEmpty)}")
+  }
+
+  test("q300 JL distortion bounded; kernel replays in plain Scala") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
+      .collect()
+    assert(out.nonEmpty)
+    val dist = out.map(_.getAs[Long]("distortion_ppm")).distinct
+    assert(dist.forall(d => d > 200000L && d < 5000000L),
+      s"distortion outside the JL-plausible band: ${dist.min}..${dist.max}")
+    // replay one vector's projection directly from the parquet floats
+    val vid = out.head.getAs[Long]("vec_id")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter($"vec_id" === vid)
+      .select($"embedding").head.getSeq[Float](0)
+    val qv = emb.map(x => math.round(x.toDouble * 1000000.0)).toArray
+    val expect = (0 until 16).map { j =>
+      (0 until 64).map { k =>
+        val h = ((j * 64 + k + 1).toLong * 2654435761L) % 4294967296L
+        val s = if ((h / 2048L) % 2L == 0L) 1L else -1L
+        qv(k) * s
+      }.sum
+    }
+    val got = out.filter(_.getAs[Long]("vec_id") == vid).sortBy(_.getAs[Long]("j"))
+      .map(_.getAs[Long]("proj_scaled")).toSeq
+    assert(got == expect, s"projection kernel mismatch for vec $vid")
+  }
+}
