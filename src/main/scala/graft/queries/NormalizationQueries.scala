@@ -136,9 +136,61 @@ object NormalizationQueries extends QueryModule {
       |FROM customer c JOIN rk ON c.c_acctbal = rk.c_acctbal
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** q301: CROSS-SOURCE quantile matching — map every source's per-doc
+    * score distribution onto the POOLED reference distribution's values
+    * by rank alignment (the microarray-style "quantile normalization"
+    * proper, where q136 maps to CDF positions within one distribution):
+    * a doc at within-source rank r of n_s lands on the pooled value at
+    * global rank ⌊r·N/n_s⌋. This is the curation step that makes
+    * heterogeneous per-source quality scores comparable before one
+    * global threshold — without it a global cut keeps whatever source
+    * happens to score optimistically. Everything is integer-exact: ranks
+    * are row_numbers with (score, doc_id) tie-pins, the target rank is
+    * one floor multiply-divide, and the normalized score is a VALUE from
+    * the pooled distribution, not an interpolation.
+    *
+    * Scale shape: the per-source rank is a PARTITIONED window (shuffles
+    * on source); the pooled rank — the one data-sized global order — goes
+    * through [[DistributedScan.rowNumbers]], never a single-partition
+    * window; the alignment is an equi-join on a dense integer rank (no
+    * skew possible: ranks are unique). Source sizes ride one broadcast. */
+  private def q301(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"source", $"n_chars")
+    val perSrc = docs.withColumn("r", row_number().over(
+      Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")))
+    val ns = docs.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val total = ns.agg(sum($"ns").as("n"))
+    val tgt = perSrc.join(broadcast(ns), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("tr", expr("(r * n) div ns"))
+    val pooled = DistributedScan.rowNumbers(
+        docs.select($"n_chars".as("gv"), $"doc_id".as("gid")),
+        Seq(col("gv"), col("gid")), "gr")
+      .select($"gr", $"gv")
+    tgt.join(pooled, $"tr" === $"gr")
+      .select($"doc_id", $"source", $"n_chars", $"gv".as("norm_chars"))
+      .orderBy($"doc_id")
+  }
+  private val q301Sql =
+    """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars, doc_id) AS r FROM d),
+      |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+      |  FROM d GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+      |g AS (SELECT n_chars AS gv,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS gr FROM d)
+      |SELECT r.doc_id, r.source, r.n_chars, g.gv AS norm_chars
+      |FROM r JOIN ns USING (source) CROSS JOIN t
+      |JOIN g ON g.gr = (r.r * t.n) // ns.ns
+      |ORDER BY r.doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q134_weighted_median", q134, Some(q134Sql)),
     QueryDef("q135_hhi_concentration", q135, Some(q135Sql)),
     QueryDef("q136_quantile_normalize", q136, Some(q136Sql)),
+    QueryDef("q301_quantile_match", q301, Some(q301Sql)),
   )
 }

@@ -107,6 +107,24 @@ class Round8GateSemanticsSpec extends SparkTestBase {
         s"${24L * (vFull - vEmpty)}")
   }
 
+  test("q301 quantile matching: equal-size sources get identical value multisets") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q301_quantile_match")(spark, dir)
+    // the defining property of quantile normalization: after matching,
+    // every (equal-sized) source carries the SAME multiset of normalized
+    // values — the pooled reference values at the n_s aligned ranks
+    val sets = out.groupBy($"source")
+      .agg(sort_array(collect_list($"norm_chars")).as("m"))
+      .select($"m").distinct().count()
+    assert(sets == 1L,
+      s"equal-size sources produced $sets distinct normalized multisets")
+    // the one data-sized global order must ride DistributedScan, never a
+    // single-partition window
+    val hits = graft.tools.WindowAudit.unpartitionedDataWindows(
+      out.queryExecution.optimizedPlan)
+    assert(hits.isEmpty, hits.mkString("; "))
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
