@@ -986,7 +986,90 @@ object CorpusModelQueries extends QueryModule {
       |  round(CAST(sum(s_ppm) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_sil6
       |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q302: multinomial NAIVE BAYES language classifier — the generative
+    * companion to q160's discriminative linear probe: train per-(lang,
+    * token) Laplace-smoothed log-likelihoods and per-lang priors on the
+    * corpus, score every document in log space, and report the lang ×
+    * predicted-lang CONFUSION MATRIX (the self-consistency audit that
+    * tells you whether the declared lang labels are even learnable from
+    * the token distributions — a label-quality tripwire for corpus
+    * intake). Float discipline is q292/q289's: each cell's ln((c+1)/
+    * (n_l+V)) is one correctly-rounded double op on exact integer inputs,
+    * rounded at 9 dp, and every cross-token sum runs as DECIMAL(38,9) —
+    * order-independent, so the per-doc scores compare EXACTLY and the
+    * argmax (score DESC, lang ASC tie-pin) is engine-stable.
+    *
+    * Scale shape: the model is the |langs|·|vocab| grid (bounded —
+    * vocabulary-sized, never corpus-sized), built by one grouped count
+    * and joined BROADCAST to the exploded token stream; one shuffle
+    * aggregates (doc, lang) scores, a per-doc window picks the argmax.
+    * No driver loop, no collect: train and predict are both one-pass. */
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(split($"text", " ")).as("tok"))
+    val cls = toks.groupBy($"lang").agg(
+      countDistinct($"doc_id").as("n_docs"),
+      count(lit(1)).as("n_tok"))
+    val vocab = toks.select($"tok").distinct()
+    val vSize = vocab.count() // vocabulary-bounded scalar, never data-sized
+    val nDocsTotal = Tables.documents(s, dir).count()
+    val counts = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("cnt"))
+    val grid = cls.crossJoin(vocab)
+      .join(counts, Seq("lang", "tok"), "left")
+      .select($"lang".as("m_lang"), $"tok".as("m_tok"),
+        round(log((coalesce($"cnt", lit(0L)) + 1L).cast("double") /
+          ($"n_tok" + lit(vSize)).cast("double")), 9)
+          .cast("decimal(38,9)").as("logp"))
+    val prior = cls.select($"lang".as("p_lang"),
+      round(log($"n_docs".cast("double") / lit(nDocsTotal.toDouble)), 9)
+        .cast("decimal(38,9)").as("logprior"))
+    val scored = toks
+      .join(broadcast(grid), $"tok" === $"m_tok")
+      .groupBy($"doc_id", $"lang", $"m_lang")
+      .agg(sum($"logp").as("s"))
+      .join(broadcast(prior), $"m_lang" === $"p_lang")
+      .select($"doc_id", $"lang", $"m_lang", ($"s" + $"logprior").as("score"))
+    val pred = scored.withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"m_lang")))
+      .filter($"rk" === 1)
+    pred.groupBy($"lang", $"m_lang".as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"pred_lang")
+  }
+  private val q302Sql =
+    """WITH toks AS (SELECT doc_id, lang,
+      |    unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cls AS (SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    CAST(count(*) AS BIGINT) AS n_tok FROM toks GROUP BY 1),
+      |vocab AS (SELECT DISTINCT tok FROM toks),
+      |vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |cnts AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY 1, 2),
+      |grid AS (SELECT cls.lang AS m_lang, vocab.tok AS m_tok,
+      |    CAST(round(ln(CAST(coalesce(cnts.cnt, 0) + 1 AS DOUBLE)
+      |      / (cls.n_tok + vs.v)), 9) AS DECIMAL(38,9)) AS logp
+      |  FROM cls CROSS JOIN vocab CROSS JOIN vs
+      |  LEFT JOIN cnts ON cnts.lang = cls.lang AND cnts.tok = vocab.tok),
+      |prior AS (SELECT lang AS p_lang,
+      |    CAST(round(ln(CAST(n_docs AS DOUBLE) / nd.n), 9)
+      |      AS DECIMAL(38,9)) AS logprior
+      |  FROM cls CROSS JOIN nd),
+      |scored AS (SELECT t.doc_id, t.lang, g.m_lang,
+      |    sum(g.logp) + any_value(p.logprior) AS score
+      |  FROM toks t JOIN grid g ON t.tok = g.m_tok
+      |  JOIN prior p ON p.p_lang = g.m_lang
+      |  GROUP BY 1, 2, 3),
+      |pred AS (SELECT doc_id, lang, m_lang, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rk
+      |  FROM scored)
+      |SELECT lang, m_lang AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM pred WHERE rk = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q302_naive_bayes", q302, Some(q302Sql)),
     QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),
     QueryDef("q263_cluster_silhouette", q263, Some(q263Sql)),
     QueryDef("q213_bpe_encode", q213, Some(q213Sql)),

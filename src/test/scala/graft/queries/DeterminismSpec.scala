@@ -73,7 +73,11 @@ class DeterminismSpec extends SparkTestBase {
     // curation-ops batch: candidate-pruned RRF ranks, one-pass kappa
     // contingency, md5-digest DISTINCTs, funnel over the minhash path
     "q205_rrf_fusion", "q206_cohens_kappa", "q207_text_normalize",
-    "q208_curation_funnel")
+    "q208_curation_funnel",
+    // round-8 closers: coalition-cell Shapley, interpreted JL kernel,
+    // distributed-scan rank alignment, decimal-pinned NB log-space argmax
+    "q299_shapley_attribution", "q300_jl_projection",
+    "q301_quantile_match", "q302_naive_bayes")
 
   private val dir = "/root/testdata/sf0.001"
 
