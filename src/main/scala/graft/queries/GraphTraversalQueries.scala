@@ -495,7 +495,88 @@ object GraphTraversalQueries extends QueryModule {
        |ORDER BY 1""".stripMargin
   }
 
+  /** q303: deterministic RANDOM-WALK corpus — one length-8 walk from
+    * every BFS seed over the co-purchase graph, the DeepWalk/node2vec
+    * input-generation step (the walk table IS the training corpus a
+    * skip-gram embedder consumes; generating it at scale is a data-prep
+    * op, not a modeling one). Each step picks neighbor
+    * adj[v][ Lehmer(walk_id, t, v) mod deg(v) ] over the (dst-sorted,
+    * dense row_number-indexed) adjacency — a seed-folded Lehmer LCG in
+    * exact BIGINT (mod-before-multiply keeps every intermediate under
+    * 2^63), so both engines replay the identical walks; statistical
+    * quality of the per-step draw is NOT the contract, determinism is
+    * (the production swap-in is any keyed hash with the same signature).
+    * Walks stop early at sinks (no out-edges) — both engines drop the
+    * row, no sentinel.
+    *
+    * Scale shape: 8 bounded rounds of frontier ⋈ degree ⋈ adjacency
+    * (shuffle on the node key, frontier localCheckpoint-pinned per round
+    * — [[graft.graph.Graph]]'s discipline); the walk count is the seed
+    * count, so the frontier never grows, and the oracle unrolls the same
+    * 8 steps as MATERIALIZED CTEs. */
+  private def q303(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val steps = 8
+    val edges = copurchaseEdges(s, dir).localCheckpoint(true)
+    // indexed adjacency WITH degree, pinned ONCE — the 8 rounds each make
+    // one map-side pass over it against the broadcast frontier (walk count
+    // = seed count, so the frontier never outgrows a broadcast): zero
+    // shuffles per round, and the ranking window runs exactly once
+    val adjDeg = edges.withColumn("idx",
+        row_number().over(Window.partitionBy($"src").orderBy($"dst"))
+          .cast("long") - 1L)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy($"src")))
+      .select($"src".as("a_src"), $"dst".as("a_dst"), $"idx", $"deg")
+      .localCheckpoint(true)
+    var cur = edges.select($"src").filter($"src" % 97 === 0).distinct()
+      .select($"src".as("walk_id"), $"src".as("v"))
+      .localCheckpoint(true)
+    val parts = Seq.newBuilder[DataFrame]
+    parts += cur.select($"walk_id", lit(0L).as("step"), $"v".as("node"))
+    for (t <- 1 to steps) {
+      cur = adjDeg.join(broadcast(cur), $"a_src" === $"v")
+        .filter($"idx" === expr(
+          s"(((walk_id * 1000003 + $t * 10007 + v * 29) % 2147483647)" +
+            " * 48271 % 2147483647) % deg"))
+        .select($"walk_id", $"a_dst".as("v"))
+        .localCheckpoint(true)
+      parts += cur.select($"walk_id", lit(t.toLong).as("step"),
+        $"v".as("node"))
+    }
+    parts.result().reduce(_ unionAll _).orderBy($"walk_id", $"step")
+  }
+  private val q303Sql = {
+    val steps = 8
+    val rounds = (1 to steps).map { t =>
+      s"""w$t AS MATERIALIZED (SELECT w.walk_id, a.dst AS v
+         |  FROM w${t - 1} w
+         |  JOIN deg d ON d.src = w.v
+         |  JOIN adj a ON a.src = w.v
+         |    AND a.idx = (((w.walk_id * 1000003 + $t * 10007 + w.v * 29)
+         |      % 2147483647) * 48271 % 2147483647) % d.deg)""".stripMargin
+    }.mkString(",\n")
+    val out = (0 to steps).map(t =>
+      s"SELECT walk_id, CAST($t AS BIGINT) AS step, v AS node FROM w$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |adj AS MATERIALIZED (SELECT src, dst,
+       |    CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT)
+       |      - 1 AS idx FROM e),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT DISTINCT src AS walk_id, src AS v
+       |  FROM e WHERE src % 97 = 0),
+       |$rounds
+       |$out
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q303_random_walks", q303, Some(q303Sql)),
     QueryDef("q94_bfs_reach", q94, Some(q94Sql)),
     QueryDef("q95_pagerank", q95, Some(q95Sql)),
     QueryDef("q217_coreness", q217, Some(q217Sql)),
