@@ -300,8 +300,68 @@ object GraphIncrementalQueries extends QueryModule {
       |SELECT id AS doc_id, min(r) AS component_root
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** q304: incremental aggregate maintenance WITH RETRACTIONS — q82
+    * handles insert-only micro-batches; this is the other half of the
+    * changelog algebra (Flink-style retract streams, Delta MERGE-driven
+    * MVs): a stored per-(user, event_type) count/sum view absorbs a mixed
+    * changelog (deletes = every 13th user's base rows, inserts = every
+    * 7th event) as SIGNED deltas — one weighted aggregate, one full-outer
+    * merge with the stored state, and the defining retraction semantic:
+    * a group whose maintained count reaches ZERO disappears from the view
+    * (the filter the insert-only path never needs). The oracle computes
+    * the same view by FULL RECOMPUTE over (base ∖ deletes) ∪ inserts, so
+    * the hash match proves the maintenance algebra ≡ recomputation —
+    * the IVM correctness statement itself.
+    *
+    * Only the self-maintainable aggregates (count, sum, and avg derived
+    * at read) are maintained: min/max are deliberately absent — they are
+    * not retractable without per-group auxiliary state (a heap or a
+    * recompute), which is exactly why production IVMs classify them
+    * separately. Cents are exact LONG; avg is integer division on
+    * non-negative sums (truncation = floor, engine-identical).
+    *
+    * Scale shape: two grouped aggregates + one full-outer equi-join on
+    * the group key — every step shuffles on the key the view is stored
+    * by; the changelog side is |delta|-sized, never |view|-sized. */
+  private def q304(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select($"event_id", $"user_id",
+      $"event_type", round($"value" * 100).cast("long").as("cents"))
+    val base = ev.filter($"event_id" % 7 =!= 0)
+    val deletes = base.filter($"user_id" % 13 === 0)
+    val inserts = ev.filter($"event_id" % 7 === 0)
+    val mv = base.groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+    val delta = deletes.select($"user_id", $"event_type",
+        lit(-1L).as("w"), $"cents")
+      .unionAll(inserts.select($"user_id", $"event_type",
+        lit(1L).as("w"), $"cents"))
+      .groupBy($"user_id", $"event_type")
+      .agg(sum($"w").as("dn"), sum($"w" * $"cents").as("ds"))
+    mv.join(delta, Seq("user_id", "event_type"), "full_outer")
+      .select($"user_id", $"event_type",
+        (coalesce($"n", lit(0L)) + coalesce($"dn", lit(0L))).as("n_events"),
+        (coalesce($"sc", lit(0L)) + coalesce($"ds", lit(0L))).as("sum_cents"))
+      .filter($"n_events" > 0)
+      .withColumn("avg_cents", expr("sum_cents div n_events"))
+      .orderBy($"user_id", $"event_type")
+  }
+  private val q304Sql =
+    """WITH ev AS (SELECT event_id, user_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      |kept AS (
+      |  SELECT * FROM ev WHERE event_id % 7 <> 0 AND user_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT * FROM ev WHERE event_id % 7 = 0)
+      |SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(cents) AS BIGINT) // count(*) AS avg_cents
+      |FROM kept GROUP BY 1, 2
+      |ORDER BY user_id, event_type""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q82_incremental_agg", q82, Some(q82Sql)),
+    QueryDef("q304_retraction_view", q304, Some(q304Sql)),
     QueryDef("q214_delta_join_view", q214, Some(q214Sql)),
     QueryDef("q83_triangle_count", q83, Some(q83Sql)),
     QueryDef("q84_outlier_zscore", q84, Some(q84Sql)),

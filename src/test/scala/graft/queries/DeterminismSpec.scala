@@ -77,7 +77,8 @@ class DeterminismSpec extends SparkTestBase {
     // round-8 closers: coalition-cell Shapley, interpreted JL kernel,
     // distributed-scan rank alignment, decimal-pinned NB log-space argmax
     "q299_shapley_attribution", "q300_jl_projection",
-    "q301_quantile_match", "q302_naive_bayes", "q303_random_walks")
+    "q301_quantile_match", "q302_naive_bayes", "q303_random_walks",
+    "q304_retraction_view")
 
   private val dir = "/root/testdata/sf0.001"
 

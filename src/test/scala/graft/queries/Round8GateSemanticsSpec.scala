@@ -125,6 +125,21 @@ class Round8GateSemanticsSpec extends SparkTestBase {
     assert(hits.isEmpty, hits.mkString("; "))
   }
 
+  test("q304 retraction view: zero-count groups vanish from the maintained view") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q304_retraction_view")(spark, dir)
+    val baseGroups = Tables.events(spark, dir)
+      .filter($"event_id" % 7 =!= 0)
+      .select($"user_id", $"event_type").distinct()
+    val vanished = baseGroups.join(
+      out.select($"user_id", $"event_type"),
+      Seq("user_id", "event_type"), "left_anti").count()
+    assert(vanished > 0,
+      "fixture must retract at least one whole group (else the " +
+        "drop-on-zero path is untested)")
+    assert(out.filter($"n_events" <= 0).isEmpty)
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
