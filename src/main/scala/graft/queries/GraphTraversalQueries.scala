@@ -575,8 +575,105 @@ object GraphTraversalQueries extends QueryModule {
        |ORDER BY walk_id, step""".stripMargin
   }
 
+  /** q305: LOUVAIN phase-1 community detection — the modularity-GAIN
+    * move loop (q295 only scores a GIVEN partition; this one finds one):
+    * starting from singleton communities, each of 3 synchronous rounds
+    * moves every node to the neighbor community maximizing the standard
+    * gain comparison ΔQ(i→c) ∝ M·k_{i,c} − k_i·(tot_c − k_i·[c = own]),
+    * computed in EXACT BIGINT (M = directed edge count = 2m on the
+    * symmetric graph, so no ½ factors; overflow audit: k_i·tot_c ≤
+    * deg·2m ≪ 2^63 at any rehearsed scale) with (score DESC, community
+    * ASC) tie-pins — so the pre-convergence state after round 3 is a
+    * deterministic integer fixed point both engines replay (the q259
+    * bounded-rounds discipline; synchronous updates can oscillate, which
+    * is WHY the gate pins a fixed round count rather than "until
+    * converged"). Candidates are each node's neighbor communities plus
+    * its own (score 0 neighbors-in-own case handled by the max-merge).
+    *
+    * Scale shape per round: community mass = one grouped sum; k_{i,c} =
+    * one edges⋈labels grouped count (shuffle on src — the canonical
+    * bucketing key); argmax = per-node window over candidate communities
+    * (bounded by degree). Labels localCheckpoint-pin per round. */
+  private def q305(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rounds = 3
+    val edges = copurchaseEdges(s, dir).localCheckpoint(true)
+    val mTotal = edges.count() // scalar: directed edge count (= 2m)
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("k"))
+      .localCheckpoint(true)
+    var labels = deg.select($"src".as("id"), $"src".as("lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val tot = labels.join(deg, $"id" === $"src").drop("src")
+        .groupBy($"lab").agg(sum($"k").as("tot"))
+        .select($"lab".as("t_lab"), $"tot")
+      val kic = edges.join(labels.select($"id".as("dst_id"), $"lab"),
+          $"dst" === $"dst_id")
+        .groupBy($"src", $"lab").agg(count(lit(1)).as("kic"))
+        .select($"src".as("id"), $"lab".as("c"), $"kic")
+      val cand = kic
+        .unionAll(labels.select($"id", $"lab".as("c"), lit(0L).as("kic")))
+        .groupBy($"id", $"c").agg(max($"kic").as("kic"))
+      labels = cand
+        .join(deg.select($"src".as("id"), $"k"), Seq("id"))
+        .join(labels.select($"id", $"lab".as("own")), Seq("id"))
+        .join(tot, $"c" === $"t_lab")
+        .select($"id", $"c",
+          (lit(mTotal) * $"kic" -
+            $"k" * ($"tot" - when($"c" === $"own", $"k").otherwise(0L)))
+            .as("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"id").orderBy($"s".desc, $"c")))
+        .filter($"rk" === 1)
+        .select($"id", $"c".as("lab"))
+        .localCheckpoint(true)
+    }
+    labels.select($"id".as("node_id"), $"lab".as("community"))
+      .orderBy($"node_id")
+  }
+  private val q305Sql = {
+    val rounds = 3
+    val body = (1 to rounds).map { t =>
+      s"""tot$t AS MATERIALIZED (SELECT l.lab AS c,
+         |    CAST(sum(d.k) AS BIGINT) AS tot
+         |  FROM l${t - 1} l JOIN deg d ON d.src = l.id GROUP BY 1),
+         |kic$t AS MATERIALIZED (SELECT e.src AS id, l.lab AS c,
+         |    CAST(count(*) AS BIGINT) AS kic
+         |  FROM e JOIN l${t - 1} l ON l.id = e.dst GROUP BY 1, 2),
+         |cand$t AS MATERIALIZED (SELECT id, c, max(kic) AS kic FROM (
+         |    SELECT id, c, kic FROM kic$t
+         |    UNION ALL SELECT id, lab AS c, CAST(0 AS BIGINT) FROM l${t - 1}
+         |  ) u GROUP BY 1, 2),
+         |sc$t AS MATERIALIZED (SELECT cd.id, cd.c,
+         |    mm.m * cd.kic - d.k *
+         |      (t.tot - CASE WHEN l.lab = cd.c THEN d.k ELSE 0 END) AS s
+         |  FROM cand$t cd
+         |  JOIN deg d ON d.src = cd.id
+         |  JOIN l${t - 1} l ON l.id = cd.id
+         |  JOIN tot$t t ON t.c = cd.c
+         |  CROSS JOIN mm),
+         |l$t AS MATERIALIZED (SELECT id, c AS lab FROM (
+         |    SELECT id, c, row_number() OVER (PARTITION BY id
+         |      ORDER BY s DESC, c) AS rk FROM sc$t) z WHERE rk = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS k
+       |  FROM e GROUP BY 1),
+       |l0 AS MATERIALIZED (SELECT src AS id, src AS lab FROM deg),
+       |$body
+       |SELECT id AS node_id, lab AS community FROM l$rounds
+       |ORDER BY node_id""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q303_random_walks", q303, Some(q303Sql)),
+    QueryDef("q305_louvain_phase1", q305, Some(q305Sql)),
     QueryDef("q94_bfs_reach", q94, Some(q94Sql)),
     QueryDef("q95_pagerank", q95, Some(q95Sql)),
     QueryDef("q217_coreness", q217, Some(q217Sql)),

@@ -78,7 +78,7 @@ class DeterminismSpec extends SparkTestBase {
     // distributed-scan rank alignment, decimal-pinned NB log-space argmax
     "q299_shapley_attribution", "q300_jl_projection",
     "q301_quantile_match", "q302_naive_bayes", "q303_random_walks",
-    "q304_retraction_view")
+    "q304_retraction_view", "q305_louvain_phase1")
 
   private val dir = "/root/testdata/sf0.001"
 

@@ -140,6 +140,17 @@ class Round8GateSemanticsSpec extends SparkTestBase {
     assert(out.filter($"n_events" <= 0).isEmpty)
   }
 
+  test("q305 Louvain phase-1 actually coarsens: 1 < #communities < #nodes") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q305_louvain_phase1")(spark, dir)
+    val nodes = out.count()
+    val comms = out.select($"community").distinct().count()
+    assert(comms > 1L && comms < nodes / 2L,
+      s"degenerate partition: $comms communities over $nodes nodes " +
+        "(all-singleton means no move ever won; one blob means the gain " +
+        "comparison collapsed)")
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
