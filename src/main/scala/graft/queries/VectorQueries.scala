@@ -939,37 +939,31 @@ object VectorQueries extends QueryModule {
     * also carries the measured norm distortion ‖Pv‖²/(m·‖v‖²) in ppm
     * (floor arithmetic, overflow-safe divisor-first ordering), the
     * quantity JL bounds — the audit a production rollout would monitor.
-    * Scale shape: a per-row map (no shuffle, no state, no broadcast —
-    * the m·d sign kernel is generated INSIDE the expression); the gate
-    * samples every 37th vector only to bound output size. The
-    * `transform`/`aggregate` lambdas are CodegenFallback (interpreted),
-    * which is fine for a 1024-multiply-add per row; a hot-path rollout
-    * at full corpus width would unroll them into native expressions the
-    * way q246 does. */
+    * Scale shape: a per-row map (no shuffle, no state, no broadcast);
+    * the gate samples every 37th vector only to bound output size. The
+    * m·d ±1 kernel is the native [[org.apache.spark.sql.graft.JlSignProject]]
+    * expression — one constant-size tree node whose generated code is two
+    * tight primitive loops returning (p, Σqv², Σp²) in a single pass.
+    * (First cut: nested `transform`/`aggregate` lambdas — CodegenFallback,
+    * 2.8 s at sf0.1. Second cut: a plan-time-unrolled 1024-term column
+    * chain — codegen'd, but the 3 MiB serialized task binary cost ~1.5 s
+    * of per-execution broadcast; the native node removes both.) */
   private def q300(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = 64; val m = 16
-    val sign = s"(CASE WHEN (((j * $d + k + 1) * 2654435761) % 4294967296) " +
-      "div 2048 % 2 = 0 THEN 1 ELSE -1 END)"
     s.read.parquet(s"$dir/embeddings.parquet")
       .filter($"vec_id" % 37 === 0)
       .select($"vec_id", expr(
         "transform(cast(embedding as array<double>), x -> " +
           "cast(round(x * 1000000) as bigint))").as("qv"))
-      .select($"vec_id", $"qv", expr(
-        s"""transform(sequence(0, ${m - 1}), j ->
-           |  aggregate(sequence(0, ${d - 1}), cast(0 as bigint),
-           |    (acc, k) -> acc + element_at(qv, k + 1) * $sign))""".stripMargin)
-        .as("p"))
-      .select($"vec_id", $"p",
-        expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x * x)").as("n2"),
-        expr("aggregate(p, cast(0 as bigint), (a, x) -> a + x * x)").as("pn2"))
-      .select($"vec_id", posexplode($"p").as(Seq("j", "proj_scaled")),
+      .select($"vec_id",
+        org.apache.spark.sql.graft.vector.jlSignProject($"qv", m, d).as("s"))
+      .select($"vec_id", $"s.n2".as("n2"), $"s.pn2".as("pn2"),
+        posexplode($"s.p").as(Seq("j", "proj_scaled")))
+      .select($"vec_id", $"j".cast("long").as("j"), $"proj_scaled",
         expr(s"CASE WHEN ($m * n2) div 1000000 > 0 " +
           s"THEN pn2 div (($m * n2) div 1000000) ELSE 0 END")
           .as("distortion_ppm"))
-      .select($"vec_id", $"j".cast("long").as("j"), $"proj_scaled",
-        $"distortion_ppm")
       .orderBy($"vec_id", $"j")
   }
   private val q300Sql =

@@ -35,6 +35,68 @@ class NativeFunctionsSpec extends SparkTestBase {
     assert(df.select(vector.norm($"v")).head.getDouble(0) == 5.0)
   }
 
+  test("jlSignProject matches an independent sign-matrix recompute; null array yields null") {
+    import spark.implicits._
+    val d = 64; val m = 16
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 25).map(i =>
+      (i.toLong, Seq.fill(d)(rnd.nextInt(4000001).toLong - 2000000)))
+    val df = vecs.toDF("id", "qv")
+    val out = df.select($"id",
+      vector.jlSignProject($"qv", m, d).as("s"))
+      .select($"id", $"s.p", $"s.n2", $"s.pn2")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getLong(2), r.getLong(3)))).toMap
+    // independent replay of the documented recurrence
+    def sign(j: Int, k: Int): Long = {
+      val cell = ((j.toLong * d + k + 1) * 2654435761L) % 4294967296L
+      if (cell / 2048 % 2 == 0) 1L else -1L
+    }
+    // the matrix must not be degenerate: both signs present in every row
+    for (j <- 0 until m) {
+      val signs = (0 until d).map(sign(j, _)).toSet
+      assert(signs == Set(1L, -1L), s"projection row $j is constant-sign")
+    }
+    vecs.foreach { case (id, qv) =>
+      val p = (0 until m).map(j =>
+        (0 until d).map(k => qv(k) * sign(j, k)).sum)
+      val n2 = qv.map(v => v * v).sum
+      val pn2 = p.map(v => v * v).sum
+      assert(out(id) == ((p, n2, pn2)), s"vector $id")
+    }
+    // null-safe contract
+    val nd = df.withColumn("qv", when($"id" === 0, $"qv"))
+      .select(vector.jlSignProject($"qv", m, d)).collect()
+    assert(!nd.find(_ != null).isEmpty)
+    assert(nd.count(_.isNullAt(0)) == vecs.size - 1)
+  }
+
+  test("jlSignProject interpreted path (eval) agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.graft.JlSignProject
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val d = 8; val m = 4
+    val qv = Array.tabulate(d)(k => (k * 37 - 100).toLong)
+    val e = JlSignProject(BoundReference(0, ArrayType(LongType), nullable = true), m, d)
+    val row = InternalRow(new GenericArrayData(qv))
+    val viaEval = e.eval(row)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val p = viaEval.getArray(0).toLongArray()
+    def sign(j: Int, k: Int): Long = {
+      val cell = ((j.toLong * d + k + 1) * 2654435761L) % 4294967296L
+      if (cell / 2048 % 2 == 0) 1L else -1L
+    }
+    val expP = (0 until m).map(j => (0 until d).map(k => qv(k) * sign(j, k)).sum)
+    assert(p.toSeq == expP)
+    assert(viaEval.getLong(1) == qv.map(v => v * v).sum)
+    assert(viaEval.getLong(2) == expP.map(v => v * v).sum)
+    // eval on a null input respects the null contract
+    assert(e.eval(InternalRow(null)) == null)
+  }
+
   test("topKByScore equals window row_number formulation, including ties") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
