@@ -11,4 +11,5 @@ package object functions {
   val sketches: org.apache.spark.sql.graft.sketches.type = org.apache.spark.sql.graft.sketches
   val bpe: org.apache.spark.sql.graft.bpe.type = org.apache.spark.sql.graft.bpe
   val hindex: org.apache.spark.sql.graft.hindex.type = org.apache.spark.sql.graft.hindex
+  val stringsim: org.apache.spark.sql.graft.stringsim.type = org.apache.spark.sql.graft.stringsim
 }

@@ -86,8 +86,59 @@ object EntityResolutionQueries extends QueryModule {
       |WHERE c.c_acctbal < 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q306: fuzzy nearest-name lookup with the native Jaro–Winkler kernel
+    * ([[org.apache.spark.sql.graft.JaroWinkler]]) — the record-linkage
+    * metric q86's edit-distance join cannot express (JW weighs prefix
+    * agreement and transpositions, the right shape for typo'd
+    * identifiers). Every 7th customer probes for its best-JW match among
+    * the customers in its key block (c_custkey div 100 — candidate
+    * GENERATION is part of the gate's semantics and the oracle replays
+    * it, the same contract as q27's LSH banding); similarity is emitted
+    * in exact-BIGINT round-half-up ppm, so the hash pins the full Jaro
+    * matching/transposition/boost arithmetic cell by cell against
+    * DuckDB's independent `jaro_winkler_similarity` implementation, and
+    * the argmax (ties → smallest candidate key) rides the bounded
+    * [[graft.functions.aggregates.topKByScore]] aggregate — one
+    * partial-combinable pass, no per-probe window sort. Scale shape: an
+    * equi-join on the block id (balanced blocks of ≤100, no skew) plus
+    * one map-side-combined aggregate; the JW kernel is a codegen'd
+    * static call, per-pair O(|a|·|b|) on name-length strings. */
+  private def q306(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", expr("c_custkey div 100").as("blk"))
+    val probes = c.filter($"c_custkey" % 7 === 0)
+    probes.as("a").join(c.as("b"),
+        $"a.blk" === $"b.blk" && $"a.c_custkey" =!= $"b.c_custkey")
+      .select($"a.c_custkey".as("probe_key"), $"a.c_name".as("probe_name"),
+        $"b.c_custkey".as("cand_key"),
+        graft.functions.stringsim
+          .jaroWinklerPpm($"a.c_name", $"b.c_name").as("ppm"))
+      .groupBy($"probe_key", $"probe_name")
+      .agg(graft.functions.aggregates
+        .topKByScore($"ppm".cast("double"), $"cand_key", 1).as("top"))
+      .select($"probe_key", $"probe_name",
+        element_at($"top", 1).getField("id").as("match_key"),
+        element_at($"top", 1).getField("score").cast("long").as("best_ppm"))
+      .orderBy($"probe_key")
+  }
+  private val q306Sql =
+    """WITH c AS (SELECT c_custkey, c_name, c_custkey // 100 AS blk
+      |  FROM customer),
+      |pairs AS (SELECT a.c_custkey AS probe_key, a.c_name AS probe_name,
+      |    b.c_custkey AS cand_key,
+      |    CAST(round(jaro_winkler_similarity(a.c_name, b.c_name) * 1000000)
+      |      AS BIGINT) AS ppm
+      |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey <> b.c_custkey
+      |  WHERE a.c_custkey % 7 = 0),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_key
+      |    ORDER BY ppm DESC, cand_key) AS rk FROM pairs)
+      |SELECT probe_key, probe_name, cand_key AS match_key, ppm AS best_ppm
+      |FROM r WHERE rk = 1 ORDER BY probe_key""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q86_fuzzy_name_join", q86, Some(q86Sql)),
     QueryDef("q87_bloom_pruned_join", q87, Some(q87Sql)),
+    QueryDef("q306_jw_best_match", q306, Some(q306Sql)),
   )
 }

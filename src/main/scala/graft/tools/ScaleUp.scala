@@ -99,6 +99,17 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
+    // customer: disjoint key universes per replica; OFF is a multiple of
+    // 100, so q306's key blocks (c_custkey div 100) stay ≤100 rows in
+    // every replica — growth adds blocks, never densifies one.
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    (0 until reps).map { k =>
+      if (k == 0) cust
+      else cust.withColumn("c_custkey", $"c_custkey" + lit(k * OFF))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+
     println(s"wrote x$reps tables to $dst")
     spark.stop()
   }

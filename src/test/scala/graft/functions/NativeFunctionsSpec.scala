@@ -97,6 +97,39 @@ class NativeFunctionsSpec extends SparkTestBase {
     assert(e.eval(InternalRow(null)) == null)
   }
 
+  test("jaroWinklerPpm matches canonical values and the pinned DuckDB semantics") {
+    import spark.implicits._
+    // (a, b, expected ppm) — textbook values plus the cases that pin the
+    // implementation ambiguities: integer-floored transpositions
+    // (abcdef/bcadef h=3 -> t=1 -> 944444, not 916667), the strict 0.7
+    // boost threshold (abcvwxyz/abcdefgh jaro=7/12 stays unboosted), and
+    // the 4-char prefix cap (dixon/dicksonx l=2).
+    val cases = Seq(
+      ("martha", "marhta", 961111L),
+      ("dixon", "dicksonx", 813333L),
+      ("dwayne", "duane", 840000L),
+      ("abcvwxyz", "abcdefgh", 583333L),
+      ("abcdef", "bcadef", 944444L),
+      ("aaaaa", "aaxxx", 600000L),
+      ("ab", "xy", 0L),
+      ("same", "same", 1000000L),
+      ("", "", 1000000L),
+      ("x", "", 0L))
+    val out = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(stringsim.jaroWinklerPpm($"a", $"b")).collect().map(_.getLong(0))
+    assert(out.toSeq == cases.map(_._3))
+    // null contract
+    val nd = Seq(("x", Option.empty[String])).toDF("a", "b")
+      .select(stringsim.jaroWinklerPpm($"a", $"b")).collect()
+    assert(nd(0).isNullAt(0))
+    // interpreted eval path agrees with the codegen'd column path
+    import org.apache.spark.unsafe.types.UTF8String
+    cases.foreach { case (a, b, exp) =>
+      assert(org.apache.spark.sql.graft.JaroWinkler
+        .ppm(UTF8String.fromString(a), UTF8String.fromString(b)) == exp)
+    }
+  }
+
   test("topKByScore equals window row_number formulation, including ties") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
