@@ -671,8 +671,100 @@ object GraphTraversalQueries extends QueryModule {
        |ORDER BY node_id""".stripMargin
   }
 
+  /** q307: LUBY maximal-independent-set rounds over the co-purchase
+    * graph — the classic distributed symmetry-breaking primitive (Luby
+    * 1986) behind parallel coloring, scheduling, and conflict-free
+    * sampling; a capability class none of the other graph gates touch
+    * (components/centrality/communities all CLUSTER, MIS anti-clusters).
+    * Deterministic variant: round r gives vertex v the priority key
+    * `lcg(v, r)·2^31 + v` (the q303 seed-folded Lehmer LCG; the +v term
+    * makes keys distinct, so the strict-< comparison is a total order
+    * and ties are impossible by construction). A vertex joins the MIS
+    * when its key beats every ACTIVE neighbor's (vertices isolated by
+    * earlier removals win automatically); its neighbors become covered;
+    * both leave the active set. 3 synchronous rounds, then survivors
+    * report as `active` — statuses PARTITION the vertex set, which the
+    * independence/coverage spec asserts structurally.
+    *
+    * Scale shape: the ACTIVE-RESTRICTED edge set is itself the iterated
+    * frontier — each round runs one grouped min over it, derives
+    * mis/covered, then shrinks it with two anti-joins on the removed
+    * vertices (never re-restricting the full edge list), so round costs
+    * fall with Luby's lemma (expected half the EDGES die per round); all
+    * shuffles key on the node id, frontiers are localCheckpoint-pinned
+    * ([[graft.graph.Graph]]'s discipline), and the oracle unrolls the
+    * same 3 rounds as MATERIALIZED CTEs. */
+  private def q307(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rounds = 3
+    def keyOf(v: org.apache.spark.sql.Column, r: Int): org.apache.spark.sql.Column =
+      ((v * lit(1000003L) + lit(r * 10007L)) % lit(2147483647L)) *
+        lit(48271L) % lit(2147483647L) * lit(2147483648L) + v
+    // round 1's er IS the full edge list (everything starts active)
+    var er = copurchaseEdges(s, dir).localCheckpoint(true)
+    var active = er.select($"src".as("v")).distinct().localCheckpoint(true)
+    val out = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val mn = er.groupBy($"src").agg(min(keyOf($"dst", r)).as("mn"))
+      val mis = active.join(mn, $"v" === mn("src"), "left")
+        .filter($"mn".isNull || keyOf($"v", r) < $"mn")
+        .select($"v").localCheckpoint(true)
+      val covered = er
+        .join(mis.select($"v".as("src")), Seq("src"), "leftsemi")
+        .select($"dst".as("v")).distinct().localCheckpoint(true)
+      out += mis.select($"v".as("node"), lit("mis").as("status"),
+        lit(r.toLong).as("round"))
+      out += covered.select($"v".as("node"), lit("covered").as("status"),
+        lit(r.toLong).as("round"))
+      active = active.join(mis, Seq("v"), "leftanti")
+        .join(covered, Seq("v"), "leftanti").localCheckpoint(true)
+      if (r < rounds) {
+        val removedSrc = mis.select($"v".as("src"))
+          .unionAll(covered.select($"v".as("src")))
+        er = er.join(removedSrc, Seq("src"), "leftanti")
+          .join(removedSrc.select($"src".as("dst")), Seq("dst"), "leftanti")
+          .localCheckpoint(true)
+      }
+    }
+    // survivors: round 0 = "not yet decided after 3 rounds"
+    out += active.select($"v".as("node"), lit("active").as("status"),
+      lit(0L).as("round"))
+    out.result().reduce(_ unionAll _).orderBy($"node")
+  }
+  private val q307Sql = {
+    def key(x: String, r: Int): String =
+      s"((($x * 1000003 + ${r * 10007}) % 2147483647) * 48271 % 2147483647)" +
+        s" * 2147483648 + $x"
+    val rounds = (1 to 3).map { r =>
+      s"""e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e
+         |  JOIN a${r - 1} x ON e.src = x.v JOIN a${r - 1} y ON e.dst = y.v),
+         |mn$r AS MATERIALIZED (SELECT src, min(${key("dst", r)}) AS mn
+         |  FROM e$r GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT a.v FROM a${r - 1} a
+         |  LEFT JOIN mn$r ON mn$r.src = a.v
+         |  WHERE mn$r.mn IS NULL OR ${key("a.v", r)} < mn$r.mn),
+         |c$r AS MATERIALIZED (SELECT DISTINCT e$r.dst AS v
+         |  FROM e$r JOIN m$r ON e$r.src = m$r.v),
+         |a$r AS MATERIALIZED (SELECT v FROM a${r - 1}
+         |  EXCEPT SELECT v FROM m$r EXCEPT SELECT v FROM c$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 3).flatMap(r => Seq(
+      s"SELECT v AS node, 'mis' AS status, CAST($r AS BIGINT) AS round FROM m$r",
+      s"SELECT v, 'covered', CAST($r AS BIGINT) FROM c$r")) :+
+      "SELECT v, 'active', CAST(0 AS BIGINT) FROM a3"
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+       |$rounds
+       |${out.mkString("\nUNION ALL\n")}
+       |ORDER BY node""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q303_random_walks", q303, Some(q303Sql)),
+    QueryDef("q307_luby_mis", q307, Some(q307Sql)),
     QueryDef("q305_louvain_phase1", q305, Some(q305Sql)),
     QueryDef("q94_bfs_reach", q94, Some(q94Sql)),
     QueryDef("q95_pagerank", q95, Some(q95Sql)),

@@ -151,6 +151,66 @@ class Round8GateSemanticsSpec extends SparkTestBase {
         "comparison collapsed)")
   }
 
+  test("q306 best match equals the window-argmax reformulation; JW is symmetric here") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val out = SparkEntry.queries("q306_jw_best_match")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // independent reformulation: window row_number over the same pairs
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", expr("c_custkey div 100").as("blk"))
+    val pairs = c.as("a").filter($"c_custkey" % 7 === 0)
+      .join(c.as("b"), $"a.blk" === $"b.blk" && $"a.c_custkey" =!= $"b.c_custkey")
+      .select($"a.c_custkey".as("probe_key"), $"b.c_custkey".as("cand_key"),
+        graft.functions.stringsim
+          .jaroWinklerPpm($"a.c_name", $"b.c_name").as("ppm"),
+        graft.functions.stringsim
+          .jaroWinklerPpm($"b.c_name", $"a.c_name").as("ppm_rev"))
+    assert(pairs.filter($"ppm" =!= $"ppm_rev").count() == 0, "JW asymmetric")
+    val w = Window.partitionBy($"probe_key").orderBy($"ppm".desc, $"cand_key")
+    val viaWindow = pairs.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"probe_key", $"cand_key", $"ppm").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out.foreach { r =>
+      val k = r.getAs[Long]("probe_key")
+      assert(viaWindow(k) ==
+        ((r.getAs[Long]("match_key"), r.getAs[Long]("best_ppm"))), s"probe $k")
+    }
+  }
+
+  test("q307 Luby statuses partition the vertex set; MIS independent, covered covered") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q307_luby_mis")(spark, dir)
+      .localCheckpoint(true)
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst")).distinct()
+      .localCheckpoint(true)
+    // one status per vertex, vertices = graph's vertex set
+    assert(out.groupBy($"node").count().filter($"count" > 1).count() == 0)
+    assert(out.count() == edges.select($"src").distinct().count())
+    val mis = out.filter($"status" === "mis").select($"node")
+    // independence: no edge inside the MIS
+    assert(edges.join(mis.select($"node".as("src")), Seq("src"), "leftsemi")
+      .join(mis.select($"node".as("dst")), Seq("dst"), "leftsemi")
+      .count() == 0, "MIS contains an edge")
+    // every covered vertex really neighbors a MIS vertex
+    val covered = out.filter($"status" === "covered").select($"node")
+    val coveredWithMisNbr = edges
+      .join(mis.select($"node".as("src")), Seq("src"), "leftsemi")
+      .select($"dst".as("node")).distinct()
+    assert(covered.join(coveredWithMisNbr, Seq("node"), "leftanti").count() == 0,
+      "a covered vertex has no MIS neighbor")
+    // actives never neighbor the MIS (they would have been covered)
+    val active = out.filter($"status" === "active").select($"node")
+    assert(active.join(coveredWithMisNbr, Seq("node"), "leftsemi").count() == 0,
+      "an active vertex neighbors the MIS")
+    // the gate's 3 rounds must do real work at this scale
+    assert(mis.count() > 0 && covered.count() > 0)
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
