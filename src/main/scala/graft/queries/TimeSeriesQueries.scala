@@ -1064,10 +1064,92 @@ object TimeSeriesQueries extends QueryModule {
       |    ELSE 'tie' END AS winner
       |FROM h ORDER BY event_type""".stripMargin
 
+  /** q308: OFFLINE changepoint detection — binary segmentation's first
+    * split (the recursion base of PELT/BinSeg): per metric series, the
+    * split k maximizing the SSE reduction, which for a single split
+    * collapses to maximizing (S1·(n−k) − S2·k)² / (k·(n−k)) over the
+    * cents-quantized prefix sums (the q189 daily-cells idiom; S1/S2 are
+    * left/right segment sums). This is the RETROSPECTIVE complement of
+    * q189's online CUSUM alarm: CUSUM answers "is it drifting now?",
+    * this answers "when did the level shift?".
+    *
+    * Exactness: the argmax never divides — candidate k beats candidate j
+    * iff A_k·B_j > A_j·B_k (cross-multiplied DECIMAL(38,0); magnitudes
+    * ≤ ~10²⁵ at the ×10 rehearsal, audited), ties to the earlier split,
+    * evaluated as an anti-join against a dominating sibling. Both engines
+    * replay the identical integer dominance test (DuckDB in HUGEINT), so
+    * the hash pins split day, gain numerator, and denominator exactly.
+    *
+    * Scale shape: one grouped pass reduces the corpus to |series|×|days|
+    * daily cells; everything after (windows, the n² dominance kernel) is
+    * CALENDAR-BOUNDED per series (n ≤ days, so n² is a constant at any
+    * corpus size) and linear in series count — the q189/q262 "grid-bounded
+    * tail" discipline. */
+  private def q308(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .groupBy($"event_type", pmod($"user_id", lit(20L)).as("bucket"),
+        expr("ts div 86400000000000").as("day"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+    val wS = Window.partitionBy($"event_type", $"bucket")
+    val wRun = wS.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = cells
+      .withColumn("k", row_number().over(wS.orderBy($"day")).cast("long"))
+      .withColumn("n", count(lit(1)).over(wS))
+      .withColumn("s1", sum($"x").over(wRun))
+      .withColumn("stot", sum($"x").over(wS))
+      .filter($"k" < $"n")
+      .select($"event_type", $"bucket", $"day", $"k", $"n",
+        (($"s1" * ($"n" - $"k") - ($"stot" - $"s1") * $"k")
+          .cast("decimal(38,0)") *
+          ($"s1" * ($"n" - $"k") - ($"stot" - $"s1") * $"k")
+            .cast("decimal(38,0)")).as("a"),
+        ($"k" * ($"n" - $"k")).as("b"))
+    val beaten = cand.as("c").join(cand.as("j"),
+      $"c.event_type" === $"j.event_type" && $"c.bucket" === $"j.bucket" &&
+        ($"j.a" * $"c.b" > $"c.a" * $"j.b" ||
+          ($"j.a" * $"c.b" === $"c.a" * $"j.b" && $"j.k" < $"c.k")),
+      "leftanti")
+    beaten
+      .select($"event_type", $"bucket", $"day".as("split_day"), $"n",
+        $"a".as("gain_num"), $"b".as("gain_den"))
+      .orderBy($"event_type", $"bucket")
+  }
+  private val q308Sql =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT event_type, user_id % 20 AS bucket,
+      |    epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2, 3),
+      |w AS (SELECT event_type, bucket, day,
+      |    CAST(row_number() OVER win AS BIGINT) AS k,
+      |    CAST(count(*) OVER (PARTITION BY event_type, bucket) AS BIGINT) AS n,
+      |    sum(x) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS s1,
+      |    sum(x) OVER (PARTITION BY event_type, bucket) AS stot
+      |  FROM cells
+      |  WINDOW win AS (PARTITION BY event_type, bucket ORDER BY day)),
+      |cand AS MATERIALIZED (SELECT event_type, bucket, day, k, n,
+      |    CAST(s1 * (n - k) - (stot - s1) * k AS HUGEINT)
+      |      * CAST(s1 * (n - k) - (stot - s1) * k AS HUGEINT) AS a,
+      |    k * (n - k) AS b
+      |  FROM w WHERE k < n)
+      |SELECT c.event_type, c.bucket, c.day AS split_day, c.n,
+      |  CAST(c.a AS DECIMAL(38,0)) AS gain_num, c.b AS gain_den
+      |FROM cand c
+      |WHERE NOT EXISTS (SELECT 1 FROM cand j
+      |  WHERE j.event_type = c.event_type AND j.bucket = c.bucket
+      |    AND (j.a * CAST(c.b AS HUGEINT) > c.a * CAST(j.b AS HUGEINT)
+      |      OR (j.a * CAST(c.b AS HUGEINT) = c.a * CAST(j.b AS HUGEINT)
+      |          AND j.k < c.k)))
+      |ORDER BY c.event_type, c.bucket""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q267_holt_forecast", q267, Some(q267Sql)),
     QueryDef("q287_forecast_backtest", q287, Some(q287Sql)),
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
+    QueryDef("q308_changepoint", q308, Some(q308Sql)),
     QueryDef("q240_segmented_trend", q240, Some(q240Sql)),
     QueryDef("q243_seasonal_anomaly", q243, Some(q243Sql)),
     QueryDef("q222_lttb_downsample", q222, Some(q222Sql)),

@@ -211,6 +211,42 @@ class Round8GateSemanticsSpec extends SparkTestBase {
     assert(mis.count() > 0 && covered.count() > 0)
   }
 
+  test("q308 split maximizes SSE reduction: plain-Scala BigInt replay agrees") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q308_changepoint")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("split_day"), r.getAs[java.math.BigDecimal]("gain_num"),
+          r.getAs[Long]("gain_den")))).toMap
+    assert(out.nonEmpty)
+    // independent replay: daily cents cells -> exact BigInt argmax
+    val cells = Tables.events(spark, dir)
+      .groupBy($"event_type", pmod($"user_id", lit(20L)).as("bucket"),
+        expr("ts div 86400000000000").as("day"))
+      .agg(sum(round($"value" * 100).cast("long")).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2))
+    cells.foreach { case (series, rows) =>
+      val xs = rows.sortBy(_._3).map(t => (t._3, BigInt(t._4)))
+      val n = xs.length
+      if (n >= 2) {
+        val stot = xs.map(_._2).sum
+        var s1 = BigInt(0)
+        val cand = (1 until n).map { k =>
+          s1 += xs(k - 1)._2
+          val d = s1 * (n - k) - (stot - s1) * k
+          (xs(k - 1)._1, d * d, BigInt(k.toLong * (n - k)))
+        }
+        val best = cand.reduceLeft { (p, q) =>
+          if (q._2 * p._3 > p._2 * q._3) q else p // strict beat, earlier wins ties
+        }
+        val got = out(series)
+        assert(got._1 == best._1 && BigInt(got._2.toBigInteger) == best._2 &&
+          BigInt(got._3) == best._3, s"series $series")
+      }
+    }
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
