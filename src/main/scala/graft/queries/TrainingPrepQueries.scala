@@ -334,7 +334,76 @@ object TrainingPrepQueries extends QueryModule {
       |FROM r WHERE rk <= 4 ORDER BY anchor_id, rk""".stripMargin
   }
 
+  /** q309: K-FOLD out-of-fold TARGET ENCODING — the leakage-safe way to
+    * turn a high-cardinality categorical (supplier) into a numeric
+    * feature (its return rate): a row in fold f gets the category's rate
+    * computed from the OTHER folds only, so the feature never sees its
+    * own row's label (the standard CV-encoding discipline; in-fold means
+    * leak the target and inflate offline metrics). Folds key on
+    * l_orderkey % 5 — resharding-stable like q60's hash split. Cold
+    * start is the real-world wrinkle the gate pins: a supplier seen ONLY
+    * in fold f has an empty out-of-fold slice and falls back to the
+    * GLOBAL out-of-fold prior (flagged, so downstream can regularize
+    * differently); rates are exact half-up ppm (the (2e6·num+den) div
+    * (2·den) idiom), numerator and denominator emitted alongside.
+    *
+    * Scale shape: one grouped pass to |supplier|×|folds| cells, then
+    * windows over ≤5-row partitions and one 5-row broadcast of the
+    * per-fold global totals — the encoding TABLE is what this computes;
+    * applying it is a broadcast join against the training rows. */
+  private def q309(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.lineitem(s, dir)
+      .select($"l_suppkey", pmod($"l_orderkey", lit(5L)).as("fold"),
+        when($"l_returnflag" === "R", 1L).otherwise(0L).as("y"))
+    val cells = rows.groupBy($"l_suppkey", $"fold")
+      .agg(count(lit(1)).as("n"), sum($"y").as("s"))
+    val wSupp = Window.partitionBy($"l_suppkey")
+    // per-fold global totals: |folds| rows; the grand total rides a
+    // broadcast scalar cross join, not an unpartitioned window
+    val g = rows.groupBy($"fold")
+      .agg(count(lit(1)).as("gn"), sum($"y").as("gs"))
+    val gg = g.crossJoin(broadcast(
+        g.agg(sum($"gn").as("tn"), sum($"gs").as("ts"))))
+      .select($"fold", ($"ts" - $"gs").as("g_num"), ($"tn" - $"gn").as("g_den"))
+    cells
+      .withColumn("oof_num", sum($"s").over(wSupp) - $"s")
+      .withColumn("oof_den", sum($"n").over(wSupp) - $"n")
+      .join(broadcast(gg), Seq("fold"))
+      .select($"l_suppkey", $"fold", $"n".as("n_rows"),
+        $"oof_num", $"oof_den",
+        ($"oof_den" === 0L).as("used_fallback"),
+        expr("CASE WHEN oof_den > 0 " +
+          "THEN (2000000 * oof_num + oof_den) div (2 * oof_den) " +
+          "ELSE (2000000 * g_num + g_den) div (2 * g_den) END").as("enc_ppm"))
+      .orderBy($"l_suppkey", $"fold")
+  }
+  private val q309Sql =
+    """WITH rows_ AS (SELECT l_suppkey, l_orderkey % 5 AS fold,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem),
+      |cells AS (SELECT l_suppkey, fold, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS s FROM rows_ GROUP BY 1, 2),
+      |g AS (SELECT fold, CAST(count(*) AS BIGINT) AS gn,
+      |    CAST(sum(y) AS BIGINT) AS gs FROM rows_ GROUP BY 1),
+      |gg AS (SELECT fold, CAST(sum(gs) OVER () - gs AS BIGINT) AS g_num,
+      |    CAST(sum(gn) OVER () - gn AS BIGINT) AS g_den FROM g),
+      |enc AS (SELECT c.l_suppkey, c.fold, c.n,
+      |    CAST(sum(c.s) OVER (PARTITION BY c.l_suppkey) - c.s AS BIGINT)
+      |      AS oof_num,
+      |    CAST(sum(c.n) OVER (PARTITION BY c.l_suppkey) - c.n AS BIGINT)
+      |      AS oof_den
+      |  FROM cells c)
+      |SELECT e.l_suppkey, e.fold, e.n AS n_rows, e.oof_num, e.oof_den,
+      |  e.oof_den = 0 AS used_fallback,
+      |  CASE WHEN e.oof_den > 0
+      |    THEN (2000000 * e.oof_num + e.oof_den) // (2 * e.oof_den)
+      |    ELSE (2000000 * gg.g_num + gg.g_den) // (2 * gg.g_den) END AS enc_ppm
+      |FROM enc e JOIN gg USING (fold)
+      |ORDER BY e.l_suppkey, e.fold""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q309_target_encoding", q309, Some(q309Sql)),
     QueryDef("q71_repetition_ratio", q71, Some(q71Sql)),
     QueryDef("q211_top_ngram_mass", q211, Some(q211Sql)),
     QueryDef("q219_negative_sampling", q219, Some(q219Sql)),
