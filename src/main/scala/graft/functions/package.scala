@@ -12,4 +12,5 @@ package object functions {
   val bpe: org.apache.spark.sql.graft.bpe.type = org.apache.spark.sql.graft.bpe
   val hindex: org.apache.spark.sql.graft.hindex.type = org.apache.spark.sql.graft.hindex
   val stringsim: org.apache.spark.sql.graft.stringsim.type = org.apache.spark.sql.graft.stringsim
+  val multipattern: org.apache.spark.sql.graft.multipattern.type = org.apache.spark.sql.graft.multipattern
 }

@@ -577,7 +577,62 @@ object RetrievalLayoutQueries extends QueryModule {
     QueryDef("q88_cms_heavy_hitters", q88, Some(q88Sql)),
     QueryDef("q109_phrase_search", q109, Some(q109Sql)),
     QueryDef("q212_proximity_search", q212, Some(q212Sql)),
+    QueryDef("q310_multipattern_tag", q310, Some(q310Sql)),
   )
+
+  /** q310: MULTI-PATTERN corpus tagging with a native Aho–Corasick
+    * automaton ([[org.apache.spark.sql.graft.AhoCorasickCounts]]) — the
+    * PII-tag / keyword-dictionary / blocklist pass every curation
+    * pipeline runs, where q109's single-phrase postings shape would need
+    * one scan PER pattern: the automaton counts every (overlapping)
+    * occurrence of all patterns in one O(|text|+matches) walk per row,
+    * built once at plan time and shared across rows (the expression node
+    * ships only the pattern strings). The dictionary deliberately
+    * includes nested patterns ("a a" inside "a a a", "table" inside
+    * "table value") and self-overlapping ones ("a a" twice inside
+    * "a a a") — the fail/output-link semantics the oracle's brute-force
+    * every-start-position replay pins exactly.
+    *
+    * Scale shape: a pure per-row projection over the already-pruned
+    * (doc_id, text) columns — no shuffle until the tiny (doc, pattern,
+    * n>0) result aggregates; at 100 TB this chains with the other
+    * per-row curation passes in one scan. */
+  private def q310(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pats = Seq("table value", "a a", "fast table", "query key scan",
+      "a a a", "merge batch", "table", "stream stream", "slow fast",
+      "value fast")
+    val patDf = broadcast(pats.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }.toDF("pid", "pattern"))
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        graft.functions.multipattern
+          .ahoCorasickCounts($"text", pats).as("counts"))
+      .select($"doc_id", posexplode($"counts").as(Seq("pid", "n")))
+      .filter($"n" > 0L)
+      .withColumn("pid", $"pid".cast("long"))
+      .join(patDf, Seq("pid"))
+      .select($"doc_id", $"pid", $"pattern", $"n")
+      .orderBy($"doc_id", $"pid")
+  }
+  private val q310Sql = {
+    val pats = Seq("table value", "a a", "fast table", "query key scan",
+      "a a a", "merge batch", "table", "stream stream", "slow fast",
+      "value fast")
+    val values = pats.zipWithIndex
+      .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+    s"""WITH pats AS (SELECT * FROM (VALUES $values) t(pid, pattern)),
+       |hits AS (SELECT d.doc_id, p.pid, p.pattern,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM documents d, pats p,
+       |    LATERAL (SELECT unnest(generate_series(1,
+       |      greatest(length(d.text) - length(p.pattern) + 1, 0))) AS i) pos
+       |  WHERE substr(d.text, CAST(pos.i AS INTEGER), length(p.pattern))
+       |      = p.pattern
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, CAST(pid AS BIGINT) AS pid, pattern, n
+       |FROM hits ORDER BY doc_id, pid""".stripMargin
+  }
 
   /** q212: conjunctive proximity retrieval — documents containing ALL of
     * three query terms, ranked by how tightly the first two co-occur:

@@ -130,6 +130,37 @@ class NativeFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("ahoCorasickCounts counts overlapping and nested matches in one pass") {
+    import spark.implicits._
+    val pats = Seq("aa", "aaa", "ab", "b", "xyz")
+    // "aaaab": aa at 0,1,2 (overlap) = 3; aaa at 0,1 = 2; ab at 3 = 1; b = 1
+    val df = Seq("aaaab", "xyzxyz", "", "none").toDF("t")
+    val out = df.select(multipattern.ahoCorasickCounts($"t", pats))
+      .collect().map(_.getSeq[Long](0))
+    assert(out(0) == Seq(3L, 2L, 1L, 1L, 0L))
+    assert(out(1) == Seq(0L, 0L, 0L, 0L, 2L))
+    assert(out(2) == Seq(0L, 0L, 0L, 0L, 0L))
+    assert(out(3) == Seq(0L, 0L, 0L, 0L, 0L))
+    // brute-force cross-check on random strings over a tiny alphabet (the
+    // regime where fail links actually fire)
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 40).map(_ =>
+      (0 until 60).map(_ => "ab" (rnd.nextInt(2))).mkString)
+    val p2 = Seq("a", "ab", "ba", "aba", "bb", "abab")
+    def brute(t: String, p: String): Long =
+      (0 to t.length - p.length).count(i => t.startsWith(p, i)).toLong
+    val got = texts.toDF("t")
+      .select($"t", multipattern.ahoCorasickCounts($"t", p2).as("c"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { t =>
+      assert(got(t) == p2.map(brute(t, _)), s"text $t")
+    }
+    // null text -> null
+    val nd = Seq(Option.empty[String]).toDF("t")
+      .select(multipattern.ahoCorasickCounts($"t", pats)).collect()
+    assert(nd(0).isNullAt(0))
+  }
+
   test("topKByScore equals window row_number formulation, including ties") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
