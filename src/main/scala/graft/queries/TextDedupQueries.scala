@@ -640,7 +640,79 @@ object TextDedupQueries extends QueryModule {
        |    / CAST((SELECT count(*) FROM cand)
        |        + (SELECT count(*) FROM truth) AS DOUBLE), 6) AS f1""".stripMargin
 
+  /** q311: RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase pass a corpus-curation pipeline runs for indexing/topic
+    * labeling, a capability none of the other text gates cover (q22
+    * scores QUALITY, q105 scores PAIRS; this extracts ranked PHRASES).
+    * Candidates are maximal stopword-free token runs (gaps-and-islands:
+    * run id = pos − rank-among-content-tokens, one window per doc);
+    * word stats are corpus-wide (freq = occurrences in candidates,
+    * degree = Σ lengths of containing candidates), word score =
+    * degree/freq in half-up ppm (the exact-integer idiom — RAKE's ratio
+    * ranking survives the per-word quantization, which both engines
+    * replay identically), and a phrase scores the SUM of its words' ppm
+    * scores (duplicate words count per occurrence, per the paper). Top
+    * 40 by (score DESC, phrase) — a total order.
+    *
+    * Scale shape: tokenize → one per-doc window pair (rank + run id) →
+    * two grouped aggregates on (doc, run) and word → broadcast word
+    * scores back onto the word stream → TakeOrderedAndProject for the
+    * top-k; everything shuffles on doc or word keys, nothing quadratic. */
+  private def q311(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("a", "the")
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val content = toks.filter(!$"tok".isInCollection(stop))
+      .withColumn("run", $"pos" - row_number().over(wDoc))
+      .select($"doc_id", $"run", $"pos", $"tok")
+    val wRun = Window.partitionBy($"doc_id", $"run")
+    val words = content.withColumn("len", count(lit(1)).over(wRun))
+    val wordScore = words.groupBy($"tok")
+      .agg(count(lit(1)).as("freq"), sum($"len").as("degree"))
+      .select($"tok",
+        expr("(2000000 * degree + freq) div (2 * freq)").as("wscore"))
+    val phrases = words.join(broadcast(wordScore), Seq("tok"))
+      .groupBy($"doc_id", $"run")
+      .agg(
+        concat_ws(" ", expr("transform(array_sort(" +
+          "collect_list(struct(pos, tok))), x -> x.tok)")).as("phrase"),
+        sum($"wscore").as("score_ppm"),
+        count(lit(1)).as("n_words"))
+    phrases.groupBy($"phrase")
+      .agg(max($"n_words").as("n_words"), count(lit(1)).as("n"),
+        max($"score_ppm").as("score_ppm"))
+      .orderBy($"score_ppm".desc, $"phrase")
+      .limit(40)
+  }
+  private val q311Sql =
+    """WITH toks AS (SELECT d.doc_id, t.pos, t.tok FROM documents d,
+      |    LATERAL (SELECT unnest(string_split(d.text, ' ')) AS tok,
+      |      unnest(generate_series(1, len(string_split(d.text, ' '))))
+      |        AS pos) t),
+      |content AS (SELECT doc_id, pos, tok,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+      |  FROM toks WHERE tok NOT IN ('a', 'the')),
+      |words AS (SELECT doc_id, run, pos, tok,
+      |    CAST(count(*) OVER (PARTITION BY doc_id, run) AS BIGINT) AS len
+      |  FROM content),
+      |ws AS (SELECT tok,
+      |    (2000000 * CAST(sum(len) AS BIGINT) + CAST(count(*) AS BIGINT))
+      |      // (2 * CAST(count(*) AS BIGINT)) AS wscore
+      |  FROM words GROUP BY 1),
+      |ph AS (SELECT w.doc_id, w.run,
+      |    string_agg(w.tok, ' ' ORDER BY w.pos) AS phrase,
+      |    CAST(sum(ws.wscore) AS BIGINT) AS score_ppm,
+      |    CAST(count(*) AS BIGINT) AS n_words
+      |  FROM words w JOIN ws ON ws.tok = w.tok GROUP BY 1, 2)
+      |SELECT phrase, max(n_words) AS n_words, CAST(count(*) AS BIGINT) AS n,
+      |  max(score_ppm) AS score_ppm
+      |FROM ph GROUP BY 1
+      |ORDER BY score_ppm DESC, phrase LIMIT 40""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q311_rake_keyphrases", q311, Some(q311Sql)),
     QueryDef("q22_token_quality", q22, Some(q22Sql)),
     QueryDef("q244_lsh_quality", q244, Some(q244Sql)),
     QueryDef("q218_containment_dedup", q218, Some(q218Sql)),

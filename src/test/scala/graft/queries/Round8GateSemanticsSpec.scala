@@ -279,6 +279,38 @@ class Round8GateSemanticsSpec extends SparkTestBase {
     // sf0.001 it may or may not fire — assert only the invariant above
   }
 
+  test("q311 RAKE phrases are stopword-free runs; scores replay from word stats") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q311_rake_keyphrases")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // structural: no stopword inside any phrase; n_words consistent
+    out.foreach { r =>
+      val words = r.getAs[String]("phrase").split(" ")
+      assert(!words.exists(w => w == "a" || w == "the"), r.getAs[String]("phrase"))
+      assert(words.length.toLong == r.getAs[Long]("n_words"))
+    }
+    // replay: recompute corpus word stats from raw text, re-score a phrase
+    val docs = Tables.documents(spark, dir)
+      .select($"text").collect().map(_.getString(0))
+    val runs = docs.flatMap { t =>
+      t.split(" ").foldLeft(List(List.empty[String])) { (acc, w) =>
+        if (w == "a" || w == "the") Nil :: acc
+        else (w :: acc.head) :: acc.tail
+      }.map(_.reverse).filter(_.nonEmpty)
+    }
+    val freq = runs.flatten.groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val degree = runs.flatMap(rn => rn.map(w => w -> rn.length.toLong))
+      .groupBy(_._1).map { case (w, o) => w -> o.map(_._2).sum }
+    def wscore(w: String) = (2000000L * degree(w) + freq(w)) / (2L * freq(w))
+    out.foreach { r =>
+      val ws = r.getAs[String]("phrase").split(" ")
+      assert(ws.map(wscore).sum == r.getAs[Long]("score_ppm"),
+        s"score mismatch for '${r.getAs[String]("phrase")}'")
+      val n = runs.count(_.mkString(" ") == r.getAs[String]("phrase")).toLong
+      assert(n == r.getAs[Long]("n"))
+    }
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
