@@ -371,11 +371,74 @@ object StreamingGateQueries extends QueryModule {
       |  AND p.ptsu < (SELECT w FROM wm)
       |ORDER BY purchase_event, click_event""".stripMargin
 
+  /** q312: stream-STATIC enrichment join — the dimension-lookup shape
+    * every streaming pipeline runs first (enrich each event with its
+    * customer's nation before aggregating), through the real
+    * FileStreamSource → per-micro-batch BroadcastHashJoin path (the
+    * static side re-plans per batch, which is what makes slowly-changing
+    * dims pick up new snapshots between batches — a DIFFERENT exec
+    * contract from q239's stateful stream-stream join: no state store,
+    * no watermark, the join itself is stateless). Update-mode grouped
+    * totals per nation are the final state after the single AvailableNow
+    * batch; the oracle is the identical batch join+group. Events whose
+    * user has no dimension row drop (inner join), which the oracle
+    * replays. */
+  private def q312(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
+    }
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val dim = s.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey", $"c_nationkey".cast("long").as("nation"))
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(streamPath)
+      .select($"user_id", $"event_type", $"value")
+    val sink = "q312_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      src.join(broadcast(dim), $"user_id" === $"c_custkey")
+        .groupBy($"nation")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast(dec)).as("sum_v"),
+          count(when($"event_type" === "purchase", 1)).as("n_purchases"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"q312 expects ONE data micro-batch (Update-mode last emission is " +
+        s"then the final state); got $dataBatches")
+    s.table(sink)
+      .select($"nation", $"n_events",
+        round($"sum_v".cast("double"), 2).as("sum_value"), $"n_purchases")
+      .orderBy($"nation")
+  }
+  private val q312Sql =
+    """SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS sum_value,
+      |  CAST(count(CASE WHEN e.event_type = 'purchase' THEN 1 END)
+      |    AS BIGINT) AS n_purchases
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q239_stream_stream_join", q239, Some(q239Sql)),
     QueryDef("q247_stream_windowed_agg", q247, Some(q247Sql)),
     QueryDef("q249_stream_dedup", q249, Some(q249Sql)),
     QueryDef("q297_stream_session_window", q297, Some(q297Sql)),
     QueryDef("q298_stream_left_outer_join", q298, Some(q298Sql)),
+    QueryDef("q312_stream_static_join", q312, Some(q312Sql)),
   )
 }
