@@ -718,7 +718,105 @@ object WarehouseQueries extends QueryModule {
       .orderBy($"user_id")
   }
 
+  /** q313: right-to-be-forgotten TAKEDOWN CASCADE audit — the compliance
+    * pass every data platform (and every training-corpus pipeline fed by
+    * one) must run: given a forget set of subjects, delete their rows
+    * and everything reachable through ownership FKs (customer → orders →
+    * lineitems; customer → events), and PROVE the cascade with per-table
+    * delete/keep counts, exact key checksums of the SURVIVING sets (a
+    * count can't detect deleting the wrong rows; a keyed checksum can),
+    * and a dangling-reference audit (surviving lineitems whose order was
+    * deleted MUST be zero — the referential guarantee the cascade
+    * exists to uphold).
+    *
+    * Scale shape: the forget set broadcasts (takedown lists are tiny
+    * relative to the corpus); each cascade level is one broadcast
+    * semi/anti-join on the owning key, no shuffle of fact payloads; the
+    * checksums are plain map-side-combinable sums. */
+  private def q313(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val forget = Tables.customer(s, dir)
+      .filter($"c_custkey" % 97 === 0).select($"c_custkey").localCheckpoint(true)
+    val orders = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+    val delOrders = orders
+      .join(broadcast(forget.select($"c_custkey".as("o_custkey"))),
+        Seq("o_custkey"), "leftsemi").localCheckpoint(true)
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_linenumber")
+    val ev = Tables.events(s, dir).select($"event_id", $"user_id")
+    def audit(name: String, total: DataFrame, deleted: DataFrame,
+              key: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+              keyCol: String): DataFrame = {
+      val kept = total.join(deleted, total(keyCol) === deleted(keyCol), "leftanti")
+      val d = deleted.agg(count(lit(1)).as("n"),
+        coalesce(sum(key(deleted(keyCol))), lit(0L)).as("ck")).withColumn("w", lit(1))
+      val k = kept.agg(count(lit(1)).as("n"),
+        coalesce(sum(key(kept(keyCol))), lit(0L)).as("ck")).withColumn("w", lit(1))
+      d.as("d").join(k.as("k"), "w")
+        .select(lit(name).as("table_name"), $"d.n".as("n_deleted"),
+          $"k.n".as("n_kept"), $"k.ck".as("kept_key_checksum"))
+    }
+    val mod = lit(1000000007L)
+    def ck(c: org.apache.spark.sql.Column) = pmod(c * lit(2654435761L), mod)
+    val delLi = li.join(delOrders.select($"o_orderkey".as("l_orderkey")),
+      Seq("l_orderkey"), "leftsemi")
+    val delEv = ev.join(broadcast(forget.select($"c_custkey".as("user_id"))),
+      Seq("user_id"), "leftsemi")
+    // dangling audit: surviving lineitems referencing a deleted order
+    val dangling = li
+      .join(delOrders.select($"o_orderkey".as("l_orderkey")), Seq("l_orderkey"), "leftsemi")
+      .join(delLi.select($"l_orderkey", $"l_linenumber"),
+        Seq("l_orderkey", "l_linenumber"), "leftanti")
+      .agg(count(lit(1)).as("n")).withColumn("w", lit(1))
+    val base = audit("customer", Tables.customer(s, dir).select($"c_custkey"),
+        forget, ck, "c_custkey")
+      .unionAll(audit("orders", orders.select($"o_orderkey"),
+        delOrders.select($"o_orderkey"), ck, "o_orderkey"))
+      .unionAll(audit("lineitem",
+        li.select((($"l_orderkey" * 10 + $"l_linenumber")).as("lk")),
+        delLi.select((($"l_orderkey" * 10 + $"l_linenumber")).as("lk")),
+        ck, "lk"))
+      .unionAll(audit("events", ev.select($"event_id"),
+        delEv.select($"event_id"), ck, "event_id"))
+    base.withColumn("w", lit(1))
+      .join(broadcast(dangling.select($"n".as("n_dangling"), $"w")), "w")
+      .select($"table_name", $"n_deleted", $"n_kept", $"kept_key_checksum",
+        $"n_dangling")
+      .orderBy($"table_name")
+  }
+  private val q313Sql =
+    """WITH forget AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      |del_o AS (SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+      |li AS (SELECT l_orderkey * 10 + l_linenumber AS lk, l_orderkey
+      |  FROM lineitem),
+      |del_li AS (SELECT lk FROM li
+      |  WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)),
+      |del_e AS (SELECT event_id FROM events
+      |  WHERE user_id IN (SELECT c_custkey FROM forget)),
+      |rows_ AS (
+      |  SELECT 'customer' AS table_name, c_custkey AS k,
+      |    c_custkey % 97 = 0 AS del FROM customer
+      |  UNION ALL SELECT 'orders', o_orderkey,
+      |    o_orderkey IN (SELECT o_orderkey FROM del_o) FROM orders
+      |  UNION ALL SELECT 'lineitem', lk,
+      |    lk IN (SELECT lk FROM del_li) FROM li
+      |  UNION ALL SELECT 'events', event_id,
+      |    event_id IN (SELECT event_id FROM del_e) FROM events),
+      |agg AS (SELECT table_name,
+      |    CAST(count(*) FILTER (WHERE del) AS BIGINT) AS n_deleted,
+      |    CAST(count(*) FILTER (WHERE NOT del) AS BIGINT) AS n_kept,
+      |    CAST(coalesce(sum(CASE WHEN NOT del
+      |      THEN (k * 2654435761) % 1000000007 END), 0) AS BIGINT)
+      |      AS kept_key_checksum
+      |  FROM rows_ GROUP BY 1)
+      |SELECT table_name, n_deleted, n_kept, kept_key_checksum,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM li
+      |   WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)
+      |     AND lk NOT IN (SELECT lk FROM del_li)) AS n_dangling
+      |FROM agg ORDER BY table_name""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q313_takedown_cascade", q313, Some(q313Sql)),
     QueryDef("q264_changelog_apply_tws", q264, Some(q224Sql)),
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
     QueryDef("q216_pit_feature_join", q216, Some(q216Sql)),

@@ -311,6 +311,36 @@ class Round8GateSemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("q313 cascade forgets everything reachable and nothing else") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q313_takedown_cascade")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_deleted"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_dangling")))).toMap
+    assert(out.keySet == Set("customer", "orders", "lineitem", "events"))
+    // referential guarantee
+    out.values.foreach { case (_, _, dangling) => assert(dangling == 0L) }
+    // deleted + kept == totals, and the deleted counts equal a raw recount
+    val cust = Tables.customer(spark, dir).select($"c_custkey").collect()
+      .map(_.getLong(0))
+    val forget = cust.filter(_ % 97 == 0).toSet
+    assert(out("customer")._1 == forget.size.toLong &&
+      out("customer")._2 == (cust.length - forget.size).toLong)
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val delO = orders.filter(o => forget(o._2)).map(_._1).toSet
+    assert(out("orders")._1 == delO.size.toLong)
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey").collect()
+      .map(_.getLong(0))
+    assert(out("lineitem")._1 == li.count(delO).toLong)
+    val ev = Tables.events(spark, dir).select($"user_id").collect()
+      .map(_.getLong(0))
+    assert(out("events")._1 == ev.count(forget).toLong)
+    // the forget set must be non-trivial at this scale for the gate to bite
+    assert(forget.nonEmpty && delO.nonEmpty)
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
