@@ -1064,6 +1064,73 @@ object TimeSeriesQueries extends QueryModule {
       |    ELSE 'tie' END AS winner
       |FROM h ORDER BY event_type""".stripMargin
 
+  /** q314: greedy ACTIVITY SELECTION — per user, the maximum set of
+    * non-overlapping sessions, built earliest-END-first (the exchange
+    * argument makes this greedy OPTIMAL for unweighted intervals — the
+    * one classic scheduling primitive the interval gates don't cover:
+    * q200 measures coverage, q229 concurrency, q73 packs by budget; this
+    * SELECTS a conflict-free schedule, the shape of ad-slot / machine-
+    * window / rate-limited-crawl allocation). Intervals derive from
+    * events: start = ts µs, duration = (1 + event_id % 7)·10 min, so
+    * durations vary deterministically and the earliest-end choice is not
+    * degenerate. 5 bounded rounds (≤5 picks/user — the q259
+    * bounded-rounds discipline); each round picks min(end, start,
+    * event_id) — a total order — among intervals starting at or after
+    * the user's cursor, then advances the cursor to the picked end.
+    * Touching starts do NOT conflict ([a,b) ∪ [b,c)).
+    *
+    * Scale shape: intervals pinned once; per round one broadcast-able
+    * cursor join on user_id plus one partial-combinable min-struct
+    * aggregate; cursors shrink as users exhaust their intervals, and the
+    * oracle unrolls the same 5 rounds as MATERIALIZED CTEs. */
+  private def q314(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rounds = 5
+    val iv = Tables.events(s, dir)
+      .select($"user_id", $"event_id", expr("ts div 1000").as("start_us"))
+      .withColumn("end_us",
+        $"start_us" + (lit(1L) + pmod($"event_id", lit(7L))) * lit(600000000L))
+      .localCheckpoint(true)
+    var cursors = iv.select($"user_id").distinct()
+      .withColumn("cur", lit(Long.MinValue)).localCheckpoint(true)
+    val out = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val pick = iv.join(cursors, Seq("user_id"))
+        .filter($"start_us" >= $"cur")
+        .groupBy($"user_id")
+        .agg(min(struct($"end_us", $"start_us", $"event_id")).as("p"))
+        .select($"user_id", $"p.event_id".as("event_id"),
+          $"p.start_us".as("start_us"), $"p.end_us".as("end_us"))
+        .localCheckpoint(true)
+      out += pick.select($"user_id", lit(r.toLong).as("pick_no"),
+        $"event_id", $"start_us", $"end_us")
+      cursors = pick.select($"user_id", $"end_us".as("cur"))
+        .localCheckpoint(true)
+    }
+    out.result().reduce(_ unionAll _).orderBy($"user_id", $"pick_no")
+  }
+  private val q314Sql = {
+    val rounds = (1 to 5).map { r =>
+      val src = if (r == 1) "iv"
+      else s"(SELECT iv.* FROM iv JOIN p${r - 1} c ON iv.user_id = c.user_id " +
+        s"WHERE iv.start_us >= c.end_us)"
+      s"""p$r AS MATERIALIZED (SELECT user_id, event_id, start_us, end_us
+         |  FROM (SELECT t.*, row_number() OVER (PARTITION BY user_id
+         |      ORDER BY end_us, start_us, event_id) AS rk
+         |    FROM $src t) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(r =>
+      s"SELECT user_id, CAST($r AS BIGINT) AS pick_no, event_id, " +
+        s"start_us, end_us FROM p$r").mkString("\nUNION ALL\n")
+    s"""WITH iv AS MATERIALIZED (SELECT user_id, event_id,
+       |    epoch_ns(ts) // 1000 AS start_us,
+       |    epoch_ns(ts) // 1000 + (1 + event_id % 7) * 600000000 AS end_us
+       |  FROM events),
+       |$rounds
+       |$out
+       |ORDER BY user_id, pick_no""".stripMargin
+  }
+
   /** q308: OFFLINE changepoint detection — binary segmentation's first
     * split (the recursion base of PELT/BinSeg): per metric series, the
     * split k maximizing the SSE reduction, which for a single split
@@ -1150,6 +1217,7 @@ object TimeSeriesQueries extends QueryModule {
     QueryDef("q287_forecast_backtest", q287, Some(q287Sql)),
     QueryDef("q50_asof_join", q50, Some(q50Sql)),
     QueryDef("q308_changepoint", q308, Some(q308Sql)),
+    QueryDef("q314_activity_selection", q314, Some(q314Sql)),
     QueryDef("q240_segmented_trend", q240, Some(q240Sql)),
     QueryDef("q243_seasonal_anomaly", q243, Some(q243Sql)),
     QueryDef("q222_lttb_downsample", q222, Some(q222Sql)),

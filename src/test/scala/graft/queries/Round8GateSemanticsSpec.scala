@@ -341,6 +341,41 @@ class Round8GateSemanticsSpec extends SparkTestBase {
     assert(forget.nonEmpty && delO.nonEmpty)
   }
 
+  test("q314 picks equal the sequential greedy; schedule is conflict-free") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q314_activity_selection")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("pick_no"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us")))
+      .groupBy(_._1)
+    assert(out.nonEmpty)
+    val iv = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", expr("ts div 1000").as("s"))
+      .collect()
+      .map { r =>
+        val st = r.getLong(2)
+        (r.getLong(0), r.getLong(1), st, st + (1 + r.getLong(1) % 7) * 600000000L)
+      }.groupBy(_._1)
+    iv.foreach { case (u, rows) =>
+      // classic sequential greedy, capped at the gate's 5 rounds
+      val sorted = rows.sortBy(t => (t._4, t._3, t._2))
+      var cur = Long.MinValue
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      sorted.foreach { case (_, id, st, en) =>
+        if (st >= cur && picks.length < 5) { picks += ((id, st, en)); cur = en }
+      }
+      val got = out.getOrElse(u, Array.empty).sortBy(_._2)
+        .map(t => (t._3, t._4, t._5)).toSeq
+      assert(got == picks.toSeq, s"user $u")
+      // conflict-free
+      got.sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 >= a._3, s"overlap for user $u")
+        case _ =>
+      }
+    }
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
