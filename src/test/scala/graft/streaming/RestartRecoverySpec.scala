@@ -51,7 +51,8 @@ class RestartRecoverySpec extends SparkTestBase {
     * the shared checkpoint, under the RocksDB provider. */
   private def start[T](srcDir: String, cp: String,
       sink: scala.collection.mutable.Map[Long, Seq[T]],
-      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[T])
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[T],
+      mode: OutputMode = OutputMode.Update())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val prev = spark.conf.getOption(providerKey)
     try {
@@ -66,7 +67,7 @@ class RestartRecoverySpec extends SparkTestBase {
           sink.synchronized { sink(id) = rows }
         }
         .option("checkpointLocation", cp)
-        .outputMode(OutputMode.Update())
+        .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
     } finally prev match {
@@ -126,6 +127,82 @@ class RestartRecoverySpec extends SparkTestBase {
     assert(got.keySet == want.keySet, s"keys diverged: $got")
     for ((u, w) <- want)
       assert(got(u) == w, s"user $u: restart diverged from batch fold — got ${got(u)}, want $w")
+  }
+
+  test("q297 path: session windows survive a mid-stream kill and restart, merges included") {
+    import spark.implicits._
+    val srcDir = tmpDir("sess_src")
+    val cp = tmpDir("sess_cp")
+    val base = 1700000000000000L // µs
+    val min = 60000000L
+    // user 1: ONE session spanning all three files (each event within the
+    // 10-min gap of the previous) — the restart must restore the open
+    // session state or the merged (start, n) is wrong.
+    // user 2: two separate sessions (25-min gap between them).
+    // user 3: single event in the killed batch only.
+    // Append is the ONLY supported output mode for streaming session
+    // windows, so the recovery contract under test is exactly-once FLUSH:
+    // a closed session must emit exactly once across the kill — a replayed
+    // batch re-emitting it, or a lost state version dropping/splitting it,
+    // both fail below. A far-future sentinel (user 99) in the last file
+    // pushes the zero-delay watermark past every real session's end so all
+    // of them flush; the sentinel's own session stays open and never emits.
+    val all = Seq(
+      (1L, base), (2L, base), (3L, base + min),
+      (1L, base + 5 * min), (2L, base + 3 * min),
+      (1L, base + 12 * min), (2L, base + 30 * min),
+      (1L, base + 20 * min), (2L, base + 33 * min))
+    val sentinel = (99L, base + 200 * min)
+    val slices = Seq(all.take(3), all.slice(3, 6), all.drop(6) :+ sentinel)
+    val t0 = System.currentTimeMillis() - 100000
+    writeFile(slices(0).toDF("user_id", "ts_us"), srcDir, "f0.parquet", t0)
+    writeFile(slices(1).toDF("user_id", "ts_us"), srcDir, "f1.parquet", t0 + 10000)
+
+    def build(df: org.apache.spark.sql.DataFrame) =
+      df.select($"user_id", org.apache.spark.sql.functions
+          .timestamp_micros($"ts_us").as("ets"))
+        .withWatermark("ets", "0 seconds")
+        .groupBy($"user_id",
+          org.apache.spark.sql.functions.session_window($"ets", "10 minutes").as("sw"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .select($"user_id",
+          org.apache.spark.sql.functions.unix_micros($"sw.start").as("start_us"),
+          org.apache.spark.sql.functions.unix_micros($"sw.end").as("end_us"),
+          $"n")
+        .as[(Long, Long, Long, Long)]
+
+    val sink = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Long, Long)]]
+    val q1 = start(srcDir, cp, sink, build, OutputMode.Append())
+    killAfterFirstCommit(q1)
+
+    writeFile(slices(2).toDF("user_id", "ts_us"), srcDir, "f2.parquet", t0 + 20000)
+    val q2 = start(srcDir, cp, sink, build, OutputMode.Append())
+    q2.awaitTermination()
+
+    // every flushed session exactly once across all committed batches
+    // (the batchId-keyed sink collapses a replayed batch into one slot, so
+    // a double emission can only come from state corruption)
+    val emissions = sink.toSeq.sortBy(_._1).flatMap(_._2)
+    val counts = emissions.groupBy(r => (r._1, r._2)).map { case (k, v) => k -> v.length }
+    assert(counts.values.forall(_ == 1),
+      s"a session emitted more than once across the restart: $counts")
+    val got = emissions.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val gap = 10 * min
+    val want = all.groupBy(_._1).flatMap { case (u, evs) =>
+      val ts = evs.map(_._2).sorted
+      val sessions = ts.tail.foldLeft(List((ts.head, ts.head, 1L))) {
+        case ((s, e, n) :: rest, t) =>
+          if (t < e + gap) (s, math.max(e, t), n + 1) :: rest
+          else (t, t, 1L) :: (s, e, n) :: rest
+        case (Nil, t) => List((t, t, 1L))
+      }
+      sessions.map { case (s, e, n) => (u, s) -> ((e + gap, n)) }
+    }
+    assert(got == want,
+      s"sessions diverged after restart:\n got=$got\nwant=$want")
+    // the cross-file merged session really merged: user 1 has ONE session of 4
+    assert(got.count(_._1._1 == 1L) == 1 && got((1L, base))._2 == 4L)
   }
 
   test("q264 path: CDC apply survives a mid-stream kill and restart") {
