@@ -305,7 +305,111 @@ object StatsQueries extends QueryModule {
       |FROM r WHERE rk = (n_pairs + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** q315: JOIN-CARDINALITY ESTIMATION audit — the optimizer-statistics
+    * capability itself, gated: an end-biased histogram estimator (top-20
+    * heavy hitters exact, uniform tail — the System-R family every
+    * cost-based optimizer descends from) predicts |events ⋈ orders| on
+    * the user key, and the gate emits the estimate NEXT TO the exact join
+    * size and the signed error, so a regression in either the sketch
+    * arithmetic or the exact Σ f_A·f_B shows as a hash flip. Estimator
+    * terms (all BIGINT; the two divisions are defined floor points the
+    * oracle replays): HH∩HH exact products; HH-vs-tail at the tail's
+    * floor-average frequency; tail-vs-tail as sumA·sumB div max(dA, dB)
+    * (the containment assumption). Heavy hitters are a (count DESC, key)
+    * total order, so the top-20 is deterministic under ties.
+    *
+    * Scale shape: two grouped counts (one shuffle each on the join key),
+    * global top-20 via TakeOrderedAndProject, then all remaining
+    * arithmetic on ≤21-row frames stitched with broadcast scalar joins;
+    * the exact side joins the two COUNT tables (key-cardinality-sized,
+    * not row-sized). */
+  private def q315(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 20
+    val cntA = Tables.events(s, dir).groupBy($"user_id".as("k"))
+      .agg(count(lit(1)).as("fa")).localCheckpoint(true)
+    val cntB = Tables.orders(s, dir).groupBy($"o_custkey".as("k"))
+      .agg(count(lit(1)).as("fb")).localCheckpoint(true)
+    val hhA = cntA.orderBy($"fa".desc, $"k").limit(K).localCheckpoint(true)
+    val hhB = cntB.orderBy($"fb".desc, $"k").limit(K).localCheckpoint(true)
+    def stats(cnt: DataFrame, hh: DataFrame, f: String) = {
+      val tot = cnt.agg(sum(col(f)).as("sum_all"),
+        count(lit(1)).as("d_all")).withColumn("w", lit(1))
+      val hhTot = hh.agg(coalesce(sum(col(f)), lit(0L)).as("sum_hh"),
+        count(lit(1)).as("d_hh")).withColumn("w", lit(1))
+      tot.join(hhTot, "w").select(
+        ($"sum_all" - $"sum_hh").as(s"tail_sum_$f"),
+        ($"d_all" - $"d_hh").as(s"tail_d_$f"), $"w")
+    }
+    val sa = stats(cntA, hhA, "fa")
+    val sb = stats(cntB, hhB, "fb")
+    // HH∩HH exact + HH-vs-tail averages
+    val hhJoin = hhA.as("a").join(hhB.as("b"), $"a.k" === $"b.k", "full")
+      .select($"a.fa", $"b.fb").withColumn("w", lit(1))
+      .join(broadcast(sa), "w").join(broadcast(sb), "w")
+      .select(
+        when($"fa".isNotNull && $"fb".isNotNull, $"fa" * $"fb").otherwise(0L)
+          .as("exact_hh"),
+        when($"fa".isNotNull && $"fb".isNull && $"tail_d_fb" > 0,
+          $"fa" * expr("tail_sum_fb div tail_d_fb"))
+          .otherwise(0L).as("a_vs_tail"),
+        when($"fb".isNotNull && $"fa".isNull && $"tail_d_fa" > 0,
+          $"fb" * expr("tail_sum_fa div tail_d_fa"))
+          .otherwise(0L).as("b_vs_tail"))
+      .agg(sum($"exact_hh").as("t1"), sum($"a_vs_tail").as("t2"),
+        sum($"b_vs_tail").as("t3")).withColumn("w", lit(1))
+    val tailTerm = sa.join(sb, "w").select(
+      when(greatest($"tail_d_fa", $"tail_d_fb") > 0,
+        expr("(tail_sum_fa * tail_sum_fb) div " +
+          "greatest(tail_d_fa, tail_d_fb)")).otherwise(0L).as("t4"), $"w")
+    val actual = cntA.join(cntB, "k")
+      .agg(coalesce(sum($"fa" * $"fb"), lit(0L)).as("actual"))
+      .withColumn("w", lit(1))
+    hhJoin.join(broadcast(tailTerm), "w").join(broadcast(actual), "w")
+      .select(($"t1" + $"t2" + $"t3" + $"t4").as("estimate"), $"actual",
+        expr("(((t1 + t2 + t3 + t4) - actual) * 1000000) div actual")
+          .as("signed_err_ppm"))
+  }
+  private val q315Sql =
+    """WITH ca AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS fa
+      |  FROM events GROUP BY 1),
+      |cb AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS fb
+      |  FROM orders GROUP BY 1),
+      |ha AS (SELECT * FROM ca ORDER BY fa DESC, k LIMIT 20),
+      |hb AS (SELECT * FROM cb ORDER BY fb DESC, k LIMIT 20),
+      |sa AS (SELECT (SELECT CAST(sum(fa) AS BIGINT) FROM ca)
+      |    - (SELECT CAST(sum(fa) AS BIGINT) FROM ha) AS tail_sum_fa,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM ca)
+      |    - (SELECT CAST(count(*) AS BIGINT) FROM ha) AS tail_d_fa),
+      |sb AS (SELECT (SELECT CAST(sum(fb) AS BIGINT) FROM cb)
+      |    - (SELECT CAST(sum(fb) AS BIGINT) FROM hb) AS tail_sum_fb,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM cb)
+      |    - (SELECT CAST(count(*) AS BIGINT) FROM hb) AS tail_d_fb),
+      |terms AS (SELECT
+      |  CAST(coalesce(sum(CASE WHEN a.fa IS NOT NULL AND b.fb IS NOT NULL
+      |    THEN a.fa * b.fb ELSE 0 END), 0) AS BIGINT) AS t1,
+      |  CAST(coalesce(sum(CASE WHEN a.fa IS NOT NULL AND b.fb IS NULL
+      |      AND sb.tail_d_fb > 0
+      |    THEN a.fa * (sb.tail_sum_fb // sb.tail_d_fb) ELSE 0 END), 0)
+      |    AS BIGINT) AS t2,
+      |  CAST(coalesce(sum(CASE WHEN b.fb IS NOT NULL AND a.fa IS NULL
+      |      AND sa.tail_d_fa > 0
+      |    THEN b.fb * (sa.tail_sum_fa // sa.tail_d_fa) ELSE 0 END), 0)
+      |    AS BIGINT) AS t3
+      |  FROM ha a FULL JOIN hb b ON a.k = b.k, sa, sb),
+      |t4t AS (SELECT CASE WHEN greatest(sa.tail_d_fa, sb.tail_d_fb) > 0
+      |    THEN (sa.tail_sum_fa * sb.tail_sum_fb)
+      |      // greatest(sa.tail_d_fa, sb.tail_d_fb) ELSE 0 END AS t4
+      |  FROM sa, sb),
+      |act AS (SELECT CAST(coalesce(sum(ca.fa * cb.fb), 0) AS BIGINT)
+      |    AS actual FROM ca JOIN cb ON ca.k = cb.k)
+      |SELECT CAST(t1 + t2 + t3 + t4 AS BIGINT) AS estimate, actual,
+      |  CAST((((t1 + t2 + t3 + t4) - actual) * 1000000) // actual AS BIGINT)
+      |    AS signed_err_ppm
+      |FROM terms, t4t, act""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q315_join_cardinality", q315, Some(q315Sql)),
     QueryDef("q265_theil_sen", q265, Some(q265Sql)),
     QueryDef("q52_stats_aggregates", q52, Some(q52Sql)),
     QueryDef("q53_string_agg", q53, Some(q53Sql)),

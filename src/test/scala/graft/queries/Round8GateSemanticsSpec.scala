@@ -376,6 +376,30 @@ class Round8GateSemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("q315 estimator and exact join size replay from raw counts") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q315_join_cardinality")(spark, dir).head()
+    val fa = Tables.events(spark, dir).select($"user_id").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val fb = Tables.orders(spark, dir).select($"o_custkey").collect()
+      .map(_.getLong(0)).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val actual = fa.map { case (k, a) => a * fb.getOrElse(k, 0L) }.sum
+    assert(out.getAs[Long]("actual") == actual)
+    def top(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (k, f) => (-f, k) }.take(20).toMap
+    val (ha, hb) = (top(fa), top(fb))
+    val (tsa, tda) = (fa.values.sum - ha.values.sum, (fa.size - ha.size).toLong)
+    val (tsb, tdb) = (fb.values.sum - hb.values.sum, (fb.size - hb.size).toLong)
+    val t1 = ha.collect { case (k, f) if hb.contains(k) => f * hb(k) }.sum
+    val t2 = ha.collect { case (k, f) if !hb.contains(k) && tdb > 0 => f * (tsb / tdb) }.sum
+    val t3 = hb.collect { case (k, f) if !ha.contains(k) && tda > 0 => f * (tsa / tda) }.sum
+    val t4 = if (math.max(tda, tdb) > 0) tsa * tsb / math.max(tda, tdb) else 0L
+    assert(out.getAs[Long]("estimate") == t1 + t2 + t3 + t4,
+      s"estimator replay: got ${out.getAs[Long]("estimate")}, want ${t1 + t2 + t3 + t4}")
+    assert(out.getAs[Long]("signed_err_ppm") ==
+      ((t1 + t2 + t3 + t4) - actual) * 1000000L / actual)
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
