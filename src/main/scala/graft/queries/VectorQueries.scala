@@ -145,6 +145,56 @@ object VectorQueries extends QueryModule {
       |SELECT vec_id, bucket, rk, nn_vec, cos_sim FROM r WHERE rk <= 3
       |ORDER BY vec_id, rk""".stripMargin
 
+  /** q316: HARD-NEGATIVE mining — the contrastive-training data-prep op
+    * (embedder/reranker training wants negatives that are CLOSE to the
+    * anchor but wrong, not random: random negatives q219 already gates;
+    * hard ones are what move the loss). Labels are a deterministic class
+    * key (vec_id mod 7 — the class structure the miner must respect, not
+    * learn); every 23rd vector anchors; candidates come from the anchor's
+    * sign-bit LSH bucket (the q30 scale contract: shuffle on bucket,
+    * never all-pairs — candidate generation is part of the gate's
+    * semantics and the oracle replays it), are filtered to DIFFERENT
+    * labels, and the top-3 by (cosine DESC, id) ride the bounded
+    * [[graft.functions.aggregates.topKByScore]] aggregate. Output keeps
+    * the negative's label so a training consumer can stratify. */
+  private def q316(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val lab = normed(s, dir)
+      .withColumn("label", pmod($"vec_id", lit(7L)))
+      .withColumn("bucket", vector.signBits($"v", 0, 8))
+    lab.filter($"vec_id" % 23 === 0).as("a")
+      .join(lab.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.label" =!= $"b.label")
+      .select($"a.vec_id".as("anchor"), $"a.label".as("anchor_label"),
+        $"b.vec_id".as("neg_vec"), round(cosSpark, 6).as("cos_sim"))
+      .groupBy($"anchor", $"anchor_label")
+      .agg(aggregates.topKByScore($"cos_sim", $"neg_vec", 3).as("top"))
+      .select($"anchor", $"anchor_label",
+        posexplode($"top").as(Seq("rk0", "t")))
+      .select($"anchor", $"anchor_label", ($"rk0" + 1).cast("long").as("rk"),
+        $"t.id".as("neg_vec"), pmod($"t.id", lit(7L)).as("neg_label"),
+        $"t.score".as("cos_sim"))
+      .orderBy($"anchor", $"rk")
+  }
+  private val q316Sql =
+    s"""$normedSql,
+      |bk AS (SELECT vec_id, v, nrm, vec_id % 7 AS label,
+      |    list_reduce(list_prepend(0, list_transform(range(1, 9),
+      |      j -> CASE WHEN v[j] >= 0 THEN (1 << (j - 1)) ELSE 0 END)),
+      |      (acc, x) -> acc + x) AS bucket
+      |  FROM n),
+      |p AS (SELECT a.vec_id AS anchor, a.label AS anchor_label,
+      |    b.vec_id AS neg_vec, b.label AS neg_label,
+      |    round($cosDuck, 6) AS cos_sim
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.label <> b.label
+      |  WHERE a.vec_id % 23 = 0),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+      |    ORDER BY cos_sim DESC, neg_vec) AS rk FROM p)
+      |SELECT anchor, anchor_label, CAST(rk AS BIGINT) AS rk, neg_vec,
+      |  neg_label, cos_sim
+      |FROM r WHERE rk <= 3 ORDER BY anchor, rk""".stripMargin
+
   /** q31: embedding-cosine near-dup pairs (cos >= 0.4, a < b) — the
     * embedding-space analog of q26's text Jaccard near-dup. All-pairs via
     * the same constant-key BroadcastHashJoin shape as exactTopK; the
@@ -996,6 +1046,7 @@ object VectorQueries extends QueryModule {
     QueryDef("q281_mmr_select", q281, Some(q281Sql)),
     QueryDef("q282_matryoshka_recall", q282, Some(q282Sql)),
     QueryDef("q300_jl_projection", q300, Some(q300Sql)),
+    QueryDef("q316_hard_negatives", q316, Some(q316Sql)),
     QueryDef("q256_pca_power", q256, Some(q256Sql)),
     QueryDef("q262_grid_density_clusters", q262, Some(q262Sql)),
     QueryDef("q257_label_propagation", q257, Some(q257Sql)),

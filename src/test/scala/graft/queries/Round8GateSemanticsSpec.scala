@@ -400,6 +400,48 @@ class Round8GateSemanticsSpec extends SparkTestBase {
       ((t1 + t2 + t3 + t4) - actual) * 1000000L / actual)
   }
 
+  test("q316 hard negatives: wrong-label only, rank-contiguous, truly hard") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q316_hard_negatives")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("anchor_label") != r.getAs[Long]("neg_label"))
+      assert(r.getAs[Long]("neg_label") == r.getAs[Long]("neg_vec") % 7)
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0000005 && c <= 1.0000005)
+    }
+    // ranks contiguous from 1 per anchor, scores non-increasing
+    out.groupBy(_.getAs[Long]("anchor")).foreach { case (a, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to sorted.length).toSeq, s"anchor $a ranks")
+      val scores = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(scores == scores.sorted.reverse, s"anchor $a not score-ordered")
+    }
+    // exactness: the reported top negative IS the true bucket-restricted
+    // maximum — brute-force replay of the anchor's bucket candidates
+    // (hardness relative to the GLOBAL pool is a geometry property of the
+    // corpus, not a miner contract: an 8-bit sign bucket on near-random
+    // vectors correlates only mildly with cosine)
+    val lab = VectorQueries.normed(spark, dir)
+      .withColumn("label", pmod($"vec_id", lit(7L)))
+      .withColumn("bucket", graft.functions.vector.signBits($"v", 0, 8))
+    val all = lab.filter($"vec_id" % 23 === 0).as("a")
+      .join(lab.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.label" =!= $"b.label")
+      .select($"a.vec_id".as("anchor"),
+        round(graft.functions.vector.dot($"a.v", $"b.v") /
+          ($"a.nrm" * $"b.nrm"), 6).as("c"))
+      .collect().groupBy(_.getLong(0))
+    out.groupBy(_.getAs[Long]("anchor")).foreach { case (a, rows) =>
+      val trueMax = all(a).map(_.getDouble(1)).max
+      val top = rows.minBy(_.getAs[Long]("rk")).getAs[Double]("cos_sim")
+      assert(top == trueMax, s"anchor $a: top $top != bucket max $trueMax")
+    }
+    // and every anchor with candidates is present
+    assert(out.map(_.getAs[Long]("anchor")).toSet == all.keySet)
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
