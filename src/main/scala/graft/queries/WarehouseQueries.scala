@@ -815,8 +815,69 @@ object WarehouseQueries extends QueryModule {
       |     AND lk NOT IN (SELECT lk FROM del_li)) AS n_dangling
       |FROM agg ORDER BY table_name""".stripMargin
 
+  /** q317: BITEMPORAL as-of reconstruction — "what did the warehouse
+    * believe at transaction time b about business time T?", the
+    * two-dimensional audit query SCD2 (q74, valid time only) and PIT
+    * joins (q216, one dimension) cannot answer: regulators replay
+    * decisions against the data AS KNOWN THEN, late-arriving facts and
+    * all. Facts get a deterministic ingestion batch (event_id mod 3 —
+    * transaction time) independent of their event time (valid time);
+    * the gate reconstructs, for every cell of a 3×2 (txn batch ×
+    * business cutpoint) grid, each sampled user's in-effect event type:
+    * the (ts, event_id)-max fact with ts ≤ T among facts with batch ≤ b.
+    * Cutpoints derive from the data's own [min, max] ts span (exact
+    * integer thirds), so the grid is scale-free. A fact visible at
+    * (b, T) stays visible at every (b', T') ≥ — monotonicity the spec
+    * asserts cell by cell.
+    *
+    * Scale shape: the 6-cell grid broadcasts against the fact stream
+    * (map-side 6× multiply of the PRUNED (user, ts, id, type) columns,
+    * never payloads), then ONE shuffle on (user, cell) into a
+    * partial-combinable max-struct argmax — no window, no self-join. */
+  private def q317(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type",
+        pmod($"event_id", lit(3L)).as("txn"))
+      .filter($"user_id" % 11 === 0)
+    val span = ev.agg(min($"ts").as("mn"), max($"ts").as("mx"))
+    val grid = span.select(explode(array(
+        (0 until 3).flatMap { b => (1 to 2).map { k =>
+          struct(lit(b.toLong).as("b"), lit(k.toLong).as("t_idx"),
+            ($"mn" + expr(s"((mx - mn) * $k) div 3")).as("cut"))
+        } }: _*)).as("g"))
+      .select($"g.b", $"g.t_idx", $"g.cut")
+    ev.join(broadcast(grid), $"txn" <= $"b" && $"ts" <= $"cut")
+      .groupBy($"b", $"t_idx", $"user_id")
+      .agg(max(struct($"ts", $"event_id", $"event_type")).as("m"))
+      .select($"b", $"t_idx", $"user_id",
+        $"m.event_type".as("believed_type"),
+        $"m.event_id".as("asof_event_id"),
+        expr("m.ts div 1000").as("asof_ts_us"))
+      .orderBy($"b", $"t_idx", $"user_id")
+  }
+  private val q317Sql =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+      |    event_type, event_id % 3 AS txn
+      |  FROM events WHERE user_id % 11 = 0),
+      |span AS (SELECT min(tsn) AS mn, max(tsn) AS mx FROM ev),
+      |grid AS (SELECT b.b, k.t_idx,
+      |    span.mn + (span.mx - span.mn) * k.t_idx // 3 AS cut
+      |  FROM span, (VALUES (CAST(0 AS BIGINT)), (1), (2)) b(b),
+      |    (VALUES (CAST(1 AS BIGINT)), (2)) k(t_idx)),
+      |cells AS (SELECT g.b, g.t_idx, e.user_id, e.tsn, e.event_id,
+      |    e.event_type,
+      |    row_number() OVER (PARTITION BY g.b, g.t_idx, e.user_id
+      |      ORDER BY e.tsn DESC, e.event_id DESC) AS rk
+      |  FROM ev e JOIN grid g ON e.txn <= g.b AND e.tsn <= g.cut)
+      |SELECT b, t_idx, user_id, event_type AS believed_type,
+      |  event_id AS asof_event_id, tsn // 1000 AS asof_ts_us
+      |FROM cells WHERE rk = 1
+      |ORDER BY b, t_idx, user_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q313_takedown_cascade", q313, Some(q313Sql)),
+    QueryDef("q317_bitemporal_asof", q317, Some(q317Sql)),
     QueryDef("q264_changelog_apply_tws", q264, Some(q224Sql)),
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
     QueryDef("q216_pit_feature_join", q216, Some(q216Sql)),

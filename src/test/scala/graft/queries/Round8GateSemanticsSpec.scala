@@ -442,6 +442,38 @@ class Round8GateSemanticsSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("anchor")).toSet == all.keySet)
   }
 
+  test("q317 bitemporal cells replay from raw facts and are monotone") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q317_bitemporal_asof")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getAs[Long]("asof_ts_us"), r.getAs[Long]("asof_event_id"),
+          r.getAs[String]("believed_type")))).toMap
+    assert(out.nonEmpty)
+    val raw = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .filter($"user_id" % 11 === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val mn = raw.map(_._2).min; val mx = raw.map(_._2).max
+    val cuts = Seq(1L, 2L).map(k => k -> (mn + (mx - mn) * k / 3)).toMap
+    val want = (for {
+      b <- 0L to 2L; k <- 1L to 2L
+      (u, rows) <- raw.groupBy(_._1)
+      vis = rows.filter(r => r._3 % 3 <= b && r._2 <= cuts(k))
+      if vis.nonEmpty
+    } yield {
+      val m = vis.maxBy(r => (r._2, r._3))
+      (b, k, u) -> ((m._2 / 1000, m._3, m._4))
+    }).toMap
+    assert(out == want, "bitemporal replay diverged")
+    // monotonicity: the believed (ts, id) at a cell never regresses as the
+    // cell grows in either dimension
+    for (((b, k, u), (ts, id, _)) <- out; bb <- b to 2L; kk <- k to 2L)
+      out.get((bb, kk, u)).foreach { case (ts2, id2, _) =>
+        assert(ts2 > ts || (ts2 == ts && id2 >= id),
+          s"cell ($bb,$kk) regressed vs ($b,$k) for user $u")
+      }
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
