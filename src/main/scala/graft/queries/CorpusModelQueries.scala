@@ -240,6 +240,88 @@ object CorpusModelQueries extends QueryModule {
         concat_ws("\u001f", $"enc").as("encoded"))
       .orderBy($"doc_id")
   }
+  /** q318: TOKENIZER FERTILITY audit — the per-source tokens-per-word and
+    * chars-per-token ratios every tokenizer rollout is judged by (high
+    * fertility on a source means the vocab underserves it — the signal
+    * that drives vocab-budget reallocation, cf. UniMax-style balancing
+    * q283 does on the DATA side; this audits the TOKENIZER side). Encodes
+    * the corpus with the same mined top-30 merge table as q213 (the
+    * native zero-shuffle [[org.apache.spark.sql.graft.BpeEncode]] pass),
+    * then one grouped aggregate per source; ratios are exact half-up ppm
+    * over the corpus-level sums (NOT averages of per-doc ratios — the
+    * aggregation-order trap fertility numbers usually hide). The oracle
+    * replays the full best-first recursive encode and the same integer
+    * arithmetic. */
+  private def q318(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars", split($"text", " ").as("w"))
+    val ranks = docs
+      .where(size($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))"))
+        .as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .where($"a" =!= $"b")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"a", $"b").limit(30)
+      .select($"a", $"b").collect()                 // bounded: exactly <=30 rows
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    docs.select($"source", $"n_chars",
+        size($"w").cast("long").as("nb"),
+        size(graft.functions.bpe.encode($"w", ranks)).cast("long").as("na"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nb").as("words"),
+        sum($"na").as("tokens"), sum($"n_chars").as("chars"))
+      .select($"source", $"n_docs", $"words", $"tokens", $"chars",
+        expr("(2000000 * tokens + words) div (2 * words)").as("fertility_ppm"),
+        expr("(2000000 * chars + tokens) div (2 * tokens)")
+          .as("chars_per_token_ppm"))
+      .orderBy($"source")
+  }
+  private val q318Sql =
+    """WITH RECURSIVE
+      |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT w[s.i] AS a, w[s.i + 1] AS b
+      |  FROM t, UNNEST(range(1, len(w))) AS s(i) WHERE len(w) >= 2),
+      |ranks AS (
+      |  SELECT a, b, row_number() OVER (ORDER BY count(*) DESC, a, b) AS rk
+      |  FROM p WHERE a <> b GROUP BY a, b
+      |  ORDER BY count(*) DESC, a, b LIMIT 30),
+      |state(doc_id, round, toks) AS (
+      |  SELECT doc_id, 0, w FROM t
+      |  UNION ALL
+      |  SELECT s.doc_id, s.round + 1,
+      |    list_filter(list_transform(range(1, len(s.toks) + 1),
+      |      x -> CASE
+      |        WHEN x < len(s.toks) AND s.toks[x] = br.a AND s.toks[x+1] = br.b
+      |          THEN s.toks[x] || ' ' || s.toks[x+1]
+      |        WHEN x > 1 AND s.toks[x-1] = br.a AND s.toks[x] = br.b
+      |          THEN NULL
+      |        ELSE s.toks[x] END),
+      |      e -> e IS NOT NULL)
+      |  FROM state s JOIN LATERAL (
+      |    SELECT r.a, r.b FROM ranks r
+      |    WHERE list_contains(
+      |      list_transform(range(1, len(s.toks)),
+      |        i -> s.toks[i] || chr(31) || s.toks[i+1]),
+      |      r.a || chr(31) || r.b)
+      |    ORDER BY r.rk LIMIT 1) br ON true),
+      |fin AS (SELECT doc_id, arg_max(toks, round) AS toks
+      |  FROM state GROUP BY doc_id),
+      |agg AS (SELECT d.source,
+      |    CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(t.w)) AS BIGINT) AS words,
+      |    CAST(sum(len(f.toks)) AS BIGINT) AS tokens,
+      |    CAST(sum(d.n_chars) AS BIGINT) AS chars
+      |  FROM fin f JOIN t ON f.doc_id = t.doc_id
+      |  JOIN documents d ON d.doc_id = f.doc_id
+      |  GROUP BY 1)
+      |SELECT source, n_docs, words, tokens, chars,
+      |  (2000000 * tokens + words) // (2 * words) AS fertility_ppm,
+      |  (2000000 * chars + tokens) // (2 * tokens) AS chars_per_token_ppm
+      |FROM agg ORDER BY source""".stripMargin
+
   private val q213Sql =
     """WITH RECURSIVE
       |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1073,6 +1155,7 @@ object CorpusModelQueries extends QueryModule {
     QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),
     QueryDef("q263_cluster_silhouette", q263, Some(q263Sql)),
     QueryDef("q213_bpe_encode", q213, Some(q213Sql)),
+    QueryDef("q318_tokenizer_fertility", q318, Some(q318Sql)),
     QueryDef("q245_bpe_encode_multi", q245, Some(q245Sql)),
     QueryDef("q143_token_rarity", q143, Some(q143Sql)),
     QueryDef("q144_bpe_pairs", q144, Some(q144Sql)),

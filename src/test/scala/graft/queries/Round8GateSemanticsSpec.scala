@@ -474,6 +474,31 @@ class Round8GateSemanticsSpec extends SparkTestBase {
       }
   }
 
+  test("q318 fertility: merging never grows token counts; sums replay from q213") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q318_tokenizer_fertility")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, t) = (r.getAs[Long]("words"), r.getAs[Long]("tokens"))
+      assert(t <= w && t > 0, s"${r.getString(0)}: merges grew tokens")
+      assert(r.getAs[Long]("fertility_ppm") == (2000000L * t + w) / (2L * w))
+    }
+    // cross-gate consistency: q213's per-doc encode sums to q318's totals
+    val perDoc = SparkEntry.queries("q213_bpe_encode")(spark, dir)
+      .select($"doc_id", $"n_before", $"n_after").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val srcOf = Tables.documents(spark, dir).select($"doc_id", $"source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wantBySrc = perDoc.toSeq.groupBy { case (d, _) => srcOf(d) }
+      .map { case (s0, xs) =>
+        s0 -> ((xs.map(_._2._1).sum, xs.map(_._2._2).sum)) }
+    out.foreach { r =>
+      val (w, t) = wantBySrc(r.getString(0))
+      assert(r.getAs[Long]("words") == w && r.getAs[Long]("tokens") == t,
+        s"source ${r.getString(0)} diverges from q213's encode")
+    }
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
