@@ -408,8 +408,60 @@ object StatsQueries extends QueryModule {
       |    AS signed_err_ppm
       |FROM terms, t4t, act""".stripMargin
 
+  /** q319: WILSON lower-bound leaderboard — ranking binomial rates under
+    * uncertainty (the classic "never sort by raw average" correction: a
+    * 2/2 supplier must not outrank a 95/100 one). Each supplier's
+    * return rate gets the Wilson score interval's lower bound at z=1.96
+    * and the leaderboard sorts by it; suppliers with n < 20 are excluded
+    * (the bound is meaningless below a floor, and the cut keeps the gate
+    * honest about it). Determinism note: this gate is deliberately
+    * DOUBLE-valued — the Wilson formula is a fixed dag of IEEE-754 ops
+    * (+ − × ÷ √, each correctly rounded), so writing the SAME
+    * parenthesization in both engines yields bit-identical doubles; the
+    * 6-dp round is belt-and-braces, and (bound DESC, key) is a total
+    * order. The integer inputs (pos, n) are exact counts.
+    *
+    * Scale shape: one grouped count per supplier, per-row scalar math,
+    * TakeOrderedAndProject for the top-50 — nothing else. */
+  private def q319(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val z2 = lit(1.96 * 1.96)
+    val stats = Tables.lineitem(s, dir)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("pos"))
+      .filter($"n" >= 20)
+    val nD = $"n".cast("double"); val pD = $"pos".cast("double")
+    val phat = pD / nD
+    val denom = lit(1.0) + z2 / nD
+    val center = phat + z2 / (lit(2.0) * nD)
+    val margin = sqrt(phat * (lit(1.0) - phat) / nD +
+      z2 / (lit(4.0) * nD * nD)) * lit(1.96)
+    stats
+      .select($"l_suppkey", $"n", $"pos",
+        round((center - margin) / denom, 6).as("wilson_lb"))
+      .orderBy($"wilson_lb".desc, $"l_suppkey")
+      .limit(50)
+  }
+  private val q319Sql =
+    """WITH s AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos
+      |  FROM lineitem GROUP BY 1 HAVING count(*) >= 20)
+      |SELECT l_suppkey, n, pos,
+      |  round(((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 3.8415999999999997 / (2.0 * CAST(n AS DOUBLE)))
+      |    - sqrt((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / CAST(n AS DOUBLE)
+      |      + 3.8415999999999997
+      |        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1.96)
+      |    / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)), 6) AS wilson_lb
+      |FROM s ORDER BY wilson_lb DESC, l_suppkey LIMIT 50""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q315_join_cardinality", q315, Some(q315Sql)),
+    QueryDef("q319_wilson_leaderboard", q319, Some(q319Sql)),
     QueryDef("q265_theil_sen", q265, Some(q265Sql)),
     QueryDef("q52_stats_aggregates", q52, Some(q52Sql)),
     QueryDef("q53_string_agg", q53, Some(q53Sql)),
