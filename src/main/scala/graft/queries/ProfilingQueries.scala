@@ -317,7 +317,62 @@ object ProfilingQueries extends QueryModule {
       |    ELSE -10.0 * ln(2.0 * (1.0 - u01)) END, 4) AS released4
       |FROM n ORDER BY event_type""".stripMargin
 
+  /** q320: K-ANONYMITY audit — the release-readiness check a dataset
+    * must pass before quasi-identifiers ship (q288's DP release protects
+    * AGGREGATES; this audits the MICRODATA: a row whose quasi-identifier
+    * combination matches fewer than k individuals is re-identifiable).
+    * QI = (nation, market segment, account-balance decile — the decile
+    * via exact integer arithmetic over the known [-1000, 10000) balance
+    * range, cents-scaled so both engines bin identically); k = 5. Per
+    * nation: equivalence-class count, violating-class count, rows that
+    * would need suppression, and the suppression rate in exact half-up
+    * ppm — the shape of the generalize-vs-suppress decision loop.
+    *
+    * Scale shape: one grouped count on the QI key, one grouped rollup to
+    * nation — both partial-aggregable single shuffles; no row-level
+    * output (the audit is the artifact, not the microdata). */
+  private def q320(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 5L
+    val qi = Tables.customer(s, dir)
+      .select($"c_nationkey".cast("long").as("nation"), $"c_mktsegment",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 110000")
+          .as("bal_decile"))
+    qi.groupBy($"nation", $"c_mktsegment", $"bal_decile")
+      .agg(count(lit(1)).as("cls_n"))
+      .groupBy($"nation")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when($"cls_n" < k, 1L).otherwise(0L)).as("n_violating"),
+        sum(when($"cls_n" < k, $"cls_n").otherwise(0L)).as("suppressed_rows"),
+        sum($"cls_n").as("n_rows"))
+      .select($"nation", $"n_classes", $"n_violating", $"suppressed_rows",
+        $"n_rows",
+        expr("(2000000 * suppressed_rows + n_rows) div (2 * n_rows)")
+          .as("suppression_ppm"))
+      .orderBy($"nation")
+  }
+  private val q320Sql =
+    """WITH qi AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |    c_mktsegment,
+      |    (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 110000
+      |      AS bal_decile
+      |  FROM customer),
+      |cls AS (SELECT nation, c_mktsegment, bal_decile,
+      |    CAST(count(*) AS BIGINT) AS cls_n
+      |  FROM qi GROUP BY 1, 2, 3)
+      |SELECT nation, CAST(count(*) AS BIGINT) AS n_classes,
+      |  CAST(sum(CASE WHEN cls_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violating,
+      |  CAST(sum(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END) AS BIGINT)
+      |    AS suppressed_rows,
+      |  CAST(sum(cls_n) AS BIGINT) AS n_rows,
+      |  (2000000 * CAST(sum(CASE WHEN cls_n < 5 THEN cls_n ELSE 0 END)
+      |      AS BIGINT) + CAST(sum(cls_n) AS BIGINT))
+      |    // (2 * CAST(sum(cls_n) AS BIGINT)) AS suppression_ppm
+      |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q320_k_anonymity", q320, Some(q320Sql)),
     QueryDef("q288_dp_release", q288, Some(q288Sql)),
     QueryDef("q166_regr_family", q166, Some(q166Sql)),
     QueryDef("q167_width_bucket", q167, Some(q167Sql)),

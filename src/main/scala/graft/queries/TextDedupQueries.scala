@@ -711,8 +711,69 @@ object TextDedupQueries extends QueryModule {
       |FROM ph GROUP BY 1
       |ORDER BY score_ppm DESC, phrase LIMIT 40""".stripMargin
 
+  /** q321: CORPUS DATASHEET — the per-source release artifact (Datasheets
+    * for Datasets, Gebru et al. 2021) every corpus hand-off ships: size,
+    * length distribution, language spread, and exact-duplicate burden in
+    * ONE table, each cell exact. Length median is the true lower-median
+    * ORDER STATISTIC (rank (n+1) div 2 over a per-source window — no
+    * interpolation, so no float seam between engines); the dup ratio is
+    * duplicate-surplus rows (n_docs − distinct texts) in half-up ppm —
+    * the number exact dedup (q25) would delete. The datasheet is the
+    * artifact; no microdata leaves the aggregate.
+    *
+    * Scale shape: one pass for per-source counts/sums/distincts, one
+    * per-source window for the median rank — both shuffle on source;
+    * row width never exceeds (source, few longs). */
+  private def q321(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"source", $"lang", $"n_chars", $"text")
+    val agg = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"text").as("n_distinct_texts"))
+    val med = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"n_chars", $"text")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+      .filter($"rk" === expr("(n + 1) div 2"))
+      .select($"source", $"n_chars".as("median_chars"))
+    agg.join(med, Seq("source"))
+      .select($"source", $"n_docs", $"total_chars", $"median_chars",
+        expr("(2000000 * total_chars + n_docs) div (2 * n_docs)")
+          .as("mean_chars_ppm"),
+        $"n_langs",
+        ($"n_docs" - $"n_distinct_texts").as("dup_surplus"),
+        expr("(2000000 * (n_docs - n_distinct_texts) + n_docs) " +
+          "div (2 * n_docs)").as("dup_ppm"))
+      .orderBy($"source")
+  }
+  private val q321Sql =
+    """WITH agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+      |  FROM documents GROUP BY 1),
+      |med AS (SELECT source, n_chars AS median_chars FROM (
+      |    SELECT source, n_chars,
+      |      row_number() OVER (PARTITION BY source ORDER BY n_chars, text)
+      |        AS rk,
+      |      count(*) OVER (PARTITION BY source) AS n
+      |    FROM documents) WHERE rk = (n + 1) // 2)
+      |SELECT a.source, a.n_docs, a.total_chars, m.median_chars,
+      |  (2000000 * a.total_chars + a.n_docs) // (2 * a.n_docs)
+      |    AS mean_chars_ppm,
+      |  a.n_langs,
+      |  a.n_docs - a.n_distinct_texts AS dup_surplus,
+      |  (2000000 * (a.n_docs - a.n_distinct_texts) + a.n_docs)
+      |    // (2 * a.n_docs) AS dup_ppm
+      |FROM agg a JOIN med m ON a.source = m.source
+      |ORDER BY a.source""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q311_rake_keyphrases", q311, Some(q311Sql)),
+    QueryDef("q321_corpus_datasheet", q321, Some(q321Sql)),
     QueryDef("q22_token_quality", q22, Some(q22Sql)),
     QueryDef("q244_lsh_quality", q244, Some(q244Sql)),
     QueryDef("q218_containment_dedup", q218, Some(q218Sql)),

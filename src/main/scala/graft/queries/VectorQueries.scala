@@ -195,6 +195,58 @@ object VectorQueries extends QueryModule {
       |  neg_label, cos_sim
       |FROM r WHERE rk <= 3 ORDER BY anchor, rk""".stripMargin
 
+  /** q322: embedding-space ISOLATE detection — the vector-quality filter
+    * a curation pipeline runs on freshly-computed embeddings (q84's
+    * z-score flags SCALAR outliers; junk embeddings show up as vectors
+    * with no close neighbor anywhere): a vector is flagged when its LSH
+    * bucket holds no other vector at all (bucket singleton — nothing
+    * even candidates with it) or when its best in-bucket cosine falls
+    * below 0.1. Candidates come from the q30 bucket contract (never
+    * all-pairs); the best-neighbor score rides the bounded top-1
+    * aggregate; singletons surface through a left anti-join, score NULL.
+    * Output is the FLAGGED set only — at healthy corpus geometry that is
+    * a small fraction, and the gate pins both the flag rule and the
+    * per-vector best scores. */
+  private def q322(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val bk = normed(s, dir)
+      .withColumn("bucket", vector.signBits($"v", 0, 8)).localCheckpoint(true)
+    val best = bk.as("a").join(bk.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"a.bucket".as("bucket"),
+        round(cosSpark, 6).as("cos_sim"))
+      .groupBy($"vec_id", $"bucket")
+      .agg(max($"cos_sim").as("best_cos"))
+    val singletons = bk.select($"vec_id", $"bucket")
+      .join(best.select($"vec_id"), Seq("vec_id"), "leftanti")
+      .select($"vec_id", $"bucket",
+        lit(null).cast("double").as("best_cos"),
+        lit("singleton_bucket").as("reason"))
+    best.filter($"best_cos" < 0.1)
+      .select($"vec_id", $"bucket", $"best_cos",
+        lit("low_best_cosine").as("reason"))
+      .unionAll(singletons)
+      .orderBy($"vec_id")
+  }
+  private val q322Sql =
+    s"""$normedSql,
+      |bk AS (SELECT vec_id, v, nrm,
+      |    list_reduce(list_prepend(0, list_transform(range(1, 9),
+      |      j -> CASE WHEN v[j] >= 0 THEN (1 << (j - 1)) ELSE 0 END)),
+      |      (acc, x) -> acc + x) AS bucket
+      |  FROM n),
+      |best AS (SELECT a.vec_id, a.bucket,
+      |    max(round($cosDuck, 6)) AS best_cos
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      |  GROUP BY 1, 2)
+      |SELECT vec_id, bucket, best_cos, 'low_best_cosine' AS reason
+      |FROM best WHERE best_cos < 0.1
+      |UNION ALL
+      |SELECT k.vec_id, k.bucket, NULL, 'singleton_bucket'
+      |FROM bk k WHERE k.vec_id NOT IN (SELECT vec_id FROM best)
+      |ORDER BY vec_id""".stripMargin
+
   /** q31: embedding-cosine near-dup pairs (cos >= 0.4, a < b) — the
     * embedding-space analog of q26's text Jaccard near-dup. All-pairs via
     * the same constant-key BroadcastHashJoin shape as exactTopK; the
@@ -1047,6 +1099,7 @@ object VectorQueries extends QueryModule {
     QueryDef("q282_matryoshka_recall", q282, Some(q282Sql)),
     QueryDef("q300_jl_projection", q300, Some(q300Sql)),
     QueryDef("q316_hard_negatives", q316, Some(q316Sql)),
+    QueryDef("q322_embedding_isolates", q322, Some(q322Sql)),
     QueryDef("q256_pca_power", q256, Some(q256Sql)),
     QueryDef("q262_grid_density_clusters", q262, Some(q262Sql)),
     QueryDef("q257_label_propagation", q257, Some(q257Sql)),

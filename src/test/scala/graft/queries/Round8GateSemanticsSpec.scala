@@ -499,6 +499,54 @@ class Round8GateSemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("q320-q322 audit artifacts replay from raw rows") {
+    import spark.implicits._
+    // q320: k-anonymity counts replay
+    val kanon = SparkEntry.queries("q320_k_anonymity")(spark, dir).collect()
+    val qi = Tables.customer(spark, dir)
+      .select($"c_nationkey".cast("long"), $"c_mktsegment",
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 110000"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val classes = qi.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    kanon.foreach { r =>
+      val nat = r.getLong(0)
+      val cls = classes.filter(_._1._1 == nat)
+      assert(r.getAs[Long]("n_classes") == cls.size.toLong)
+      assert(r.getAs[Long]("n_violating") == cls.count(_._2 < 5).toLong)
+      assert(r.getAs[Long]("suppressed_rows") == cls.values.filter(_ < 5).sum)
+      assert(r.getAs[Long]("n_rows") == cls.values.sum)
+    }
+    assert(kanon.map(_.getAs[Long]("n_rows")).sum == qi.length.toLong)
+    // q321: datasheet medians are true lower-median order statistics
+    val sheet = SparkEntry.queries("q321_corpus_datasheet")(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+      .select($"source", $"n_chars", $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    sheet.foreach { r =>
+      val rows = docs(r.getString(0))
+      val sorted = rows.sortBy(t => (t._2, t._3))
+      assert(r.getAs[Long]("median_chars") ==
+        sorted((sorted.length + 1) / 2 - 1)._2, r.getString(0))
+      assert(r.getAs[Long]("dup_surplus") ==
+        (rows.length - rows.map(_._3).distinct.length).toLong)
+    }
+    // q322: flag rule — every flagged singleton really is alone in its
+    // bucket, and flagged low-cosine rows carry a score below the cut
+    val iso = SparkEntry.queries("q322_embedding_isolates")(spark, dir).collect()
+    val buckets = VectorQueries.normed(spark, dir)
+      .withColumn("bucket", graft.functions.vector.signBits($"v", 0, 8))
+      .select($"vec_id", $"bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val sizes = buckets.groupBy(_._2).map { case (b, v) => b -> v.length }
+    iso.foreach { r =>
+      if (r.getAs[String]("reason") == "singleton_bucket") {
+        assert(r.isNullAt(r.fieldIndex("best_cos")))
+        assert(sizes(r.getAs[Number]("bucket").intValue()) == 1)
+      } else assert(r.getAs[Double]("best_cos") < 0.1)
+    }
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
