@@ -459,8 +459,96 @@ object StatsQueries extends QueryModule {
       |    / (1.0 + 3.8415999999999997 / CAST(n AS DOUBLE)), 6) AS wilson_lb
       |FROM s ORDER BY wilson_lb DESC, l_suppkey LIMIT 50""".stripMargin
 
+  /** q323: CUPED variance-reduced experiment readout (Deng et al. 2013) —
+    * the covariate-adjustment step every mature experimentation platform
+    * applies before reading a treatment effect (q180 z-tests two raw
+    * rates, q251 differences two periods; CUPED removes pre-period
+    * variance from the metric itself). Covariate x = each user's
+    * PRE-period spend, metric y = POST-period spend (cents-exact; the
+    * period split is the integer midpoint of the data's ts span), the
+    * pooled θ = cov(x,y)/var(x) is computed as an exact rational over
+    * integer moments (DECIMAL(38)/HUGEINT products) and then QUANTIZED
+    * to half-up ppm before application — the one defined lattice point
+    * both engines share, which keeps every later product inside 38
+    * digits (applying the raw rational would need ~10⁴² intermediates).
+    * Output: group sizes, θ, and the raw vs CUPED-adjusted treatment
+    * difference, all in exact ppm (cents units).
+    *
+    * Scale shape: one grouped pass to per-user (x, y), one global and
+    * one per-arm aggregate (all partial-combinable sums), then scalar
+    * arithmetic on broadcast 1-row frames. */
+  private def q323(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"ts", round($"value" * 100).cast("long").as("c"))
+    val span = ev.agg(min($"ts").as("mn"), max($"ts").as("mx"))
+      .select(($"mn" + expr("(mx - mn) div 2")).as("cut"))
+    val dec = "decimal(38,0)"
+    val peruser = ev.crossJoin(broadcast(span))
+      .groupBy($"user_id")
+      .agg(sum(when($"ts" <= $"cut", $"c").otherwise(0L)).as("x"),
+        sum(when($"ts" > $"cut", $"c").otherwise(0L)).as("y"))
+      .withColumn("arm", pmod($"user_id", lit(2L)))
+    val g = peruser.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum($"x").cast(dec).as("sx"), sum($"y").cast(dec).as("sy"),
+      sum(($"x".cast(dec) * $"y")).as("sxy"),
+      sum(($"x".cast(dec) * $"x")).as("sx2")).withColumn("w", lit(1))
+    val arms = peruser.groupBy($"arm")
+      .agg(count(lit(1)).cast(dec).as("ng"),
+        sum($"x").cast(dec).as("sxg"), sum($"y").cast(dec).as("syg"))
+    val a0 = arms.filter($"arm" === 0).select($"ng".as("n0"),
+      $"sxg".as("sx0"), $"syg".as("sy0")).withColumn("w", lit(1))
+    val a1 = arms.filter($"arm" === 1).select($"ng".as("n1"),
+      $"sxg".as("sx1"), $"syg".as("sy1")).withColumn("w", lit(1))
+    g.join(broadcast(a0), "w").join(broadcast(a1), "w")
+      .select(
+        $"n0".cast("long").as("n_control"), $"n1".cast("long").as("n_treat"),
+        expr("(2000000 * (n * sxy - sx * sy) + (n * sx2 - sx * sx)) div " +
+          "(2 * (n * sx2 - sx * sx))").cast("long").as("theta_ppm"),
+        expr("(2000000 * (sy1 * n0 - sy0 * n1) + (n1 * n0)) div " +
+          "(2 * (n1 * n0))").cast("long").as("diff_raw_ppm"),
+        $"n", $"sx", $"sy", $"sxy", $"sx2",
+        $"sy1", $"sy0", $"sx1", $"sx0", $"n0", $"n1")
+      .select($"n_control", $"n_treat", $"theta_ppm", $"diff_raw_ppm",
+        expr("cast((2 * (1000000 * (sy1 * n0 - sy0 * n1) - theta_ppm * " +
+          "(sx1 * n0 - sx0 * n1)) + (n1 * n0)) div (2 * (n1 * n0)) " +
+          "as long)").as("diff_cuped_ppm"))
+  }
+  private val q323Sql =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) AS tsn,
+      |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |span AS (SELECT min(tsn) + (max(tsn) - min(tsn)) // 2 AS cut FROM ev),
+      |pu AS (SELECT user_id, user_id % 2 AS arm,
+      |    CAST(sum(CASE WHEN tsn <= span.cut THEN c ELSE 0 END) AS HUGEINT)
+      |      AS x,
+      |    CAST(sum(CASE WHEN tsn > span.cut THEN c ELSE 0 END) AS HUGEINT)
+      |      AS y
+      |  FROM ev, span GROUP BY 1, 2, span.cut),
+      |g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+      |    sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sx2 FROM pu),
+      |a0 AS (SELECT CAST(count(*) AS HUGEINT) AS n0, sum(x) AS sx0,
+      |    sum(y) AS sy0 FROM pu WHERE arm = 0),
+      |a1 AS (SELECT CAST(count(*) AS HUGEINT) AS n1, sum(x) AS sx1,
+      |    sum(y) AS sy1 FROM pu WHERE arm = 1),
+      |t AS (SELECT CAST(n0 AS BIGINT) AS n_control,
+      |    CAST(n1 AS BIGINT) AS n_treat,
+      |    (2000000 * (g.n * g.sxy - g.sx * g.sy) + (g.n * g.sx2 - g.sx * g.sx))
+      |      // (2 * (g.n * g.sx2 - g.sx * g.sx)) AS theta_ppm,
+      |    (2000000 * (a1.sy1 * a0.n0 - a0.sy0 * a1.n1) + (a1.n1 * a0.n0))
+      |      // (2 * (a1.n1 * a0.n0)) AS diff_raw_ppm,
+      |    a1.sy1, a0.sy0, a1.sx1, a0.sx0, a0.n0, a1.n1
+      |  FROM g, a0, a1)
+      |SELECT n_control, n_treat, CAST(theta_ppm AS BIGINT) AS theta_ppm,
+      |  CAST(diff_raw_ppm AS BIGINT) AS diff_raw_ppm,
+      |  CAST((2 * (1000000 * (sy1 * n0 - sy0 * n1) - theta_ppm *
+      |    (sx1 * n0 - sx0 * n1)) + (n1 * n0)) // (2 * (n1 * n0))
+      |    AS BIGINT) AS diff_cuped_ppm
+      |FROM t""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q315_join_cardinality", q315, Some(q315Sql)),
+    QueryDef("q323_cuped_readout", q323, Some(q323Sql)),
     QueryDef("q319_wilson_leaderboard", q319, Some(q319Sql)),
     QueryDef("q265_theil_sen", q265, Some(q265Sql)),
     QueryDef("q52_stats_aggregates", q52, Some(q52Sql)),

@@ -547,6 +547,33 @@ class Round8GateSemanticsSpec extends SparkTestBase {
     }
   }
 
+  test("q323 CUPED readout replays from raw per-user spend") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q323_cuped_readout")(spark, dir).head()
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"ts", round($"value" * 100).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = ev.map(_._2).min + (ev.map(_._2).max - ev.map(_._2).min) / 2
+    val pu = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, BigInt(rows.filter(_._2 <= cut).map(_._3).sum),
+        BigInt(rows.filter(_._2 > cut).map(_._3).sum))
+    }.toSeq
+    val n = BigInt(pu.size)
+    val (sx, sy) = (pu.map(_._2).sum, pu.map(_._3).sum)
+    val sxy = pu.map(t => t._2 * t._3).sum
+    val sx2 = pu.map(t => t._2 * t._2).sum
+    def halfUp(a: BigInt, b: BigInt) = (2 * 1000000 * a + b) / (2 * b)
+    val theta = halfUp(n * sxy - sx * sy, n * sx2 - sx * sx)
+    assert(BigInt(out.getAs[Long]("theta_ppm")) == theta)
+    val g0 = pu.filter(_._1 % 2 == 0); val g1 = pu.filter(_._1 % 2 == 1)
+    val (n0, n1) = (BigInt(g0.size), BigInt(g1.size))
+    val a = g1.map(_._3).sum * n0 - g0.map(_._3).sum * n1
+    val cc = g1.map(_._2).sum * n0 - g0.map(_._2).sum * n1
+    assert(BigInt(out.getAs[Long]("diff_raw_ppm")) == halfUp(a, n1 * n0))
+    assert(BigInt(out.getAs[Long]("diff_cuped_ppm")) ==
+      (2 * (1000000 * a - theta * cc) + n1 * n0) / (2 * n1 * n0))
+  }
+
   test("q300 JL distortion bounded; kernel replays in plain Scala") {
     import spark.implicits._
     val out = SparkEntry.queries("q300_jl_projection")(spark, dir)
