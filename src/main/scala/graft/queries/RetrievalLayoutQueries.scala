@@ -578,7 +578,83 @@ object RetrievalLayoutQueries extends QueryModule {
     QueryDef("q109_phrase_search", q109, Some(q109Sql)),
     QueryDef("q212_proximity_search", q212, Some(q212Sql)),
     QueryDef("q310_multipattern_tag", q310, Some(q310Sql)),
+    QueryDef("q324_redaction_plan", q324, Some(q324Sql)),
   )
+
+  /** q324: REDACTION PLAN — the actionable other half of q310's tagging:
+    * WHERE to cut, not just how much matched. The span-reporting
+    * automaton ([[org.apache.spark.sql.graft.AhoCorasickSpans]], 1-based
+    * inclusive offsets) emits every overlapping dictionary match in one
+    * walk; overlapping spans then COALESCE into maximal disjoint
+    * redaction intervals (a cut is one contiguous splice — redacting
+    * "table value" and "value fast" separately would double-cut the
+    * shared word) via gaps-and-islands per doc: a new island starts when
+    * a span begins AFTER the running max end (strictly — touching spans
+    * stay separate cuts). Each interval reports its bounds, length, and
+    * how many matches/distinct patterns it absorbed.
+    *
+    * Scale shape: the walk is the same per-row projection as q310; the
+    * merge is one per-doc window pair plus one grouped aggregate —
+    * everything shuffles on doc_id, islands are match-count-bounded. */
+  private def q324(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pats = Seq("table value", "a a", "fast table", "query key scan",
+      "a a a", "merge batch", "table", "stream stream", "slow fast",
+      "value fast")
+    val w = Window.partitionBy($"doc_id").orderBy($"start", $"end", $"pid")
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(graft.functions.multipattern
+          .ahoCorasickSpans($"text", pats)).as("sp"))
+      .select($"doc_id", $"sp.pid".as("pid"), $"sp.start".as("start"),
+        $"sp.end".as("end"))
+      .withColumn("prev_max", max($"end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island", sum(
+        when($"prev_max".isNull || $"start" > $"prev_max", 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"island")
+      .agg(min($"start").cast("long").as("red_start"),
+        max($"end").cast("long").as("red_end"),
+        count(lit(1)).as("n_matches"),
+        countDistinct($"pid").as("n_patterns"))
+      .select($"doc_id", $"island".as("span_no"), $"red_start", $"red_end",
+        ($"red_end" - $"red_start" + 1L).as("red_len"),
+        $"n_matches", $"n_patterns")
+      .orderBy($"doc_id", $"span_no")
+  }
+  private val q324Sql = {
+    val pats = Seq("table value", "a a", "fast table", "query key scan",
+      "a a a", "merge batch", "table", "stream stream", "slow fast",
+      "value fast")
+    val values = pats.zipWithIndex
+      .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+    s"""WITH pats AS (SELECT * FROM (VALUES $values) t(pid, pattern)),
+       |m AS (SELECT d.doc_id, p.pid, CAST(pos.i AS INTEGER) AS s_,
+       |    CAST(pos.i + length(p.pattern) - 1 AS INTEGER) AS e_
+       |  FROM documents d, pats p,
+       |    LATERAL (SELECT unnest(generate_series(1,
+       |      greatest(length(d.text) - length(p.pattern) + 1, 0))) AS i) pos
+       |  WHERE substr(d.text, CAST(pos.i AS INTEGER), length(p.pattern))
+       |      = p.pattern),
+       |w AS (SELECT doc_id, pid, s_, e_,
+       |    max(e_) OVER (PARTITION BY doc_id ORDER BY s_, e_, pid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM m),
+       |i AS (SELECT *, sum(CASE WHEN prev_max IS NULL OR s_ > prev_max
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+       |      ORDER BY s_, e_, pid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM w)
+       |SELECT doc_id, CAST(island AS BIGINT) AS span_no,
+       |  CAST(min(s_) AS BIGINT) AS red_start,
+       |  CAST(max(e_) AS BIGINT) AS red_end,
+       |  CAST(max(e_) - min(s_) + 1 AS BIGINT) AS red_len,
+       |  CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(count(DISTINCT pid) AS BIGINT) AS n_patterns
+       |FROM i GROUP BY 1, 2 ORDER BY doc_id, span_no""".stripMargin
+  }
 
   /** q310: MULTI-PATTERN corpus tagging with a native Aho–Corasick
     * automaton ([[org.apache.spark.sql.graft.AhoCorasickCounts]]) — the

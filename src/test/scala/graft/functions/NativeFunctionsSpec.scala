@@ -161,6 +161,33 @@ class NativeFunctionsSpec extends SparkTestBase {
     assert(nd(0).isNullAt(0))
   }
 
+  test("ahoCorasickSpans reports every overlapping match at exact 1-based offsets") {
+    import spark.implicits._
+    val p2 = Seq("a", "ab", "ba", "aba", "bb", "abab")
+    val rnd = new scala.util.Random(13)
+    val texts = "aaaab" +: "abab" +: (0 until 30).map(_ =>
+      (0 until 50).map(_ => "ab" (rnd.nextInt(2))).mkString)
+    def brute(t: String): Seq[(Int, Int, Int)] =
+      for {
+        (p, pid) <- p2.zipWithIndex
+        i <- 1 to t.length - p.length + 1
+        if t.startsWith(p, i - 1)
+      } yield (pid, i, i + p.length - 1)
+    val got = texts.toDF("t")
+      .select($"t", multipattern.ahoCorasickSpans($"t", p2).as("sp"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getInt(0), x.getInt(1), x.getInt(2)))).toMap
+    texts.foreach { t =>
+      assert(got(t).sorted == brute(t).sorted, s"text $t")
+      // every span substring really is its pattern
+      got(t).foreach { case (pid, s0, e0) =>
+        assert(t.substring(s0 - 1, e0) == p2(pid))
+      }
+    }
+  }
+
   test("topKByScore equals window row_number formulation, including ties") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
