@@ -1178,9 +1178,14 @@ object TimeSeriesQueries extends QueryModule {
         ($"j.a" * $"c.b" > $"c.a" * $"j.b" ||
           ($"j.a" * $"c.b" === $"c.a" * $"j.b" && $"j.k" < $"c.k")),
       "leftanti")
+    // gain_num can reach ~1e25 — far past 2^53. Raw DECIMAL(38,0) is
+    // exact in parquet but DuckDB's pandas surface coerces DECIMAL(38,0)
+    // to float64 and rounds it, so the driver hash diverged (r8's only
+    // red gate). Emit it as VARCHAR on BOTH sides: the dominance argmax
+    // above stays exact-integer; only the reported surface changes.
     beaten
       .select($"event_type", $"bucket", $"day".as("split_day"), $"n",
-        $"a".as("gain_num"), $"b".as("gain_den"))
+        $"a".cast("string").as("gain_num"), $"b".as("gain_den"))
       .orderBy($"event_type", $"bucket")
   }
   private val q308Sql =
@@ -1203,7 +1208,8 @@ object TimeSeriesQueries extends QueryModule {
       |    k * (n - k) AS b
       |  FROM w WHERE k < n)
       |SELECT c.event_type, c.bucket, c.day AS split_day, c.n,
-      |  CAST(c.a AS DECIMAL(38,0)) AS gain_num, c.b AS gain_den
+      |  CAST(CAST(c.a AS DECIMAL(38,0)) AS VARCHAR) AS gain_num,
+      |  c.b AS gain_den
       |FROM cand c
       |WHERE NOT EXISTS (SELECT 1 FROM cand j
       |  WHERE j.event_type = c.event_type AND j.bucket = c.bucket

@@ -215,7 +215,7 @@ class Round8GateSemanticsSpec extends SparkTestBase {
     import spark.implicits._
     val out = SparkEntry.queries("q308_changepoint")(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        ((r.getAs[Long]("split_day"), r.getAs[java.math.BigDecimal]("gain_num"),
+        ((r.getAs[Long]("split_day"), r.getAs[String]("gain_num"),
           r.getAs[Long]("gain_den")))).toMap
     assert(out.nonEmpty)
     // independent replay: daily cents cells -> exact BigInt argmax
@@ -241,7 +241,7 @@ class Round8GateSemanticsSpec extends SparkTestBase {
           if (q._2 * p._3 > p._2 * q._3) q else p // strict beat, earlier wins ties
         }
         val got = out(series)
-        assert(got._1 == best._1 && BigInt(got._2.toBigInteger) == best._2 &&
+        assert(got._1 == best._1 && BigInt(got._2) == best._2 &&
           BigInt(got._3) == best._3, s"series $series")
       }
     }

@@ -8,10 +8,62 @@ oracle SQL from oracle_sql.json in DuckDB over the raw tables in <sf_dir>,
 then compares: columns sorted by name, rows sorted by all columns, values
 hashed. Reports per-query MATCH / MISMATCH with a diff preview.
 """
-import sys, os, json, glob
+import sys, os, json, glob, decimal
 import duckdb
 import pandas as pd
 import numpy as np
+import pyarrow.parquet as pq
+import pyarrow as pa
+
+# The driver's oracle path surfaces DuckDB DECIMAL(>18,x)/HUGEINT as
+# float64, which rounds above 2^53 while Spark's parquet decimal stays
+# exact — the hash then diverges even when both engines computed the
+# same integer (r8's q308). Flag the whole class as a hard failure:
+#  * any Spark output column whose parquet type is DECIMAL with
+#    precision > 18 (the float64-coercion trigger on the oracle side);
+#  * any integer/decimal column, either side, with |value| >= 2^53;
+#  * any float64 column whose values are all integral with |max| >= 2^53
+#    (precision already silently lost in transit).
+TWO53 = 2 ** 53
+
+def wide_magnitude_flags(name, spark_paths, spark_df, duck_df):
+    msgs = []
+    for p in spark_paths:
+        sch = pq.read_schema(p)
+        for f in sch:
+            if pa.types.is_decimal(f.type) and f.type.precision > 18:
+                msgs.append(f"spark col={f.name}: parquet DECIMAL"
+                            f"({f.type.precision},{f.type.scale}) — oracle-side "
+                            f"pandas coerces >18-digit decimals to float64; "
+                            f"emit VARCHAR or a <2^53 magnitude")
+        break  # schema identical across part files
+    for side, df, other in (("spark", spark_df, duck_df),
+                            ("duck", duck_df, spark_df)):
+        for c in df.columns:
+            s = df[c].dropna()
+            if s.empty:
+                continue
+            if np.issubdtype(s.dtype, np.integer):
+                # int64-vs-int64 is hash-exact at any magnitude (BIGINT
+                # survives the pandas surface; q28's simhash relies on
+                # this). Only flag >=2^53 ints when the OTHER side isn't
+                # also exact-integer — then some coercion is in play.
+                other_int = (c in other.columns and
+                             np.issubdtype(other[c].dtype, np.integer))
+                if not other_int and int(s.abs().max()) >= TWO53:
+                    msgs.append(f"{side} col={c}: int |max| >= 2^53 with "
+                                f"non-integer dtype on the other side — "
+                                f"float64 coercion would round it")
+            elif s.dtype == object and isinstance(s.iloc[0], decimal.Decimal):
+                if max(abs(v) for v in s) >= decimal.Decimal(TWO53):
+                    msgs.append(f"{side} col={c}: DECIMAL magnitude >= 2^53 — "
+                                f"emit VARCHAR or rescale")
+            elif np.issubdtype(s.dtype, np.floating):
+                mx = s.abs().max()
+                if np.isfinite(mx) and mx >= TWO53 and (s == s.round()).all():
+                    msgs.append(f"{side} col={c}: integer-valued float64 "
+                                f"|max| >= 2^53 — exactness already lost")
+    return msgs
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -82,8 +134,13 @@ def main():
             print(f"[ORAERR  ] {name}: {e}"); n_bad += 1
             continue
         err = compare(name, spark_df, duck_df)
+        wide = wide_magnitude_flags(name, sorted(res_glob), spark_df, duck_df)
         if err:
             print(f"[MISMATCH] {name}: {err}"); n_bad += 1
+        elif wide:
+            for w in wide:
+                print(f"[WIDEMAG ] {name}: {w}")
+            n_bad += 1
         else:
             print(f"[ok      ] {name} ({len(spark_df)} rows)"); n_ok += 1
     # queries with no oracle: report rows-only
