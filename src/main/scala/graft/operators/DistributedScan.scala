@@ -55,6 +55,8 @@ object DistributedScan {
     require(bad.isEmpty,
       s"prefixSums needs exact (integral/decimal) sum columns; got $bad — " +
         "double sums would make the result depend on range-boundary placement")
+    require(!df.columns.contains("__pid"),
+      "DistributedScan.prefixSums: input already has reserved column __pid")
 
     // LAZY localCheckpoint: placement must be pinned — relying on exchange
     // reuse alone was tried and produced a REAL hash miss (q115 at sf0.01:
@@ -102,8 +104,11 @@ object DistributedScan {
     * total-order requirement as [[prefixSums]] (unique key tuples). Used by
     * q238's bootstrap row index, where the naive global row_number was the
     * engine's last in-gate data-sized unpartitioned window. */
-  def rowNumbers(df: DataFrame, orderCols: Seq[Column], out: String): DataFrame =
+  def rowNumbers(df: DataFrame, orderCols: Seq[Column], out: String): DataFrame = {
+    require(!df.columns.contains("__one"),
+      "DistributedScan.rowNumbers: input already has reserved column __one")
     prefixSums(df.withColumn("__one", lit(1L)), orderCols, Seq("__one"))
       .withColumnRenamed("__one_cum", out)
       .drop("__one")
+  }
 }

@@ -48,14 +48,12 @@ object QualifySql {
   def rewrite(text: String): String = {
     val toks = topLevelKeywords(text)
     if (!toks.exists(_._1 == "QUALIFY")) return text
-    // set-op boundaries; an EXCEPT whose previous non-space char is `*`
-    // is star-EXCEPT (a projection modifier), not a set operation
+    // set-op boundaries; an EXCEPT whose previous code char (comment- and
+    // quote-aware, so `SELECT * /* note */ EXCEPT (c)` still sees the `*`)
+    // is a star is star-EXCEPT (a projection modifier), not a set operation
     val bounds = toks.filter { case (kw, p) =>
       (kw == "UNION" || kw == "INTERSECT") ||
-        (kw == "EXCEPT" && {
-          val before = text.substring(0, p).reverse.dropWhile(_.isWhitespace)
-          !before.headOption.contains('*')
-        })
+        (kw == "EXCEPT" && !lastCodeChar(text, p).contains('*'))
     }
     if (bounds.isEmpty) return rewriteSingle(text)
     // each separator consumes its keyword plus a following ALL/DISTINCT
@@ -155,6 +153,38 @@ object QualifySql {
       }
     }
     out.result()
+  }
+
+  /** Last non-whitespace, non-comment character strictly before `p`,
+    * under the same quote/comment lexing as [[topLevelKeywords]] — used
+    * to tell star-`EXCEPT` from the set operation even with trivia
+    * between the `*` and the keyword. */
+  private def lastCodeChar(text: String, p: Int): Option[Char] = {
+    var i = 0
+    var last: Option[Char] = None
+    while (i < p) {
+      val c = text.charAt(i)
+      c match {
+        case '\'' | '"' | '`' =>
+          val q = c
+          last = Some(q)
+          i += 1
+          while (i < p && text.charAt(i) != q) {
+            if (text.charAt(i) == '\\' && q != '`') i += 1
+            i += 1
+          }
+          i += 1
+        case '-' if i + 1 < p && text.charAt(i + 1) == '-' =>
+          while (i < p && text.charAt(i) != '\n') i += 1
+        case '/' if i + 1 < p && text.charAt(i + 1) == '*' =>
+          i += 2
+          while (i + 1 < p && !(text.charAt(i) == '*' && text.charAt(i + 1) == '/')) i += 1
+          i += 2
+        case c0 if c0.isWhitespace => i += 1
+        case c0 => last = Some(c0); i += 1
+      }
+    }
+    last
   }
 
   /** Output names of the top-level-comma-separated select items: trailing

@@ -78,16 +78,30 @@ object JaroWinkler {
     }
     val t = h / 2
     val mL = m.toLong
-    val num = mL * mL * (la + lb) + (mL - t) * la * lb
-    val den = 3L * la * lb * mL
     var l = 0
     val lMax = math.min(4, math.min(la, lb))
     while (l < lMax && a.charAt(l) == b.charAt(l)) l += 1
-    // boost strictly above 0.7: 10·num > 7·den
-    val (jwNum, jwDen) =
-      if (10L * num > 7L * den) (10L * num + l * (den - num), 10L * den)
-      else (num, den)
-    (2000000L * jwNum + jwDen) / (2L * jwDen)
+    // jwNum grows as ~30·L³: the 2000000·jwNum rounding step would wrap
+    // Long past ~5–6k chars (and num/den themselves past ~600k). Branch
+    // to BigInt rationals above a conservative combined-length bound —
+    // same arithmetic, overflow-free at any length; the Long fast path
+    // keeps name-length inputs allocation-free.
+    if (la.toLong + lb > 4096) {
+      val num = BigInt(mL) * mL * (la + lb) + BigInt(mL - t) * la * lb
+      val den = BigInt(3L) * la * lb * mL
+      val (jwNum, jwDen) =
+        if (num * 10 > den * 7) (num * 10 + l * (den - num), den * 10)
+        else (num, den)
+      ((BigInt(2000000L) * jwNum + jwDen) / (jwDen * 2)).toLong
+    } else {
+      val num = mL * mL * (la + lb) + (mL - t) * la * lb
+      val den = 3L * la * lb * mL
+      // boost strictly above 0.7: 10·num > 7·den
+      val (jwNum, jwDen) =
+        if (10L * num > 7L * den) (10L * num + l * (den - num), 10L * den)
+        else (num, den)
+      (2000000L * jwNum + jwDen) / (2L * jwDen)
+    }
   }
 }
 

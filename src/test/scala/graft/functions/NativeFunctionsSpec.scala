@@ -128,6 +128,14 @@ class NativeFunctionsSpec extends SparkTestBase {
       assert(org.apache.spark.sql.graft.JaroWinkler
         .ppm(UTF8String.fromString(a), UTF8String.fromString(b)) == exp)
     }
+    // long inputs: jwNum ~ 30·L³ wrapped Long past ~5–6k chars before the
+    // BigInt slow path; these would return garbage on the old kernel.
+    val long1 = "a" * 6000
+    assert(org.apache.spark.sql.graft.JaroWinkler
+      .ppm(UTF8String.fromString(long1), UTF8String.fromString(long1)) == 1000000L)
+    // "a"*6000 vs "a"*3000: jaro = 5/6, boost l=4 → jw = 9/10 exactly
+    assert(org.apache.spark.sql.graft.JaroWinkler
+      .ppm(UTF8String.fromString(long1), UTF8String.fromString("a" * 3000)) == 900000L)
   }
 
   test("ahoCorasickCounts counts overlapping and nested matches in one pass") {

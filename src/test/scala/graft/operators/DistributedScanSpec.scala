@@ -59,6 +59,19 @@ class DistributedScanSpec extends SparkTestBase {
     assert(e.getMessage.contains("exact"))
   }
 
+  test("reserved helper columns are rejected, not silently clobbered") {
+    val withOne = Seq((1L, 2L)).toDF("k", "__one")
+    val e1 = intercept[IllegalArgumentException] {
+      DistributedScan.rowNumbers(withOne, Seq(col("k")), "rn")
+    }
+    assert(e1.getMessage.contains("__one"))
+    val withPid = Seq((1L, 2L)).toDF("k", "__pid")
+    val e2 = intercept[IllegalArgumentException] {
+      DistributedScan.prefixSums(withPid, Seq(col("k")), Seq("k"))
+    }
+    assert(e2.getMessage.contains("__pid"))
+  }
+
   test("no unpartitioned window touches the data-sized frame") {
     val df = (1 to 100).map(i => (i.toLong, 1L)).toDF("k", "a")
     val plan = DistributedScan.prefixSums(df, Seq(col("k")), Seq("a"))

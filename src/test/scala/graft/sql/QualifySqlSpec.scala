@@ -173,4 +173,29 @@ class QualifySqlSpec extends SparkTestBase {
       .columns.toSeq
     assert(got2 == Seq("k", "v", "w", "vp"), got2.toString)
   }
+
+  test("star-EXCEPT detection sees through comments between * and EXCEPT") {
+    import spark.implicits._
+    Seq(("k1", 1, "u"), ("k1", 2, "u"), ("k2", 9, "u"))
+      .toDF("k", "v", "src").createOrReplaceTempView("cmt_a")
+    Seq(("k1", 7, "w"), ("k2", 3, "w"))
+      .toDF("k", "v", "src").createOrReplaceTempView("cmt_b")
+    // block comment between the star and EXCEPT: still a projection modifier
+    val blk = QualifySql.sql(spark,
+      "SELECT * /* drop src */ EXCEPT (src) FROM cmt_a " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1")
+    assert(blk.columns.toSeq == Seq("k", "v"), blk.columns.mkString(","))
+    assert(blk.count() == 2)
+    // line comment too
+    val ln = QualifySql.sql(spark,
+      "SELECT * -- drop src\nEXCEPT (src) FROM cmt_a " +
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v DESC) = 1")
+    assert(ln.columns.toSeq == Seq("k", "v"), ln.columns.mkString(","))
+    // a set-op EXCEPT preceded by a comment still splits branches
+    val setExc = QualifySql.sql(spark,
+      """SELECT k FROM cmt_a /* minus b's best */ EXCEPT
+        |SELECT k FROM cmt_b QUALIFY ROW_NUMBER() OVER (ORDER BY k) = 1""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(setExc == Seq("k2"), setExc.toString)
+  }
 }
