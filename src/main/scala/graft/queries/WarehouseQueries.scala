@@ -875,9 +875,83 @@ object WarehouseQueries extends QueryModule {
       |FROM cells WHERE rk = 1
       |ORDER BY b, t_idx, user_id""".stripMargin
 
+  /** q325: snapshot diff over REAL [[graft.pipeline.VersionedCatalog]]
+    * TIME TRAVEL — the one catalog feature previously checked only by
+    * specs, now under the DuckDB hash gate: the gate publishes two
+    * commits of a customer-aggregate table into a throwaway warehouse
+    * (v1 = orders with 1994 ≤ orderdate < 1996, v2 = the window slid one
+    * year), then reads BOTH commits back BY ID through `read(table, c)`
+    * and diffs them with [[graft.pipeline.TableDiff]]. The sliding
+    * window makes all three change types occur (added / removed /
+    * changed); the oracle replays the two snapshot derivations straight
+    * from `orders` and the same full-outer diff — if time travel
+    * resolved the wrong version directory or leaked rows across commits,
+    * the hash breaks. Money is cents-quantized BIGINT (the engine-wide
+    * exactness idiom).
+    *
+    * Scale shape: two grouped aggregates (one shuffle each on custkey)
+    * to publish, then the diff's single full-outer join on the same key;
+    * the catalog adds manifest reads only (file-count-sized, not
+    * row-sized). The result is materialized eagerly so the throwaway
+    * warehouse can be deleted before returning. */
+  private def q325(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_vc_q325_")
+    val vc = new graft.pipeline.VersionedCatalog(s, wh.toString)
+    val o = Tables.orders(s, dir)
+    def snap(lo: String, hi: String): DataFrame =
+      o.filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf(lo)) &&
+          $"o_orderdate" < lit(java.sql.Timestamp.valueOf(hi)))
+        .groupBy($"o_custkey".as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val c1 = vc.publish(Map("cust_agg" ->
+      snap("1994-01-01 00:00:00", "1996-01-01 00:00:00")))
+    val c2 = vc.publish(Map("cust_agg" ->
+      snap("1995-01-01 00:00:00", "1997-01-01 00:00:00")))
+    val out = graft.pipeline.TableDiff.diff(
+        vc.read("cust_agg", c1), vc.read("cust_agg", c2),
+        keyCols = Seq("custkey"), compareCols = Seq("n_orders", "cents"))
+      .orderBy($"custkey")
+      .localCheckpoint(true) // pin before the warehouse disappears
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(wh.toFile)
+    out
+  }
+  private val q325Sql =
+    """WITH o1 AS (SELECT o_custkey AS custkey,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1),
+      |o2 AS (SELECT o_custkey AS custkey,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1),
+      |d AS (SELECT coalesce(o1.custkey, o2.custkey) AS custkey,
+      |    o1.n_orders AS old_n_orders, o1.cents AS old_cents,
+      |    o2.n_orders AS new_n_orders, o2.cents AS new_cents,
+      |    CASE WHEN o1.custkey IS NULL THEN 'added'
+      |         WHEN o2.custkey IS NULL THEN 'removed'
+      |         WHEN o1.n_orders IS DISTINCT FROM o2.n_orders
+      |           OR o1.cents IS DISTINCT FROM o2.cents THEN 'changed'
+      |    END AS change_type
+      |  FROM o1 FULL OUTER JOIN o2 ON o1.custkey = o2.custkey)
+      |SELECT * FROM d WHERE change_type IS NOT NULL
+      |ORDER BY custkey""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q313_takedown_cascade", q313, Some(q313Sql)),
     QueryDef("q317_bitemporal_asof", q317, Some(q317Sql)),
+    QueryDef("q325_snapshot_diff_timetravel", q325, Some(q325Sql)),
     QueryDef("q264_changelog_apply_tws", q264, Some(q224Sql)),
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
     QueryDef("q216_pit_feature_join", q216, Some(q216Sql)),
