@@ -29,6 +29,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Scan-split sizing, env-tunable for experiments. A/B at sf0.1
+      // measured 1m/256k vs the 128m/4m defaults WALL-NEUTRAL on the
+      // scan-heaviest gates (q89/q179/q238/q242/q246 within ±3%): the
+      // 4 MB open-cost floor already splits the 11 MB lineitem into ~3
+      // tasks and the per-stage cost is elsewhere — keep the defaults.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "128m"))
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
