@@ -433,6 +433,102 @@ object StreamingGateQueries extends QueryModule {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q326: CHAINED stateful operators — a stream-stream interval join
+    * (q239's purchase×preceding-hour-click pairing) feeding a tumbling
+    * 1-hour windowed aggregation **in the same streaming query**, the
+    * multi-stateful-operator topology Spark supports since 3.5
+    * (SPARK-40925) and the one streaming shape the q233…q312 family had
+    * not yet exercised: two stateful execs in one pipeline, with the
+    * watermark PROPAGATED through the first into the second rather than
+    * read off a source.
+    *
+    * The semantic this gate pins is exactly that propagation rule. The
+    * downstream aggregation does not see the global watermark
+    * (min over both inputs' ms-floored maxima − the 1 h delay); it sees
+    * the JOIN'S OUTPUT watermark, which the simulator lowers by the join
+    * condition's event-time range: a click at `cts` can still match
+    * purchases up to `pts = cts + 1h`, so click state (and hence the
+    * join's output event-time floor) lags the global watermark by the
+    * 1-hour interval. Windows flush in Append mode iff
+    * `window_end ≤ global_wm − 1h(join interval)`.
+    * Empirically pinned (tools/ChainedStreamProbe, sf0.01): the final
+    * batch window ends at 1706652000000000 µs — BELOW the naive global
+    * watermark 1706653497667000 but ABOVE the join-output watermark
+    * 1706649897667000 — and the streaming run withholds exactly that
+    * window, so the oracle's extra −1h is observably real, not a guess
+    * (at sf0.001 every window clears both cutoffs and streaming == batch).
+    *
+    * Scale notes: join state is bounded by watermark + range condition as
+    * in q239; agg state is one (count, sum) pair per open window — the
+    * chained topology adds no state class, only the lower eviction
+    * horizon. The oracle replays join, window, and flush rule in DuckDB;
+    * sums surface as BIGINT on both sides (no wide-decimal hash trap). */
+  private def q326(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
+    }
+    def src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(streamPath)
+      .select($"user_id", $"event_id", $"event_type",
+        (if (schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else $"ts".cast("timestamp")).as("ets"))
+    val purchases = src.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_event"),
+        $"ets".as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = src.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_event"),
+        $"ets".as("cts"))
+      .withWatermark("cts", "1 hour")
+    val sink = "q326_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // shared-conf mutation: see q239's concurrency note
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      purchases.join(clicks,
+          $"user_id" === $"c_user" &&
+            $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" <= $"pts")
+        .groupBy(window($"pts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"click_event").as("click_sum"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    s.table(sink)
+      .select(unix_micros($"w.start").as("window_start_us"),
+        $"n_pairs", $"click_sum")
+      .orderBy($"window_start_us")
+  }
+  private val q326Sql =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    epoch_us(ts) AS tsu FROM events),
+      |p AS (SELECT user_id, tsu AS ptsu FROM e WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id AS c_user, event_id AS click_event, tsu AS ctsu
+      |      FROM e WHERE event_type = 'click'),
+      |wm AS (SELECT least(
+      |    (max(CASE WHEN event_type = 'purchase' THEN tsu END) // 1000) * 1000,
+      |    (max(CASE WHEN event_type = 'click' THEN tsu END) // 1000) * 1000)
+      |  - 3600000000 - 3600000000 AS cutoff FROM e)
+      |SELECT (ptsu // 3600000000) * 3600000000 AS window_start_us,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(click_event) AS BIGINT) AS click_sum
+      |FROM p JOIN c ON p.user_id = c.c_user
+      |  AND c.ctsu BETWEEN p.ptsu - 3600000000 AND p.ptsu
+      |WHERE (ptsu // 3600000000) * 3600000000 + 3600000000
+      |  <= (SELECT cutoff FROM wm)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q239_stream_stream_join", q239, Some(q239Sql)),
     QueryDef("q247_stream_windowed_agg", q247, Some(q247Sql)),
@@ -440,5 +536,6 @@ object StreamingGateQueries extends QueryModule {
     QueryDef("q297_stream_session_window", q297, Some(q297Sql)),
     QueryDef("q298_stream_left_outer_join", q298, Some(q298Sql)),
     QueryDef("q312_stream_static_join", q312, Some(q312Sql)),
+    QueryDef("q326_stream_chained_stateful", q326, Some(q326Sql)),
   )
 }
