@@ -585,8 +585,91 @@ object CurationQueries extends QueryModule {
       |    AS intercept6
       |FROM cells""".stripMargin
 
+  /** q327: DSIR-shaped importance reweighting — Data Selection via
+    * Importance Resampling (Xie et al. 2023) reduced to its deterministic
+    * integer core: score every raw-pool document by how much its hashed
+    * unigram distribution looks like a TARGET domain rather than the raw
+    * pool, then rank for resampling. The target domain is data-derived
+    * (the lexicographically-first source), features are 256 md5 hash
+    * buckets (vocabulary-size independent — the whole point of hashed
+    * n-gram DSIR), and the per-bucket weight is the add-one-smoothed
+    * likelihood ratio at ppm scale,
+    * `w_b = (t_b+1)(R+256)·10⁶ div (r_b+1)(T+256)`, so both engines
+    * compute the identical integer (products stay under int64 through the
+    * ×10 rehearsal; beyond ~10¹² word-bucket mass the 10⁶ scaling
+    * constant drops — a documented knob, q276 precedent). A document's
+    * score is the integer mean weight over its words, and the output is
+    * the top-40 resampling picks by (score desc, doc_id).
+    *
+    * Scale shape: one token explode feeding a 256-cell grouped count
+    * (partial-combinable, broadcastable result), the weight table joins
+    * back onto the token stream as a broadcast, per-doc score is one
+    * doc_id shuffle, and the final selection is orderBy+limit —
+    * TakeOrderedAndProject, never a full sort. Nothing in the plan grows
+    * with vocabulary or document count except the two grouped passes. */
+  private def q327(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
+      .withColumn("b", hashBucket("w") % 256)
+    val target = Tables.documents(s, dir)
+      .agg(min($"source").as("tgt")).withColumn("k", lit(1))
+    val tagged = words.join(broadcast(target.select($"tgt")),
+      words("source") === col("tgt"), "left")
+    val counts = tagged.groupBy($"b").agg(
+      sum(when($"tgt".isNotNull, 1L).otherwise(0L)).as("t_b"),
+      sum(when($"tgt".isNull, 1L).otherwise(0L)).as("r_b"))
+    val totals = counts.agg(sum($"t_b").as("tt"), sum($"r_b").as("rt"))
+      .withColumn("k", lit(1))
+    val weights = counts.withColumn("k", lit(1))
+      .join(broadcast(totals), Seq("k"))
+      .select($"b", expr(
+        "((t_b + 1) * (rt + 256) * 1000000) div ((r_b + 1) * (tt + 256))")
+        .as("w_ppm"))
+    val scored = tagged.filter($"tgt".isNull)
+      .join(broadcast(weights), Seq("b"))
+      .groupBy($"doc_id", $"source")
+      .agg(count(lit(1)).as("n_words"), sum($"w_ppm").as("wsum"))
+      .select($"doc_id", $"source", $"n_words",
+        expr("wsum div n_words").as("score_ppm"))
+    scored
+      .orderBy($"score_ppm".desc, $"doc_id")
+      .limit(40)
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"score_ppm".desc, $"doc_id")))
+      .select($"rank", $"doc_id", $"source", $"n_words", $"score_ppm")
+      .orderBy($"rank")
+  }
+  private def q327Sql = {
+    val bucket = s"(${duckBucket("w")} % 256)"
+    s"""WITH tgt AS (SELECT min(source) AS t FROM documents),
+      |words AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |wb AS (SELECT doc_id, source, $bucket AS b,
+      |    source = (SELECT t FROM tgt) AS is_t FROM words),
+      |counts AS (SELECT b,
+      |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_b,
+      |    CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS r_b
+      |  FROM wb GROUP BY 1),
+      |tot AS (SELECT sum(t_b) AS tt, sum(r_b) AS rt FROM counts),
+      |wt AS (SELECT b, ((t_b + 1) * ((SELECT rt FROM tot) + 256) * 1000000)
+      |    // ((r_b + 1) * ((SELECT tt FROM tot) + 256)) AS w_ppm
+      |  FROM counts),
+      |scored AS (SELECT doc_id, source,
+      |    CAST(count(*) AS BIGINT) AS n_words,
+      |    CAST(sum(w_ppm) // count(*) AS BIGINT) AS score_ppm
+      |  FROM wb JOIN wt USING (b) WHERE NOT is_t
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT *, CAST(row_number() OVER
+      |    (ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT rank, doc_id, source, n_words, score_ppm
+      |FROM rk WHERE rank <= 40 ORDER BY rank""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q283_unimax_budget", q283, Some(q283Sql)),
+    QueryDef("q327_dsir_reweight", q327, Some(q327Sql)),
     QueryDef("q292_zipf_slope", q292, Some(q292Sql)),
     QueryDef("q67_connected_components", q67, Some(q67Sql)),
     QueryDef("q148_split_leakage", q148, Some(q148Sql)),

@@ -562,8 +562,148 @@ object RetrievalLayoutQueries extends QueryModule {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q328: KMV sketch SET OPERATIONS — the estimator family q271's
+    * distinct sketch exists to enable: for every pair of corpus sources,
+    * estimate the UNION size, JACCARD similarity, and INTERSECTION size
+    * of their 3-gram shingle vocabularies from two k=128 KMV sketches
+    * alone (Beyer et al., "On Synopses for Distinct-Value Estimation
+    * Under Multiset Operations", SIGMOD'07) — the audience-overlap /
+    * cross-shard-contamination readout that at fleet scale replaces a
+    * quadratic all-pairs distinct join with O(sources²·k) work on
+    * pre-aggregated synopses. Hash is the 48-bit md5 prefix (exact in
+    * int64 on both engines); per-source sketches ride the bounded
+    * [[org.apache.spark.sql.graft.TopKAggregate]] buffer (128 rows per
+    * source cross the exchange, never the shingle stream — the q271
+    * collapse). The combined-sketch math follows the paper: the k
+    * smallest of the merged sketches are a valid KMV synopsis of the
+    * union (the k-th combined value is ≤ both sketches' maxima whenever
+    * both are full, and a partial sketch IS its complete set);
+    * est_union = (k−1)·2⁴⁸ div h₍ₖ₎ in the full regime and the exact
+    * merged count otherwise; ρ = |sketch∩| / m gives jaccard and
+    * intersection at ppm scale, all integer. The exact_* columns are the
+    * declared AUDIT baseline — the full pairwise distinct join the
+    * sketch path replaces (quadratic in sources × vocabulary; dropped,
+    * not shipped, at production scale), so the gate pins estimator AND
+    * measured error in one artifact. */
+  private def q328(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 128
+    val m48 = 281474976710656L // 2^48 hash space
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .select($"source",
+        explode(graft.functions.text.shingles($"toks", 3)).as("shingle"))
+      .select($"source",
+        conv(substring(md5($"shingle"), 1, 12), 16, 10).cast("long").as("h"))
+      .distinct()
+    // per-source k-minimum sketch: bounded partial-combinable aggregate,
+    // then back to rows (pos is the within-sketch rank, h ascending)
+    val sk = sh.groupBy($"source")
+      .agg(graft.functions.aggregates
+        .topKByScore(-$"h".cast("double"), $"h", k).as("mins"))
+      .select($"source", posexplode($"mins"))
+      .select($"source", $"col.id".as("h"))
+    val sizes = sk.groupBy($"source").agg(count(lit(1)).as("sz"))
+    val pairs = sizes.select($"source".as("sa")).join(
+      sizes.select($"source".as("sb")), $"sa" < $"sb")
+    // merged sketch per pair with membership bits; the two broadcast
+    // equi-joins keep the pair fan-out off the data-sized path
+    val uv = sk.join(broadcast(pairs), $"source" === $"sa")
+        .select($"sa", $"sb", $"h", lit(1L).as("ina"), lit(0L).as("inb"))
+      .unionAll(sk.join(broadcast(pairs), $"source" === $"sb")
+        .select($"sa", $"sb", $"h", lit(0L).as("ina"), lit(1L).as("inb")))
+      .groupBy($"sa", $"sb", $"h")
+      .agg(max($"ina").as("ina"), max($"inb").as("inb"))
+    val wp = Window.partitionBy($"sa", $"sb")
+    val ur = uv
+      .withColumn("rk", row_number().over(wp.orderBy($"h")))
+      .withColumn("usz", count(lit(1)).over(wp))
+    val est = ur.filter($"rk" <= k)
+      .groupBy($"sa", $"sb", $"usz")
+      .agg(count(lit(1)).as("m"), max($"h").as("kth"),
+        sum($"ina" * $"inb").as("matches"))
+      .select($"sa", $"sb", $"m", $"matches",
+        when($"usz" < k, $"usz")
+          .otherwise(expr(s"(${k - 1}L * ${m48}L) div kth"))
+          .as("est_union"))
+      .withColumn("jacc_ppm", expr("(matches * 1000000) div m"))
+      .withColumn("est_inter", expr("(est_union * matches) div m"))
+    // audit baseline: exact pairwise set ops over the FULL distinct sets
+    val xv = sh.join(broadcast(pairs), $"source" === $"sa")
+        .select($"sa", $"sb", $"h", lit(1L).as("ina"), lit(0L).as("inb"))
+      .unionAll(sh.join(broadcast(pairs), $"source" === $"sb")
+        .select($"sa", $"sb", $"h", lit(0L).as("ina"), lit(1L).as("inb")))
+      .groupBy($"sa", $"sb", $"h")
+      .agg(max($"ina").as("ina"), max($"inb").as("inb"))
+      .groupBy($"sa", $"sb")
+      .agg(count(lit(1)).as("exact_union"),
+        sum($"ina" * $"inb").as("exact_inter"))
+    est.join(xv, Seq("sa", "sb"))
+      .withColumn("union_err_ppm",
+        expr("((est_union - exact_union) * 1000000) div exact_union"))
+      .select($"sa", $"sb", $"m", $"est_union", $"exact_union",
+        $"union_err_ppm", $"matches", $"jacc_ppm", $"est_inter",
+        $"exact_inter")
+      .orderBy($"sa", $"sb")
+  }
+  private val q328Sql = {
+    def digit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(shingle), $i, 1)) - 1)"
+    val h48 = (1 to 12).map(i =>
+      s"${digit(i)} * ${java.lang.Long.toString(1L << (4 * (12 - i)))}")
+      .mkString("(", " + ", ")")
+    s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t
+      |  FROM documents),
+      |shg AS (SELECT source, unnest(list_distinct(list_transform(
+      |      range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])))
+      |      AS shingle
+      |    FROM toks WHERE len(t) >= 3),
+      |sh AS (SELECT DISTINCT source, $h48 AS h FROM shg),
+      |r AS (SELECT source, h, row_number() OVER (PARTITION BY source
+      |    ORDER BY h) AS rk FROM sh),
+      |sk AS (SELECT source, h FROM r WHERE rk <= 128),
+      |src AS (SELECT DISTINCT source FROM sk),
+      |pairs AS (SELECT a.source AS sa, b.source AS sb
+      |  FROM src a JOIN src b ON a.source < b.source),
+      |uv AS (SELECT p.sa, p.sb, s.h,
+      |    max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+      |    max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+      |  FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+      |  GROUP BY 1, 2, 3),
+      |ur AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY sa, sb) AS usz FROM uv),
+      |est AS (SELECT sa, sb, usz, CAST(count(*) AS BIGINT) AS m,
+      |    max(h) AS kth, CAST(sum(ina * inb) AS BIGINT) AS matches
+      |  FROM ur WHERE rk <= 128 GROUP BY 1, 2, 3),
+      |e2 AS (SELECT sa, sb, m, matches,
+      |    CAST(CASE WHEN usz < 128 THEN usz
+      |      ELSE (127 * 281474976710656) // kth END AS BIGINT) AS est_union
+      |  FROM est),
+      |xv AS (SELECT p.sa, p.sb, s.h,
+      |    max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+      |    max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+      |  FROM pairs p JOIN sh s ON s.source IN (p.sa, p.sb)
+      |  GROUP BY 1, 2, 3),
+      |ex AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS exact_union,
+      |    CAST(sum(ina * inb) AS BIGINT) AS exact_inter
+      |  FROM xv GROUP BY 1, 2)
+      |SELECT e2.sa, e2.sb, e2.m, e2.est_union, ex.exact_union,
+      |  CAST(((e2.est_union - ex.exact_union) * 1000000) // ex.exact_union
+      |    AS BIGINT) AS union_err_ppm,
+      |  e2.matches,
+      |  CAST((e2.matches * 1000000) // e2.m AS BIGINT) AS jacc_ppm,
+      |  CAST((e2.est_union * e2.matches) // e2.m AS BIGINT) AS est_inter,
+      |  ex.exact_inter
+      |FROM e2 JOIN ex USING (sa, sb)
+      |ORDER BY sa, sb""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q258_rendezvous_rebalance", q258, Some(q258Sql)),
+    QueryDef("q328_kmv_set_ops", q328, Some(q328Sql)),
     QueryDef("q78_bm25_topk", q78, Some(q78Sql)),
     QueryDef("q241_postings_size", q241, Some(q241Sql)),
     QueryDef("q97_minmax_skipping", q97, Some(q97Sql)),
