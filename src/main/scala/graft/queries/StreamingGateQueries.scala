@@ -170,8 +170,8 @@ object StreamingGateQueries extends QueryModule {
     * stateful-exec coverage: mapGroupsWithState (q233), stream-stream
     * join (q239), windowed agg (q247), dedup (here). Unbounded key state
     * is fine for a bounded replay; an endless production stream would use
-    * dropDuplicatesWithinWatermark so the state ages out — noted, not
-    * needed for the gate's semantics. */
+    * dropDuplicatesWithinWatermark so the state ages out — that aging
+    * path is q329's gate. */
   private def q249(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = s"$dir/events.parquet"
@@ -529,6 +529,114 @@ object StreamingGateQueries extends QueryModule {
       |  <= (SELECT cutoff FROM wm)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q329: `dropDuplicatesWithinWatermark` — the state-AGING dedup q249's
+    * scaladoc defers ("an endless production stream would use
+    * dropDuplicatesWithinWatermark so the state ages out"): the
+    * StreamingDeduplicateWithinWatermark exec, whose per-key state is
+    * bounded by the watermark horizon instead of growing forever, under
+    * a deterministic three-micro-batch file replay and the DuckDB batch
+    * oracle. Every rule the oracle encodes was pinned empirically
+    * (tools/DedupWithinWmProbe, four runs):
+    *  - FileStreamSource orders same-listing files by MODIFICATION TIME
+    *    — staging forces chronological mtimes;
+    *  - a key lookup hits state regardless of expiry (a not-yet-evicted
+    *    entry absorbs even when already past the watermark);
+    *  - an absorbed duplicate does NOT extend the entry — expiry is the
+    *    EMITTED row's event time + delay, full stop (probe: A emitted at
+    *    +0 with an in-batch dup at +50 was evicted by watermark +80 and
+    *    re-emitted at +160);
+    *  - eviction runs at the end of batch n against the un-lagged
+    *    watermark (ms-floored max event time through batch n−1 − delay)
+    *    and is INCLUSIVE (probe key X with expiry == watermark evicted);
+    *  - the input late-filter lags one batch further (watermark through
+    *    batch n−2) — with chronological staging it never bites, so the
+    *    oracle need not model it (documented, not guessed).
+    * Staging writes at most ONE row per (user_id, event_type) per batch
+    * (the min-ts row per key per time tercile): within-batch arrival
+    * order decides which duplicate's event time seeds the state expiry,
+    * and arrival order is not a cross-engine-stable contract — the
+    * within-batch arbitrary-survivor semantic is q38/q249's territory;
+    * THIS gate pins the cross-batch aging. All three paths fire at gate
+    * scale: fresh emission (E0), absorb-while-alive (keys recurring in
+    * tercile 2), and evict-then-re-emit (tercile spans ≫ the 1 h delay,
+    * so tercile-3 recurrences re-emit). State at 100 TB is one
+    * (key → expiry) pair per key seen within the horizon — the unbounded
+    * q249 state made bounded, which is the whole point. */
+  private def q329(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("tsu"))
+    val span = ev.agg(min($"tsu"), max($"tsu")).head()
+    val (mn, mx) = (span.getLong(0), span.getLong(1))
+    val (c1, c2) = (mn + (mx - mn) / 3, mn + (mx - mn) * 2 / 3)
+    val keyrows = ev
+      .withColumn("b", when($"tsu" <= c1, 0).when($"tsu" <= c2, 1)
+        .otherwise(2))
+      .groupBy($"user_id", $"event_type", $"b")
+      .agg(min($"tsu").as("tsu"))
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_q329_").toString
+    (0 to 2).foreach { b =>
+      val part = s"$staged/part$b"
+      keyrows.filter($"b" === b).select($"user_id", $"event_type", $"tsu")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val f = new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(staged, f"batch$b%04d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (b + 1)) // mtime IS the batch order
+    }
+    val schema = s.read.parquet(s"$staged/batch0000.parquet").schema
+    val sink = "q329_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // shared-conf mutation: see q239's concurrency note
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/[b]atch*.parquet")
+        .select($"user_id", $"event_type",
+          timestamp_micros($"tsu").as("ets"))
+        .withWatermark("ets", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    s.table(sink)
+      .select($"user_id", $"event_type", unix_micros($"ets").as("ts_us"))
+      .orderBy($"user_id", $"event_type", $"ts_us")
+  }
+  private val q329Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu
+      |  FROM events),
+      |sp AS (SELECT min(tsu) AS mn, max(tsu) AS mx FROM e),
+      |kr AS (SELECT user_id, event_type,
+      |    CASE WHEN tsu <= (SELECT mn + (mx - mn) // 3 FROM sp) THEN 0
+      |         WHEN tsu <= (SELECT mn + (mx - mn) * 2 // 3 FROM sp) THEN 1
+      |         ELSE 2 END AS b, min(tsu) AS tsu
+      |  FROM e GROUP BY 1, 2, 3),
+      |wm1 AS (SELECT (max(tsu) // 1000) * 1000 - 3600000000 AS w
+      |  FROM kr WHERE b = 0),
+      |e0 AS (SELECT user_id, event_type, tsu FROM kr WHERE b = 0),
+      |e1 AS (SELECT k.user_id, k.event_type, k.tsu FROM kr k
+      |  WHERE k.b = 1 AND NOT EXISTS (SELECT 1 FROM e0
+      |    WHERE e0.user_id = k.user_id AND e0.event_type = k.event_type)),
+      |alive AS (SELECT user_id, event_type FROM e0
+      |    WHERE tsu + 3600000000 > (SELECT w FROM wm1)
+      |  UNION ALL
+      |  SELECT user_id, event_type FROM e1
+      |    WHERE tsu + 3600000000 > (SELECT w FROM wm1)),
+      |e2 AS (SELECT k.user_id, k.event_type, k.tsu FROM kr k
+      |  WHERE k.b = 2 AND NOT EXISTS (SELECT 1 FROM alive a
+      |    WHERE a.user_id = k.user_id AND a.event_type = k.event_type))
+      |SELECT user_id, event_type, tsu AS ts_us FROM e0
+      |UNION ALL SELECT user_id, event_type, tsu FROM e1
+      |UNION ALL SELECT user_id, event_type, tsu FROM e2
+      |ORDER BY user_id, event_type, ts_us""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q239_stream_stream_join", q239, Some(q239Sql)),
     QueryDef("q247_stream_windowed_agg", q247, Some(q247Sql)),
@@ -537,5 +645,6 @@ object StreamingGateQueries extends QueryModule {
     QueryDef("q298_stream_left_outer_join", q298, Some(q298Sql)),
     QueryDef("q312_stream_static_join", q312, Some(q312Sql)),
     QueryDef("q326_stream_chained_stateful", q326, Some(q326Sql)),
+    QueryDef("q329_stream_dedup_within_wm", q329, Some(q329Sql)),
   )
 }
