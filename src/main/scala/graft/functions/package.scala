@@ -13,4 +13,5 @@ package object functions {
   val hindex: org.apache.spark.sql.graft.hindex.type = org.apache.spark.sql.graft.hindex
   val stringsim: org.apache.spark.sql.graft.stringsim.type = org.apache.spark.sql.graft.stringsim
   val multipattern: org.apache.spark.sql.graft.multipattern.type = org.apache.spark.sql.graft.multipattern
+  val unigram: org.apache.spark.sql.graft.unigram.type = org.apache.spark.sql.graft.unigram
 }

@@ -1150,7 +1150,101 @@ object CorpusModelQueries extends QueryModule {
       |FROM pred WHERE rk = 1
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q330: unigram-LM Viterbi segmentation — the inference step of a
+    * SentencePiece-style unigram tokenizer (Kudo 2018) and the
+    * globally-OPTIMAL counterpart to the greedy BPE encoders
+    * (q213/q245): a corpus-derived weighted piece vocabulary (top-200
+    * character 1–4-grams by frequency, plus every 1-gram so segmentation
+    * is total by construction), then a per-row dynamic program choosing
+    * the piece sequence maximizing Σ weight·len² — run by the native
+    * [[org.apache.spark.sql.graft.UnigramViterbiSeg]] expression
+    * (codegen'd single kernel call, vocabulary shared per task binary).
+    * The DuckDB oracle replays the SAME DP as 25 materialized round CTEs
+    * (one per string position, ≤4 predecessor joins each) with the
+    * identical tie rule (score DESC, then longer final piece), so the
+    * hash pins every argmax, not just the final score.
+    *
+    * Scale shape: the vocabulary build is one n-gram explode + grouped
+    * count (distinct grams bounded by alphabet⁴, not corpus size) with
+    * a top-200 TakeOrderedAndProject; the single small collect is the
+    * ≤ 200 + |alphabet| vocabulary rows (growth-bounded by construction,
+    * same class as the model pulls in q142/q302). Segmentation itself is
+    * a pure per-row projection — embarrassingly parallel, no shuffle. */
+  private def q330(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.customer(s, dir).select($"c_custkey", $"c_name")
+    val grams = (1 to 4).map { l =>
+      names.filter(length($"c_name") >= l)
+        .select(explode(expr(
+          s"transform(sequence(1, length(c_name) - $l + 1), " +
+            s"i -> substring(c_name, i, $l))")).as("piece"))
+    }.reduce(_ unionAll _)
+      .groupBy($"piece").agg(count(lit(1)).as("cnt"))
+    val top = grams.orderBy($"cnt".desc, $"piece").limit(200)
+    val singles = grams.filter(length($"piece") === 1)
+    // bounded collect: <= 200 + |alphabet| vocabulary rows by construction
+    val vocab = top.unionAll(singles).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    names
+      .select($"c_custkey",
+        graft.functions.unigram.viterbiSeg($"c_name", vocab).as("sg"))
+      .select($"c_custkey",
+        array_join($"sg.pieces", "|").as("seg"),
+        $"sg.score".as("score"),
+        $"sg.n_pieces".cast("long").as("n_pieces"))
+      .orderBy($"c_custkey")
+  }
+  private val q330Sql = {
+    val rounds = 25
+    val dpCtes = (1 to rounds).map { k =>
+      val branches = (1 to math.min(4, k)).map { l =>
+        val sep = if (k == l) "''" else "'|'"
+        s"""SELECT d.c_custkey, d.c_name,
+           |      d.score + v.cnt * ${l * l} AS score,
+           |      d.seg || $sep || v.piece AS seg, d.np + 1 AS np,
+           |      $l AS l
+           |    FROM dp${k - l} d JOIN vocab v
+           |      ON v.piece = substr(d.c_name, ${k - l + 1}, $l)
+           |    WHERE length(d.c_name) >= $k""".stripMargin
+      }.mkString("\n    UNION ALL\n    ")
+      s"""dp$k AS MATERIALIZED (
+         |  SELECT c_custkey, c_name, score, seg, np FROM (
+         |    $branches
+         |  ) QUALIFY row_number() OVER (PARTITION BY c_custkey
+         |      ORDER BY score DESC, l DESC) = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val finals = (0 to rounds).map(k =>
+      s"SELECT c_custkey, seg, score, CAST(np AS BIGINT) AS n_pieces " +
+        s"FROM dp$k WHERE length(c_name) = $k").mkString("\n  UNION ALL ")
+    s"""WITH names AS (SELECT c_custkey, c_name FROM customer),
+      |pos AS (SELECT c_name,
+      |    unnest(generate_series(1, length(c_name))) AS i FROM names),
+      |allg AS (
+      |  SELECT substr(c_name, i, 1) AS piece FROM pos
+      |  UNION ALL SELECT substr(c_name, i, 2) FROM pos
+      |    WHERE i + 1 <= length(c_name)
+      |  UNION ALL SELECT substr(c_name, i, 3) FROM pos
+      |    WHERE i + 2 <= length(c_name)
+      |  UNION ALL SELECT substr(c_name, i, 4) FROM pos
+      |    WHERE i + 3 <= length(c_name)),
+      |grams AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM allg GROUP BY 1),
+      |topg AS (SELECT piece, cnt FROM grams
+      |  ORDER BY cnt DESC, piece LIMIT 200),
+      |vocab AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM (
+      |  SELECT * FROM topg
+      |  UNION ALL SELECT piece, cnt FROM grams WHERE length(piece) = 1)),
+      |dp0 AS MATERIALIZED (SELECT c_custkey, c_name,
+      |  CAST(0 AS BIGINT) AS score, '' AS seg, 0 AS np FROM names),
+      |$dpCtes
+      |SELECT * FROM (
+      |  $finals
+      |) ORDER BY c_custkey""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q330_unigram_viterbi", q330, Some(q330Sql)),
     QueryDef("q302_naive_bayes", q302, Some(q302Sql)),
     QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),
     QueryDef("q263_cluster_silhouette", q263, Some(q263Sql)),
