@@ -136,9 +136,112 @@ object EntityResolutionQueries extends QueryModule {
       |SELECT probe_key, probe_name, cand_key AS match_key, ppm AS best_ppm
       |FROM r WHERE rk = 1 ORDER BY probe_key""".stripMargin
 
+  /** q331: END-TO-END entity resolution — the golden-record pipeline the
+    * q86/q306/q67 components exist for, composed into one gate: plant
+    * deterministic dirty aliases (every 13th customer gets a second
+    * record with one character deleted at a key-derived position),
+    * block, score with the native Jaro–Winkler expression, build match
+    * edges with a similarity + structural feature rule, resolve
+    * transitive clusters with [[graft.dedup.Dedup.connectedComponents]],
+    * and emit one golden record per entity. Every stage is deterministic
+    * and replayed by the oracle, so the hash pins the full pipeline —
+    * blocking recall, the JW threshold cut, the closure, and the
+    * canonical pick — not any single stage.
+    *
+    * Design notes: the deletion position is ≥ 9, so an alias keeps its
+    * original's LAST-3 characters (deleting at p ≤ 15 of an 18-char name
+    * shifts the tail but not the final trigram) — blocking on the name's
+    * last trigram therefore has 100% recall on planted aliases BY
+    * CONSTRUCTION, while splitting the corpus into ~10³ digit-derived
+    * blocks (a different blocking family from q86's deletion
+    * neighborhoods). The match rule is jw ≥ 0.98 ppm-exact AND unequal
+    * lengths: on an 18-char template corpus, JW compresses near-key
+    * SIBLINGS and true aliases into overlapping score bands, so the
+    * structural length feature — aliases are 17 chars, originals 18 —
+    * is what separates them, which is exactly how production linkage
+    * rules mix similarity with record features. The 960,000 cut sits
+    * below the measured worst planted-alias score: a clean deletion
+    * scores 988,889 ppm, but deleting inside the digit run costs a
+    * greedy-matching transposition and lands at 977,124 or 965,359
+    * (measured over every alias at sf0.1) — the spec asserts the
+    * resulting empirical recall is 1.0. Alias-to-FOREIGN-original
+    * pairs land where they land and the closure merges what they
+    * connect — the gate pins the outcome exactly rather than
+    * asserting precision.
+    *
+    * Scale shape: alias planting is a projection; blocking is one
+    * shuffle on the trigram key with quadratic kernels only inside
+    * ~1/10³ blocks; JW runs codegen'd inside the join; the closure is
+    * the q67 pointer-jumping loop (O(log diameter) rounds, state-sized
+    * shuffles); the golden-record pick is one grouped aggregate + a
+    * self-join on the root id. No stage is corpus-quadratic. */
+  private def q331(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, dir).select($"c_custkey", $"c_name")
+    val aliases = base.filter($"c_custkey" % 13 === 0)
+      .select(($"c_custkey" + 1000000000L).as("rid"),
+        expr("substring(c_name, 1, 8 + cast(c_custkey % 7 as int)) || " +
+          "substring(c_name, 10 + cast(c_custkey % 7 as int))").as("name"))
+    val recs = base.select($"c_custkey".as("rid"), $"c_name".as("name"))
+      .unionAll(aliases)
+      .withColumn("blk", expr("substr(name, length(name) - 2, 3)"))
+    val pairs = recs.as("a").join(recs.as("b"),
+        $"a.blk" === $"b.blk" && $"a.rid" < $"b.rid" &&
+          length($"a.name") =!= length($"b.name"))
+      .select($"a.rid".as("ra"), $"b.rid".as("rb"),
+        graft.functions.stringsim
+          .jaroWinklerPpm($"a.name", $"b.name").as("jw"))
+      .filter($"jw" >= 960000L)
+    val labels = graft.dedup.Dedup
+      .connectedComponents(pairs, "ra", "rb")
+      .select($"__id".as("rid"), $"__lbl".as("root"))
+    val labeled = recs.join(labels, Seq("rid"), "left")
+      .select($"rid", $"name", coalesce($"root", $"rid").as("entity_id"))
+    val g = labeled.groupBy($"entity_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(when($"rid" >= 1000000000L, 1L).otherwise(0L)).as("n_aliases"))
+    g.join(labeled.select($"rid", $"name"), g("entity_id") === col("rid"))
+      .select($"entity_id", $"n_members", $"n_aliases",
+        $"name".as("canonical_name"))
+      .orderBy($"entity_id")
+  }
+  private val q331Sql =
+    """WITH RECURSIVE base AS (SELECT c_custkey, c_name FROM customer),
+      |al AS (SELECT c_custkey + 1000000000 AS rid,
+      |    substr(c_name, 1, 8 + c_custkey % 7)
+      |      || substr(c_name, 10 + c_custkey % 7) AS name
+      |  FROM base WHERE c_custkey % 13 = 0),
+      |recs AS (SELECT c_custkey AS rid, c_name AS name FROM base
+      |  UNION ALL SELECT rid, name FROM al),
+      |rb AS (SELECT rid, name,
+      |    substr(name, length(name) - 2, 3) AS blk FROM recs),
+      |pr AS (SELECT a.rid AS ra, b.rid AS rb2
+      |  FROM rb a JOIN rb b ON a.blk = b.blk AND a.rid < b.rid
+      |    AND length(a.name) <> length(b.name)
+      |    AND CAST(round(jaro_winkler_similarity(a.name, b.name) * 1000000)
+      |      AS BIGINT) >= 960000),
+      |edges AS (SELECT ra AS s, rb2 AS d FROM pr
+      |  UNION SELECT rb2, ra FROM pr),
+      |reach AS (
+      |  SELECT s AS id, s AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+      |lab AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+      |fl AS (SELECT rb.rid, rb.name, coalesce(lab.root, rb.rid) AS entity_id
+      |  FROM rb LEFT JOIN lab ON rb.rid = lab.id),
+      |g AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+      |    CAST(sum(CASE WHEN rid >= 1000000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_aliases
+      |  FROM fl GROUP BY 1)
+      |SELECT g.entity_id, g.n_members, g.n_aliases,
+      |  f2.name AS canonical_name
+      |FROM g JOIN fl f2 ON f2.rid = g.entity_id
+      |ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q86_fuzzy_name_join", q86, Some(q86Sql)),
     QueryDef("q87_bloom_pruned_join", q87, Some(q87Sql)),
     QueryDef("q306_jw_best_match", q306, Some(q306Sql)),
+    QueryDef("q331_entity_resolution", q331, Some(q331Sql)),
   )
 }
