@@ -434,6 +434,88 @@ object FunnelQueries extends QueryModule {
       |JOIN v vi ON vi.s = (s.s | ch.bit)
       |GROUP BY 1 ORDER BY channel""".stripMargin
 
+  /** q332: MATCH_RECOGNIZE-style row-pattern matching — the Trino/Flink
+    * `MATCH_RECOGNIZE (PATTERN (S C+ P) … ONE ROW PER MATCH, first match
+    * per partition)` contract Spark has no operator for, over the event
+    * stream: per user, the EARLIEST contiguous signup → click⁺ → purchase
+    * episode, with the match measures (anchor signup time, click count,
+    * converting purchase time, span). Instead of regex-matching a symbol
+    * string (whose cross-engine capture semantics — Java backtracking vs
+    * RE2 — are not a contract this engine should stand on), the pattern
+    * is matched in RUN SPACE: maximal same-symbol runs via
+    * gaps-and-islands, then the pattern becomes a fixed-width window over
+    * the run sequence — `sym(r)=s ∧ sym(r+1)=c ∧ sym(r+2)=p` — which is
+    * EXACTLY backtracking-free matching for any run-expressible pattern
+    * (each `X+` consumes a maximal run by definition, so the earliest
+    * match anchors at the LAST s of its run — the same answer a regex
+    * engine gives for `sc+p`). Both engines replay the identical window
+    * algebra; no regex engine is consulted anywhere.
+    *
+    * Scale shape: one exchange+sort on user_id feeds the row-level run
+    * window, the run aggregation, and the run-sequence leads (same
+    * partitioning throughout — Catalyst reuses the exchange); the match
+    * filter and per-user earliest pick are bounded per user. The ts order
+    * is made total with event_id (q188 convention), so run boundaries and
+    * the anchor/converting rows are deterministic under same-µs ties. */
+  private def q332(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val rows = Tables.events(s, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("brk",
+        when(lag($"event_type", 1).over(w).isNull ||
+          lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum($"brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val runs = rows.groupBy($"user_id", $"run_id")
+      .agg(max($"event_type").as("sym"), // constant within a run
+        count(lit(1)).as("n"),
+        min(struct($"ts".as("t"), $"event_id".as("e"))).as("frst"),
+        max(struct($"ts".as("t"), $"event_id".as("e"))).as("lst"))
+    val rw = Window.partitionBy($"user_id").orderBy($"run_id")
+    runs
+      .withColumn("nx", lead(struct($"sym", $"n"), 1).over(rw))
+      .withColumn("nx2", lead(struct($"sym", $"frst"), 2).over(rw))
+      .filter($"sym" === "signup" && $"nx.sym" === "click" &&
+        $"nx2.sym" === "purchase")
+      .withColumn("pick", row_number().over(rw))
+      .filter($"pick" === 1)
+      .select($"user_id",
+        expr("lst.t div 1000").as("signup_ts_us"),
+        $"nx.n".as("n_clicks"),
+        expr("nx2.frst.t div 1000").as("purchase_ts_us"),
+        expr("(nx2.frst.t - lst.t) div 1000").as("span_us"))
+      .orderBy($"user_id")
+  }
+  private val q332Sql =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+      |  FROM events),
+      |r0 AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |      OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+      |r1 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+      |    ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM r0),
+      |runs AS (SELECT user_id, run_id, max(event_type) AS sym,
+      |    count(*) AS n,
+      |    min({'t': tsn, 'e': event_id}) AS frst,
+      |    max({'t': tsn, 'e': event_id}) AS lst
+      |  FROM r1 GROUP BY 1, 2),
+      |sq AS (SELECT user_id, run_id, sym, n, frst, lst,
+      |    lead(sym, 1) OVER rw AS sym1, lead(n, 1) OVER rw AS n1,
+      |    lead(sym, 2) OVER rw AS sym2, lead(frst, 2) OVER rw AS frst2
+      |  FROM runs WINDOW rw AS (PARTITION BY user_id ORDER BY run_id)),
+      |m AS (SELECT user_id, run_id, lst, n1, frst2,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY run_id) AS pick
+      |  FROM sq WHERE sym = 'signup' AND sym1 = 'click' AND sym2 = 'purchase')
+      |SELECT user_id,
+      |  (lst.t // 1000) AS signup_ts_us,
+      |  CAST(n1 AS BIGINT) AS n_clicks,
+      |  (frst2.t // 1000) AS purchase_ts_us,
+      |  ((frst2.t - lst.t) // 1000) AS span_us
+      |FROM m WHERE pick = 1 ORDER BY user_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q176_funnel_paths", q176, Some(q176Sql)),
     QueryDef("q188_attribution", q188, Some(q188Sql)),
@@ -442,6 +524,7 @@ object FunnelQueries extends QueryModule {
     QueryDef("q284_token_bucket", q284, Some(q284Sql)),
     QueryDef("q285_token_bucket_stream", q285, Some(q284Sql)),
     QueryDef("q299_shapley_attribution", q299, Some(q299Sql)),
+    QueryDef("q332_match_recognize", q332, Some(q332Sql)),
   )
 
   /** q285: the SAME token-bucket replay through a real FileStreamSource →
