@@ -637,6 +637,80 @@ object StreamingGateQueries extends QueryModule {
       |UNION ALL SELECT user_id, event_type, tsu FROM e2
       |ORDER BY user_id, event_type, ts_us""".stripMargin
 
+  /** q333: CHAINED stateful aggregations — a windowed aggregation feeding
+    * a SECOND windowed aggregation in the same streaming query (5-minute
+    * purchase counts rolled up into 1-hour buckets via
+    * `window(window_time(w5), '1 hour')`), the agg→agg half of the
+    * multi-stateful-operator matrix whose join→agg half is q326. The
+    * semantic pinned here is the CONTRAST with q326: an aggregation
+    * propagates its input watermark UNDELAYED — the downstream agg
+    * flushes hour windows with `end ≤ global_wm` exactly — whereas the
+    * interval join lowers it by the join's event-time range. Pinned
+    * empirically (tools/ChainedAggProbe): with 10-minute outer windows at
+    * sf0.01 the boundary window ending 1706653200000000 µs sits BETWEEN
+    * `wm − 5min` and `wm`, and the streaming run EMITS it — so there is
+    * provably no inner-window-size subtraction; the withheld next window
+    * (end > wm) pins the upper side. Emitted hour rows are complete:
+    * every inner 5-minute bucket of a flushed hour has itself flushed by
+    * the same final batch (inner end ≤ outer end ≤ wm), which the
+    * bounded single-data-batch replay guarantees deterministically.
+    * State per open window is one (count) / (sum, max, count) tuple —
+    * constant; the chained topology adds no state class. */
+  private def q333(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$dir/events.parquet"
+    val schema = s.read.parquet(path).schema
+    val streamPath = {
+      val f = new java.io.File(path)
+      if (f.isDirectory) path
+      else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
+    }
+    val src = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1000000")
+      .parquet(streamPath)
+      .filter($"event_type" === "purchase")
+      .select($"event_id",
+        (if (schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+          timestamp_micros(expr("ts div 1000"))
+        else $"ts".cast("timestamp")).as("ets"))
+    val sink = "q333_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // shared-conf mutation: see q239's concurrency note
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      src.withWatermark("ets", "1 hour")
+        .groupBy(window($"ets", "5 minutes").as("w5"))
+        .agg(count(lit(1)).as("n5"))
+        .groupBy(window(window_time($"w5"), "1 hour").as("w60"))
+        .agg(sum($"n5").as("n_purchases"), max($"n5").as("max_bucket"),
+          count(lit(1)).as("n_buckets"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    s.table(sink)
+      .select(unix_micros($"w60.start").as("window_start_us"),
+        $"n_purchases", $"max_bucket", $"n_buckets")
+      .orderBy($"window_start_us")
+  }
+  private val q333Sql =
+    """WITH e AS (SELECT epoch_us(ts) AS tsu FROM events
+      |  WHERE event_type = 'purchase'),
+      |w5 AS (SELECT tsu - tsu % 300000000 AS w5s,
+      |    count(*) AS n5 FROM e GROUP BY 1),
+      |wm AS (SELECT (max(tsu) // 1000) * 1000 - 3600000000 AS w FROM e),
+      |h AS (SELECT w5s - w5s % 3600000000 AS window_start_us,
+      |    CAST(sum(n5) AS BIGINT) AS n_purchases,
+      |    CAST(max(n5) AS BIGINT) AS max_bucket,
+      |    CAST(count(*) AS BIGINT) AS n_buckets
+      |  FROM w5 GROUP BY 1)
+      |SELECT window_start_us, n_purchases, max_bucket, n_buckets FROM h
+      |WHERE window_start_us + 3600000000 <= (SELECT w FROM wm)
+      |ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q239_stream_stream_join", q239, Some(q239Sql)),
     QueryDef("q247_stream_windowed_agg", q247, Some(q247Sql)),
@@ -646,5 +720,6 @@ object StreamingGateQueries extends QueryModule {
     QueryDef("q312_stream_static_join", q312, Some(q312Sql)),
     QueryDef("q326_stream_chained_stateful", q326, Some(q326Sql)),
     QueryDef("q329_stream_dedup_within_wm", q329, Some(q329Sql)),
+    QueryDef("q333_stream_chained_aggs", q333, Some(q333Sql)),
   )
 }

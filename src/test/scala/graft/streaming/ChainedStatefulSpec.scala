@@ -53,6 +53,47 @@ class ChainedStatefulSpec extends SparkTestBase {
       "streaming chained windows diverge from batch + propagation rule")
   }
 
+  /** Batch replay of the q333 agg→agg chain under the undelayed-watermark
+    * flush rule: hour windows with end ≤ floor_ms(max purchase ts) − 1h. */
+  private def batchHours(dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select(expr("ts div 1000").as("tsu"))
+    val wm = (e.agg(max($"tsu")).head.getLong(0) / 1000L) * 1000L -
+      3600000000L
+    e.withColumn("w5", $"tsu" - pmod($"tsu", lit(300000000L)))
+      .groupBy($"w5").agg(count(lit(1)).as("n5"))
+      .withColumn("window_start_us", $"w5" - pmod($"w5", lit(3600000000L)))
+      .groupBy($"window_start_us")
+      .agg(sum($"n5").as("n_purchases"), max($"n5").as("max_bucket"),
+        count(lit(1)).as("n_buckets"))
+      .filter($"window_start_us" + 3600000000L <= wm)
+  }
+
+  test("q333 streaming agg→agg == batch rollup + undelayed-watermark flush") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val stream = SparkEntry.queries("q333_stream_chained_aggs")(spark, dir)
+        .localCheckpoint(true)
+      assert(stream.count() > 0)
+      val batch = batchHours(dir)
+      assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty,
+        s"chained agg diverges from batch + flush rule at $dir")
+      // the flush rule must actually cut a tail at this scale (else the
+      // gate degenerates to a plain rollup and tests nothing streaming)
+      val unfiltered = {
+        import spark.implicits._
+        Tables.events(spark, dir).filter($"event_type" === "purchase")
+          .select(expr("ts div 1000").as("tsu"))
+          .select(($"tsu" - pmod($"tsu", lit(3600000000L)))
+            .as("window_start_us")).distinct()
+      }
+      assert(unfiltered.count() > stream.count(),
+        s"no tail window withheld at $dir — fixture no longer " +
+          "exercises the flush boundary")
+    }
+  }
+
   test("q326 the join-interval subtraction is load-bearing at sf0.01") {
     val dir = "/root/testdata/sf0.01"
     val stream = SparkEntry.queries("q326_stream_chained_stateful")(spark, dir)
