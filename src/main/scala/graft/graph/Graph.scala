@@ -38,6 +38,17 @@ object Graph {
     * shrinks tiny exchanges, it never widens big ones. Results are
     * unaffected by construction: every round is integer min/sum
     * aggregation, partition-count-invariant.
+    *
+    * CONCURRENCY + LAZINESS CONTRACT (same single-threaded-harness
+    * assumption as the streaming gates' shared-conf mutations): this
+    * mutates the SESSION-global `spark.sql.shuffle.partitions` and
+    * restores it on exit, so concurrent queries on the same session
+    * would observe the shrunken value. Only ACTIONS EXECUTED INSIDE the
+    * scope plan under the sized value — the round loops here checkpoint
+    * every 1–2 rounds, which forces execution in-scope; a DataFrame
+    * merely RETURNED from the scope plans its own exchanges under the
+    * restored default (intended: the caller's final groupBy/orderBy over
+    * the O(|V|) result is sized by the session, not by this scope).
     */
   def withStateSizedShuffle[A](s: SparkSession, stateRows: Long)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -297,8 +308,18 @@ object Graph {
     val e = e0.union(nodes.select($"id".as("src"), $"id".as("dst"),
         lit(sentinel).as("t")))
       .localCheckpoint(true)
-    val nV = e0.agg(approx_count_distinct($"src").as("v"))
-      .collect()(0).getLong(0)
+    // PRECONDITION for the sentinel carry: every arrival time is bounded
+    // by the max edge time, so sentinel >= arrive holds iff every edge
+    // t < sentinel. An unsanitized edge with t >= 2^62 would silently
+    // drop carry rows (the reached node vanishes) — fail loudly instead.
+    // Shares the one bounded stats collect with the |V| estimate below.
+    val stats = e0.agg(approx_count_distinct($"src").as("v"),
+      max($"t").cast("long").as("tmax")).collect()(0)
+    require(stats.isNullAt(1) || stats.getLong(1) < sentinel,
+      s"temporalEarliestArrival: max edge time ${stats.getLong(1)} >= " +
+        s"sentinel $sentinel — carry self-loops would be dropped; " +
+        "sanitize edge timestamps first")
+    val nV = stats.getLong(0)
     def relax(cur: DataFrame): DataFrame =
       cur.as("c").join(e.as("g"),
           col("c.id") === col("g.src") && col("g.t") >= col("c.arrive"))

@@ -584,7 +584,10 @@ object StreamingGateQueries extends QueryModule {
         .filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(staged, f"batch$b%04d.parquet")
       java.nio.file.Files.copy(f.toPath, dst.toPath)
-      dst.setLastModified(1000000L * (b + 1)) // mtime IS the batch order
+      // mtime IS the batch order (FileStreamSource sorts by it) — a
+      // silent setLastModified failure would scramble batch replay
+      require(dst.setLastModified(1000000L * (b + 1)),
+        s"q329: setLastModified failed on $dst — batch order would be undefined")
     }
     val schema = s.read.parquet(s"$staged/batch0000.parquet").schema
     val sink = "q329_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -605,6 +608,14 @@ object StreamingGateQueries extends QueryModule {
         .start()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
+    // the memory sink retains the results — drop the throwaway staging
+    // tree so repeated gate runs don't accumulate parquet dirs (q325's
+    // discipline)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(staged))
     s.table(sink)
       .select($"user_id", $"event_type", unix_micros($"ets").as("ts_us"))
       .orderBy($"user_id", $"event_type", $"ts_us")

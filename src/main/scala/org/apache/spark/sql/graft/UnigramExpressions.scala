@@ -88,6 +88,14 @@ case class UnigramViterbiSeg(child: Expression, pieces: Seq[(String, Long)])
     StructField("pieces", ArrayType(StringType, containsNull = false)),
     StructField("score", LongType),
     StructField("n_pieces", IntegerType)))
+  // Can return null for NON-null input (a string with no total
+  // segmentation under the vocabulary), so the output is nullable even
+  // over a non-nullable child. Without this override,
+  // UnaryExpression's nullSafeCodeGen would emit `isNull` as the
+  // literal `false` for a non-nullable child and the generated
+  // `false = (value == null)` assignment fails to compile (interpreted
+  // fallback), while the optimizer wrongly assumes non-null output.
+  override def nullable: Boolean = true
   override def prettyName: String = "unigram_viterbi_seg"
 
   @transient private lazy val vocabMap: java.util.HashMap[String, java.lang.Long] = {
