@@ -1243,7 +1243,70 @@ object CorpusModelQueries extends QueryModule {
       |) ORDER BY c_custkey""".stripMargin
   }
 
+  /** q334: BPE VOCABULARY TRAINING, end-to-end — the iterative merge-
+    * learning loop ([[graft.text.BpeTrain]]) that produces the rule
+    * table the encode gates consume: 10 rounds of {corpus-wide adjacent
+    * pair count → adopt argmax (cnt DESC, a, b) → advance the corpus by
+    * one [[org.apache.spark.sql.graft.BpeMergePass]]}. q144 mines round
+    * 1 of this loop; q213/q245/q318 apply a GIVEN table; this learns
+    * the table. Output row r carries the adopted rule AND the round's
+    * candidate-table witnesses (distinct-pair and total-pair counts),
+    * so the hash pins every round's full corpus state trajectory —
+    * including multi-level rounds where a rule side is itself a merged
+    * token. The DuckDB oracle replays the identical incremental loop as
+    * 10 unrolled MATERIALIZED round CTEs (count → argmax-limit-1 →
+    * simultaneous non-overlapping merge, exact because a ≠ b).
+    *
+    * Scale shape: per round ONE map-side-combinable pair-count shuffle
+    * + a 1-row reduce; driver traffic is 1 row/round; state recompute
+    * is Catalyst-collapsed stacked passes over the pinned base (see
+    * BpeTrain's scaladoc for the checkpoint-every-8-rounds posture at
+    * cluster scale). */
+  private def q334(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+    val (rules, _) = graft.text.BpeTrain.train(base, "w", rounds = 10)
+    // bounded by construction: exactly <= 10 learned rows
+    rules.map(l => (l.round.toLong, l.a, l.b, l.cnt, l.nPairs, l.totPairs))
+      .toDF("round", "a", "b", "cnt", "n_pairs", "tot_pairs")
+      .orderBy($"round")
+  }
+  private val q334Sql = {
+    val k = 10
+    val roundCtes = (1 to k).map { r =>
+      s"""g$r AS MATERIALIZED (
+         |  SELECT w[s.i] AS a, w[s.i + 1] AS b, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM t${r - 1}, UNNEST(range(1, len(w))) AS s(i)
+         |  WHERE len(w) >= 2 AND w[s.i] <> w[s.i + 1]
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT a, b, cnt,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM g$r) AS n_pairs,
+         |    (SELECT CAST(sum(cnt) AS BIGINT) FROM g$r) AS tot_pairs
+         |  FROM g$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |t$r AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(range(1, len(w) + 1), x -> CASE
+         |      WHEN x < len(w) AND w[x] = m.a AND w[x + 1] = m.b
+         |        THEN w[x] || w[x + 1]
+         |      WHEN x > 1 AND w[x - 1] = m.a AND w[x] = m.b THEN NULL
+         |      ELSE w[x] END), e -> e IS NOT NULL) AS w
+         |  FROM t${r - 1}, m$r m)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a, b, cnt, n_pairs, tot_pairs FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH t0 AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |$roundCtes
+      |SELECT * FROM (
+      |  $finals
+      |) ORDER BY round""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q334_bpe_vocab_train", q334, Some(q334Sql)),
     QueryDef("q330_unigram_viterbi", q330, Some(q330Sql)),
     QueryDef("q302_naive_bayes", q302, Some(q302Sql)),
     QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),

@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{AbstractDataType, AnyDataType, ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -211,6 +211,75 @@ case class BpeEncodeMulti(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ONE left-to-right merge pass of a single rule (a, b) → concat(a+b)
+  * over a token array — the per-round state update of the textbook BPE
+  * TRAINING loop (Sennrich et al. 2016): after each round adopts its
+  * best pair, the corpus advances by exactly one such pass. Kept
+  * separate from [[BpeEncodeMulti]] deliberately: training state is
+  * defined INCREMENTALLY (apply only the newest rule to the previous
+  * round's state, never re-search earlier ranks), which differs from
+  * best-first re-encoding exactly in the adversarial token-collision
+  * case — see [[graft.text.BpeTrain]] for the contract.
+  *
+  * With a ≠ b (enforced), occurrences of (a, b) cannot overlap, so the
+  * simultaneous-merge formulation an oracle replays equals this
+  * left-to-right pass, and the number of merges equals the mined pair
+  * count. Native for the hot-loop reason of the siblings: the trainer
+  * stacks k of these over the cached base corpus and Catalyst collapses
+  * them into one projection — each round is a single compiled pass per
+  * row, zero shuffle.
+  */
+case class BpeMergePass(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), StringType, StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "bpe_merge_pass"
+
+  @transient private lazy val rule: (UTF8String, UTF8String) = {
+    require(second.foldable && third.foldable,
+      "bpe_merge_pass rule sides must be literals")
+    val a = second.eval(InternalRow.empty).asInstanceOf[UTF8String]
+    val b = third.eval(InternalRow.empty).asInstanceOf[UTF8String]
+    require(a != null && b != null && !a.equals(b),
+      s"bpe_merge_pass rule must be non-null with a != b, got ($a, $b)")
+    (a, b)
+  }
+
+  override def nullSafeEval(toks: Any, aIgnored: Any, bIgnored: Any): Any = {
+    val (a, b) = rule
+    val merged = UTF8String.concat(a, b)
+    val arr = toks.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { cur(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i); i += 1 }
+    val out = new Array[Any](n)
+    var read = 0
+    var write = 0
+    while (read < n) {
+      val t = cur(read)
+      if (read + 1 < n && t != null && t.equals(a) &&
+          cur(read + 1) != null && cur(read + 1).equals(b)) {
+        out(write) = merged
+        read += 2
+      } else {
+        out(write) = t
+        read += 1
+      }
+      write += 1
+    }
+    val trimmed = new Array[Any](write)
+    System.arraycopy(out, 0, trimmed, 0, write)
+    new GenericArrayData(trimmed)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Column-level entry point. */
 object bpe {
   /** Apply a rank-ordered merge table (array<struct<a,b>> literal) to an
@@ -230,4 +299,11 @@ object bpe {
 
   def encodeMulti(tokens: Column, merges: Seq[(String, String)]): Column =
     encodeMulti(tokens, org.apache.spark.sql.functions.typedLit(merges))
+
+  /** One training-round merge pass: every adjacent (a, b) → a+b, one
+    * left-to-right sweep — see [[BpeMergePass]]. */
+  def mergePass(tokens: Column, a: String, b: String): Column =
+    ColumnBridge.lift(BpeMergePass(ColumnBridge.unwrap(tokens),
+      org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(a), StringType),
+      org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(b), StringType)))
 }
