@@ -418,6 +418,90 @@ object CurationQueries extends QueryModule {
       |FROM sp GROUP BY span HAVING count(*) >= 3
       |ORDER BY span""".stripMargin
 
+  /** q335: span-dedup CONSUME — applies q152's repeated-span cut-list to
+    * emit the substring-deduped corpus (the other half of the Lee et al.
+    * 2022 pair; q152 mines WHAT to cut, this cuts it). Discipline:
+    * every frequent 4-token span keeps its FIRST occurrence — the
+    * deterministic min(doc_id, start) one, an engine/partitioning-
+    * invariant rule — and every token covered by any NON-first
+    * occurrence is cut; surviving tokens reassemble in position order.
+    * Cut/keep is a PARTITION of each doc's tokens (n_cut + n_kept =
+    * n_tokens, gated per row), and overlapping frequent spans union
+    * their coverage.
+    *
+    * Scale shape: span enumeration is per-row; the cut-list is
+    * DATA-SIZED (never broadcast, never collected) — the match is a
+    * shuffle join on the span key; first-occurrence election is a
+    * map-side-combinable min-struct per span (no per-span sort, skew-
+    * safe on hot spans); coverage expands ≤4 rows per matched
+    * occurrence and dedups on (doc_id, pos); the cut is an anti-join on
+    * (doc_id, pos); reassembly groups per doc with a doc-length-bounded
+    * in-group sort — the same class as every per-doc re-pack here. */
+  private def q335(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+    val sp = docs.where(size($"w") >= 4)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w) - 4), " +
+          "i -> struct(i AS i, concat_ws(' ', slice(w, i + 1, 4)) AS span))")).as("p"))
+      .select($"doc_id", $"p.i".as("i"), $"p.span".as("span"))
+    val cutList = sp.groupBy($"span").agg(count(lit(1)).as("n_occ"))
+      .where($"n_occ" >= 3L).select($"span")
+    // shuffle_hash on the banded-key shape (q26's rationale): the build
+    // side is one bounded span-bucket partition, sort-merge would sort
+    // the full occurrence stream
+    val matched = sp.join(cutList.hint("shuffle_hash"), Seq("span"))
+    val first = matched.groupBy($"span")
+      .agg(min(struct($"doc_id", $"i")).as("f"))
+    val nonFirst = matched.join(first.hint("shuffle_hash"), Seq("span"))
+      .where(!($"doc_id" === $"f.doc_id" && $"i" === $"f.i"))
+    val covered = nonFirst
+      .select($"doc_id", explode(sequence($"i", $"i" + lit(3))).as("pos"))
+      .distinct()
+    val toks = docs.select($"doc_id", posexplode($"w").as(Seq("pos", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val agg = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"))
+          .as("kept_text"))
+    docs.select($"doc_id", size($"w").cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - coalesce($"n_kept", lit(0L))).as("n_cut"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"kept_text", lit("")).as("kept_text"))
+      .orderBy($"doc_id")
+  }
+  private val q335Sql =
+    """WITH t AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sp AS MATERIALIZED (SELECT doc_id, s.i AS i,
+      |    array_to_string(w[s.i:s.i + 3], ' ') AS span
+      |  FROM t, UNNEST(range(1, len(w) - 2)) AS s(i) WHERE len(w) >= 4),
+      |cut AS (SELECT span FROM sp GROUP BY span HAVING count(*) >= 3),
+      |m AS MATERIALIZED (SELECT sp.doc_id, sp.i,
+      |    row_number() OVER (PARTITION BY sp.span
+      |      ORDER BY sp.doc_id, sp.i) AS rn
+      |  FROM sp JOIN cut USING (span)),
+      |cov AS (SELECT DISTINCT m.doc_id, u.p AS pos
+      |  FROM m, UNNEST(range(m.i, m.i + 4)) AS u(p) WHERE m.rn > 1),
+      |tok AS (SELECT doc_id, s.i AS pos, w[s.i] AS tok
+      |  FROM t, UNNEST(range(1, len(w) + 1)) AS s(i)),
+      |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov
+      |    WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)),
+      |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(tok, ' ' ORDER BY pos) AS kept_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.w) AS BIGINT) - coalesce(a.n_kept, 0) AS n_cut,
+      |  coalesce(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+      |  coalesce(a.kept_text, '') AS kept_text
+      |FROM t LEFT JOIN a USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q153: vocabulary-growth curve (Heaps' law audit) — cumulative corpus
     * vocabulary and token count after each document in doc_id order. The
     * sub-linearity of vocab(tokens) is the standard "is this corpus
@@ -682,6 +766,7 @@ object CurationQueries extends QueryModule {
     QueryDef("q65_crossmodal_agreement", q65, Some(q65Sql)),
     QueryDef("q107_source_quota", q107, Some(q107Sql)),
     QueryDef("q152_span_mining", q152, Some(q152Sql)),
+    QueryDef("q335_span_dedup_apply", q335, Some(q335Sql)),
     QueryDef("q153_vocab_growth", q153, Some(q153Sql)),
   )
 }
