@@ -722,7 +722,126 @@ object StreamingGateQueries extends QueryModule {
       |WHERE window_start_us + 3600000000 <= (SELECT w FROM wm)
       |ORDER BY 1""".stripMargin
 
+  /** q336: CHAINED dedup→aggregation — a windowed aggregation DOWNSTREAM
+    * of `dropDuplicatesWithinWatermark` in the same streaming query, the
+    * one stateful chaining pair the q326 (join→agg) / q333 (agg→agg)
+    * matrix left untested. Input staging is EXACTLY q329's pinned
+    * 3-tercile-batch replay (one min-ts row per (key, tercile),
+    * chronological mtimes), so the dedup stage's emissions are q329's
+    * already-gated rule set (fresh E0 / absorb-while-alive /
+    * evict-then-re-emit); the NEW semantic pinned here is watermark
+    * propagation through the dedup: it passes event time UNMODIFIED, so
+    * the downstream Append-mode 6-hour window flushes against the
+    * UNDELAYED global watermark — final flush (AvailableNow's trailing
+    * batch) emits exactly the windows with end ≤ ms-floored max staged
+    * event time − 1 h, counting EMITTED rows only (duplicates absorbed
+    * by the dedup state never reach the window state). No emitted row
+    * is ever dropped late by the agg: both stateful ops share the same
+    * lagged (through batch n−2) input-filter watermark, so any row the
+    * dedup passes has window end above that filter — pinned on random
+    * fixtures by DedupThenAggPropertySpec (which includes the case an
+    * n−1 filter model would wrongly drop). The replay is deterministic,
+    * not racy.
+    *
+    * Scale shape: state is one (key → expiry) pair inside the horizon
+    * (dedup) + one count per open 6 h window (agg) — both bounded;
+    * the two execs share the micro-batch lifecycle, and at real scale
+    * the window counts partial-aggregate map-side before the exchange. */
+  private def q336(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables.events(s, dir)
+      .select($"user_id", $"event_type", expr("ts div 1000").as("tsu"))
+    val span = ev.agg(min($"tsu"), max($"tsu")).head()
+    val (mn, mx) = (span.getLong(0), span.getLong(1))
+    val (c1, c2) = (mn + (mx - mn) / 3, mn + (mx - mn) * 2 / 3)
+    val keyrows = ev
+      .withColumn("b", when($"tsu" <= c1, 0).when($"tsu" <= c2, 1)
+        .otherwise(2))
+      .groupBy($"user_id", $"event_type", $"b")
+      .agg(min($"tsu").as("tsu"))
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_q336_").toString
+    (0 to 2).foreach { b =>
+      val part = s"$staged/part$b"
+      keyrows.filter($"b" === b).select($"user_id", $"event_type", $"tsu")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val f = new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(staged, f"batch$b%04d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      require(dst.setLastModified(1000000L * (b + 1)),
+        s"q336: setLastModified failed on $dst — batch order would be undefined")
+    }
+    val schema = s.read.parquet(s"$staged/batch0000.parquet").schema
+    val sink = "q336_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // shared-conf mutation: see q239's concurrency note
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/[b]atch*.parquet")
+        .select($"user_id", $"event_type",
+          timestamp_micros($"tsu").as("ets"))
+        .withWatermark("ets", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .groupBy(window($"ets", "6 hours").as("w6"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(staged))
+    s.table(sink)
+      .select(unix_micros($"w6.start").as("window_start_us"),
+        $"n_rows", $"n_purchases")
+      .orderBy($"window_start_us")
+  }
+  private val q336Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu
+      |  FROM events),
+      |sp AS (SELECT min(tsu) AS mn, max(tsu) AS mx FROM e),
+      |kr AS (SELECT user_id, event_type,
+      |    CASE WHEN tsu <= (SELECT mn + (mx - mn) // 3 FROM sp) THEN 0
+      |         WHEN tsu <= (SELECT mn + (mx - mn) * 2 // 3 FROM sp) THEN 1
+      |         ELSE 2 END AS b, min(tsu) AS tsu
+      |  FROM e GROUP BY 1, 2, 3),
+      |wm1 AS (SELECT (max(tsu) // 1000) * 1000 - 3600000000 AS w
+      |  FROM kr WHERE b = 0),
+      |wmf AS (SELECT (max(tsu) // 1000) * 1000 - 3600000000 AS w FROM kr),
+      |e0 AS (SELECT user_id, event_type, tsu FROM kr WHERE b = 0),
+      |e1 AS (SELECT k.user_id, k.event_type, k.tsu FROM kr k
+      |  WHERE k.b = 1 AND NOT EXISTS (SELECT 1 FROM e0
+      |    WHERE e0.user_id = k.user_id AND e0.event_type = k.event_type)),
+      |alive AS (SELECT user_id, event_type FROM e0
+      |    WHERE tsu + 3600000000 > (SELECT w FROM wm1)
+      |  UNION ALL
+      |  SELECT user_id, event_type FROM e1
+      |    WHERE tsu + 3600000000 > (SELECT w FROM wm1)),
+      |e2 AS (SELECT k.user_id, k.event_type, k.tsu FROM kr k
+      |  WHERE k.b = 2 AND NOT EXISTS (SELECT 1 FROM alive a
+      |    WHERE a.user_id = k.user_id AND a.event_type = k.event_type)),
+      |em AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1
+      |  UNION ALL SELECT * FROM e2),
+      |w AS (SELECT tsu - tsu % 21600000000 AS window_start_us,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purchases
+      |  FROM em GROUP BY 1)
+      |SELECT window_start_us, n_rows, n_purchases FROM w
+      |WHERE window_start_us + 21600000000 <= (SELECT w FROM wmf)
+      |ORDER BY window_start_us""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q336_stream_dedup_then_agg", q336, Some(q336Sql)),
     QueryDef("q239_stream_stream_join", q239, Some(q239Sql)),
     QueryDef("q247_stream_windowed_agg", q247, Some(q247Sql)),
     QueryDef("q249_stream_dedup", q249, Some(q249Sql)),
