@@ -840,7 +840,140 @@ object StreamingGateQueries extends QueryModule {
       |WHERE window_start_us + 21600000000 <= (SELECT w FROM wmf)
       |ORDER BY window_start_us""".stripMargin
 
+  /** q337: flatMapGroupsWithState sessionization under the ORACLE — the
+    * one stateful exec the gate matrix lacked (mapGroupsWithState q233,
+    * transformWithState q264/q285, dedup-within-wm q329, chained pairs
+    * q326/q333/q336; sessionize itself was spec-only because Append-mode
+    * tails never flush on a bounded replay). Gated by construction:
+    * SEVEN chronological staged batches — per-tercile per-user min then
+    * max (six batches; per-user arrival is chronological even though
+    * cross-user batch ranges overlap, and every batch's minimum stays
+    * within the gap of the previous batches' maximum, which keeps every
+    * row above fMGWS's EVICTION-watermark late filter — the stricter
+    * filter this exec uses, pinned by FmgwsLateFilterSpec, and asserted
+    * loudly at staging time below), then a SENTINEL
+    * watermark-advancer row 10 days past the corpus — so every real
+    * session flushes: non-final sessions by the gap-break path, final
+    * sessions by the EventTimeTimeout path (the sentinel lifts the final
+    * watermark above every real gap horizon), and the sentinel's own
+    * session is the withheld tail. All three closure paths fire at gate
+    * scale (≈300 breaks / ≈150 timeouts / 1 withheld; ≈half the sessions
+    * are multi-event via cross-boundary merges, incl. the duplicate-
+    * arrival extend when a tercile has one event so min = max). The
+    * oracle is the classic gaps-and-islands rewrite over the staged
+    * multiset — per-user islands split where the gap exceeds 3 days —
+    * emitting every island of every real user.
+    *
+    * Scale shape: state is ONE OpenSession struct per live key, evicted
+    * by event-time timeout — the bounded-session-state contract; the
+    * staging aggregates are two grouped min/max passes on (user,
+    * tercile). */
+  private def q337(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val GapMs = 3L * 86400000L
+    val ev = graft.Tables.events(s, dir)
+      .select($"user_id", expr("ts div 1000000").as("tsm"))
+    val span = ev.agg(min($"tsm"), max($"tsm")).head()
+    val (mn, mx) = (span.getLong(0), span.getLong(1))
+    val (c1, c2) = (mn + (mx - mn) / 3, mn + (mx - mn) * 2 / 3)
+    val tb = ev.withColumn("b",
+      when($"tsm" <= c1, 0).when($"tsm" <= c2, 1).otherwise(2))
+    val mins = tb.groupBy($"user_id", $"b").agg(min($"tsm").as("tsm"))
+      .select($"user_id", ($"b" * 2).as("ord"), $"tsm")
+    val maxs = tb.groupBy($"user_id", $"b").agg(max($"tsm").as("tsm"))
+      .select($"user_id", ($"b" * 2 + 1).as("ord"), $"tsm")
+    val sentinel = s.range(1).select(lit(-1L).as("user_id"),
+      lit(6).as("ord"), lit(mx + 10L * 86400000L).as("tsm"))
+    val rows = mins.unionByName(maxs).unionByName(sentinel)
+    // STAGING LEGALITY: fMGWS drops input below the eviction watermark
+    // (max seen so far − gap), so every batch's min must sit within the
+    // gap of all previous batches' max — else a row would silently
+    // vanish and the oracle diverge. Holds by tercile structure unless a
+    // user's whole tercile precedes another user's first tercile event
+    // by > gap (vanishingly unlikely on organic corpora); fail loudly
+    // rather than hash-mismatch. Bounded collect: 7 rows.
+    val batchStats = rows.groupBy($"ord")
+      .agg(min($"tsm").as("mn"), max($"tsm").as("mx"))
+      .orderBy($"ord").collect()
+    batchStats.foldLeft(Long.MinValue) { (seenMax, r) =>
+      val (mnB, mxB) = (r.getLong(1), r.getLong(2))
+      require(seenMax == Long.MinValue || mnB > seenMax - GapMs,
+        s"q337 staging: batch ${r.get(0)} min $mnB is below the eviction " +
+          s"watermark ${seenMax - GapMs} — a staged row would be dropped")
+      math.max(seenMax, mxB)
+    }
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_q337_").toString
+    (0 to 6).foreach { o =>
+      val part = s"$staged/part$o"
+      rows.filter($"ord" === o).select($"user_id", $"tsm")
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val f = new java.io.File(part).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(staged, f"batch$o%04d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst.toPath)
+      require(dst.setLastModified(1000000L * (o + 1)),
+        s"q337: setLastModified failed on $dst — batch order would be undefined")
+    }
+    val schema = s.read.parquet(s"$staged/batch0000.parquet").schema
+    val sink = "q337_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // shared-conf mutation: see q239's concurrency note
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val events = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/[b]atch*.parquet")
+        .select($"user_id", timestamp_millis($"tsm").as("ts"),
+          lit("e").as("event_type"), lit(0.0).as("value"))
+        .as[graft.streaming.StreamingOps.Event]
+      graft.streaming.StreamingOps.sessionize(events, gapSeconds = 3L * 86400L)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    q.awaitTermination()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(staged))
+    s.table(sink)
+      .select($"user_id", unix_millis($"session_start").as("start_ms"),
+        unix_millis($"session_end").as("end_ms"), $"n_events")
+      .orderBy($"user_id", $"start_ms")
+  }
+  private val q337Sql =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS tsm FROM events),
+      |sp AS (SELECT min(tsm) AS mn, max(tsm) AS mx FROM e),
+      |tb AS (SELECT user_id, tsm,
+      |    CASE WHEN tsm <= (SELECT mn + (mx - mn) // 3 FROM sp) THEN 0
+      |         WHEN tsm <= (SELECT mn + (mx - mn) * 2 // 3 FROM sp) THEN 1
+      |         ELSE 2 END AS b
+      |  FROM e),
+      |kr AS (
+      |  SELECT user_id, min(tsm) AS tsm FROM tb GROUP BY user_id, b
+      |  UNION ALL
+      |  SELECT user_id, max(tsm) FROM tb GROUP BY user_id, b),
+      |o AS (SELECT user_id, tsm,
+      |    CASE WHEN lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm)
+      |        IS NULL
+      |      OR tsm - lag(tsm) OVER (PARTITION BY user_id ORDER BY tsm)
+      |        > 259200000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM kr),
+      |isl AS (SELECT user_id, tsm,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY tsm) AS sid
+      |  FROM o)
+      |SELECT user_id, min(tsm) AS start_ms, max(tsm) AS end_ms,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM isl GROUP BY user_id, sid
+      |ORDER BY user_id, start_ms""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q337_stream_fmgws_sessionize", q337, Some(q337Sql)),
     QueryDef("q336_stream_dedup_then_agg", q336, Some(q336Sql)),
     QueryDef("q239_stream_stream_join", q239, Some(q239Sql)),
     QueryDef("q247_stream_windowed_agg", q247, Some(q247Sql)),

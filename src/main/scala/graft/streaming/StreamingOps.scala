@@ -91,6 +91,12 @@ object StreamingOps {
             }
             open.foreach { s =>
               state.update(s)
+              // end+gap is always a LEGAL (post-watermark) timeout here:
+              // FlatMapGroupsWithStateExec filters late input against the
+              // EVICTION watermark (the current batch's, NOT the lagged
+              // late-events value aggregations use — pinned by
+              // FmgwsLateFilterSpec), so every event reaching this
+              // function has ts > wm, hence end + gap > wm.
               state.setTimeoutTimestamp(s.end + gapMs)
             }
             closed.result().iterator

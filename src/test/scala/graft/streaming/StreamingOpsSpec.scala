@@ -85,4 +85,5 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(closed.filter(_.user_id == 2L).forall(_.n_events == 1L))
     } finally q.stop()
   }
+
 }
