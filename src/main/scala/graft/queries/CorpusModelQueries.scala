@@ -1272,8 +1272,10 @@ object CorpusModelQueries extends QueryModule {
       .toDF("round", "a", "b", "cnt", "n_pairs", "tot_pairs")
       .orderBy($"round")
   }
-  private val q334Sql = {
-    val k = 10
+  /** The q334 training replay as a WITH body (t0 + k unrolled rounds of
+    * g/m/t CTEs) — shared by q334 (rule-table gate) and q339 (final-
+    * state gate). */
+  private def bpeTrainCtes(k: Int): String = {
     val roundCtes = (1 to k).map { r =>
       s"""g$r AS MATERIALIZED (
          |  SELECT w[s.i] AS a, w[s.i + 1] AS b, CAST(count(*) AS BIGINT) AS cnt
@@ -1294,19 +1296,58 @@ object CorpusModelQueries extends QueryModule {
          |      ELSE w[x] END), e -> e IS NOT NULL) AS w
          |  FROM t${r - 1}, m$r m)""".stripMargin
     }.mkString(",\n")
+    s"""t0 AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |$roundCtes""".stripMargin
+  }
+
+  private val q334Sql = {
+    val k = 10
     val finals = (1 to k).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, a, b, cnt, n_pairs, tot_pairs FROM m$r")
       .mkString("\n  UNION ALL ")
-    s"""WITH t0 AS MATERIALIZED (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |$roundCtes
+    s"""WITH ${bpeTrainCtes(k)}
       |SELECT * FROM (
       |  $finals
       |) ORDER BY round""".stripMargin
   }
 
+  /** q339: BPE train→tokenize END-TO-END — the trainer's FINAL corpus
+    * state (the tokenization after all 10 learned merges, i.e. the
+    * second return of [[graft.text.BpeTrain.train]]) under the hash
+    * gate, per document. q334 gates the learned RULE table; this gates
+    * what the rules DID to the corpus — the pair every tokenizer rollout
+    * ships (vocab + retokenized corpus). Deliberately the INCREMENTAL
+    * state (one merge pass per round in adoption order), which is the
+    * training-time definition; re-encoding from scratch with
+    * [[org.apache.spark.sql.graft.BpeEncodeMulti]] agrees except in the
+    * adversarial token-collision case (see BpeMergePass's scaladoc) —
+    * the distinction this gate makes checkable. Oracle: the same
+    * unrolled round CTEs as q334, final SELECT over t10. Scale shape =
+    * q334's (the state is the Catalyst-collapsed stacked passes; this
+    * query adds one zero-shuffle projection and the output sort). */
+  private def q339(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .withColumn("n_before", size($"w").cast("long"))
+    val (_, fin) = graft.text.BpeTrain.train(base, "w", rounds = 10)
+    fin.select($"doc_id", $"n_before",
+        size($"w").cast("long").as("n_after"),
+        concat_ws("\u001f", $"w").as("encoded"))
+      .orderBy($"doc_id")
+  }
+  private val q339Sql =
+    s"""WITH ${bpeTrainCtes(10)}
+      |SELECT t10.doc_id, CAST(len(t0.w) AS BIGINT) AS n_before,
+      |  CAST(len(t10.w) AS BIGINT) AS n_after,
+      |  array_to_string(t10.w, chr(31)) AS encoded
+      |FROM t10 JOIN t0 ON t10.doc_id = t0.doc_id
+      |ORDER BY t10.doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q334_bpe_vocab_train", q334, Some(q334Sql)),
+    QueryDef("q339_bpe_train_tokenize", q339, Some(q339Sql)),
     QueryDef("q330_unigram_viterbi", q330, Some(q330Sql)),
     QueryDef("q302_naive_bayes", q302, Some(q302Sql)),
     QueryDef("q142_kmeans_assign", q142, Some(q142Sql)),

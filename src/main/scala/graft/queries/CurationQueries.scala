@@ -502,6 +502,116 @@ object CurationQueries extends QueryModule {
       |FROM t LEFT JOIN a USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q338: MAXIMAL repeated-span mining — extends q152's fixed-length
+    * seeds to the longest frequent spans, the "longer spans come from
+    * seeding on these hits" half q152's scaladoc promises: a
+    * (k+1)-span can only be frequent if its k-prefix is (count is
+    * monotone under extension — the apriori property), so each round
+    * extends only FREQUENT k-span occurrences by one token and
+    * re-counts. Emits, per length k in 4..7, the RIGHT-MAXIMAL frequent
+    * spans (no frequent (k+1)-extension exists; rows at the k=7 cap are
+    * all frequent 7-spans, extendability beyond the cap unevaluated).
+    * This is the distributed replacement for the inherently sequential
+    * suffix-array pass of Lee et al. 2022's exact-substring dedup.
+    *
+    * Scale shape: per round ONE map-side-combinable count shuffle on the
+    * span key, one shuffle_hash join back to occurrences, and one
+    * (doc_id, pos) join to pick up the extension token; the occurrence
+    * stream shrinks monotonically round over round (apriori), so round
+    * cost is bounded by the seed round. No driver collects. */
+  private def q338(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val minOcc = 3L
+    val cap = 7
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+    val toks = docs.select($"doc_id", posexplode($"w").as(Seq("pos", "tok")))
+      .localCheckpoint(true)
+    var occ = docs.where(size($"w") >= 4)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w) - 4), " +
+          "i -> struct(i AS i, concat_ws(' ', slice(w, i + 1, 4)) AS span))")).as("p"))
+      .select($"doc_id", $"p.i".as("i"), $"p.span".as("span"))
+    var out: DataFrame = null
+    for (k <- 4 to cap) {
+      val freq = occ.groupBy($"span")
+        .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"),
+          min($"doc_id").as("first_doc"))
+        .where($"n_occ" >= minOcc)
+        .localCheckpoint(true)
+      val maximal =
+        if (k == cap) freq
+        else {
+          val fOcc = occ.join(freq.select($"span").hint("shuffle_hash"), Seq("span"))
+          // alias both sides: occurrence frames beyond round 4 carry toks
+          // attributes in their lineage, so an unqualified re-join is an
+          // ambiguous self-join
+          val next = fOcc.as("o").join(toks.as("tk"),
+              col("o.doc_id") === col("tk.doc_id") &&
+                col("tk.pos") === col("o.i") + lit(k))
+            .select(col("o.doc_id").as("doc_id"), col("o.i").as("i"),
+              concat(col("o.span"), lit(" "), col("tk.tok")).as("span"),
+              col("o.span").as("parent"))
+            .localCheckpoint(true)
+          // a (k+1)-span determines its parent (its k-token prefix), so
+          // first() over the group is exact, not arbitrary
+          val extendedParents = next.groupBy($"span")
+            .agg(count(lit(1)).as("n_occ"), first($"parent").as("p0"))
+            .where($"n_occ" >= minOcc)
+            .select($"p0".as("span")).distinct()
+          occ = next.drop("parent")
+          freq.join(extendedParents, Seq("span"), "left_anti")
+        }
+      val tagged = maximal.select(lit(k.toLong).as("k"), $"span",
+        $"n_occ", $"n_docs", $"first_doc")
+      out = if (out == null) tagged else out.unionByName(tagged)
+    }
+    out.orderBy($"k", $"span")
+  }
+  private val q338Sql = {
+    val rounds = Seq(4, 5, 6)
+    val exts = rounds.map { k =>
+      s"""fo$k AS (SELECT o.doc_id, o.i, o.span FROM o$k o
+         |  JOIN f$k USING (span)),
+         |o${k + 1} AS MATERIALIZED (
+         |  SELECT o.doc_id, o.i, o.span || ' ' || tk.tok AS span,
+         |    o.span AS parent
+         |  FROM fo$k o JOIN tok tk
+         |    ON tk.doc_id = o.doc_id AND tk.pos = o.i + $k),
+         |f${k + 1} AS MATERIALIZED (
+         |  SELECT span, CAST(count(*) AS BIGINT) AS n_occ,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    min(doc_id) AS first_doc
+         |  FROM o${k + 1} GROUP BY span HAVING count(*) >= 3),
+         |par${k + 1} AS (SELECT DISTINCT o.parent AS span
+         |  FROM o${k + 1} o JOIN f${k + 1} f ON o.span = f.span),
+         |max$k AS (SELECT CAST($k AS BIGINT) AS k, f.span, f.n_occ,
+         |    f.n_docs, f.first_doc
+         |  FROM f$k f WHERE NOT EXISTS (
+         |    SELECT 1 FROM par${k + 1} p WHERE p.span = f.span))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS MATERIALIZED (SELECT doc_id, s.i AS pos, w[s.i] AS tok
+      |  FROM t, UNNEST(range(1, len(w) + 1)) AS s(i)),
+      |o4 AS MATERIALIZED (SELECT doc_id, s.i AS i,
+      |    array_to_string(w[s.i:s.i + 3], ' ') AS span
+      |  FROM t, UNNEST(range(1, len(w) - 2)) AS s(i) WHERE len(w) >= 4),
+      |f4 AS MATERIALIZED (
+      |  SELECT span, CAST(count(*) AS BIGINT) AS n_occ,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    min(doc_id) AS first_doc
+      |  FROM o4 GROUP BY span HAVING count(*) >= 3),
+      |$exts
+      |SELECT k, span, n_occ, n_docs, first_doc FROM (
+      |  SELECT * FROM max4
+      |  UNION ALL SELECT * FROM max5
+      |  UNION ALL SELECT * FROM max6
+      |  UNION ALL SELECT CAST(7 AS BIGINT), span, n_occ, n_docs, first_doc
+      |    FROM f7
+      |) ORDER BY k, span""".stripMargin
+  }
+
   /** q153: vocabulary-growth curve (Heaps' law audit) — cumulative corpus
     * vocabulary and token count after each document in doc_id order. The
     * sub-linearity of vocab(tokens) is the standard "is this corpus
@@ -767,6 +877,7 @@ object CurationQueries extends QueryModule {
     QueryDef("q107_source_quota", q107, Some(q107Sql)),
     QueryDef("q152_span_mining", q152, Some(q152Sql)),
     QueryDef("q335_span_dedup_apply", q335, Some(q335Sql)),
+    QueryDef("q338_maximal_spans", q338, Some(q338Sql)),
     QueryDef("q153_vocab_growth", q153, Some(q153Sql)),
   )
 }
