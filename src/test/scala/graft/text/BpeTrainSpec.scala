@@ -87,6 +87,28 @@ class BpeTrainSpec extends SparkTestBase {
     assert(rules == Seq(BpeTrain.Learned(1, "a", "b", 2L, 2L, 3L)))
   }
 
+  test("documented divergence: incremental training state != best-first re-encode " +
+      "exactly on token collisions") {
+    // The corpus WORD "ab" collides with the concat of the later rule
+    // (a, b). Round 1 adopts (ab, c) — count 6 beats (a, b)'s 5; round 2
+    // adopts (a, b), which CREATES new "ab" tokens. The incremental
+    // trainer never revisits round 1, so "a b c" ends as ["ab", "c"];
+    // best-first re-encoding with the same table re-searches from the
+    // top and merges on to ["abc"]. This is the precise case BpeMergePass
+    // and q339 document as the train-time vs encode-time distinction.
+    // Counts: (ab,c) = 7 > (a,b) = 5 + 1 = 6, so adoption order is pinned.
+    val corpus = Seq.fill(7)(Seq("ab", "c")) ++ Seq.fill(5)(Seq("a", "b")) ++
+      Seq(Seq("a", "b", "c"))
+    val (rules, state) = trainSpark(corpus, 2)
+    assert(rules.map(l => (l.a, l.b)) == Seq("ab" -> "c", "a" -> "b"))
+    assert(state.last == List("ab", "c")) // incremental: rule 1 not revisited
+    val reEncoded = Seq(Tuple1(Seq("a", "b", "c"))).toDF("w")
+      .select(graft.functions.bpe.encodeMulti($"w",
+        rules.map(l => (l.a, l.b))).as("e"))
+      .collect().head.getSeq[String](0)
+    assert(reEncoded == Seq("abc")) // best-first: (a,b) fires, then (ab,c)
+  }
+
   test("property: distributed trainer == sequential reference on random corpora") {
     // small alphabet so pairs repeat (forcing real merges and frequent
     // multi-level follow-ups), doc lengths 0-8, up to 12 docs, k up to 6
