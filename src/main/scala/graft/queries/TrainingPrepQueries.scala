@@ -402,7 +402,93 @@ object TrainingPrepQueries extends QueryModule {
       |FROM enc e JOIN gg USING (fold)
       |ORDER BY e.l_suppkey, e.fold""".stripMargin
 
+  /** q340: SEQUENCE PACKING attribution — the concatenate-and-chunk
+    * packing every GPT-style pre-training pipeline runs (corpus token
+    * stream in doc_id order, cut into fixed L=256-token training
+    * sequences), emitted at the DOCUMENT grain: each doc's global token
+    * offset, the first/last sequence it lands in, and whether the
+    * context-length boundary SPLITS it (the fragmentation signal that
+    * drives doc-boundary-aware packing variants). Unlike q62 (per-doc
+    * chunking with overlap) and q73 (per-LANGUAGE bin summaries via a
+    * lang-partitioned window), the offsets here are corpus-GLOBAL —
+    * a running sum, computed by [[graft.operators.DistributedScan
+    * .prefixSums]] (range repartition + per-partition sums + a
+    * |partitions|-row offset broadcast), so there is NO single-partition
+    * window anywhere; everything after the scan is per-row arithmetic. */
+  private def q340(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val L = 256L
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    graft.operators.DistributedScan.prefixSums(base, Seq(col("doc_id")), Seq("n_tok"))
+      .select($"doc_id", $"n_tok",
+        ($"n_tok_cum" - $"n_tok").as("offset"),
+        expr("(n_tok_cum - n_tok) div 256").as("first_seq"),
+        expr("(n_tok_cum - 1) div 256").as("last_seq"))
+      .withColumn("n_seqs", $"last_seq" - $"first_seq" + 1)
+      .withColumn("is_split", ($"n_seqs" > 1).cast("long"))
+      .orderBy($"doc_id")
+  }
+  private val q340Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d)
+      |SELECT doc_id, n_tok, cum - n_tok AS "offset",
+      |  (cum - n_tok) // 256 AS first_seq,
+      |  (cum - 1) // 256 AS last_seq,
+      |  (cum - 1) // 256 - (cum - n_tok) // 256 + 1 AS n_seqs,
+      |  CAST((cum - 1) // 256 > (cum - n_tok) // 256 AS BIGINT) AS is_split
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** q341: packed-sequence COMPOSITION audit — q340's reverse grain: for
+    * every L=256-token training sequence, how many documents contribute
+    * tokens to it, how many START inside it, and whether it is
+    * single-doc pure (attention-mask-free) — the stats that size
+    * cross-document-attention contamination in naive packing. Derived
+    * from q340's per-doc spans by an explode over each doc's touched
+    * sequence range (≤ n_tok/L + 1 rows per doc — output-sized, never
+    * quadratic) and one grouped count. */
+  private def q341(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val L = 256L
+    val base = Tables.documents(s, dir)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    val spans = graft.operators.DistributedScan
+      .prefixSums(base, Seq(col("doc_id")), Seq("n_tok"))
+      .select($"doc_id", $"n_tok",
+        expr("(n_tok_cum - n_tok) div 256").as("first_seq"),
+        expr("(n_tok_cum - 1) div 256").as("last_seq"))
+    spans.select($"doc_id", $"first_seq",
+        explode(sequence($"first_seq", $"last_seq")).as("seq_id"))
+      .groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"first_seq" === $"seq_id", 1L).otherwise(0L)).as("n_starts"),
+        min($"doc_id").as("first_doc"))
+      .withColumn("is_pure", ($"n_docs" === 1).cast("long"))
+      .orderBy($"seq_id")
+  }
+  private val q341Sql =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |    CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d),
+      |sp AS (SELECT doc_id, (cum - n_tok) // 256 AS first_seq,
+      |    (cum - 1) // 256 AS last_seq FROM c),
+      |e AS (SELECT doc_id, first_seq,
+      |    unnest(range(first_seq, last_seq + 1)) AS seq_id FROM sp)
+      |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN first_seq = seq_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_starts,
+      |  min(doc_id) AS first_doc,
+      |  CAST(count(*) = 1 AS BIGINT) AS is_pure
+      |FROM e GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q340_sequence_packing", q340, Some(q340Sql)),
+    QueryDef("q341_packed_seq_audit", q341, Some(q341Sql)),
     QueryDef("q309_target_encoding", q309, Some(q309Sql)),
     QueryDef("q71_repetition_ratio", q71, Some(q71Sql)),
     QueryDef("q211_top_ngram_mass", q211, Some(q211Sql)),
