@@ -81,7 +81,12 @@ object StreamingOps {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.end <= gapMs =>
-                  open = Some(s.copy(end = t, n = s.n + 1))
+                  // max, not t: a cross-batch out-of-order event inside
+                  // (watermark, end] passes the eviction-watermark late
+                  // filter and lands here with t < end — it must absorb
+                  // into the session, not SHRINK it (a bare `end = t`
+                  // also moved the timeout horizon backward)
+                  open = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
                   closed += Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
                   open = Some(OpenSession(t, t, 1))

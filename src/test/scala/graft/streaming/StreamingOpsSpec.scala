@@ -86,4 +86,30 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize: an out-of-order within-gap event absorbs without shrinking the session") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sessions4")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: session [00:00, 00:08]; watermark stays far behind
+      input.addData(
+        Event(5, ts("2026-01-01 00:00:00"), "a", 0.0),
+        Event(5, ts("2026-01-01 00:08:00"), "a", 0.0))
+      q.processAllAvailable()
+      // batch 2: OUT-OF-ORDER event at 00:04 — above the watermark, below
+      // the session end; must absorb (n=3), not shrink end to 00:04
+      input.addData(Event(5, ts("2026-01-01 00:04:00"), "a", 0.0))
+      q.processAllAvailable()
+      // batch 3: event past the gap from 00:08 closes the session; if the
+      // end had shrunk to 00:04, [00:04+gap] would misclassify 00:15 too
+      input.addData(Event(5, ts("2026-01-01 00:20:00"), "a", 0.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions4").as[Session].collect()
+      assert(closed.length == 1 && closed.head.n_events == 3L &&
+        closed.head.session_end == ts("2026-01-01 00:08:00"), closed.toSeq.toString)
+    } finally q.stop()
+  }
 }
