@@ -84,4 +84,17 @@ class MaximalSpansSpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("q338 plan: extension rounds stay keyed — no all-pairs fallback") {
+    val dir = tmpDir("maxspans_plan")
+    val docs = Seq(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "a b c d e")
+    docs.map { case (id, x) => (id, x, "en", "s0", x.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = graft.SparkEntry.queries("q338_maximal_spans")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"apriori extension must never go all-pairs:\n$plan")
+  }
 }

@@ -105,4 +105,15 @@ class SpanDedupApplySpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("q335 plan: cut-list match stays keyed — no all-pairs fallback") {
+    val dir = tmpDir("spandedup_plan")
+    writeDocs(dir, Seq(1L -> "a b c d e a b c d", 2L -> "a b c d f",
+      3L -> "a b c d"))
+    val plan = graft.SparkEntry.queries("q335_span_dedup_apply")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span-dedup must never go all-pairs:\n$plan")
+  }
 }

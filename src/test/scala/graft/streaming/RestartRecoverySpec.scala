@@ -247,4 +247,47 @@ class RestartRecoverySpec extends SparkTestBase {
     for ((u, w) <- want)
       assert(got(u) == w, s"user $u: restart diverged — got ${got(u)}, want $w")
   }
+
+  test("sessionize path: flatMapGroupsWithState sessions survive a mid-stream kill and restart") {
+    import spark.implicits._
+    val srcDir = tmpDir("fmgws_src")
+    val cp = tmpDir("fmgws_cp")
+    val base = 1700000000000L // ms
+    val min = 60000L
+
+    // user 1's second session SPANS the kill point (opens in f1, extends
+    // in f2): the restart must restore the OpenSession state or the
+    // merged (start, end, n) is wrong. A sentinel in f2 advances the
+    // watermark far enough that every real session flushes via the
+    // event-time timeout; the sentinel itself stays open (withheld).
+    val f0 = Seq((1L, base), (1L, base + 5 * min), (2L, base))
+    val f1 = Seq((1L, base + 30 * min))
+    val f2 = Seq((1L, base + 35 * min), (99L, base + 600 * min))
+    def df(rows: Seq[(Long, Long)]) = rows
+      .map { case (u, ms) => (u, new java.sql.Timestamp(ms), "e", 0.0) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val t0 = System.currentTimeMillis() - 100000
+    writeFile(df(f0), srcDir, "f0.parquet", t0)
+    writeFile(df(f1), srcDir, "f1.parquet", t0 + 10000)
+
+    def build(d: org.apache.spark.sql.DataFrame) =
+      sessionize(d.as[Event], gapSeconds = 600)
+
+    val sink = scala.collection.mutable.Map.empty[Long, Seq[Session]]
+    val q1 = start(srcDir, cp, sink, build, OutputMode.Append())
+    killAfterFirstCommit(q1)
+
+    writeFile(df(f2), srcDir, "f2.parquet", t0 + 20000)
+    val q2 = start(srcDir, cp, sink, build, OutputMode.Append())
+    q2.awaitTermination()
+
+    val got = sink.toSeq.sortBy(_._1).flatMap(_._2)
+      .map(s => (s.user_id, s.session_start.getTime, s.session_end.getTime,
+        s.n_events)).toSet
+    val want = Set(
+      (1L, base, base + 5 * min, 2L),            // closed by the f1 gap
+      (1L, base + 30 * min, base + 35 * min, 2L), // spans the kill; timeout
+      (2L, base, base, 1L))                       // timeout
+    assert(got == want, s"restart diverged: got $got want $want")
+  }
 }
