@@ -42,6 +42,7 @@ object SparkEntry {
     graft.queries.ConcentrationQueries,
     graft.queries.NormalizationQueries,
     graft.queries.SqlSurfaceQueries,
+    graft.queries.SourceFormatQueries,
     graft.queries.HigherMomentQueries,
     graft.queries.CorpusModelQueries,
     graft.queries.SimilarityJoinQueries,

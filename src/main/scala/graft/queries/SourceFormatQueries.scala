@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-format round-trip fidelity gates: the ingest surfaces the spec
+  * suite exercises structurally (header CSV via `BronzeIngest`, JSON) are
+  * here gated on CONTENT — write the documents corpus out through the
+  * format, read it back with schema inference, and hash-compare an
+  * aggregate that any quoting/escaping/type-coercion bug would corrupt.
+  * The staged text embeds the format's own metacharacters (commas,
+  * double quotes, backslashes, braces), so the writer's quoting and the
+  * reader's unquoting are both in the hash path — the class of silent
+  * corruption a structural "it reads" spec cannot see. The DuckDB oracle
+  * computes the same aggregate from the parquet table directly: equality
+  * proves the round trip lossless.
+  *
+  * Scale shape: both gates are scan → per-row projection → one grouped
+  * aggregate; the staging write/read is format-parallel (one file here,
+  * many shards at scale — CSV stays splittable because fields embed no
+  * newlines, the multiLine trap documented below). Checksums are
+  * integer-exact (md5 nibble arithmetic), never float.
+  */
+object SourceFormatQueries extends QueryModule {
+
+  /** First 8 md5 hex digits as a long — per-row content checksum whose
+    * SUM is order-independent and engine-exact. */
+  private def md5Head(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def duckMd5Head(expr: String): String = {
+    def digit(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($expr), $i, 1)) - 1)"
+    (1 to 8).map(i => s"CAST(${digit(i)} AS BIGINT) * ${java.lang.Long.toString(1L << (4 * (8 - i)))}")
+      .mkString("(", " + ", ")")
+  }
+
+  /** The adversarial payload: text plus every metacharacter the format
+    * must quote. Kept identical in the Spark staging and the oracle. */
+  private val advSql =
+    """'c,'' "q" \ {j:1}|' || text"""
+  private def advCol = concat(lit("c,' \"q\" \\ {j:1}|"), col("text"))
+
+  /** q342: CSV round trip — write (header, quoted) → read (header +
+    * inferSchema) → per-source count / n_chars sum / text checksum.
+    * Embedded newlines are deliberately NOT staged: they would force
+    * multiLine=true which makes CSV files unsplittable (one task per
+    * file at 100 TB) — the documented ingest contract is
+    * newline-sanitized fields, enforced loudly here. */
+  private def q342(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", advCol.as("payload"), $"source", $"n_chars")
+    require(docs.filter($"payload".contains("\n")).isEmpty,
+      "q342: CSV staging requires newline-free fields (multiLine trap)")
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_q342_").toString
+    docs.write.mode("overwrite").option("header", "true").csv(staged)
+    val back = s.read.option("header", "true").option("inferSchema", "true")
+      .csv(staged)
+    val out = back.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        sum(md5Head($"payload")).as("payload_checksum"))
+      .orderBy($"source")
+      .localCheckpoint(true) // pin before the staging disappears
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(staged))
+    out
+  }
+  private val q342Sql =
+    s"""WITH d AS (SELECT $advSql AS payload, source, n_chars FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(${duckMd5Head("payload")}) AS BIGINT) AS payload_checksum
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** q343: JSON-lines round trip — the same contract through the JSONL
+    * writer/reader (schema inference on read), where the quoting
+    * hazards are double quotes, backslashes and braces inside string
+    * fields. JSONL stays line-splittable by construction. */
+  private def q343(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", advCol.as("payload"), $"source", $"n_chars")
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_q343_").toString
+    docs.write.mode("overwrite").json(staged)
+    val back = s.read.json(staged)
+    val out = back.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        sum(md5Head($"payload")).as("payload_checksum"),
+        min($"doc_id").cast("long").as("min_doc"),
+        max($"doc_id").cast("long").as("max_doc"))
+      .orderBy($"source")
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(staged))
+    out
+  }
+  private val q343Sql =
+    s"""WITH d AS (SELECT doc_id, $advSql AS payload, source, n_chars
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(${duckMd5Head("payload")}) AS BIGINT) AS payload_checksum,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q342_csv_roundtrip", q342, Some(q342Sql)),
+    QueryDef("q343_jsonl_roundtrip", q343, Some(q343Sql)),
+  )
+}
