@@ -948,10 +948,78 @@ object WarehouseQueries extends QueryModule {
       |SELECT * FROM d WHERE change_type IS NOT NULL
       |ORDER BY custkey""".stripMargin
 
+  /** q344: SCHEMA EVOLUTION on an appended parquet table — the add-a-
+    * column migration every long-lived warehouse table survives: batch 1
+    * lands per-customer 1994 order counts WITHOUT the revenue column,
+    * batch 2 lands 1995 counts WITH it, and a mergeSchema read of the
+    * table must union the schemas and backfill NULL revenue for the old
+    * rows. The gate aggregates the evolved table per customer (count,
+    * order sum, null-aware revenue sum plus an explicit pre-evolution
+    * row count), so a reader that dropped old rows, coerced the missing
+    * column to 0, or failed to merge the footer schemas lands in the
+    * hash. Oracle replays the same union with an explicit NULL branch.
+    *
+    * Scale shape: the read is one scan with footer-schema merge (an
+    * O(#files) planning cost — at 100 TB pin the evolved schema in the
+    * catalog, as `pipeline.Schemas` does, rather than re-inferring; the
+    * gate exercises the fallback path) + one grouped aggregate. */
+  private def q344(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    def year(y: Int) = o.filter(
+      $"o_orderdate" >= lit(java.sql.Timestamp.valueOf(s"$y-01-01 00:00:00")) &&
+        $"o_orderdate" < lit(java.sql.Timestamp.valueOf(s"${y + 1}-01-01 00:00:00")))
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_q344_").toString
+    year(1994).groupBy($"o_custkey".as("custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .write.mode("append").parquet(staged)
+    year(1995).groupBy($"o_custkey".as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .write.mode("append").parquet(staged)
+    val evolved = s.read.option("mergeSchema", "true").parquet(staged)
+    val out = evolved.groupBy($"custkey")
+      .agg(count(lit(1)).as("n_batches"),
+        sum($"n_orders").as("n_orders"),
+        sum(when($"cents".isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
+        coalesce(sum($"cents"), lit(0L)).as("cents"))
+      .orderBy($"custkey")
+      .localCheckpoint(true) // pin before the staging disappears
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(staged))
+    out
+  }
+  private val q344Sql =
+    """WITH b1 AS (SELECT o_custkey AS custkey,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(NULL AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+      |    AND o_orderdate < TIMESTAMP '1995-01-01'
+      |  GROUP BY 1),
+      |b2 AS (SELECT o_custkey, CAST(count(*) AS BIGINT),
+      |    CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY 1),
+      |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      |SELECT custkey, CAST(count(*) AS BIGINT) AS n_batches,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |  CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_pre_evolution,
+      |  coalesce(CAST(sum(cents) AS BIGINT), CAST(0 AS BIGINT)) AS cents
+      |FROM u GROUP BY custkey ORDER BY custkey""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q313_takedown_cascade", q313, Some(q313Sql)),
     QueryDef("q317_bitemporal_asof", q317, Some(q317Sql)),
     QueryDef("q325_snapshot_diff_timetravel", q325, Some(q325Sql)),
+    QueryDef("q344_schema_evolution", q344, Some(q344Sql)),
     QueryDef("q264_changelog_apply_tws", q264, Some(q224Sql)),
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
     QueryDef("q216_pit_feature_join", q216, Some(q216Sql)),
