@@ -1345,7 +1345,106 @@ object CorpusModelQueries extends QueryModule {
       |FROM t10 JOIN t0 ON t10.doc_id = t0.doc_id
       |ORDER BY t10.doc_id""".stripMargin
 
+  /** q345: UNIGRAM-LM VOCABULARY TRAINING — the hard-EM induction loop
+    * ([[graft.text.UnigramTrain]]) that completes the tokenizer-training
+    * matrix: q334 learns a BPE merge table bottom-up; this starts from
+    * q330's over-complete seed vocabulary (top-200 char 1–4-grams + all
+    * 1-grams, corpus-count weights) and runs 3 rounds of {Viterbi-segment
+    * the corpus under the round's weights → re-estimate every piece's
+    * weight as its corpus-wide usage count → prune unused multi-grams,
+    * keep 1-grams for totality}. Output row = one (round, piece)
+    * trajectory point carrying the weight the piece ENTERED the round
+    * with and the usage the round assigned it, so the hash pins every
+    * round's full model state — the E-step argmaxes (via usage), the
+    * M-step re-weighting, and the prune set (via w_in of the next round).
+    * The DuckDB oracle replays all 3 rounds exactly: per round a full
+    * 20-position Viterbi DP (q330's materialized per-position CTEs with
+    * the identical score-DESC-longer-piece tie rule) against that round's
+    * vocabulary CTE, then the usage count and the next vocabulary.
+    *
+    * Scale shape: per round one zero-shuffle codegen'd segmentation
+    * projection + one map-side-combinable piece count; driver traffic is
+    * the ≤ |vocab| usage rows per round (growth-bounded by construction,
+    * q330's model-pull class). The corpus never shuffles. */
+  private def q345(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = Tables.customer(s, dir).select($"c_name")
+    val traj = graft.text.UnigramTrain.train(names, "c_name", rounds = 3)
+    traj.map(p => (p.round.toLong, p.piece, p.wIn, p.nUsed))
+      .toDF("round", "piece", "w_in", "n_used")
+      .orderBy($"round", $"piece")
+  }
+  private val q345Sql = {
+    val rounds = 3
+    val positions = 20
+    def dpChain(r: Int): String = {
+      val dpCtes = (1 to positions).map { k =>
+        val branches = (1 to math.min(4, k)).map { l =>
+          val sep = if (k == l) "''" else "'|'"
+          s"""SELECT d.c_custkey, d.c_name,
+             |      d.score + v.cnt * ${l * l} AS score,
+             |      d.seg || $sep || v.piece AS seg, $l AS l
+             |    FROM d$r${k - l} d JOIN v$r v
+             |      ON v.piece = substr(d.c_name, ${k - l + 1}, $l)
+             |    WHERE length(d.c_name) >= $k""".stripMargin
+        }.mkString("\n    UNION ALL\n    ")
+        s"""d$r$k AS MATERIALIZED (
+           |  SELECT c_custkey, c_name, score, seg FROM (
+           |    $branches
+           |  ) QUALIFY row_number() OVER (PARTITION BY c_custkey
+           |      ORDER BY score DESC, l DESC) = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val finals = (1 to positions).map(k =>
+        s"SELECT seg FROM d$r$k WHERE length(c_name) = $k")
+        .mkString("\n  UNION ALL ")
+      s"""d${r}0 AS MATERIALIZED (SELECT c_custkey, c_name,
+        |  CAST(0 AS BIGINT) AS score, '' AS seg FROM names),
+        |$dpCtes,
+        |sg$r AS MATERIALIZED (
+        |  $finals),
+        |u$r AS MATERIALIZED (
+        |  SELECT piece, CAST(count(*) AS BIGINT) AS n_used FROM (
+        |    SELECT unnest(string_split(seg, '|')) AS piece FROM sg$r)
+        |  GROUP BY 1),
+        |v${r + 1} AS MATERIALIZED (
+        |  SELECT piece, n_used AS cnt FROM u$r
+        |  UNION ALL
+        |  SELECT piece, CAST(0 AS BIGINT) AS cnt FROM grams1
+        |  WHERE piece NOT IN (SELECT piece FROM u$r))""".stripMargin
+    }
+    val finals = (1 to rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, u.piece AS piece, " +
+        s"v.cnt AS w_in, u.n_used AS n_used " +
+        s"FROM u$r u JOIN v$r v ON u.piece = v.piece")
+      .mkString("\n  UNION ALL ")
+    s"""WITH names AS (SELECT c_custkey, c_name FROM customer),
+      |pos AS (SELECT c_name,
+      |    unnest(generate_series(1, length(c_name))) AS i FROM names),
+      |allg AS (
+      |  SELECT substr(c_name, i, 1) AS piece FROM pos
+      |  UNION ALL SELECT substr(c_name, i, 2) FROM pos
+      |    WHERE i + 1 <= length(c_name)
+      |  UNION ALL SELECT substr(c_name, i, 3) FROM pos
+      |    WHERE i + 2 <= length(c_name)
+      |  UNION ALL SELECT substr(c_name, i, 4) FROM pos
+      |    WHERE i + 3 <= length(c_name)),
+      |grams AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM allg GROUP BY 1),
+      |grams1 AS (SELECT piece FROM grams WHERE length(piece) = 1),
+      |topg AS (SELECT piece, cnt FROM grams
+      |  ORDER BY cnt DESC, piece LIMIT 200),
+      |v1 AS MATERIALIZED (SELECT DISTINCT piece, cnt FROM (
+      |  SELECT * FROM topg
+      |  UNION ALL SELECT piece, cnt FROM grams WHERE length(piece) = 1)),
+      |${(1 to rounds).map(dpChain).mkString(",\n")}
+      |SELECT * FROM (
+      |  $finals
+      |) ORDER BY round, piece""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q345_unigram_em_train", q345, Some(q345Sql)),
     QueryDef("q334_bpe_vocab_train", q334, Some(q334Sql)),
     QueryDef("q339_bpe_train_tokenize", q339, Some(q339Sql)),
     QueryDef("q330_unigram_viterbi", q330, Some(q330Sql)),

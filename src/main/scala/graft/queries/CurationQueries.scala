@@ -861,7 +861,181 @@ object CurationQueries extends QueryModule {
       |FROM rk WHERE rank <= 40 ORDER BY rank""".stripMargin
   }
 
+  /** q346: LM-PERPLEXITY QUALITY BUCKETING (CCNet, Wenzek et al. 2020) —
+    * the curation step every web-scale corpus runs between cleaning and
+    * selection: train a language model on a trusted reference slice,
+    * score every document by its per-token perplexity under that model,
+    * and split the corpus into head/middle/tail tertiles (head = closest
+    * to the reference = kept; tail = dropped or down-weighted). Here the
+    * model is an add-one-smoothed unigram LM over the `lang = 'en'`
+    * slice, and the score is all-integer SURPRISAL: per token,
+    * floor(log2((N + V) div (cnt + 1))) — the bit-cost of the token
+    * under the reference distribution, exact on both engines because the
+    * division is integer and floor∘log2 of an integer < 2^40 cannot
+    * straddle an integer boundary in double arithmetic (the nearest
+    * non-power-of-2 integer is ≥ 2^-40 away in log2, 6 orders above the
+    * ~1e-14 libm error). Per-doc aggregate = (token count, total bits,
+    * avg microbits = bits·10⁶ div n_tok); tertile assignment replays
+    * ntile(3) arithmetic over the GLOBAL rank — computed scalably via
+    * [[graft.operators.DistributedScan.rowNumbers]] (range-partitioned
+    * two-level scan), while the oracle uses DuckDB's actual ntile(3),
+    * so the gate also pins the rank→bucket formula against the real
+    * window function.
+    *
+    * Scale shape: the LM is a broadcast dimension (bounded by vocabulary
+    * size, not corpus size — the hot-token join skew that a shuffle join
+    * would suffer never materializes); scoring is map-only after the
+    * broadcast; the per-doc aggregate is map-side combinable on doc_id;
+    * the only global structure is the prefix-sum rank (range partitioned,
+    * no single-partition window). Driver traffic: one 2-value normalizer
+    * row + one count. */
+  private def q346(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select($"doc_id", $"lang",
+      explode(split($"text", " ")).as("tok"))
+    val lm = toks.filter($"lang" === "en")
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    // bounded collect: ONE row — the LM normalizer (token count + type count)
+    val nv = lm.agg(coalesce(sum($"cnt"), lit(0L)).as("n"),
+      count(lit(1)).as("v")).collect()(0)
+    val norm = nv.getLong(0) + nv.getLong(1)
+    require(norm > 0 && norm < (1L << 40),
+      s"surprisal contract needs 0 < N+V < 2^40, got $norm")
+    val perDoc = toks
+      .join(broadcast(lm.withColumnRenamed("tok", "m_tok")),
+        $"tok" === $"m_tok", "left")
+      .select($"doc_id",
+        floor(log2(expr(s"$norm div (coalesce(cnt, 0) + 1)")))
+          .cast("long").as("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum($"s").as("bits"))
+      .withColumn("avg_microbits", expr("(bits * 1000000) div n_tok"))
+    // bounded action: one count (the ntile arithmetic needs n)
+    val n = perDoc.count()
+    require(n >= 3, s"tertile bucketing needs >= 3 documents, got $n")
+    val q = n / 3
+    val r = n % 3
+    val cut = r * (q + 1)
+    val ranked = graft.operators.DistributedScan.rowNumbers(
+      perDoc, Seq(col("avg_microbits"), col("doc_id")), "rk")
+    ranked
+      .withColumn("b", expr(
+        s"CASE WHEN rk <= $cut THEN (rk + $q) div ${q + 1} " +
+          s"ELSE $r + (rk - $cut + ${q - 1}) div $q END"))
+      .select($"doc_id", $"n_tok", $"bits", $"avg_microbits",
+        when($"b" === 1, "head").when($"b" === 2, "middle")
+          .otherwise("tail").as("tier"))
+      .orderBy($"doc_id")
+  }
+  private val q346Sql =
+    """WITH toks AS (SELECT doc_id, lang,
+      |    unnest(string_split(text, ' ')) AS tok FROM documents),
+      |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM toks WHERE lang = 'en' GROUP BY 1),
+      |nv AS (SELECT CAST(coalesce(sum(cnt), 0) + count(*) AS BIGINT)
+      |    AS norm FROM lm),
+      |surp AS (SELECT t.doc_id,
+      |    CAST(floor(log2(nv.norm // (coalesce(l.cnt, 0) + 1)))
+      |      AS BIGINT) AS s
+      |  FROM toks t CROSS JOIN nv LEFT JOIN lm l ON t.tok = l.tok),
+      |docagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |    CAST(sum(s) AS BIGINT) AS bits FROM surp GROUP BY 1),
+      |rk AS (SELECT doc_id, n_tok, bits,
+      |    (bits * 1000000) // n_tok AS avg_microbits,
+      |    ntile(3) OVER (ORDER BY (bits * 1000000) // n_tok, doc_id) AS b
+      |  FROM docagg)
+      |SELECT doc_id, n_tok, bits, avg_microbits,
+      |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+      |    AS tier
+      |FROM rk ORDER BY doc_id""".stripMargin
+
+  /** q347: TEMPERATURE-BASED SOURCE MIXING (α = 0.5) — the multilingual/
+    * multi-source sampling scheme of mT5 / XLM-R: sample source i with
+    * probability ∝ massᵢ^α, flattening the natural distribution so
+    * high-resource sources stop drowning low-resource ones. α = 1/2
+    * makes the weight an INTEGER SQUARE ROOT of the per-source character
+    * mass — computed exactly on both engines as floor(sqrt(double)) with
+    * a ±1 integer correction (double sqrt can be off by one ulp near
+    * perfect squares; the correction re-anchors on exact integer
+    * comparisons, so the weight is bit-deterministic at any magnitude
+    * < 2^52). The 200-document budget is then apportioned by the q187
+    * largest-remainder rule (floors + top remainders, ties by source),
+    * and each source's quota is filled DETERMINISTICALLY by md5-bucket
+    * order (the q60/q149 discipline: a reshuffle-proof, rerun-proof
+    * pick). Output = the selected corpus rows with their quota and pick
+    * rank, so the hash pins the weights, the apportionment, and every
+    * individual pick.
+    *
+    * Scale shape: one grouped aggregate over the corpus (map-side
+    * combinable), the allocation arithmetic on the |sources|-row frame
+    * (tiny-frame window discipline, cf. q187), then a per-source top-k
+    * (partitioned window, quota-bounded). No data-sized collect, no
+    * global window. */
+  private def q347(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 200L
+    val docs = Tables.documents(s, dir)
+    val mass = docs.groupBy($"source")
+      .agg(sum($"n_chars").as("chars"))
+      .withColumn("s0", floor(sqrt($"chars".cast("double"))).cast("long"))
+      .withColumn("wt", expr(
+        "CASE WHEN (s0 + 1) * (s0 + 1) <= chars THEN s0 + 1 " +
+          "WHEN s0 * s0 > chars THEN s0 - 1 ELSE s0 END"))
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.partitionBy().orderBy($"rem".desc, $"source")
+    val alloc = mass
+      .withColumn("t", sum($"wt").over(wAll))
+      .withColumn("basis", $"wt".cast("decimal(28,0)") * lit(budget))
+      .withColumn("base", expr("basis div t"))
+      .withColumn("rem", expr("basis % t"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("leftover", lit(budget) - sum($"base").over(wAll))
+      .select($"source".as("a_source"), $"wt",
+        ($"base" + when($"rk" <= $"leftover", 1L).otherwise(0L))
+          .as("quota"))
+    val wPick = Window.partitionBy($"source")
+      .orderBy(hashBucket("doc_id"), $"doc_id")
+    docs.join(broadcast(alloc), $"source" === $"a_source")
+      .withColumn("pick", row_number().over(wPick))
+      .filter($"pick" <= $"quota")
+      .select($"source", $"doc_id", $"wt", $"quota",
+        $"pick".cast("long").as("pick"))
+      .orderBy($"source", $"pick")
+  }
+  private val q347Sql = {
+    val b = duckBucket("doc_id")
+    s"""WITH mass AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY 1),
+      |wts AS (SELECT source, chars,
+      |    CAST(floor(sqrt(CAST(chars AS DOUBLE))) AS BIGINT) AS s0
+      |  FROM mass),
+      |w AS (SELECT source,
+      |    CASE WHEN (s0 + 1) * (s0 + 1) <= chars THEN s0 + 1
+      |      WHEN s0 * s0 > chars THEN s0 - 1 ELSE s0 END AS wt
+      |  FROM wts),
+      |x AS (SELECT source, wt,
+      |    200 * CAST(wt AS HUGEINT) // (SELECT sum(wt) FROM w) AS base,
+      |    200 * CAST(wt AS HUGEINT) % (SELECT sum(wt) FROM w) AS rem
+      |  FROM w),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+      |    200 - sum(base) OVER () AS leftover FROM x),
+      |alloc AS (SELECT source, wt,
+      |    CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |      AS quota FROM r),
+      |picked AS (SELECT d.source, d.doc_id, a.wt, a.quota,
+      |    row_number() OVER (PARTITION BY d.source
+      |      ORDER BY $b, d.doc_id) AS pick
+      |  FROM documents d JOIN alloc a ON d.source = a.source)
+      |SELECT source, doc_id, wt, quota, CAST(pick AS BIGINT) AS pick
+      |FROM picked WHERE pick <= quota
+      |ORDER BY source, pick""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q347_temperature_mixing", q347, Some(q347Sql)),
+    QueryDef("q346_perplexity_buckets", q346, Some(q346Sql)),
     QueryDef("q283_unimax_budget", q283, Some(q283Sql)),
     QueryDef("q327_dsir_reweight", q327, Some(q327Sql)),
     QueryDef("q292_zipf_slope", q292, Some(q292Sql)),

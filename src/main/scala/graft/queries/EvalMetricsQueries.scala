@@ -441,7 +441,89 @@ object EvalMetricsQueries extends QueryModule {
       |    / sqrt(CAST(n0 - tr AS DOUBLE) * (n0 - tq)), 6) AS tau_b6
       |FROM cells""".stripMargin
 
+  /** q348: SELF-BLEU sufficient statistics — the corpus-DIVERSITY metric
+    * of Zhu et al. 2018 (Texygen): for each document, BLEU-style clipped
+    * n-gram precision against ALL OTHER documents of its source as the
+    * reference set; low self-BLEU = diverse corpus, high = mode collapse
+    * or boilerplate. Emitted as the integer sufficient statistics a
+    * distributed eval pipeline actually aggregates — per (source, n ≤ 4):
+    * Σ clipped matches and Σ candidate n-grams, plus the ppm precision —
+    * because corpus-level BLEU is computed FROM these sums (the brevity
+    * penalty is ≈1 under the self-BLEU convention of closest-length
+    * references and is left to the consumer; documented, not hidden).
+    * The clip for doc d's n-gram g is min(c_d(g), max_{d'≠d} c_{d'}(g)):
+    * realized without a per-doc anti-join by ranking each gram's per-doc
+    * counts ONCE — the reference max for the argmax doc is the gram's
+    * SECOND-highest count (nth_value 2), for every other doc the first —
+    * so the all-pairs "each doc vs the rest" semantics costs one window
+    * pass, not |docs|² work. The hash pins every per-gram top-2 choice
+    * (tie rule: count DESC, doc_id ASC) through the integer sums.
+    *
+    * Scale shape: one explode + one map-side-combinable (doc, n, gram)
+    * count; one window partitioned by (source, n, gram) — partition size
+    * is bounded by the docs-per-source sharing the gram, never global;
+    * one final combinable (source, n) aggregate. All-integer output. */
+  private def q348(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"source", $"doc_id", split($"text", " ").as("w"))
+    val grams = (1 to 4).map { n =>
+      docs.filter(size($"w") >= n).select($"source", $"doc_id",
+        lit(n).as("n"),
+        explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> array_join(slice(w, i, $n), ''))")).as("gram"))
+    }.reduce(_ unionAll _)
+    val cand = grams.groupBy($"source", $"doc_id", $"n", $"gram")
+      .agg(count(lit(1)).as("c"))
+    val wg = Window.partitionBy($"source", $"n", $"gram")
+      .orderBy($"c".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cand
+      .withColumn("c1", first($"c").over(wg))
+      .withColumn("d1", first($"doc_id").over(wg))
+      .withColumn("c2", nth_value($"c", 2).over(wg))
+      .withColumn("clip", least($"c",
+        when($"doc_id" === $"d1", coalesce($"c2", lit(0L))).otherwise($"c1")))
+      .groupBy($"source", $"n")
+      .agg(sum($"clip").as("clipped"), sum($"c").as("total"))
+      .select($"source", $"n".cast("long").as("n"), $"clipped", $"total",
+        expr("CASE WHEN total = 0 THEN 0 " +
+          "ELSE (clipped * 1000000) div total END").as("prec_ppm"))
+      .orderBy($"source", $"n")
+  }
+  private val q348Sql = {
+    val branches = (1 to 4).map { n =>
+      s"""SELECT source, doc_id, $n AS n,
+         |    unnest(list_transform(range(1, len(w) - ${n - 1} + 1),
+         |      i -> array_to_string(w[i:i+${n - 1}], chr(31)))) AS gram
+         |  FROM docs WHERE len(w) >= $n""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS (SELECT source, doc_id, string_split(text, ' ') AS w
+      |  FROM documents),
+      |g AS (
+      |  $branches),
+      |cand AS (SELECT source, doc_id, n, gram,
+      |    CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2, 3, 4),
+      |win AS (SELECT source, doc_id, n, c,
+      |    first_value(c) OVER wg AS c1,
+      |    first_value(doc_id) OVER wg AS d1,
+      |    nth_value(c, 2) OVER wg AS c2
+      |  FROM cand WINDOW wg AS (PARTITION BY source, n, gram
+      |    ORDER BY c DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |cl AS (SELECT source, n, c,
+      |    least(c, CASE WHEN doc_id = d1 THEN coalesce(c2, 0) ELSE c1 END)
+      |      AS clip FROM win),
+      |agg AS (SELECT source, n, CAST(sum(clip) AS BIGINT) AS clipped,
+      |    CAST(sum(c) AS BIGINT) AS total FROM cl GROUP BY 1, 2)
+      |SELECT source, CAST(n AS BIGINT) AS n, clipped, total,
+      |  CASE WHEN total = 0 THEN 0
+      |    ELSE (clipped * 1000000) // total END AS prec_ppm
+      |FROM agg ORDER BY source, n""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q348_self_bleu", q348, Some(q348Sql)),
     QueryDef("q293_kendall_tau", q293, Some(q293Sql)),
     QueryDef("q234_ndcg_mrr", q234, Some(q234Sql)),
     QueryDef("q235_rank_biased_overlap", q235, Some(q235Sql)),
