@@ -139,7 +139,45 @@ object JoinQueries extends QueryModule {
       |GROUP BY r_name, n_name
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** q349: TPC-H Q13-shaped customer-order distribution — the canonical
+    * OUTER-join-with-ON-clause-filter trap plus a two-level aggregate:
+    * count each customer's non-urgent orders with the predicate INSIDE
+    * the join condition (moving `o_orderpriority <> '1-URGENT'` to a
+    * WHERE would silently DROP the zero-order customers the outer join
+    * exists to preserve — this gate pins the distinction), then the
+    * distribution of those counts. Both engines run the literal
+    * two-level shape, so the hash also pins COUNT(col)'s null-skipping
+    * over unmatched outer rows.
+    *
+    * Scale shape: one shuffle on the join key (orders side filtered
+    * before the exchange by Catalyst — ON-clause pushdown to the
+    * non-preserved side is safe and the plan is asserted by parity, not
+    * assumed), one map-side-combinable count per customer, then a
+    * second aggregate over the |distinct counts| ≤ few-hundred-row
+    * frame. Deterministic order: c_count is unique as the second-level
+    * group key, so (custdist DESC, c_count DESC) is total. */
+  private def q349(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        $"c_custkey" === $"o_custkey" && $"o_orderpriority" =!= "1-URGENT",
+        "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+  private val q349Sql =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q349_order_count_dist", q349, Some(q349Sql)),
     QueryDef("q11_range_self_join", q11, Some(q11Sql)),
     QueryDef("q12_semi_anti_join", q12, Some(q12Sql)),
     QueryDef("q13_merge_upsert", q13, Some(q13Sql)),

@@ -227,7 +227,59 @@ object SetSubqueryQueries extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY n_fault_orders DESC, s_suppkey LIMIT 10""".stripMargin
 
+  /** q350: TPC-H Q22-shaped dormant-rich-customer report — the
+    * three-clause composition Q22 exercises: (1) an uncorrelated SCALAR
+    * subquery in the filter (balance above the positive-balance
+    * average), (2) a NOT EXISTS anti-join (no urgent order — the
+    * synthetic data gives every customer SOME order, so the textbook
+    * "no orders at all" arm would gate an empty set), (3) a grouped
+    * roll-up of the survivors by nation. The average comparison is
+    * EXACT: instead of avg()'s order-dependent double, both engines
+    * compare cents·n > Σcents by integer cross-multiplication (cents ≤
+    * 10⁶, n ≤ 10⁷ at sf100 → product < 2^53; the money-discipline form
+    * of the scalar-subquery filter). Balances roll up in cents (BIGINT)
+    * for the same reason.
+    *
+    * Scale shape: the stats row is a 1-row broadcast (no collect); the
+    * anti-join shuffles on custkey against the pre-filtered urgent
+    * slice; the final aggregate is map-side combinable on nationkey.
+    * Spark builds the anti-join directly (left_anti) — the same plan
+    * Catalyst de-correlates NOT EXISTS into, which the oracle runs
+    * literally. */
+  private def q350(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cc = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_nationkey",
+        round($"c_acctbal" * 100).cast("long").as("cents"))
+    val st = cc.filter($"cents" > 0)
+      .agg(sum($"cents").as("s_cents"), count(lit(1)).as("n_pos"))
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    cc.crossJoin(broadcast(st))
+      .filter($"cents" * $"n_pos" > $"s_cents")
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("numcust"), sum($"cents").as("total_cents"))
+      .orderBy($"c_nationkey")
+  }
+  private val q350Sql =
+    """WITH cc AS (SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+      |st AS (SELECT CAST(sum(cents) AS BIGINT) AS s_cents,
+      |    CAST(count(*) AS BIGINT) AS n_pos FROM cc WHERE cents > 0),
+      |sel AS (SELECT cc.c_nationkey, cc.cents
+      |  FROM cc CROSS JOIN st
+      |  WHERE cc.cents * st.n_pos > st.s_cents
+      |    AND NOT EXISTS (SELECT 1 FROM orders o
+      |      WHERE o.o_custkey = cc.c_custkey
+      |        AND o.o_orderpriority = '1-URGENT'))
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q350_dormant_rich", q350, Some(q350Sql)),
     QueryDef("q43_intersect_except", q43, Some(q43Sql)),
     QueryDef("q44_in_subquery", q44, Some(q44Sql)),
     QueryDef("q45_correlated_scalar", q45, Some(q45Sql)),

@@ -1094,7 +1094,70 @@ object VectorQueries extends QueryModule {
       |JOIN pn ON pr.vec_id = pn.vec_id
       |ORDER BY pr.vec_id, j""".stripMargin
 
+  /** q351: SQ8 SCALAR QUANTIZATION — the FAISS-style 8-bit codec every
+    * memory-bound vector index ships before PQ (q93 gates PQ; this gates
+    * its simpler, reconstruction-friendlier sibling): per-dimension
+    * min/max calibration over the corpus, code = ⌊(v − min)·255 /
+    * (max − min)⌋ ∈ [0, 255], and the dequantized reconstruction error
+    * |v − (min + (code + ½)·(max − min)/255)|. Cross-engine exactness:
+    * min/max are SELECTIONS (no arithmetic); the code and the per-cell
+    * error are single-expression double arithmetic written with the
+    * IDENTICAL association on both engines — IEEE-754 +,−,×,/ are
+    * bit-exact deterministic per row (the repo-wide rule: per-row double
+    * math is safe, ACCUMULATED double math is not) — and the error is
+    * truncated to integer µ-units PER CELL (floor(err·10⁶) on the
+    * bit-identical per-row double) before summing, so the per-vector
+    * sums are integer-exact and order-free. Output per vector: Σcode,
+    * the position-weighted Σcode·i (pins every code, not just the
+    * multiset), and the summed µ-truncated reconstruction error.
+    *
+    * Scale shape: the calibration model is a 64-row aggregate
+    * (map-side-combinable min/max) broadcast back onto the cell stream;
+    * coding + error are map-only; the per-vector roll-up is one
+    * combinable shuffle on vec_id. No collect, no window. */
+  private def q351(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode($"embedding".cast("array<double>"))
+        .as(Seq("i0", "v")))
+      .select($"vec_id", ($"i0" + 1).as("i"), $"v")
+    val stats = cells.groupBy($"i")
+      .agg(min($"v").as("mn"), max($"v").as("mx"))
+      .withColumnRenamed("i", "si")
+    cells.join(broadcast(stats), $"i" === $"si")
+      .withColumn("code", when($"mx" === $"mn", lit(0L))
+        .otherwise(floor(($"v" - $"mn") * 255d / ($"mx" - $"mn"))))
+      .withColumn("err_u", floor(abs($"v" -
+          ($"mn" + ($"code" + 0.5d) * ($"mx" - $"mn") / 255d)) * 1000000d)
+        .cast("long"))
+      .groupBy($"vec_id")
+      .agg(sum($"code").as("code_sum"),
+        sum($"code" * $"i").as("code_wsum"),
+        sum($"err_u").as("err_micro"))
+      .orderBy($"vec_id")
+  }
+  private val q351Sql =
+    """WITH cells AS (SELECT vec_id, t.i AS i,
+      |    CAST(embedding[t.i] AS DOUBLE) AS v
+      |  FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+      |stats AS (SELECT i AS si, min(v) AS mn, max(v) AS mx
+      |  FROM cells GROUP BY 1),
+      |coded AS (SELECT c.vec_id, c.i, c.v, s.mn, s.mx,
+      |    CASE WHEN s.mx = s.mn THEN 0
+      |      ELSE CAST(floor((c.v - s.mn) * 255 / (s.mx - s.mn)) AS BIGINT)
+      |    END AS code
+      |  FROM cells c JOIN stats s ON c.i = s.si),
+      |errs AS (SELECT vec_id, i, code,
+      |    CAST(floor(abs(v - (mn + (code + 0.5) * (mx - mn) / 255))
+      |      * 1000000) AS BIGINT) AS err_u
+      |  FROM coded)
+      |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+      |  CAST(sum(code * i) AS BIGINT) AS code_wsum,
+      |  CAST(sum(err_u) AS BIGINT) AS err_micro
+      |FROM errs GROUP BY 1 ORDER BY vec_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q351_sq8_quantize", q351, Some(q351Sql)),
     QueryDef("q281_mmr_select", q281, Some(q281Sql)),
     QueryDef("q282_matryoshka_recall", q282, Some(q282Sql)),
     QueryDef("q300_jl_projection", q300, Some(q300Sql)),
