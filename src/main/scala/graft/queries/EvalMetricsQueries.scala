@@ -522,7 +522,73 @@ object EvalMetricsQueries extends QueryModule {
       |FROM agg ORDER BY source, n""".stripMargin
   }
 
+  /** q353: B-CUBED + PURITY clustering evaluation (Bagga & Baldwin 1998;
+    * the metric of record for dedup/coreference cluster quality, cf.
+    * Amigó et al. 2009) — scores the engine's own q30 sign-bit LSH
+    * bucketing against the embeddings' gold `label` column. Per-cluster
+    * row: size, distinct labels, dominant label (ties → smallest label)
+    * with purity, Σc² with the B³-precision contribution (B³P cluster
+    * term = Σ_l c²/n_b), and the µ-scaled B³-recall contribution
+    * (Σ_l ⌊c²·10⁶/n_l⌋ — per-CELL floor-truncated so the sum is
+    * integer-exact and order-free on both engines; global B³P/R are one
+    * consumer division away). Everything is counting arithmetic —
+    * no floats anywhere.
+    *
+    * Scale shape: one combinable (bucket, label) count, a |labels|-row
+    * broadcast for n_l, a window over the per-bucket cell group (bounded
+    * by |labels|, not corpus size), one combinable bucket roll-up. */
+  private def q353(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label",
+        graft.functions.vector.signBits($"embedding".cast("array<double>"),
+          0, 8).as("bucket"))
+      .groupBy($"bucket", $"label").agg(count(lit(1)).as("c"))
+    val lab = cells.groupBy($"label").agg(sum($"c").as("n_l"))
+      .withColumnRenamed("label", "l2")
+    val wB = Window.partitionBy($"bucket")
+    cells.join(broadcast(lab), $"label" === $"l2")
+      .withColumn("mc", max($"c").over(wB))
+      .groupBy($"bucket")
+      .agg(sum($"c").as("n_b"), count(lit(1)).as("n_labels"),
+        sum($"c" * $"c").as("sum_c2"),
+        max($"c").as("dom_cnt"),
+        min(when($"c" === $"mc", $"label")).cast("long").as("dom_label"),
+        sum(expr("(c * c * 1000000) div n_l")).as("brec_ppm_sum"))
+      .withColumn("purity_ppm", expr("(dom_cnt * 1000000) div n_b"))
+      .withColumn("bprec_ppm", expr("(sum_c2 * 1000000) div n_b"))
+      .select($"bucket", $"n_b", $"n_labels", $"dom_label", $"dom_cnt",
+        $"sum_c2", $"purity_ppm", $"bprec_ppm", $"brec_ppm_sum")
+      .orderBy($"bucket")
+  }
+  private val q353Sql =
+    """WITH b0 AS (SELECT vec_id, label,
+      |    list_reduce(list_prepend(0, list_transform(range(1, 9),
+      |      j -> CASE WHEN CAST(embedding[j] AS DOUBLE) >= 0
+      |        THEN (1 << (j - 1)) ELSE 0 END)),
+      |      (acc, x) -> acc + x) AS bucket
+      |  FROM embeddings),
+      |cells AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS c
+      |  FROM b0 GROUP BY 1, 2),
+      |lab AS (SELECT label, CAST(sum(c) AS BIGINT) AS n_l
+      |  FROM cells GROUP BY 1),
+      |cl AS (SELECT c.bucket, c.label, c.c, l.n_l,
+      |    max(c.c) OVER (PARTITION BY c.bucket) AS mc
+      |  FROM cells c JOIN lab l ON c.label = l.label)
+      |SELECT bucket, CAST(sum(c) AS BIGINT) AS n_b,
+      |  CAST(count(*) AS BIGINT) AS n_labels,
+      |  CAST(min(CASE WHEN c = mc THEN label END) AS BIGINT) AS dom_label,
+      |  CAST(max(c) AS BIGINT) AS dom_cnt,
+      |  CAST(sum(c * c) AS BIGINT) AS sum_c2,
+      |  (CAST(max(c) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
+      |    AS purity_ppm,
+      |  (CAST(sum(c * c) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
+      |    AS bprec_ppm,
+      |  CAST(sum((c * c * 1000000) // n_l) AS BIGINT) AS brec_ppm_sum
+      |FROM cl GROUP BY 1 ORDER BY bucket""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q353_bcubed_purity", q353, Some(q353Sql)),
     QueryDef("q348_self_bleu", q348, Some(q348Sql)),
     QueryDef("q293_kendall_tau", q293, Some(q293Sql)),
     QueryDef("q234_ndcg_mrr", q234, Some(q234Sql)),

@@ -771,7 +771,74 @@ object TextDedupQueries extends QueryModule {
       |FROM agg a JOIN med m ON a.source = m.source
       |ORDER BY a.source""".stripMargin
 
+  /** q352: WINNOWING fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): the LOCAL fingerprint-selection guarantee the
+    * plain rolling-hash fingerprints (q24) and MinHash sketches (q26)
+    * lack — from every window of w = 4 consecutive k-gram (k = 8 chars)
+    * hashes, select the minimum, ties to the RIGHTMOST position, dedup
+    * overlapping selections — so any match of length ≥ k + w − 1 between
+    * two documents is GUARANTEED to share a fingerprint (the property
+    * plagiarism/near-dup detection needs; density ≈ 2/(w+1)). Engine
+    * portability: the hash is the md5 hex STRING (the repo's minhash
+    * discipline — no hash-seed drift), and the winnowing tie rule is
+    * encoded structurally — key = md5 ∥ zero-padded (2²⁰ − pos), so a
+    * plain string MIN is min-hash-then-rightmost-pos, no argmin needed.
+    * Output per doc: fingerprint count + the md5 digest of the
+    * sort-ordered fingerprint set (q158's ordered-agg discipline), so
+    * the hash pins every selected (gram, position) pair.
+    *
+    * Scale shape: gram hashing is a pure projection; the window min is
+    * per-doc, ROWS-framed, w-bounded; the digest is one grouped ordered
+    * agg on doc_id — no joins, nothing global. */
+  /** The winnowing selection itself — distinct (doc_id, sel) keys, where
+    * sel = selected gram's md5 (32 hex chars) ∥ zero-padded (2²⁰ − pos).
+    * Factored out so WinnowingSpec can assert the guarantee on the HASH
+    * prefix (shared substrings select the same md5 at different
+    * positions). */
+  private[queries] def winnowSelections(docs: DataFrame, k: Int = 8,
+      w: Int = 4): DataFrame = {
+    val grams = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), " +
+          s"i -> struct(i AS pos, substring(text, i, $k) AS g))")).as("x"))
+      .select(col("doc_id"), col("x.pos").as("pos"),
+        concat(md5(col("x.g")),
+          lpad((lit(1048576) - col("x.pos")).cast("string"), 7, "0"))
+          .as("key"))
+    val wFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("sel", min(col("key")).over(wFrame))
+      .filter(col("pos") >= w)
+      .select(col("doc_id"), col("sel")).distinct()
+  }
+
+  private def q352(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    winnowSelections(Tables.documents(s, dir))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        md5(concat_ws(",", array_sort(collect_list($"sel"))))
+          .as("fp_digest"))
+      .orderBy($"doc_id")
+  }
+  private val q352Sql =
+    """WITH g AS (SELECT doc_id, t.i AS pos,
+      |    md5(substr(text, t.i, 8))
+      |      || lpad(CAST(1048576 - t.i AS VARCHAR), 7, '0') AS key
+      |  FROM documents, UNNEST(range(1, length(text) - 6)) AS t(i)
+      |  WHERE length(text) >= 8),
+      |selw AS (SELECT doc_id, pos, min(key) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+      |  FROM g),
+      |sel AS (SELECT DISTINCT doc_id, sel FROM selw WHERE pos >= 4)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+      |  md5(string_agg(sel, ',' ORDER BY sel)) AS fp_digest
+      |FROM sel GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q352_winnowing", q352, Some(q352Sql)),
     QueryDef("q311_rake_keyphrases", q311, Some(q311Sql)),
     QueryDef("q321_corpus_datasheet", q321, Some(q321Sql)),
     QueryDef("q22_token_quality", q22, Some(q22Sql)),
