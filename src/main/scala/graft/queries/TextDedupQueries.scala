@@ -797,6 +797,13 @@ object TextDedupQueries extends QueryModule {
     * positions). */
   private[queries] def winnowSelections(docs: DataFrame, k: Int = 8,
       w: Int = 4): DataFrame = {
+    // NO pre-explode repartition: the parquet scan already splits the
+    // single file by row group, so the ~L-per-doc gram explode + md5
+    // kernel runs parallel off the scan (4.1 s at sf0.1). A
+    // repartition(doc_id) here was A/B-measured 2.4× SLOWER (10 s): the
+    // 5000-row doc exchange is bytes-tiny, AQE coalesces it to ONE
+    // post-shuffle partition, and the kernel serializes — the q246
+    // single-file trap does not apply when the scan itself splits.
     val grams = docs
       .filter(length(col("text")) >= k)
       .select(col("doc_id"), explode(expr(
