@@ -1033,7 +1033,85 @@ object CurationQueries extends QueryModule {
       |ORDER BY source, pick""".stripMargin
   }
 
+  /** q354: CROSS-SPLIT N-GRAM NOVELTY — the memorization/contamination
+    * pressure profile an eval pipeline reads before trusting a held-out
+    * split (the aggregate complement of q63's per-hit decontamination):
+    * for n = 1..4, what share of the EVAL split's word n-grams (by token
+    * and by type) never appears in the TRAIN split? Low novelty at high
+    * n means the eval set is paraphrase-contaminated; the n-gram novelty
+    * curve is the standard memorization audit (cf. McCoy et al. 2021
+    * "raven" n-gram novelty). The split is the engine's own
+    * deterministic md5 split ([[splitColumn]], q60's contract), so the
+    * gate also re-pins split stability end-to-end. All-integer output
+    * (counts + ppm ratios by integer division).
+    *
+    * Scale shape: gram build is a projection; the train gram SET is a
+    * distinct (one combinable shuffle on the gram key); novelty is a
+    * LEFT ANTI join of eval grams against it on the same key (no
+    * all-pairs anything); final roll-up is a 4-row aggregate. */
+  private def q354(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .withColumn("split", splitColumn("doc_id"))
+      .select($"split", split($"text", " ").as("w"))
+    val grams = (1 to 4).map { n =>
+      docs.filter(size($"w") >= n).select($"split", lit(n).as("n"),
+        explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> array_join(slice(w, i, $n), '${""}'))")).as("gram"))
+    }.reduce(_ unionAll _)
+    val trainSet = grams.filter($"split" === "train")
+      .select($"n".as("tn"), $"gram".as("tg")).distinct()
+    val eval = grams.filter($"split" === "eval")
+      .groupBy($"n", $"gram").agg(count(lit(1)).as("c"))
+    val novel = eval.join(trainSet,
+        $"n" === $"tn" && $"gram" === $"tg", "left_anti")
+      .groupBy($"n")
+      .agg(sum($"c").as("novel_total"), count(lit(1)).as("novel_types"))
+      .withColumnRenamed("n", "n2")
+    eval.groupBy($"n")
+      .agg(sum($"c").as("eval_total"), count(lit(1)).as("eval_types"))
+      .join(novel, $"n" === $"n2", "left")
+      .select($"n".cast("long").as("n"), $"eval_total", $"eval_types",
+        coalesce($"novel_total", lit(0L)).as("novel_total"),
+        coalesce($"novel_types", lit(0L)).as("novel_types"))
+      .withColumn("novelty_ppm",
+        expr("(novel_total * 1000000) div eval_total"))
+      .orderBy($"n")
+  }
+  private val q354Sql = {
+    val b = duckBucket("doc_id")
+    val branches = (1 to 4).map { n =>
+      s"""SELECT split, $n AS n,
+         |    unnest(list_transform(range(1, len(w) - ${n - 1} + 1),
+         |      i -> array_to_string(w[i:i+${n - 1}], chr(31)))) AS gram
+         |  FROM d WHERE len(w) >= $n""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT CASE WHEN $b % 100 < 10 THEN 'eval'
+      |    ELSE 'train' END AS split,
+      |    string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  $branches),
+      |tset AS (SELECT DISTINCT n, gram FROM g WHERE split = 'train'),
+      |ev AS (SELECT n, gram, CAST(count(*) AS BIGINT) AS c
+      |  FROM g WHERE split = 'eval' GROUP BY 1, 2),
+      |nov AS (SELECT e.n, CAST(sum(e.c) AS BIGINT) AS novel_total,
+      |    CAST(count(*) AS BIGINT) AS novel_types
+      |  FROM ev e WHERE NOT EXISTS (SELECT 1 FROM tset t
+      |    WHERE t.n = e.n AND t.gram = e.gram)
+      |  GROUP BY 1),
+      |tot AS (SELECT n, CAST(sum(c) AS BIGINT) AS eval_total,
+      |    CAST(count(*) AS BIGINT) AS eval_types FROM ev GROUP BY 1)
+      |SELECT CAST(t.n AS BIGINT) AS n, t.eval_total, t.eval_types,
+      |  coalesce(v.novel_total, 0) AS novel_total,
+      |  coalesce(v.novel_types, 0) AS novel_types,
+      |  (coalesce(v.novel_total, 0) * 1000000) // t.eval_total
+      |    AS novelty_ppm
+      |FROM tot t LEFT JOIN nov v ON t.n = v.n
+      |ORDER BY n""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q354_ngram_novelty", q354, Some(q354Sql)),
     QueryDef("q347_temperature_mixing", q347, Some(q347Sql)),
     QueryDef("q346_perplexity_buckets", q346, Some(q346Sql)),
     QueryDef("q283_unimax_budget", q283, Some(q283Sql)),

@@ -546,7 +546,68 @@ object StatsQueries extends QueryModule {
       |    AS BIGINT) AS diff_cuped_ppm
       |FROM t""".stripMargin
 
+  /** q355: GOOD-TURING frequency estimation over the corpus vocabulary —
+    * the count-of-counts statistics (Gale & Sampson 1995 "simple GT")
+    * a corpus pipeline reads to estimate UNSEEN mass and smooth rare
+    * counts before any LM work: N_r = #{types seen exactly r times} for
+    * r = 1..5, each with the GT-adjusted count r* = (r+1)·N_{r+1}/N_r in
+    * µ-units, plus the r = 0 row carrying the unseen-probability
+    * estimate p₀ = N₁/N (the hapax share of tokens). All counting
+    * arithmetic + integer division — no floats.
+    *
+    * Scale shape: token count (combinable), count-of-counts (a second
+    * combinable aggregate whose key space is the distinct FREQUENCIES —
+    * tiny), then literal 6-row frame assembly. Nothing data-sized past
+    * the second aggregate. */
+  private def q355(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cnt = Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val cc = cnt.groupBy($"c").agg(count(lit(1)).as("n_r"))
+    val tot = cnt.agg(sum($"c").as("nn"))
+    val rows5 = s.range(1, 6).toDF("r")
+      .join(cc.withColumnRenamed("c", "r1"), $"r" === $"r1", "left")
+      .join(cc.select($"c".as("r2"), $"n_r".as("n_next")),
+        $"r" + 1 === $"r2", "left")
+      .select($"r", coalesce($"n_r", lit(0L)).as("n_r"),
+        coalesce($"n_next", lit(0L)).as("n_next"))
+    val zero = tot
+      .join(cc.filter($"c" === 1).select($"n_r".as("n1")), lit(true), "left")
+      .select(lit(0L).as("r"), $"nn".as("n_r"),
+        coalesce($"n1", lit(0L)).as("n_next"))
+    zero.unionAll(rows5)
+      .withColumn("rstar_ppm", expr(
+        "CASE WHEN r = 0 THEN (n_next * 1000000) div n_r " +
+          "WHEN n_r > 0 THEN ((r + 1) * n_next * 1000000) div n_r " +
+          "ELSE 0 END"))
+      .orderBy($"r")
+  }
+  private val q355Sql =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+      |  FROM toks GROUP BY 1),
+      |cc AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+      |  FROM cnt GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM cnt),
+      |base AS (SELECT unnest(range(1, 6)) AS r),
+      |rows5 AS (SELECT CAST(b.r AS BIGINT) AS r,
+      |    coalesce(cc.n_r, 0) AS n_r, coalesce(c2.n_r, 0) AS n_next
+      |  FROM base b LEFT JOIN cc ON cc.r = b.r
+      |  LEFT JOIN cc c2 ON c2.r = b.r + 1),
+      |zero AS (SELECT CAST(0 AS BIGINT) AS r, t.nn AS n_r,
+      |    coalesce(cc.n_r, 0) AS n_next
+      |  FROM tot t LEFT JOIN cc ON cc.r = 1)
+      |SELECT r, n_r, n_next,
+      |  CASE WHEN r = 0 THEN (n_next * 1000000) // n_r
+      |    WHEN n_r > 0 THEN ((r + 1) * n_next * 1000000) // n_r
+      |    ELSE 0 END AS rstar_ppm
+      |FROM (SELECT * FROM zero UNION ALL SELECT * FROM rows5)
+      |ORDER BY r""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q355_good_turing", q355, Some(q355Sql)),
     QueryDef("q315_join_cardinality", q315, Some(q315Sql)),
     QueryDef("q323_cuped_readout", q323, Some(q323Sql)),
     QueryDef("q319_wilson_leaderboard", q319, Some(q319Sql)),
