@@ -824,10 +824,19 @@ object TimeSeriesQueries extends QueryModule {
     val (slopeR, sseR) = seg($"n_t" - $"x", $"sx_t" - $"sx",
       $"sxx_t" - $"sxx", $"sy_t" - $"sy", $"sxy_t" - $"sxy",
       $"syy_t" - $"syy")
+    // sse at ~1e13 magnitude is emitted at INTEGER grain via floor, not
+    // round(·, 2): at 5.6e13 a double's ulp is ~0.0078, so 2-dp rounding
+    // boundaries (0.01 apart) sit inside the ulp ~78% of the time — and
+    // Spark (BigDecimal HALF_UP on the shortest decimal repr) and DuckDB
+    // (scaled-double) round the SAME double differently in that zone
+    // (caught as a 1-ulp flip at sf0.001; the sf0.01/sf0.1 values simply
+    // happened to land clear of a boundary). floor is the same
+    // deterministic function of the bit-equal input on both engines and
+    // its boundaries are 100× coarser.
     cand.select($"day".as("break_day"), $"x".cast("long").as("n_left"),
         ($"n_t" - $"x").cast("long").as("n_right"),
         round(slopeL, 6).as("slope_left"), round(slopeR, 6).as("slope_right"),
-        round(sseL + sseR, 2).as("sse"))
+        floor(sseL + sseR).cast("long").as("sse"))
       .orderBy($"sse", $"break_day")
       .limit(1)
   }
@@ -894,7 +903,7 @@ object TimeSeriesQueries extends QueryModule {
       |  FROM cand)
       |SELECT day AS break_day, x AS n_left, n_t - x AS n_right,
       |  round(slope_l, 6) AS slope_left, round(slope_r, 6) AS slope_right,
-      |  round(sse_l + sse_r, 2) AS sse
+      |  CAST(floor(sse_l + sse_r) AS BIGINT) AS sse
       |FROM sc ORDER BY sse, break_day LIMIT 1""".stripMargin
 
   /** q243: seasonality-adjusted anomaly days — daily revenue scored
