@@ -1057,7 +1057,7 @@ object CurationQueries extends QueryModule {
     val grams = (1 to 4).map { n =>
       docs.filter(size($"w") >= n).select($"split", lit(n).as("n"),
         explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> array_join(slice(w, i, $n), '${""}'))")).as("gram"))
+          s"i -> array_join(slice(w, i, $n), chr(31)))")).as("gram"))
     }.reduce(_ unionAll _)
     val trainSet = grams.filter($"split" === "train")
       .select($"n".as("tn"), $"gram".as("tg")).distinct()

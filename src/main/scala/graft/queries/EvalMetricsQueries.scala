@@ -471,7 +471,7 @@ object EvalMetricsQueries extends QueryModule {
       docs.filter(size($"w") >= n).select($"source", $"doc_id",
         lit(n).as("n"),
         explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
-          s"i -> array_join(slice(w, i, $n), ''))")).as("gram"))
+          s"i -> array_join(slice(w, i, $n), chr(31)))")).as("gram"))
     }.reduce(_ unionAll _)
     val cand = grams.groupBy($"source", $"doc_id", $"n", $"gram")
       .agg(count(lit(1)).as("c"))
@@ -532,7 +532,11 @@ object EvalMetricsQueries extends QueryModule {
     * (Σ_l ⌊c²·10⁶/n_l⌋ — per-CELL floor-truncated so the sum is
     * integer-exact and order-free on both engines; global B³P/R are one
     * consumer division away). Everything is counting arithmetic —
-    * no floats anywhere.
+    * no floats anywhere. The c²·10⁶ terms are computed WIDE on both
+    * engines (DECIMAL(38,0) here, HUGEINT in the oracle): in BIGINT
+    * they would wrap silently on Spark once a (bucket,label) cell
+    * passes ~3.04M rows — a real size at corpus scale — while DuckDB
+    * raises, a divergence this widening removes.
     *
     * Scale shape: one combinable (bucket, label) count, a |labels|-row
     * broadcast for n_l, a window over the per-bucket cell group (bounded
@@ -551,12 +555,15 @@ object EvalMetricsQueries extends QueryModule {
       .withColumn("mc", max($"c").over(wB))
       .groupBy($"bucket")
       .agg(sum($"c").as("n_b"), count(lit(1)).as("n_labels"),
-        sum($"c" * $"c").as("sum_c2"),
+        sum(expr("CAST(c AS DECIMAL(19,0)) * c")).cast("long")
+          .as("sum_c2"),
         max($"c").as("dom_cnt"),
         min(when($"c" === $"mc", $"label")).cast("long").as("dom_label"),
-        sum(expr("(c * c * 1000000) div n_l")).as("brec_ppm_sum"))
+        sum(expr("(CAST(c AS DECIMAL(19,0)) * c * 1000000) div n_l"))
+          .as("brec_ppm_sum"))
       .withColumn("purity_ppm", expr("(dom_cnt * 1000000) div n_b"))
-      .withColumn("bprec_ppm", expr("(sum_c2 * 1000000) div n_b"))
+      .withColumn("bprec_ppm",
+        expr("(CAST(sum_c2 AS DECIMAL(19,0)) * 1000000) div n_b"))
       .select($"bucket", $"n_b", $"n_labels", $"dom_label", $"dom_cnt",
         $"sum_c2", $"purity_ppm", $"bprec_ppm", $"brec_ppm_sum")
       .orderBy($"bucket")
@@ -579,12 +586,13 @@ object EvalMetricsQueries extends QueryModule {
       |  CAST(count(*) AS BIGINT) AS n_labels,
       |  CAST(min(CASE WHEN c = mc THEN label END) AS BIGINT) AS dom_label,
       |  CAST(max(c) AS BIGINT) AS dom_cnt,
-      |  CAST(sum(c * c) AS BIGINT) AS sum_c2,
+      |  CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS sum_c2,
       |  (CAST(max(c) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
       |    AS purity_ppm,
-      |  (CAST(sum(c * c) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT)
+      |  CAST((sum(CAST(c AS HUGEINT) * c) * 1000000) // sum(c) AS BIGINT)
       |    AS bprec_ppm,
-      |  CAST(sum((c * c * 1000000) // n_l) AS BIGINT) AS brec_ppm_sum
+      |  CAST(sum((CAST(c AS HUGEINT) * c * 1000000) // n_l) AS BIGINT)
+      |    AS brec_ppm_sum
       |FROM cl GROUP BY 1 ORDER BY bucket""".stripMargin
 
   override def queries: Seq[QueryDef] = Seq(

@@ -806,6 +806,18 @@ object TextDedupQueries extends QueryModule {
     // single-file trap does not apply when the scan itself splits.
     val grams = docs
       .filter(length(col("text")) >= k)
+      // The position key encodes (2^20 - pos) as a fixed 7-digit field;
+      // a document of >= 2^20 chars would drive it non-positive and
+      // silently break the min-key rightmost-tie rule. Fail LOUDLY
+      // instead (same when/raise discipline as Dedup's hot-bucket
+      // guard): the otherwise branch only evaluates on offending rows,
+      // so valid corpora pay nothing.
+      .withColumn("text", when(length(col("text")) < 1048576, col("text"))
+        .otherwise(raise_error(concat(
+          lit("winnowing: doc "), col("doc_id").cast("string"),
+          lit(" has length >= 2^20 chars; the 7-digit position "),
+          lit("encoding would overflow - widen it before fingerprinting")))
+          .cast("string")))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(text) - ${k - 1}), " +
           s"i -> struct(i AS pos, substring(text, i, $k) AS g))")).as("x"))

@@ -54,6 +54,42 @@ class WinnowingSpec extends SparkTestBase {
     assert(sel.map(_._3).sorted.toList == (4L to 13L).toList)
   }
 
+  test("guarantee holds parametrically: second window shape (k=5, w=7)") {
+    // the Schleimer guarantee is parametric in (k, w); prove the spec
+    // isn't an artifact of the gate's (8, 4) choice
+    val k2 = 5; val w2 = 7
+    val shared = "SHAREDBLOCK" // k2 + w2 - 1 = 11 chars
+    val docs = Seq(1L -> ("prefix-one-" + shared + "-tail-a"),
+      2L -> ("zz-" + shared + "-something-else")).toDF("doc_id", "text")
+    val sel = TextDedupQueries.winnowSelections(docs, k2, w2)
+      .withColumn("h", substring($"sel", 1, 32))
+      .select($"doc_id", $"h")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val hA = sel.collect { case (1L, h) => h }.toSet
+    val hB = sel.collect { case (2L, h) => h }.toSet
+    assert((hA intersect hB).nonEmpty,
+      "k+w-1 shared substring must share a fingerprint at (5,7) too")
+  }
+
+  test("guard: a doc at the 2^20 position-encoding bound fails loudly") {
+    // the 7-digit (2^20 - pos) key field only orders correctly below
+    // 2^20 chars; the guard must throw, not silently corrupt the keys
+    val ex = intercept[Exception] {
+      selections(Seq(1L -> ("y" * 1048576)))
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("2^20")),
+      s"expected the winnowing length guard, got: $ex")
+  }
+
+  test("guard: a doc just under the bound passes") {
+    val n = TextDedupQueries
+      .winnowSelections(Seq(1L -> ("y" * 200)).toDF("doc_id", "text"), K, W)
+      .count()
+    assert(n > 0)
+  }
+
   test("property: guarantee holds on random doc pairs with planted overlap") {
     val genChunk = Gen.choose(10, 30).flatMap(n =>
       Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
