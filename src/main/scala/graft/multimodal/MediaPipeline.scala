@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * payloads (q54, q141, q204). Video demux is REAL too: multi-frame
   * containers (animated GIF — the format a bare JVM genuinely demuxes) go
   * through ImageIO's sequence reader, and each sampled frame's dimensions
-  * and pixel sums come from the decoded raster. The one remaining stand-in
-  * is the 16-dim image EMBEDDING: a 4x4 mean-intensity grid over the real
-  * decoded pixels (a real vision encoder slots into `poolEmbedding`).
+  * and pixel sums come from the decoded raster. The 16-dim image EMBEDDING
+  * is a real fixed-weight encoder too: an 8×8 block-DCT over the decoded
+  * raster (pHash's front end), low-frequency coefficients out — honest
+  * pixel math end to end, hash-gated cell by cell (q232).
   *
   * Corrupt payloads never kill a job: `decodeImages`/`decodeAudio` return
   * per-row ok/err results (`ImageIO.read` returning null, truncated files,
@@ -378,36 +379,75 @@ object MediaPipeline {
       case e: Exception => Left(s"audio decode failed: ${e.getClass.getSimpleName}")
     }
 
-  /** 4x4 mean-intensity grid over the decoded raster → 16-dim embedding in
-    * [-0.5, 0.5]. A real vision encoder replaces exactly this function; the
-    * pooling itself is real pixel math (band-averaged, integer-summed,
-    * deterministic). */
+  /** Integer 1-D DCT-II basis, orthonormal scaling, quantized to 1e4:
+    * DctW(u)(x) = round(1e4 · c(u) · cos(π(2x+1)u/16)) with c(0)=√(1/8),
+    * c(u>0)=√(2/8). The SAME 64 literals are baked into the q232 oracle
+    * SQL, so the encoder is engine-portable integer arithmetic — no
+    * transcendental is ever evaluated at query time (the repo's ndcgW /
+    * rboSW weight-table discipline). */
+  private[multimodal] val DctW: Array[Array[Long]] = Array(
+    Array(3536L, 3536L, 3536L, 3536L, 3536L, 3536L, 3536L, 3536L),
+    Array(4904L, 4157L, 2778L, 975L, -975L, -2778L, -4157L, -4904L),
+    Array(4619L, 1913L, -1913L, -4619L, -4619L, -1913L, 1913L, 4619L),
+    Array(4157L, -975L, -4904L, -2778L, 2778L, 4904L, 975L, -4157L),
+    Array(3536L, -3536L, -3536L, 3536L, 3536L, -3536L, -3536L, 3536L),
+    Array(2778L, -4904L, 975L, 4157L, -4157L, -975L, 4904L, -2778L),
+    Array(1913L, -4619L, 4619L, -1913L, -1913L, 4619L, -4619L, 1913L),
+    Array(975L, -2778L, 4157L, -4904L, 4904L, -4157L, 2778L, -975L))
+
+  /** Block-DCT image encoder (the pHash front end; Zauner 2010): pinned
+    * nearest-neighbor resample of the decoded raster to 8×8 gray (the same
+    * `x·w div 8` source map as [[resizeImages]]), then a 2-D DCT-II with
+    * the integer basis [[DctW]]; the embedding is the 16 LOW-FREQUENCY
+    * coefficients (u, v ∈ 0..3, cell = v·4 + u), i.e. the perceptual
+    * content a near-dup/similarity stack keys on — real fixed-weight
+    * pixel math end to end, no stand-in anywhere.
+    *
+    * Exactness contract with the q232 oracle: gray is the band-SUMMED
+    * integer sample, so each coefficient numerator is an exact Long
+    * (≤ 64 · 4904² · 765 ≈ 1.2e12 < 2⁵³); for the equal-band fixtures the
+    * numerator is bands·M against the oracle's M, and the final division
+    * num / (bands · 2.56e11) has the identical rational value as the
+    * oracle's M / 2.56e11 — correctly-rounded IEEE division then yields
+    * the identical double on both engines, and DOUBLE→float32 rounds the
+    * same way in the JVM and DuckDB. The 2.56e11 scale puts the DC
+    * coefficient of a saturated image at ~0.80, so |v| ≤ 1. */
   private def poolEmbedding(img: java.awt.image.BufferedImage): Array[Float] = {
     val raster = img.getRaster
     val bands = raster.getNumBands
     val w = img.getWidth
     val h = img.getHeight
+    val g = new Array[Long](64)
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val sx = x * w / 8
+        var s = 0L
+        var b = 0
+        while (b < bands) { s += raster.getSample(sx, sy, b); b += 1 }
+        g(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
     val out = new Array[Float](16)
     var cell = 0
     while (cell < 16) {
-      val cx = cell % 4
-      val cy = cell / 4
-      val x0 = cx * w / 4; val x1 = math.max((cx + 1) * w / 4, x0 + 1)
-      val y0 = cy * h / 4; val y1 = math.max((cy + 1) * h / 4, y0 + 1)
-      var sum = 0L
-      var cnt = 0L
-      var y = y0
-      while (y < math.min(y1, h)) {
-        var x = x0
-        while (x < math.min(x1, w)) {
-          var b = 0
-          while (b < bands) { sum += raster.getSample(x, y, b); b += 1 }
-          cnt += bands
-          x += 1
+      val wu = DctW(cell % 4)
+      val wv = DctW(cell / 4)
+      var num = 0L
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          num += wu(xx) * wv(yy) * g(yy * 8 + xx)
+          xx += 1
         }
-        y += 1
+        yy += 1
       }
-      out(cell) = if (cnt == 0) 0.0f else (sum.toDouble / cnt / 255.0 - 0.5).toFloat
+      out(cell) = (num.toDouble / (bands * 256000000000.0)).toFloat
       cell += 1
     }
     out

@@ -179,20 +179,23 @@ object MultimodalQueries extends QueryModule {
       |    AS BIGINT) AS pixel_sum
       |FROM grid GROUP BY id ORDER BY asset_id""".stripMargin
 
-  /** q232: the pooled image embedding itself, hash-gated cell by cell —
-    * every image asset's PNG is decoded on executors and its 16-dim 4×4
-    * mean-intensity grid embedding (the vector SemDeDup/cosine-dedup/ANN
-    * consume) is exploded to (asset_id, cell, v) rows. The oracle replays
-    * the pooling arithmetic from the fixture's id-parameterized pixel
-    * formula: per cell, integer pixel sums over the exact `c*w div 4`
-    * boundaries, then the SAME double expression sum/cnt/255 − 0.5 cast
-    * to float32. Bit-exactness holds because (a) IEEE division is
-    * correctly rounded, so the band-multiplied Spark sum (3S)/(3N) and
-    * the oracle's S/N round to the identical double, and (b) DuckDB's
-    * DOUBLE→REAL cast and Java's `toFloat` are the same round-to-nearest.
-    * A hash match proves the embedding is real decoded-pixel math, not a
-    * stand-in — closing the one link between the multimodal path and the
-    * similarity stack that q54/q223 didn't pin. */
+  /** q232: the block-DCT image embedding itself, hash-gated cell by cell —
+    * every image asset's PNG is decoded on executors and its 16-dim
+    * encoder output (the vector SemDeDup/cosine-dedup/ANN consume) is
+    * exploded to (asset_id, cell, v) rows. The encoder is pHash's front
+    * end: pinned nearest-neighbor resample of the REAL raster to 8×8
+    * gray, 2-D DCT-II with the integer basis [[graft.multimodal
+    * .MediaPipeline.DctW]], low-frequency 4×4 coefficients out. The
+    * oracle replays every step from the fixture's id-parameterized pixel
+    * formula with the IDENTICAL 64 weight literals, so each coefficient
+    * numerator is the same exact integer on both engines. Bit-exactness
+    * of the float32 column holds because (a) IEEE division is correctly
+    * rounded, so Spark's band-summed (3M)/(3·2.56e11) and the oracle's
+    * M/2.56e11 — the same rational — round to the identical double, and
+    * (b) DuckDB's DOUBLE→REAL cast and Java's `toFloat` are the same
+    * round-to-nearest. A hash match proves the embedding is real
+    * fixed-weight decoded-pixel math end to end — the link between the
+    * multimodal path and the similarity stack that q54/q223 didn't pin. */
   private def q232(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val assets = Tables.documents(s, dir)
@@ -211,18 +214,23 @@ object MultimodalQueries extends QueryModule {
     """WITH img AS (SELECT doc_id AS id,
       |    8 + doc_id % 16 AS w, 8 + (doc_id // 16) % 16 AS h
       |  FROM documents WHERE doc_id % 3 = 0),
-      |px AS (SELECT id, w, h, x.i AS x, y.i AS y,
-      |    (x.i * 7 + y.i * 13 + id) % 255 AS v
-      |  FROM img, UNNEST(range(0, w)) AS x(i), UNNEST(range(0, h)) AS y(i)),
-      |cells AS (SELECT p.id, c.i AS cell, p.v
-      |  FROM px p, UNNEST(range(0, 16)) AS c(i)
-      |  WHERE p.x >= ((c.i % 4) * p.w) // 4
-      |    AND p.x < (((c.i % 4) + 1) * p.w) // 4
-      |    AND p.y >= ((c.i // 4) * p.h) // 4
-      |    AND p.y < (((c.i // 4) + 1) * p.h) // 4)
-      |SELECT id AS asset_id, CAST(cell AS INT) AS cell,
-      |  CAST(CAST(sum(v) AS DOUBLE) / count(*) / 255.0 - 0.5 AS REAL) AS v
-      |FROM cells GROUP BY 1, 2 ORDER BY asset_id, cell""".stripMargin
+      |dw AS (SELECT [3536,3536,3536,3536,3536,3536,3536,3536,
+      |  4904,4157,2778,975,-975,-2778,-4157,-4904,
+      |  4619,1913,-1913,-4619,-4619,-1913,1913,4619,
+      |  4157,-975,-4904,-2778,2778,4904,975,-4157,
+      |  3536,-3536,-3536,3536,3536,-3536,-3536,3536,
+      |  2778,-4904,975,4157,-4157,-975,4904,-2778,
+      |  1913,-4619,4619,-1913,-1913,4619,-4619,1913,
+      |  975,-2778,4157,-4904,4904,-4157,2778,-975] AS t),
+      |g AS (SELECT i.id, x.i AS x, y.i AS y,
+      |    ((x.i * i.w // 8) * 7 + (y.i * i.h // 8) * 13 + i.id) % 255 AS v
+      |  FROM img i, UNNEST(range(0, 8)) AS x(i), UNNEST(range(0, 8)) AS y(i))
+      |SELECT g.id AS asset_id, CAST(c.i AS INT) AS cell,
+      |  CAST(CAST(sum(t[(c.i % 4) * 8 + g.x + 1]
+      |      * t[(c.i // 4) * 8 + g.y + 1] * g.v) AS DOUBLE)
+      |    / 256000000000.0 AS REAL) AS v
+      |FROM g, dw, UNNEST(range(0, 16)) AS c(i)
+      |GROUP BY 1, 2 ORDER BY asset_id, cell""".stripMargin
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q54_multimodal_metrics", q54, Some(q54Sql)),

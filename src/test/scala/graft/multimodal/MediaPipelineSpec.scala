@@ -29,7 +29,8 @@ class MediaPipelineSpec extends SparkTestBase {
       assert(f.height == MediaFixtures.imageHeight(f.asset_id))
       assert(f.channels == (if (MediaFixtures.imageGray(f.asset_id)) 1 else 3))
       assert(f.embedding.length == 16)
-      assert(f.embedding.forall(v => v >= -0.5f && v <= 0.5f))
+      // orthonormal-DCT bound at the 2.56e11 scale: |coef| <= ~0.80
+      assert(f.embedding.forall(v => v >= -1.0f && v <= 1.0f))
     }
     // the pooled embedding is real pixel math: identical across runs
     assert(f1.zip(f2).forall { case (a, b) =>
@@ -38,18 +39,23 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(f1.exists(_.embedding.distinct.length > 1))
   }
 
-  test("pooled embedding == independent per-cell mean over the fixture formula") {
-    // independent reimplementation of the 4x4 grid pooling from the
-    // fixture's pixel formula (x*7 + y*13 + id) % 255 — bit-exact float32
+  test("block-DCT embedding == independent reimplementation over the fixture formula") {
+    // independent replay of the encoder from the fixture's pixel formula
+    // (x*7 + y*13 + id) % 255: 8x8 nearest-neighbor resample, 2-D DCT-II
+    // with the shared integer basis, /2.56e11 — bit-exact float32. No
+    // band term: for the equal-band fixture bands cancel in the division
+    // (the same rational-quotient argument the q232 oracle relies on).
     def expected(id: Long): Array[Float] = {
       val w = MediaFixtures.imageWidth(id)
       val h = MediaFixtures.imageHeight(id)
+      def g(x: Int, y: Int): Long =
+        ((x * w / 8) * 7 + (y * h / 8) * 13 + id) % 255
       (0 until 16).map { cell =>
-        val cx = cell % 4; val cy = cell / 4
-        val xs = (cx * w / 4) until ((cx + 1) * w / 4)
-        val ys = (cy * h / 4) until ((cy + 1) * h / 4)
-        val vals = for (y <- ys; x <- xs) yield (x * 7 + y * 13 + id) % 255
-        (vals.sum.toDouble / vals.size / 255.0 - 0.5).toFloat
+        val wu = MediaPipeline.DctW(cell % 4)
+        val wv = MediaPipeline.DctW(cell / 4)
+        val num = (for (y <- 0 until 8; x <- 0 until 8)
+          yield wu(x) * wv(y) * g(x, y)).sum
+        (num.toDouble / 256000000000.0).toFloat
       }.toArray
     }
     imageFeatures(assets).collect().foreach { f =>
