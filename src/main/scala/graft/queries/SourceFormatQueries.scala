@@ -115,8 +115,62 @@ object SourceFormatQueries extends QueryModule {
       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** q356: ORC round trip — the content-fidelity contract through the
+    * native ORC writer/reader (orc-core ships with the Spark jars; with
+    * CSV, JSONL and parquet this closes the format surface the runtime
+    * actually supports — spark-avro is absent, so Avro is out of scope
+    * like Delta). ORC is typed, so nothing is inferred on read: the gate
+    * certifies the writer/reader preserve string BYTES through ORC's
+    * dictionary/RLE encodings (the metacharacter payload checksum), a
+    * typed DECIMAL(18,2) column with its scale, and a DATE column —
+    * and the read-back carries a pushed doc_id predicate so the ORC
+    * reader's stripe-stats skipping path is exercised in the hash path.
+    *
+    * Scale shape: identical to q342/q343 — scan → projection → format
+    * write → read → one grouped checksum aggregate; ORC is splittable
+    * by stripe, so the staged read parallelizes at 100 TB. */
+  private def q356(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", advCol.as("payload"), $"source", $"n_chars",
+        ($"n_chars" * 3).cast("decimal(18,2)").as("score"),
+        date_add(to_date(lit("1992-01-01")),
+          ($"n_chars" % 1000).cast("int")).as("d"))
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_q356_").toString
+    docs.write.mode("overwrite").orc(staged)
+    val back = s.read.orc(staged).filter($"doc_id" >= 10)
+    val out = back.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").cast("long").as("sum_chars"),
+        sum(md5Head($"payload")).as("payload_checksum"),
+        (sum($"score") * 100).cast("long").as("score_c"),
+        min($"d").as("min_d"),
+        max($"d").as("max_d"))
+      .orderBy($"source")
+      .localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(staged))
+    out
+  }
+  private val q356Sql =
+    s"""WITH d AS (SELECT doc_id, $advSql AS payload, source, n_chars
+      |  FROM documents WHERE doc_id >= 10)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(${duckMd5Head("payload")}) AS BIGINT) AS payload_checksum,
+      |  CAST(sum(CAST(n_chars * 3 AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS score_c,
+      |  min(DATE '1992-01-01' + CAST(n_chars % 1000 AS INTEGER)) AS min_d,
+      |  max(DATE '1992-01-01' + CAST(n_chars % 1000 AS INTEGER)) AS max_d
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q342_csv_roundtrip", q342, Some(q342Sql)),
     QueryDef("q343_jsonl_roundtrip", q343, Some(q343Sql)),
+    QueryDef("q356_orc_roundtrip", q356, Some(q356Sql)),
   )
 }

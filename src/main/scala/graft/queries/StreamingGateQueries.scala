@@ -972,7 +972,60 @@ object StreamingGateQueries extends QueryModule {
       |FROM isl GROUP BY user_id, sid
       |ORDER BY user_id, start_ms""".stripMargin
 
+  /** q357: the RATE source under Trigger.ProcessingTime — the one
+    * trigger mode the AvailableNow file replays cannot exercise: a live
+    * always-on micro-batch cadence with no terminal batch. The rate
+    * source emits the consecutive LONG sequence 0, 1, 2, … with
+    * wall-clock timestamps; the query keeps the first N = 1000 values,
+    * the driver polls the memory sink until the full prefix has
+    * arrived (rowsPerSecond and the trigger interval are sized so this
+    * spans SEVERAL live micro-batches), then stops the query. Gated
+    * output is (count, Σv, Σv²) of the delivered values — independent
+    * of where batch boundaries fell — so a hash match proves the
+    * ProcessingTime pipeline delivered the sequence exactly once,
+    * gap-free and duplicate-free, across an arbitrary live cadence.
+    * The oracle is the closed form over DuckDB's range(0, N).
+    *
+    * Scale shape: the rate source is the Kafka stand-in available to a
+    * bare JVM; the plan (source → pushed filter → sink) is the minimal
+    * always-on pipeline, and the gate's cost is wall-clock cadence
+    * (~0.5 s of live batches), not data. */
+  private def q357(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 1000L
+    val sink = "q357_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("rate")
+      .option("rowsPerSecond", "2500")
+      .load()
+      .filter($"value" < n)
+      .select($"value")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    // poll until the full prefix landed; the hard deadline turns a
+    // wedged stream into a loud gate failure instead of a hang
+    val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+    while (s.table(sink).count() < n && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    q.stop()
+    q.awaitTermination()
+    require(s.table(sink).count() == n,
+      s"q357: rate stream delivered ${s.table(sink).count()} of $n rows " +
+        "before the deadline")
+    s.table(sink)
+      .agg(count(lit(1)).as("n"),
+        sum($"value").as("value_sum"),
+        sum($"value" * $"value").as("sq_sum"))
+  }
+  private val q357Sql =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(range) AS BIGINT) AS value_sum,
+      |  CAST(sum(range * range) AS BIGINT) AS sq_sum
+      |FROM range(0, 1000)""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q357_stream_rate_processing_time", q357, Some(q357Sql)),
     QueryDef("q337_stream_fmgws_sessionize", q337, Some(q337Sql)),
     QueryDef("q336_stream_dedup_then_agg", q336, Some(q336Sql)),
     QueryDef("q239_stream_stream_join", q239, Some(q239Sql)),
