@@ -50,6 +50,26 @@ object Graph {
     * restored default (intended: the caller's final groupBy/orderBy over
     * the O(|V|) result is sized by the session, not by this scope).
     */
+  /** Frees the storage blocks of a SUPERSEDED localCheckpoint round.
+    *
+    * The iterated loops checkpoint O(|V|) state every 1–2 rounds; without
+    * an explicit release the dead rounds' blocks sit in the storage pool
+    * until the Dataset is GC'd AND the ContextCleaner runs — in a
+    * long-lived many-query session under heap pressure that standing
+    * garbage is what forces the block manager to evict LIVE checkpoint
+    * blocks (the r10 driver-bench q217 pathology: lineage-truncation
+    * warnings + 3× wall). Releasing the previous round right after the
+    * next one has EAGERLY materialized keeps the loop's storage footprint
+    * at one round, deterministically. Only ever call this on state the
+    * loop itself created and has replaced — a released checkpoint cannot
+    * be recomputed (its lineage is truncated by construction). */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   def withStateSizedShuffle[A](s: SparkSession, stateRows: Long)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = s.conf.get(key)
@@ -140,14 +160,18 @@ object Graph {
     // ~30% at gate scale (1.74 → 1.26 s)
     withStateSizedShuffle(s, nodes.count()) {
       var rank = nodes.select($"id", lit(scale).as("r"))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val contrib = e.join(rank, e("src") === rank("id"))
           .select($"dst", expr("r div od").as("c"))
           .groupBy($"dst").agg(sum($"c").as("c"))
+        val prev = rank
         rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
           .select($"id",
             expr(s"${scale * 15 / 100} + (85 * coalesce(c, 0)) div 100").as("r"))
           .localCheckpoint(true)
+        // round i's state is eagerly on disk/memory now; free round i-1
+        // (never the first: that is `nodes`, which the loop still joins)
+        if (i > 1) releaseCheckpoint(prev)
       }
       rank.select($"id", $"r".as("rank_scaled"))
     }
@@ -223,7 +247,9 @@ object Graph {
         // the final batch materializes inside the sized scope too — a
         // caller-side action would otherwise re-plan its exchanges under
         // the restored session default
+        val prev = dist
         dist = next.localCheckpoint(true)
+        releaseCheckpoint(prev) // superseded round: free its blocks now
       }
       dist
     }
@@ -337,7 +363,9 @@ object Graph {
         var next = arr
         for (_ <- 1 to steps) next = relax(next)
         r += steps
+        val prev = arr
         arr = next.localCheckpoint(true)
+        releaseCheckpoint(prev) // superseded round: free its blocks now
       }
       arr
     }
@@ -401,7 +429,9 @@ object Graph {
         // aggregate itself, and overshooting the fixpoint is harmless —
         // the operator is idempotent there — so fusing halves the job
         // count without changing the result (measured 14.7 -> ~7 s).
+        val prev = c
         c = applyH(applyH(c)).localCheckpoint(true)
+        releaseCheckpoint(prev) // superseded round: free its blocks now
         round += 2
         val t = total(c)
         converged = t == prevTotal
