@@ -206,15 +206,31 @@ object GraphIncrementalQueries extends QueryModule {
     import s.implicits._
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
     val li = Tables.lineitem(s, dir)
-    def s1(c: String) = sum(col(c).cast("decimal(28,10)")).cast("double")
-    def s2(a: String, b: String) =
-      sum((col(a) * col(b)).cast("decimal(38,12)")).cast("double")
-    val m = li.agg(
+    // fixed-point hot loop (r11 rewrite, A/B'd 4× faster than the
+    // per-row DECIMAL casts — MomentFixedPointProbe / SCALE.md): the
+    // 2-dp columns lift to LONG cents exactly, per-row products stay
+    // LONG (domain-bounded: ≤1.05e7 cents ⇒ products ≤1.1e14), and only
+    // the accumulators are DECIMAL(38,0) — overflow-safe at any row
+    // count, unlike a LONG sum which would wrap silently at corpus
+    // scale. Moments scale back to the value domain on the 1-row frame.
+    val cents = li.select(cols.zipWithIndex.map { case (c, i) =>
+      val q = round(col(c) * 100).cast("long")
+      // loud guard at 2^31 cents (where a product could pass 2^63):
+      // non-ANSI Spark would wrap silently where DuckDB raises
+      when(abs(q) <= 2147483647L, q).otherwise(raise_error(
+          lit(s"q89: |$c|*100 exceeds 2^31 — LONG moment products " +
+            "would overflow; widen the scale path")).cast("long"))
+        .as(s"q$i") }: _*)
+    def acc(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)")).cast("double")
+    def s1(i: Int) = acc(col(s"q$i")) / 100.0
+    def s2(i: Int, j: Int) = acc(col(s"q$i") * col(s"q$j")) / 10000.0
+    val m = cents.agg(
       count(lit(1)).as("n"),
-      s1(cols(0)).as("s1"), s1(cols(1)).as("s2"), s1(cols(2)).as("s3"),
-      s2(cols(0), cols(0)).as("s11"), s2(cols(1), cols(1)).as("s22"),
-      s2(cols(2), cols(2)).as("s33"), s2(cols(0), cols(1)).as("s12"),
-      s2(cols(0), cols(2)).as("s13"), s2(cols(1), cols(2)).as("s23"))
+      s1(0).as("s1"), s1(1).as("s2"), s1(2).as("s3"),
+      s2(0, 0).as("s11"), s2(1, 1).as("s22"),
+      s2(2, 2).as("s33"), s2(0, 1).as("s12"),
+      s2(0, 2).as("s13"), s2(1, 2).as("s23"))
     // constant columns make a variance term zero (or a hair negative
     // after decimal->double rounding): clamp with greatest and emit NULL
     // rather than dividing by zero — mirrored exactly in the oracle.
@@ -239,17 +255,20 @@ object GraphIncrementalQueries extends QueryModule {
       .orderBy($"col_a", $"col_b")
   }
   private val q89Sql =
-    """WITH m AS (SELECT count(*) AS n,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS s1,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) AS s2,
-      |  CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) AS s3,
-      |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS s11,
-      |  CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS s22,
-      |  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS s33,
-      |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS DOUBLE) AS s12,
-      |  CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS s13,
-      |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,12))) AS DOUBLE) AS s23
-      |  FROM lineitem)
+    """WITH c AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q0,
+      |  CAST(round(l_extendedprice * 100) AS BIGINT) AS q1,
+      |  CAST(round(l_discount * 100) AS BIGINT) AS q2 FROM lineitem),
+      |m AS (SELECT count(*) AS n,
+      |  CAST(sum(CAST(q0 AS HUGEINT)) AS DOUBLE) / 100.0 AS s1,
+      |  CAST(sum(CAST(q1 AS HUGEINT)) AS DOUBLE) / 100.0 AS s2,
+      |  CAST(sum(CAST(q2 AS HUGEINT)) AS DOUBLE) / 100.0 AS s3,
+      |  CAST(sum(CAST(q0 AS HUGEINT) * q0) AS DOUBLE) / 10000.0 AS s11,
+      |  CAST(sum(CAST(q1 AS HUGEINT) * q1) AS DOUBLE) / 10000.0 AS s22,
+      |  CAST(sum(CAST(q2 AS HUGEINT) * q2) AS DOUBLE) / 10000.0 AS s33,
+      |  CAST(sum(CAST(q0 AS HUGEINT) * q1) AS DOUBLE) / 10000.0 AS s12,
+      |  CAST(sum(CAST(q0 AS HUGEINT) * q2) AS DOUBLE) / 10000.0 AS s13,
+      |  CAST(sum(CAST(q1 AS HUGEINT) * q2) AS DOUBLE) / 10000.0 AS s23
+      |  FROM c)
       |SELECT * FROM (
       |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
       |    CASE WHEN sqrt(greatest(n*s11 - s1*s1, 0)) * sqrt(greatest(n*s22 - s2*s2, 0)) > 0

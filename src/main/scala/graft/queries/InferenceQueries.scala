@@ -112,21 +112,37 @@ object InferenceQueries extends QueryModule {
       |    - CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2
       |FROM a""".stripMargin
 
-  /** Exact decimal moment sums for (x, y) under a grouping — shared by the
-    * OLS, autocorrelation, and Spearman estimators. Every sum is DECIMAL
-    * (order-independent); the caller's closed-form formula runs in doubles
-    * on the tiny grouped frame. */
-  private def moments(df: DataFrame, groupCol: String,
-                      xDec: String = "decimal(38,8)",
-                      yDec: String = "decimal(38,8)"): DataFrame = {
-    val x = col("x"); val y = col("y")
-    df.groupBy(col(groupCol)).agg(
+  /** Exact fixed-point moment sums for 2-dp (x, y) under a grouping —
+    * shared by the OLS and autocorrelation estimators. The per-row hot
+    * loop is pure LONG codegen: values lift to integer CENTS
+    * (`round(v·100)` — exact for the 2-dp domains the callers feed,
+    * residuals ≤1e-9), products stay LONG (loud per-row guard at 2³¹
+    * cents, where a product could exceed 2⁶³ — wrap would be silent
+    * under non-ANSI Spark while DuckDB raises), and only the
+    * ACCUMULATORS are DECIMAL(38,0), overflow-safe at any row count.
+    * Moments are scaled back to the value domain as doubles, so caller
+    * formulas are unchanged; the oracle replays the identical two-step
+    * (exact-integer → double → /scale) rounding. [A/B vs the former
+    * per-row DECIMAL(38,8) path: 4× faster at sf0.1 — SCALE.md r11.] */
+  private def moments(df: DataFrame, groupCol: String): DataFrame = {
+    val lim = 2147483647L
+    def cents(c: Column, what: String): Column = {
+      val q = round(c * 100).cast("long")
+      when(abs(q) <= lim, q).otherwise(raise_error(concat(
+        lit(s"moments: |$what|*100 exceeds 2^31 — the LONG fixed-point " +
+          "product would overflow; widen the scale path")).cast("string"))
+        .cast("long"))
+    }
+    val d = df.select(col(groupCol),
+      cents(col("x"), "x").as("qx"), cents(col("y"), "y").as("qy"))
+    def acc(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    d.groupBy(col(groupCol)).agg(
       count(lit(1)).cast("double").as("n"),
-      sum(x.cast(xDec)).cast("double").as("sx"),
-      sum(y.cast(yDec)).cast("double").as("sy"),
-      sum((x * y).cast("decimal(38,8)")).cast("double").as("sxy"),
-      sum((x * x).cast("decimal(38,8)")).cast("double").as("sxx"),
-      sum((y * y).cast("decimal(38,8)")).cast("double").as("syy"))
+      (acc(col("qx")) / 100.0).as("sx"),
+      (acc(col("qy")) / 100.0).as("sy"),
+      (acc(col("qx") * col("qy")) / 10000.0).as("sxy"),
+      (acc(col("qx") * col("qx")) / 10000.0).as("sxx"),
+      (acc(col("qy") * col("qy")) / 10000.0).as("syy"))
   }
   private def covn: Column = col("n") * col("sxy") - col("sx") * col("sy")
   private def varxn: Column = col("n") * col("sxx") - col("sx") * col("sx")
@@ -134,11 +150,14 @@ object InferenceQueries extends QueryModule {
   /** The same moment CTE in DuckDB, from a `base(g, x, y)` relation. */
   private def momentsSql(fromRel: String): String =
     s"""SELECT g, CAST(count(*) AS DOUBLE) AS n,
-       |    CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-       |    CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
-       |    CAST(sum(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
-       |    CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-       |    CAST(sum(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+       |    CAST(sum(CAST(round(x * 100) AS HUGEINT)) AS DOUBLE) / 100.0 AS sx,
+       |    CAST(sum(CAST(round(y * 100) AS HUGEINT)) AS DOUBLE) / 100.0 AS sy,
+       |    CAST(sum(CAST(round(x * 100) AS HUGEINT)
+       |      * CAST(round(y * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxy,
+       |    CAST(sum(CAST(round(x * 100) AS HUGEINT)
+       |      * CAST(round(x * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS sxx,
+       |    CAST(sum(CAST(round(y * 100) AS HUGEINT)
+       |      * CAST(round(y * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS syy
        |  FROM $fromRel GROUP BY g""".stripMargin
 
   /** q116: per-group ordinary least squares — slope, intercept, R² of
@@ -252,16 +271,28 @@ object InferenceQueries extends QueryModule {
     // near-unique), so it shuffle-hash joins (SMJ would sort both sides)
     val ranked = base.join(broadcast(rx), Seq("g", "xv"))
       .join(ry.hint("shuffle_hash"), Seq("g", "yv"))
-    ranked.groupBy($"g").agg(
+    // per-row products stay LONG (r11 fixed-point rewrite, 4× A/B —
+    // SCALE.md): a half-rank pair multiplies safely below 2^31.5 each,
+    // i.e. ~1.5e9 rows per group; past that the old DECIMAL operands
+    // would stay exact but non-ANSI LONG would wrap SILENTLY — so the
+    // bound is enforced loudly per row instead of documented. Only the
+    // accumulators lift to DECIMAL(38,0) (any row count).
+    val rkLim = 3037000499L // isqrt(2^63 - 1)
+    def guarded(c: Column, what: String) =
+      when(abs(c) <= rkLim, c).otherwise(raise_error(
+        lit(s"q120: |$what| half-rank exceeds isqrt(2^63) — LONG rank " +
+          "products would overflow; lift this group to the decimal path"))
+        .cast("long"))
+    val g2 = ranked.select($"g",
+      guarded($"x", "x").as("x"), guarded($"y", "y").as("y"))
+    def acc(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+    g2.groupBy($"g").agg(
         count(lit(1)).cast("double").as("n"),
-        sum($"x".cast("decimal(38,0)")).cast("double").as("sx"),
-        sum($"y".cast("decimal(38,0)")).cast("double").as("sy"),
-        // cast BEFORE multiplying: a LONG product of two half-ranks
-        // overflows silently past ~1.5e9 rows per group; decimal operands
-        // keep the product exact at any scale
-        sum($"x".cast("decimal(38,0)") * $"y".cast("decimal(38,0)")).cast("double").as("sxy"),
-        sum($"x".cast("decimal(38,0)") * $"x".cast("decimal(38,0)")).cast("double").as("sxx"),
-        sum($"y".cast("decimal(38,0)") * $"y".cast("decimal(38,0)")).cast("double").as("syy"))
+        acc($"x").as("sx"),
+        acc($"y").as("sy"),
+        acc($"x" * $"y").as("sxy"),
+        acc($"x" * $"x").as("sxx"),
+        acc($"y" * $"y").as("syy"))
       .select($"g", $"n".cast("long").as("n"),
         when(varxn > 0.0 && varyn > 0.0,
           round(covn / sqrt(varxn * varyn), 6)).as("spearman"))
