@@ -53,6 +53,7 @@ object SparkEntry {
     graft.queries.FrameSemanticsQueries,
     graft.queries.EvalMetricsQueries,
     graft.queries.StreamingGateQueries,
+    graft.queries.SketchQueries,
   )
 
   private lazy val defs: Seq[QueryDef] = modules.flatMap(_.queries)
