@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * minhash discipline — no hash-seed drift between Spark and DuckDB);
   * bit positions pack into 32-bit words so no shift ever touches the
   * BIGINT sign bit (DuckDB raises on 1<<63 where the JVM wraps).
+  *
+  * Relationship to q87/q88 (the NATIVE-kernel sketch gates): q87 routes
+  * Spark's own runtime-filter Bloom through a join and gates "plan
+  * changed, answer identical"; q88 routes the built-in
+  * `count_min_sketch` aggregate and gates its one-sided CONTRACT
+  * bounds. Those certify the engine kernels; these two certify the
+  * sketch ARITHMETIC itself — every set bit / every cell count is
+  * hash-replayed in DuckDB, collisions included — and exercise the
+  * workflow the kernels don't (cross-split decontamination with
+  * measured false positives).
   */
 object SketchQueries extends QueryModule {
 

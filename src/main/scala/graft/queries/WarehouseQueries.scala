@@ -1015,7 +1015,85 @@ object WarehouseQueries extends QueryModule {
       |  coalesce(CAST(sum(cents) AS BIGINT), CAST(0 AS BIGINT)) AS cents
       |FROM u GROUP BY custkey ORDER BY custkey""".stripMargin
 
+  /** q360: BUCKETED co-located fact-to-fact join — the physical-layout
+    * answer to "lineitem ⋈ orders at 100 TB without an exchange": both
+    * sides are written through [[graft.pipeline.Bucketing.writeBucketed]]
+    * with the SAME bucket count on the join key (+ sortBy, so bucket
+    * files are merge-ready), and the MERGE-hinted join zips
+    * corresponding buckets — SortMergeJoin with NO Exchange on either
+    * side, and the first (per-orderkey) aggregate reuses the bucket
+    * partitioning too. That claim is enforced STRUCTURALLY inside the
+    * gate: after execution the final AQE plan must contain at most ONE
+    * ShuffleExchange (the 100-row second-level roll-up) or the gate
+    * throws — a layout regression can never pass silently. The oracle
+    * replays the join+aggregates from the raw parquet, so the hash also
+    * proves the bucketed WRITE→READ round trip lost nothing.
+    *
+    * Scale shape: this IS the scale shape — the exchange that dominates
+    * fact-to-fact joins is eliminated by layout; per-round cost is a
+    * zip of pre-sorted bucket files. The staging write is one-time and
+    * amortized across every downstream join of the same key (the
+    * parquet-table analog of the reference's Delta partitioning,
+    * applied to join keys). */
+  private def q360(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity",
+        round($"l_extendedprice" * 100).cast("long").as("price_c"))
+    val ord = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey")
+    val (t1, t2) = ("graft_q360_li", "graft_q360_ord")
+    s.sql(s"DROP TABLE IF EXISTS $t1")
+    s.sql(s"DROP TABLE IF EXISTS $t2")
+    graft.pipeline.Bucketing.writeBucketed(li, t1, "l_orderkey", 16,
+      Seq("l_orderkey"))
+    graft.pipeline.Bucketing.writeBucketed(ord, t2, "o_orderkey", 16,
+      Seq("o_orderkey"))
+    val perOrder = s.table(t1).hint("merge")
+      .join(s.table(t2), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"price_c").as("order_price_c"),
+        max($"o_custkey").as("custkey"))
+    val rolled = perOrder
+      .groupBy(($"l_orderkey" % 100).as("okey_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"n_items").as("n_items"),
+        sum($"order_price_c").as("price_c"),
+        max($"custkey").as("max_custkey"))
+    val out = rolled.localCheckpoint(true) // force execution for the guard
+    val finalPlan = rolled.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nShuffles = finalPlan.collect {
+      case sh: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => sh
+    }.size
+    require(nShuffles <= 1,
+      s"q360: bucketed join/agg planned $nShuffles exchanges (allowed: " +
+        s"the single 100-row roll-up) — layout regression:\n$finalPlan")
+    s.sql(s"DROP TABLE IF EXISTS $t1")
+    s.sql(s"DROP TABLE IF EXISTS $t2")
+    out.orderBy($"okey_bucket")
+  }
+  private val q360Sql =
+    """WITH po AS (SELECT l.l_orderkey, count(*) AS n_items,
+      |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS order_price_c,
+      |    max(o.o_custkey) AS custkey
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1)
+      |SELECT l_orderkey % 100 AS okey_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(n_items) AS BIGINT) AS n_items,
+      |  CAST(sum(order_price_c) AS BIGINT) AS price_c,
+      |  max(custkey) AS max_custkey
+      |FROM po GROUP BY 1 ORDER BY okey_bucket""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
+    QueryDef("q360_bucketed_join", q360, Some(q360Sql)),
     QueryDef("q313_takedown_cascade", q313, Some(q313Sql)),
     QueryDef("q317_bitemporal_asof", q317, Some(q317Sql)),
     QueryDef("q325_snapshot_diff_timetravel", q325, Some(q325Sql)),
