@@ -244,8 +244,137 @@ object SketchQueries extends QueryModule {
       |GROUP BY 1, 2 ORDER BY true_cnt DESC, bigram""".stripMargin
   }
 
+  /** The 33-branch integer ρ ladder (leading-zero count of a 32-bit
+    * value, +1) as a CASE expression — ONE generated string used
+    * verbatim by both the Spark plan and the DuckDB oracle, so the
+    * register arithmetic cannot drift between engines. */
+  private def rhoCase(v: String): String =
+    "CASE " + (1 to 32).map(k =>
+      s"WHEN $v >= ${1L << (32 - k)} THEN $k").mkString(" ") + " ELSE 33 END"
+
+  /** α·m² for m = 256 registers (Flajolet et al. 2007) =
+    * 0.7213/(1 + 1.079/256) · 256², precomputed to ONE double literal
+    * and CAST on both engines (DuckDB would otherwise parse the factor
+    * as DECIMAL and overflow the product). */
+  private val hllAlphaM2 = "CAST(47072.71267120224 AS DOUBLE)"
+
+  /** q361: PORTABLE HyperLogLog — the engine-agnostic twin of q81 (which
+    * routes Spark's native Datasketches kernel and gates its CONTRACT):
+    * here the register arithmetic itself is the gate. m = 256 registers;
+    * per token, register index = md5 hex[1..2] (8 bits) and ρ = leading-
+    * zero count of hex[3..10] (32 bits) + 1 via the shared [[rhoCase]]
+    * ladder; per (source, register) the sketch keeps MAX(ρ). The gate
+    * emits the integer register-state invariants that pin the sketch
+    * EXACTLY (non-zero register count, Σρ), the raw HLL estimate, and
+    * the exact distinct count — plus the '__all__' UNION row (max per
+    * register across sources), proving mergeability, the property that
+    * makes HLL the fleet-scale count-distinct.
+    *
+    * Float determinism of the estimate: the indicator sum
+    * S = Σ_j 2^(−M_j) is a sum of ≤256 exact powers of two spanning
+    * < 53 bits of magnitude, so S is EXACT in double under ANY
+    * accumulation order — the one division α·m²/S is then correctly
+    * rounded identically on both engines, and 6-dp rounding seals it.
+    *
+    * Scale shape: registers are a (source, idx) MAX aggregate —
+    * map-side-combinable, bounded at |sources|·256 rows at any corpus
+    * size; the union is a 256-row aggregate. The exact countDistinct
+    * rides alongside as the gate's measurement apparatus. */
+  private def q361(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .filter(length($"tok") > 0)
+    val withReg = toks
+      .withColumn("idx", hexCol($"tok", 1, 2))
+      .withColumn("rho", expr(rhoCase(
+        "conv(substring(md5(tok), 3, 8), 16, 10)")).cast("int"))
+    val regs = withReg.groupBy($"source", $"idx")
+      .agg(max($"rho").as("r"))
+      .localCheckpoint(false) // consumed by per-source AND union paths
+    // per-source register roll-up: n nonzero, sum rho, indicator sum
+    // (the power(0.5, r) terms are exact powers of two — see scaladoc)
+    val per = regs.groupBy($"source")
+      .agg(count(lit(1)).as("nonzero_regs"),
+        sum($"r").cast("long").as("sum_rho"),
+        sum(expr("power(0.5, cast(r as double))")).as("s1"))
+      .withColumn("raw_e",
+        expr(hllAlphaM2) / ($"s1" + (lit(256) - $"nonzero_regs")))
+      .withColumn("raw_est", round($"raw_e", 6))
+      // Flajolet small-range (linear counting) correction: with V empty
+      // registers and raw <= 2.5m, m*ln(m/V) is the better estimator;
+      // ln is the one data-dependent transcendental (6-dp round seals
+      // the <=1-ulp libm difference, the q237/q236 discipline)
+      .withColumn("estimate", when(
+          $"raw_e" <= 640.0 && $"nonzero_regs" < 256,
+          round(lit(256.0) * log(lit(256.0) / (lit(256) - $"nonzero_regs")), 6))
+        .otherwise(round($"raw_e", 6)))
+    val exacts = toks.groupBy($"source")
+      .agg(countDistinct($"tok").as("exact_distinct"))
+    val perOut = per.join(exacts, "source")
+      .select($"source", $"nonzero_regs", $"sum_rho", $"raw_est",
+        $"estimate", $"exact_distinct")
+    val union = regs.groupBy($"idx").agg(max($"r").as("r"))
+      .agg(count(lit(1)).as("nonzero_regs"),
+        sum($"r").cast("long").as("sum_rho"),
+        sum(expr("power(0.5, cast(r as double))")).as("s1"))
+      .withColumn("raw_e",
+        expr(hllAlphaM2) / ($"s1" + (lit(256) - $"nonzero_regs")))
+      .withColumn("raw_est", round($"raw_e", 6))
+      .withColumn("estimate", when(
+          $"raw_e" <= 640.0 && $"nonzero_regs" < 256,
+          round(lit(256.0) * log(lit(256.0) / (lit(256) - $"nonzero_regs")), 6))
+        .otherwise(round($"raw_e", 6)))
+      .crossJoin(toks.agg(countDistinct($"tok").as("exact_distinct")))
+      .select(lit("__all__").as("source"), $"nonzero_regs", $"sum_rho",
+        $"raw_est", $"estimate", $"exact_distinct")
+    perOut.unionByName(union).orderBy($"source")
+  }
+  private val q361Sql = {
+    val idx = duckHex("tok", 1, 2)
+    val v = duckHex("tok", 3, 8)
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |tk AS (SELECT source, tok FROM toks WHERE len(tok) > 0),
+      |wr AS (SELECT source, tok, $idx AS idx,
+      |    ${rhoCase(s"($v)")} AS rho FROM tk),
+      |regs AS (SELECT source, idx, max(rho) AS r FROM wr GROUP BY 1, 2),
+      |per AS (SELECT source, CAST(count(*) AS BIGINT) AS nonzero_regs,
+      |    CAST(sum(r) AS BIGINT) AS sum_rho,
+      |    sum(power(0.5, r)) AS s1
+      |  FROM regs GROUP BY 1),
+      |ex AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT)
+      |    AS exact_distinct FROM tk GROUP BY 1),
+      |u AS (SELECT idx, max(r) AS r FROM regs GROUP BY 1),
+      |uni AS (SELECT CAST(count(*) AS BIGINT) AS nonzero_regs,
+      |    CAST(sum(r) AS BIGINT) AS sum_rho, sum(power(0.5, r)) AS s1
+      |  FROM u),
+      |est AS (SELECT source, nonzero_regs, sum_rho,
+      |    $hllAlphaM2 / (s1 + (256 - nonzero_regs)) AS raw_e
+      |  FROM per),
+      |uest AS (SELECT nonzero_regs, sum_rho,
+      |    $hllAlphaM2 / (s1 + (256 - nonzero_regs)) AS raw_e
+      |  FROM uni)
+      |SELECT e.source, e.nonzero_regs, e.sum_rho,
+      |  round(e.raw_e, 6) AS raw_est,
+      |  CASE WHEN e.raw_e <= 640.0 AND e.nonzero_regs < 256
+      |    THEN round(256.0 * ln(256.0 / (256 - e.nonzero_regs)), 6)
+      |    ELSE round(e.raw_e, 6) END AS estimate,
+      |  ex.exact_distinct
+      |FROM est e JOIN ex USING (source)
+      |UNION ALL
+      |SELECT '__all__', nonzero_regs, sum_rho, round(raw_e, 6),
+      |  CASE WHEN raw_e <= 640.0 AND nonzero_regs < 256
+      |    THEN round(256.0 * ln(256.0 / (256 - nonzero_regs)), 6)
+      |    ELSE round(raw_e, 6) END,
+      |  (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM tk)
+      |FROM uest
+      |ORDER BY source""".stripMargin
+  }
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q358_bloom_decontaminate", q358, Some(q358Sql)),
     QueryDef("q359_countmin_sketch", q359, Some(q359Sql)),
+    QueryDef("q361_portable_hll", q361, Some(q361Sql)),
   )
 }

@@ -1015,6 +1015,68 @@ object WarehouseQueries extends QueryModule {
       |  coalesce(CAST(sum(cents) AS BIGINT), CAST(0 AS BIGINT)) AS cents
       |FROM u GROUP BY custkey ORDER BY custkey""".stripMargin
 
+  /** q362: SCHEMA EVOLUTION through the ORC reader — q344's add-a-column
+    * migration replayed through the OTHER columnar format the jars
+    * support: batch 1 lands 1996 per-customer counts WITHOUT the
+    * revenue column, batch 2 lands 1997 counts WITH it, and an ORC read
+    * with mergeSchema must union the footer schemas and backfill NULL
+    * for pre-evolution rows. Same hash-visible failure modes as q344
+    * (dropped old rows, 0-coercion, unmerged schemas), now certifying
+    * the ORC TypeDescription merge path rather than the parquet footer
+    * merge. Scale note as q344: at 100 TB pin the evolved schema in the
+    * catalog; the gate exercises the inference fallback. */
+  private def q362(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    def year(y: Int) = o.filter(
+      $"o_orderdate" >= lit(java.sql.Timestamp.valueOf(s"$y-01-01 00:00:00")) &&
+        $"o_orderdate" < lit(java.sql.Timestamp.valueOf(s"${y + 1}-01-01 00:00:00")))
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_q362_").toString
+    year(1996).groupBy($"o_custkey".as("custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .write.mode("append").orc(staged)
+    year(1997).groupBy($"o_custkey".as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .write.mode("append").orc(staged)
+    val evolved = s.read.option("mergeSchema", "true").orc(staged)
+    val out = evolved.groupBy($"custkey")
+      .agg(count(lit(1)).as("n_batches"),
+        sum($"n_orders").as("n_orders"),
+        sum(when($"cents".isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
+        coalesce(sum($"cents"), lit(0L)).as("cents"))
+      .orderBy($"custkey")
+      .localCheckpoint(true) // pin before the staging disappears
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(staged))
+    out
+  }
+  private val q362Sql =
+    """WITH b1 AS (SELECT o_custkey AS custkey,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(NULL AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1),
+      |b2 AS (SELECT o_custkey, CAST(count(*) AS BIGINT),
+      |    CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1),
+      |u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+      |SELECT custkey, CAST(count(*) AS BIGINT) AS n_batches,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |  CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_pre_evolution,
+      |  coalesce(CAST(sum(cents) AS BIGINT), CAST(0 AS BIGINT)) AS cents
+      |FROM u GROUP BY custkey ORDER BY custkey""".stripMargin
+
   /** q360: BUCKETED co-located fact-to-fact join — the physical-layout
     * answer to "lineitem ⋈ orders at 100 TB without an exchange": both
     * sides are written through [[graft.pipeline.Bucketing.writeBucketed]]
@@ -1094,6 +1156,7 @@ object WarehouseQueries extends QueryModule {
 
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q360_bucketed_join", q360, Some(q360Sql)),
+    QueryDef("q362_orc_schema_evolution", q362, Some(q362Sql)),
     QueryDef("q313_takedown_cascade", q313, Some(q313Sql)),
     QueryDef("q317_bitemporal_asof", q317, Some(q317Sql)),
     QueryDef("q325_snapshot_diff_timetravel", q325, Some(q325Sql)),
