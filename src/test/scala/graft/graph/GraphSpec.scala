@@ -133,4 +133,25 @@ class GraphSpec extends SparkTestBase {
     // arriving at 3 at t4, the t3 edge to 5 is stale but the t6 one works
     assert(a(5L) === 6L)
   }
+
+  test("releaseCheckpoint frees a superseded round's blocks (r11 mitigation)") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val df = (1L to 100L).toDF("id").localCheckpoint(true)
+    val rdd = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.head
+    assert(rdd.getStorageLevel != StorageLevel.NONE,
+      "eager localCheckpoint must persist its blocks")
+    Graph.releaseCheckpoint(df)
+    assert(rdd.getStorageLevel == StorageLevel.NONE,
+      "releaseCheckpoint must unpersist the checkpointed RDD")
+    // and the loops still answer correctly with releases in place:
+    // a 4-node ring, every node reaches rank fixpoint symmetrically
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(ring, iters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(ranks.size == 4 && ranks.values.toSet.size == 1,
+      s"symmetric ring must rank uniformly: $ranks")
+  }
 }
