@@ -284,14 +284,18 @@ object Graph {
     // rationale as [[pageRank]]
     withStateSizedShuffle(s, nodes.count()) {
       var rank = nodes.select($"id", ($"sd".cast("long") * scale).as("r"))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val contrib = e.join(rank, e("src") === rank("id"))
           .select($"dst", expr("r div od").as("c"))
           .groupBy($"dst").agg(sum($"c").as("c"))
+        val prev = rank
         rank = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
           .select($"id", $"sd",
             expr(s"sd * ${scale * 15 / 100} + (85 * coalesce(c, 0)) div 100").as("r"))
           .localCheckpoint(true)
+        // free the superseded round (never round 0: that is a plan over
+        // the checkpointed `nodes`, which the loop still joins)
+        if (i > 1) releaseCheckpoint(prev)
       }
       rank.select($"id", $"r".as("rank_scaled"))
     }

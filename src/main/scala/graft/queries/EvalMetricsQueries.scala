@@ -555,8 +555,14 @@ object EvalMetricsQueries extends QueryModule {
       .withColumn("mc", max($"c").over(wB))
       .groupBy($"bucket")
       .agg(sum($"c").as("n_b"), count(lit(1)).as("n_labels"),
-        sum(expr("CAST(c AS DECIMAL(19,0)) * c")).cast("long")
-          .as("sum_c2"),
+        // the DECIMAL sum narrows back to the BIGINT output column
+        // LOUDLY: a silent non-ANSI decimal->long NULL here would emit a
+        // wrong row where the DuckDB oracle raises (round-11 self-review)
+        expr("CASE WHEN sum(CAST(c AS DECIMAL(19,0)) * c) " +
+          "<= 9223372036854775807 " +
+          "THEN CAST(sum(CAST(c AS DECIMAL(19,0)) * c) AS BIGINT) " +
+          "ELSE CAST(raise_error('q353: sum_c2 exceeds BIGINT - widen " +
+          "the output column') AS BIGINT) END").as("sum_c2"),
         max($"c").as("dom_cnt"),
         min(when($"c" === $"mc", $"label")).cast("long").as("dom_label"),
         sum(expr("(CAST(c AS DECIMAL(19,0)) * c * 1000000) div n_l"))

@@ -215,11 +215,16 @@ object GraphIncrementalQueries extends QueryModule {
     // scale. Moments scale back to the value domain on the 1-row frame.
     val cents = li.select(cols.zipWithIndex.map { case (c, i) =>
       val q = round(col(c) * 100).cast("long")
-      // loud guard at 2^31 cents (where a product could pass 2^63):
-      // non-ANSI Spark would wrap silently where DuckDB raises
-      when(abs(q) <= 2147483647L, q).otherwise(raise_error(
-          lit(s"q89: |$c|*100 exceeds 2^31 — LONG moment products " +
-            "would overflow; widen the scale path")).cast("long"))
+      // loud guards: 2^31-cent magnitude (a LONG product could pass
+      // 2^63, and non-ANSI Spark would wrap silently where DuckDB
+      // raises) AND 2-dp exactness (3+-dp inputs would be silently
+      // cent-quantized on both engines at once)
+      when(abs(q) <= 2147483647L &&
+          abs(col(c) * 100 - round(col(c) * 100)) <= 1e-6, q)
+        .otherwise(raise_error(
+          lit(s"q89: $c is not an in-range 2-dp value — the LONG cents " +
+            "lift would overflow or quantize; widen the scale path"))
+          .cast("long"))
         .as(s"q$i") }: _*)
     def acc(c: org.apache.spark.sql.Column) =
       sum(c.cast("decimal(38,0)")).cast("double")

@@ -128,10 +128,16 @@ object InferenceQueries extends QueryModule {
     val lim = 2147483647L
     def cents(c: Column, what: String): Column = {
       val q = round(c * 100).cast("long")
-      when(abs(q) <= lim, q).otherwise(raise_error(concat(
-        lit(s"moments: |$what|*100 exceeds 2^31 — the LONG fixed-point " +
-          "product would overflow; widen the scale path")).cast("string"))
-        .cast("long"))
+      // two loud preconditions (round-11 self-review): magnitude (a
+      // product must fit LONG) and 2-dp EXACTNESS — a 3+-dp input would
+      // otherwise be silently cent-quantized on both engines at once,
+      // changing the statistic while the parity gate still passes
+      when(abs(q) <= lim && abs(c * 100 - round(c * 100)) <= 1e-6, q)
+        .otherwise(raise_error(concat(
+          lit(s"moments: $what is not an in-range 2-dp value — the LONG " +
+            "cents lift would overflow or quantize; widen the scale path"))
+          .cast("string"))
+          .cast("long"))
     }
     val d = df.select(col(groupCol),
       cents(col("x"), "x").as("qx"), cents(col("y"), "y").as("qy"))

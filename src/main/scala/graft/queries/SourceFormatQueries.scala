@@ -54,23 +54,17 @@ object SourceFormatQueries extends QueryModule {
       .select($"doc_id", advCol.as("payload"), $"source", $"n_chars")
     require(docs.filter($"payload".contains("\n")).isEmpty,
       "q342: CSV staging requires newline-free fields (multiLine trap)")
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft_q342_").toString
-    docs.write.mode("overwrite").option("header", "true").csv(staged)
-    val back = s.read.option("header", "true").option("inferSchema", "true")
-      .csv(staged)
-    val out = back.groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"n_chars").cast("long").as("sum_chars"),
-        sum(md5Head($"payload")).as("payload_checksum"))
-      .orderBy($"source")
-      .localCheckpoint(true) // pin before the staging disappears
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
+    graft.pipeline.Staging.withStagedDir("graft_q342_") { staged =>
+      docs.write.mode("overwrite").option("header", "true").csv(staged)
+      val back = s.read.option("header", "true")
+        .option("inferSchema", "true").csv(staged)
+      back.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"),
+          sum(md5Head($"payload")).as("payload_checksum"))
+        .orderBy($"source")
+        .localCheckpoint(true) // pin before the staging disappears
     }
-    rm(new java.io.File(staged))
-    out
   }
   private val q342Sql =
     s"""WITH d AS (SELECT $advSql AS payload, source, n_chars FROM documents)
@@ -87,24 +81,17 @@ object SourceFormatQueries extends QueryModule {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", advCol.as("payload"), $"source", $"n_chars")
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft_q343_").toString
-    docs.write.mode("overwrite").json(staged)
-    val back = s.read.json(staged)
-    val out = back.groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"n_chars").cast("long").as("sum_chars"),
-        sum(md5Head($"payload")).as("payload_checksum"),
-        min($"doc_id").cast("long").as("min_doc"),
-        max($"doc_id").cast("long").as("max_doc"))
-      .orderBy($"source")
-      .localCheckpoint(true)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
+    graft.pipeline.Staging.withStagedDir("graft_q343_") { staged =>
+      docs.write.mode("overwrite").json(staged)
+      s.read.json(staged).groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"),
+          sum(md5Head($"payload")).as("payload_checksum"),
+          min($"doc_id").cast("long").as("min_doc"),
+          max($"doc_id").cast("long").as("max_doc"))
+        .orderBy($"source")
+        .localCheckpoint(true)
     }
-    rm(new java.io.File(staged))
-    out
   }
   private val q343Sql =
     s"""WITH d AS (SELECT doc_id, $advSql AS payload, source, n_chars
@@ -136,25 +123,19 @@ object SourceFormatQueries extends QueryModule {
         ($"n_chars" * 3).cast("decimal(18,2)").as("score"),
         date_add(to_date(lit("1992-01-01")),
           ($"n_chars" % 1000).cast("int")).as("d"))
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft_q356_").toString
-    docs.write.mode("overwrite").orc(staged)
-    val back = s.read.orc(staged).filter($"doc_id" >= 10)
-    val out = back.groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"n_chars").cast("long").as("sum_chars"),
-        sum(md5Head($"payload")).as("payload_checksum"),
-        (sum($"score") * 100).cast("long").as("score_c"),
-        min($"d").as("min_d"),
-        max($"d").as("max_d"))
-      .orderBy($"source")
-      .localCheckpoint(true)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
+    graft.pipeline.Staging.withStagedDir("graft_q356_") { staged =>
+      docs.write.mode("overwrite").orc(staged)
+      s.read.orc(staged).filter($"doc_id" >= 10)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"),
+          sum(md5Head($"payload")).as("payload_checksum"),
+          (sum($"score") * 100).cast("long").as("score_c"),
+          min($"d").as("min_d"),
+          max($"d").as("max_d"))
+        .orderBy($"source")
+        .localCheckpoint(true)
     }
-    rm(new java.io.File(staged))
-    out
   }
   private val q356Sql =
     s"""WITH d AS (SELECT doc_id, $advSql AS payload, source, n_chars

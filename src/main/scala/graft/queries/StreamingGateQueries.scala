@@ -1004,19 +1004,27 @@ object StreamingGateQueries extends QueryModule {
       .trigger(Trigger.ProcessingTime("100 milliseconds"))
       .start()
     // poll until the full prefix landed; the hard deadline turns a
-    // wedged stream into a loud gate failure instead of a hang
+    // wedged stream into a loud gate failure instead of a hang, and the
+    // exception check fails FAST if the query died at startup instead
+    // of spinning count() jobs for the whole deadline
     val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
-    while (s.table(sink).count() < n && System.nanoTime() < deadline)
+    while (s.table(sink).count() < n && q.exception.isEmpty &&
+      System.nanoTime() < deadline)
       Thread.sleep(50)
     q.stop()
-    q.awaitTermination()
+    q.awaitTermination() // rethrows the stream's exception if it died
     require(s.table(sink).count() == n,
       s"q357: rate stream delivered ${s.table(sink).count()} of $n rows " +
         "before the deadline")
-    s.table(sink)
+    val out = s.table(sink)
       .agg(count(lit(1)).as("n"),
         sum($"value").as("value_sum"),
         sum($"value" * $"value").as("sq_sum"))
+      .localCheckpoint(true)
+    // the memory sink's backing view is session-lived: drop it so
+    // repeated Verify/Bench invocations don't accumulate 1000-row views
+    s.catalog.dropTempView(sink)
+    out
   }
   private val q357Sql =
     """SELECT CAST(count(*) AS BIGINT) AS n,

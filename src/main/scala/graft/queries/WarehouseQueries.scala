@@ -969,29 +969,23 @@ object WarehouseQueries extends QueryModule {
     def year(y: Int) = o.filter(
       $"o_orderdate" >= lit(java.sql.Timestamp.valueOf(s"$y-01-01 00:00:00")) &&
         $"o_orderdate" < lit(java.sql.Timestamp.valueOf(s"${y + 1}-01-01 00:00:00")))
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft_q344_").toString
-    year(1994).groupBy($"o_custkey".as("custkey"))
-      .agg(count(lit(1)).as("n_orders"))
-      .write.mode("append").parquet(staged)
-    year(1995).groupBy($"o_custkey".as("custkey"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
-      .write.mode("append").parquet(staged)
-    val evolved = s.read.option("mergeSchema", "true").parquet(staged)
-    val out = evolved.groupBy($"custkey")
-      .agg(count(lit(1)).as("n_batches"),
-        sum($"n_orders").as("n_orders"),
-        sum(when($"cents".isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
-        coalesce(sum($"cents"), lit(0L)).as("cents"))
-      .orderBy($"custkey")
-      .localCheckpoint(true) // pin before the staging disappears
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
+    graft.pipeline.Staging.withStagedDir("graft_q344_") { staged =>
+      year(1994).groupBy($"o_custkey".as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .write.mode("append").parquet(staged)
+      year(1995).groupBy($"o_custkey".as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+        .write.mode("append").parquet(staged)
+      s.read.option("mergeSchema", "true").parquet(staged)
+        .groupBy($"custkey")
+        .agg(count(lit(1)).as("n_batches"),
+          sum($"n_orders").as("n_orders"),
+          sum(when($"cents".isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
+          coalesce(sum($"cents"), lit(0L)).as("cents"))
+        .orderBy($"custkey")
+        .localCheckpoint(true) // pin before the staging disappears
     }
-    rm(new java.io.File(staged))
-    out
   }
   private val q344Sql =
     """WITH b1 AS (SELECT o_custkey AS custkey,
@@ -1031,29 +1025,23 @@ object WarehouseQueries extends QueryModule {
     def year(y: Int) = o.filter(
       $"o_orderdate" >= lit(java.sql.Timestamp.valueOf(s"$y-01-01 00:00:00")) &&
         $"o_orderdate" < lit(java.sql.Timestamp.valueOf(s"${y + 1}-01-01 00:00:00")))
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft_q362_").toString
-    year(1996).groupBy($"o_custkey".as("custkey"))
-      .agg(count(lit(1)).as("n_orders"))
-      .write.mode("append").orc(staged)
-    year(1997).groupBy($"o_custkey".as("custkey"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
-      .write.mode("append").orc(staged)
-    val evolved = s.read.option("mergeSchema", "true").orc(staged)
-    val out = evolved.groupBy($"custkey")
-      .agg(count(lit(1)).as("n_batches"),
-        sum($"n_orders").as("n_orders"),
-        sum(when($"cents".isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
-        coalesce(sum($"cents"), lit(0L)).as("cents"))
-      .orderBy($"custkey")
-      .localCheckpoint(true) // pin before the staging disappears
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
+    graft.pipeline.Staging.withStagedDir("graft_q362_") { staged =>
+      year(1996).groupBy($"o_custkey".as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .write.mode("append").orc(staged)
+      year(1997).groupBy($"o_custkey".as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+        .write.mode("append").orc(staged)
+      s.read.option("mergeSchema", "true").orc(staged)
+        .groupBy($"custkey")
+        .agg(count(lit(1)).as("n_batches"),
+          sum($"n_orders").as("n_orders"),
+          sum(when($"cents".isNull, 1L).otherwise(0L)).as("n_pre_evolution"),
+          coalesce(sum($"cents"), lit(0L)).as("cents"))
+        .orderBy($"custkey")
+        .localCheckpoint(true) // pin before the staging disappears
     }
-    rm(new java.io.File(staged))
-    out
   }
   private val q362Sql =
     """WITH b1 AS (SELECT o_custkey AS custkey,
@@ -1104,41 +1092,44 @@ object WarehouseQueries extends QueryModule {
         round($"l_extendedprice" * 100).cast("long").as("price_c"))
     val ord = Tables.orders(s, dir)
       .select($"o_orderkey", $"o_custkey")
-    val (t1, t2) = ("graft_q360_li", "graft_q360_ord")
-    s.sql(s"DROP TABLE IF EXISTS $t1")
-    s.sql(s"DROP TABLE IF EXISTS $t2")
-    graft.pipeline.Bucketing.writeBucketed(li, t1, "l_orderkey", 16,
-      Seq("l_orderkey"))
-    graft.pipeline.Bucketing.writeBucketed(ord, t2, "o_orderkey", 16,
-      Seq("o_orderkey"))
-    val perOrder = s.table(t1).hint("merge")
-      .join(s.table(t2), $"l_orderkey" === $"o_orderkey")
-      .groupBy($"l_orderkey")
-      .agg(count(lit(1)).as("n_items"),
-        sum($"price_c").as("order_price_c"),
-        max($"o_custkey").as("custkey"))
-    val rolled = perOrder
-      .groupBy(($"l_orderkey" % 100).as("okey_bucket"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum($"n_items").as("n_items"),
-        sum($"order_price_c").as("price_c"),
-        max($"custkey").as("max_custkey"))
-    val out = rolled.localCheckpoint(true) // force execution for the guard
-    val finalPlan = rolled.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive
-        .AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    // UUID-suffixed staging tables: concurrent sessions sharing the
+    // warehouse cannot race each other's DROPs, and the finally block
+    // cleans up even when the plan guard throws (round-11 self-review)
+    val sfx = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val (t1, t2) = (s"graft_q360_li_$sfx", s"graft_q360_ord_$sfx")
+    try {
+      graft.pipeline.Bucketing.writeBucketed(li, t1, "l_orderkey", 16,
+        Seq("l_orderkey"))
+      graft.pipeline.Bucketing.writeBucketed(ord, t2, "o_orderkey", 16,
+        Seq("o_orderkey"))
+      val perOrder = s.table(t1).hint("merge")
+        .join(s.table(t2), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum($"price_c").as("order_price_c"),
+          max($"o_custkey").as("custkey"))
+      val rolled = perOrder
+        .groupBy(($"l_orderkey" % 100).as("okey_bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"n_items").as("n_items"),
+          sum($"order_price_c").as("price_c"),
+          max($"custkey").as("max_custkey"))
+      val out = rolled.localCheckpoint(true) // force execution for the guard
+      // stage-aware count (PlanGuards): a bare collect over the adaptive
+      // plan sees NO exchanges at all — they hide inside LeafExecNode
+      // query stages — which made the original guard vacuous
+      val nShuffles = graft.pipeline.PlanGuards
+        .shuffleCount(rolled.queryExecution.executedPlan)
+      require(nShuffles == 1,
+        s"q360: bucketed join/agg executed $nShuffles exchanges (expected " +
+          s"exactly the single 100-row roll-up) — layout regression:\n" +
+          rolled.queryExecution.executedPlan)
+      out.orderBy($"okey_bucket")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $t1")
+      s.sql(s"DROP TABLE IF EXISTS $t2")
+      ()
     }
-    val nShuffles = finalPlan.collect {
-      case sh: org.apache.spark.sql.execution.exchange
-        .ShuffleExchangeExec => sh
-    }.size
-    require(nShuffles <= 1,
-      s"q360: bucketed join/agg planned $nShuffles exchanges (allowed: " +
-        s"the single 100-row roll-up) — layout regression:\n$finalPlan")
-    s.sql(s"DROP TABLE IF EXISTS $t1")
-    s.sql(s"DROP TABLE IF EXISTS $t2")
-    out.orderBy($"okey_bucket")
   }
   private val q360Sql =
     """WITH po AS (SELECT l.l_orderkey, count(*) AS n_items,

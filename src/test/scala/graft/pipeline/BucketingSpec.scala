@@ -2,8 +2,8 @@ package graft.pipeline
 
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+
 
 /** Bucketed co-located join: the physical plan must contain no shuffle
   * exchange on either join side. */
@@ -25,15 +25,14 @@ class BucketingSpec extends SparkTestBase {
         |GROUP BY f.k""".stripMargin)
     joined.collect() // force planning through AQE
 
-    val plan = joined.queryExecution.executedPlan
-    val finalPlan = plan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    // the only allowed exchange is the post-aggregation one — and since we
-    // group by the bucket key, even that should be absent
-    val shuffles = finalPlan.collect { case s: ShuffleExchangeExec => s }
-    assert(shuffles.isEmpty, s"expected no shuffles, got:\n$finalPlan")
+    // stage-aware count (PlanGuards): a bare collect over the adaptive
+    // plan sees NO exchanges — they hide inside LeafExecNode query
+    // stages — which made this assertion vacuous until round 11.
+    // Group-by is on the bucket key, so even the aggregate needs none.
+    val shuffles = PlanGuards.shuffleCount(joined.queryExecution.executedPlan)
+    assert(shuffles == 0,
+      s"expected no shuffles, got $shuffles:\n" +
+        joined.queryExecution.executedPlan)
 
     val out = joined.collect()
     assert(out.length == 97 && out.map(_.getAs[Long]("n")).sum == 1000L)
