@@ -64,10 +64,21 @@ object Graph {
     * loop itself created and has replaced — a released checkpoint cannot
     * be recomputed (its lineage is truncated by construction). */
   private[graft] def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
+      // Defend in depth (round-11 ADVICE): only a frame whose WHOLE plan
+      // is the checkpoint — a bare LogicalRDD root — may be released.
+      // Matching every LogicalRDD in an arbitrary plan would let a future
+      // call site hand in a DERIVED frame (e.g. a projection over a live
+      // shared checkpoint like pageRank's `nodes`) and silently free
+      // state another loop still joins; a released checkpoint cannot be
+      // recomputed (lineage truncated by construction), so that bug class
+      // must fail loudly at the call site instead.
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false); ()
-      case _ => ()
+      case other => throw new IllegalStateException(
+        "releaseCheckpoint: expected a bare localCheckpoint frame " +
+          s"(LogicalRDD root), got ${other.nodeName} - refusing to free " +
+          "blocks a derived plan may share")
     }
 
   def withStateSizedShuffle[A](s: SparkSession, stateRows: Long)(f: => A): A = {

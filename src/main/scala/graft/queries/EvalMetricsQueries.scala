@@ -565,8 +565,17 @@ object EvalMetricsQueries extends QueryModule {
           "the output column') AS BIGINT) END").as("sum_c2"),
         max($"c").as("dom_cnt"),
         min(when($"c" === $"mc", $"label")).cast("long").as("dom_label"),
-        sum(expr("(CAST(c AS DECIMAL(19,0)) * c * 1000000) div n_l"))
-          .as("brec_ppm_sum"))
+        // same loud-narrow discipline as sum_c2: each `div` term is a
+        // LONG, but a plain LONG sum of them would wrap silently in
+        // non-ANSI mode where the DuckDB oracle (HUGEINT accumulate,
+        // raising BIGINT cast) raises — accumulate in DECIMAL, narrow
+        // loudly (round-11 ADVICE)
+        expr("CASE WHEN sum(CAST((CAST(c AS DECIMAL(19,0)) * c * 1000000) " +
+          "div n_l AS DECIMAL(19,0))) <= 9223372036854775807 " +
+          "THEN CAST(sum(CAST((CAST(c AS DECIMAL(19,0)) * c * 1000000) " +
+          "div n_l AS DECIMAL(19,0))) AS BIGINT) " +
+          "ELSE CAST(raise_error('q353: brec_ppm_sum exceeds BIGINT - " +
+          "widen the output column') AS BIGINT) END").as("brec_ppm_sum"))
       .withColumn("purity_ppm", expr("(dom_cnt * 1000000) div n_b"))
       .withColumn("bprec_ppm",
         expr("(CAST(sum_c2 AS DECIMAL(19,0)) * 1000000) div n_b"))

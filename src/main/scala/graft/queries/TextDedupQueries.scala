@@ -810,14 +810,21 @@ object TextDedupQueries extends QueryModule {
       // a document of >= 2^20 chars would drive it non-positive and
       // silently break the min-key rightmost-tie rule. Fail LOUDLY
       // instead (same when/raise discipline as Dedup's hot-bucket
-      // guard): the otherwise branch only evaluates on offending rows,
-      // so valid corpora pay nothing.
-      .withColumn("text", when(length(col("text")) < 1048576, col("text"))
+      // guard). The guard is a standalone FILTER barrier, NOT a rewrite
+      // of the `text` column: the round-11 shape
+      // (withColumn("text", when(..., text).otherwise(raise...)))
+      // placed the CASE inside the same projection as the per-gram
+      // transform lambda, and once CollapseProject inlined it the CASE —
+      // including its O(L) length(text) call — re-evaluated under every
+      // gram row: O(L²) per doc, measured +55% idle wall on the gate.
+      // A Filter's predicate runs once per DOC row and cannot be
+      // duplicated into the projection above it.
+      .filter(when(length(col("text")) < 1048576, lit(true))
         .otherwise(raise_error(concat(
           lit("winnowing: doc "), col("doc_id").cast("string"),
           lit(" has length >= 2^20 chars; the 7-digit position "),
           lit("encoding would overflow - widen it before fingerprinting")))
-          .cast("string")))
+          .cast("boolean")))
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, length(text) - ${k - 1}), " +
           s"i -> struct(i AS pos, substring(text, i, $k) AS g))")).as("x"))

@@ -154,4 +154,23 @@ class GraphSpec extends SparkTestBase {
     assert(ranks.size == 4 && ranks.values.toSet.size == 1,
       s"symmetric ring must rank uniformly: $ranks")
   }
+
+  test("releaseCheckpoint refuses a DERIVED frame over a live checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    // a projection over a checkpoint is NOT the checkpoint: releasing its
+    // embedded LogicalRDD would free state other plans may still join
+    // (round-11 ADVICE). The guard must throw and leave the blocks alive.
+    val base = (1L to 100L).toDF("id").localCheckpoint(true)
+    val rdd = base.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.head
+    val derived = base.select(($"id" * 2).as("id2"))
+    val ex = intercept[IllegalStateException](Graph.releaseCheckpoint(derived))
+    assert(ex.getMessage.contains("LogicalRDD root"))
+    assert(rdd.getStorageLevel != StorageLevel.NONE,
+      "the refused release must leave the shared checkpoint's blocks alive")
+    Graph.releaseCheckpoint(base) // the bare frame still releases fine
+    assert(rdd.getStorageLevel == StorageLevel.NONE)
+  }
 }
