@@ -25,6 +25,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same deterministic block release as Bench: residual checkpoint
+      // blocks from 363 sequential queries otherwise pool up until a GC
+      // happens to trigger the ContextCleaner
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${JsonEscape(k)}: ${JsonEscape(v)}" }

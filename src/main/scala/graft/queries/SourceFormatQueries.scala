@@ -149,9 +149,83 @@ object SourceFormatQueries extends QueryModule {
       |  max(DATE '1992-01-01' + CAST(n_chars % 1000 AS INTEGER)) AS max_d
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  /** q363: cross-format fidelity MATRIX — the same typed frame staged
+    * through ALL four runtime formats (CSV, JSONL, ORC, parquet), read
+    * back, CANONICAL-CAST, and checksummed into one row per format, so
+    * the whole type-fidelity surface is pinned in a single artifact. The
+    * canonical casts are where the formats genuinely differ and are the
+    * point of the gate: CSV and JSONL re-infer on read (DECIMAL(18,2)
+    * comes back DOUBLE, and JSONL's DATE comes back STRING), so each
+    * column is cast back to its declared type before hashing — the gate
+    * asserts the CONTENT survives every format's writer/reader/inference
+    * stack bit-identically once re-typed (inference loses the declared
+    * type, never the value, at these magnitudes; a format that quantized
+    * or re-quoted anything would shift its row's checksums). The oracle
+    * computes the expected row once from the parquet table and cross
+    * joins the four format names: all rows must be value-identical.
+    *
+    * Scale shape: four independent scan → write → read → 1-row aggregate
+    * pipelines (each format-parallel/splittable, q342/q343/q356 notes),
+    * then a 4-row union — nothing quadratic, nothing driver-side beyond
+    * the 4 checkpointed audit rows. */
+  private def q363(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", advCol.as("payload"), $"n_chars",
+        ($"n_chars" * 3).cast("decimal(18,2)").as("score"),
+        date_add(to_date(lit("1992-01-01")),
+          ($"n_chars" % 1000).cast("int")).as("d"))
+    def audit(fmt: String, back: DataFrame): DataFrame =
+      back.select($"payload",
+          $"n_chars".cast("long").as("n_chars"),
+          $"score".cast("decimal(18,2)").as("score"),
+          $"d".cast("date").as("d"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").cast("long").as("sum_chars"),
+          sum(md5Head($"payload")).as("payload_checksum"),
+          (sum($"score") * 100).cast("long").as("score_c"),
+          min($"d").as("min_d"), max($"d").as("max_d"))
+        .select(lit(fmt).as("format"), col("*"))
+        .localCheckpoint(true) // pin before the staging disappears
+    val staged = Seq(
+      graft.pipeline.Staging.withStagedDir("graft_q363csv_") { st =>
+        docs.write.mode("overwrite").option("header", "true").csv(st)
+        audit("csv", s.read.option("header", "true")
+          .option("inferSchema", "true").csv(st))
+      },
+      graft.pipeline.Staging.withStagedDir("graft_q363jsonl_") { st =>
+        docs.write.mode("overwrite").json(st)
+        audit("jsonl", s.read.json(st))
+      },
+      graft.pipeline.Staging.withStagedDir("graft_q363orc_") { st =>
+        docs.write.mode("overwrite").orc(st)
+        audit("orc", s.read.orc(st))
+      },
+      graft.pipeline.Staging.withStagedDir("graft_q363parquet_") { st =>
+        docs.write.mode("overwrite").parquet(st)
+        audit("parquet", s.read.parquet(st))
+      })
+    staged.reduce(_ unionAll _).orderBy($"format")
+  }
+  private val q363Sql =
+    s"""WITH d AS (SELECT $advSql AS payload, n_chars FROM documents),
+      |agg AS (SELECT count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(${duckMd5Head("payload")}) AS BIGINT) AS payload_checksum,
+      |  CAST(sum(CAST(n_chars * 3 AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |    AS score_c,
+      |  min(DATE '1992-01-01' + CAST(n_chars % 1000 AS INTEGER)) AS min_d,
+      |  max(DATE '1992-01-01' + CAST(n_chars % 1000 AS INTEGER)) AS max_d
+      |  FROM d)
+      |SELECT f.format, a.n_docs, a.sum_chars, a.payload_checksum,
+      |  a.score_c, a.min_d, a.max_d
+      |FROM (VALUES ('csv'), ('jsonl'), ('orc'), ('parquet')) f(format)
+      |CROSS JOIN agg a ORDER BY f.format""".stripMargin
+
   override def queries: Seq[QueryDef] = Seq(
     QueryDef("q342_csv_roundtrip", q342, Some(q342Sql)),
     QueryDef("q343_jsonl_roundtrip", q343, Some(q343Sql)),
     QueryDef("q356_orc_roundtrip", q356, Some(q356Sql)),
+    QueryDef("q363_format_fidelity_matrix", q363, Some(q363Sql)),
   )
 }

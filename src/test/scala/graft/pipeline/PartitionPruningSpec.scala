@@ -3,7 +3,6 @@ package graft.pipeline
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.FileSourceScanExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Physical-layout claims verified on the plan: partition pruning reads
   * only matching partition directories, and observe() metrics surface
@@ -19,11 +18,10 @@ class PartitionPruningSpec extends SparkTestBase {
     val q = spark.read.parquet(s"$wh/t").filter($"symbol" === "S3")
     q.collect()
 
-    val scan = q.queryExecution.executedPlan.collectFirst {
-      case a: AdaptiveSparkPlanExec => a.executedPlan.collectFirst {
-        case s: FileSourceScanExec => s }.orNull
-      case s: FileSourceScanExec => s
-    }.orNull
+    // stage-aware traversal (PlanGuards): the hand-rolled AQE unwrap this
+    // replaced missed scans nested inside query stages
+    val scan = PlanGuards.flatten(q.queryExecution.executedPlan)
+      .collectFirst { case s: FileSourceScanExec => s }.orNull
     assert(scan != null)
     // 10 symbol directories exist; the scan must select exactly 1
     assert(scan.selectedPartitions.partitionCount == 1,
