@@ -111,4 +111,82 @@ object DistributedScan {
       .withColumnRenamed("__one_cum", out)
       .drop("__one")
   }
+
+  /** EXACT per-group quantiles (quantile_cont / `percentile` semantics:
+    * linear interpolation at h = (n−1)·p) with BOUNDED per-task memory.
+    *
+    * Spark's exact `percentile` aggregate buffers a value→count map per
+    * group: fine when the value domain is small (l_quantity's 50
+    * distinct values), an OOM-at-corpus-scale and a |groups|-task
+    * parallelism cap when the column is near-continuous (prices,
+    * event values) and groups are few — the round-12 q102/q126/q227
+    * migration. This operator gets the same numbers from the scan
+    * discipline above:
+    *
+    *   1. one map-side-combinable (group, value) count — the same
+    *      pre-shrink the aggregate does internally, but distributed;
+    *   2. [[prefixSums]] over (group, value) order gives every distinct
+    *      value its global rank interval (key tuples unique by
+    *      construction — the total-order contract holds);
+    *   3. per-group rank = global cum − the group's offset, where the
+    *      offsets come from a |groups|-row frame (tiny-table window);
+    *   4. each quantile's two bracketing values are picked by
+    *      rank-interval containment and linearly interpolated
+    *      (lower + frac·(upper − lower)).
+    *
+    * NULL values are skipped, matching the aggregate. A group whose
+    * values are ALL null vanishes from the output (the aggregate would
+    * emit a null quantile) — no in-repo caller groups null-only data.
+    * Quantiles are returned UNROUNDED; callers round (every gate pins
+    * 6 dp before reuse so both engines see bit-identical fences).
+    *
+    * @param df    input frame
+    * @param group grouping column (returned under its `out` name `__g`
+    *              — callers rename)
+    * @param value value column (numeric; cast to double)
+    * @param ps    quantile fractions in [0, 1]
+    * @param out   one output column name per fraction
+    * @return one row per group: (`__g`, out…)
+    */
+  def groupedQuantiles(df0: DataFrame, group: Column, value: Column,
+      ps: Seq[Double], out: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.size == out.size,
+      "groupedQuantiles: one output name per fraction")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"groupedQuantiles: fractions must be in [0,1], got $ps")
+    val df = df0.select(group.as("__g"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val vc = df.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = prefixSums(vc, Seq(col("__g"), col("__v")), Seq("__c"))
+    // group totals come from the scan's own checkpointed output — no
+    // second pass over the raw data
+    val wF = Window.orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs0 = cum.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wF), lit(0L)))
+    val offs = ps.indices.foldLeft(offs0) { (d, i) =>
+      d.withColumn(s"__h$i", (col("__n") - 1).cast("double") * ps(i))
+        .withColumn(s"__k$i", floor(col(s"__h$i")).cast("long") + 1)
+    }
+    def hit(k: Column) =
+      k > col("__c_cum") - col("__off") - col("__c") &&
+        k <= col("__c_cum") - col("__off")
+    val anyHit = ps.indices
+      .map(i => hit(col(s"__k$i")) || hit(col(s"__k$i") + 1))
+      .reduce(_ || _)
+    val aggs = ps.indices.flatMap { i =>
+      Seq(min(when(hit(col(s"__k$i")), col("__v"))).as(s"__x$i"),
+        min(when(hit(col(s"__k$i") + 1), col("__v"))).as(s"__y$i"),
+        first(col(s"__h$i")).as(s"__hh$i")) // constant per group
+    }
+    cum.join(broadcast(offs), "__g")
+      .filter(anyHit)
+      .groupBy(col("__g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__g") +: ps.indices.map { i =>
+        (col(s"__x$i") + (col(s"__hh$i") - floor(col(s"__hh$i"))) *
+          (coalesce(col(s"__y$i"), col(s"__x$i")) - col(s"__x$i")))
+          .as(out(i))
+      }: _*)
+  }
 }

@@ -46,6 +46,16 @@ object GraphTraversalQueries extends QueryModule {
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
     li.groupBy($"l_orderkey")
       .agg(collect_set($"l_partkey").as("ps"))
+      // pin the explode's parallelism: the grouped-arrays frame is
+      // BYTES-tiny, so AQE coalesces its exchange to ~1 partition and
+      // the ~12x row-multiplying combination explode (and the distinct's
+      // map-side partial agg) would serialize onto that one task — the
+      // q246 single-file trap in post-shuffle form. The repartition
+      // moves only the small grouped frame; at cluster scale the frame
+      // is large enough that AQE never over-coalesces and the exchange
+      // stays cheap relative to the explode it parallelizes.
+      .repartition(li.sparkSession.sparkContext.defaultParallelism,
+        $"l_orderkey")
       .select(explode(expr("flatten(transform(ps, x -> " +
         "transform(filter(ps, y -> y != x), y -> " +
         "struct(x AS src, y AS dst))))")).as("p"))

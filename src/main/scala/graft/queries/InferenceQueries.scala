@@ -350,31 +350,41 @@ object InferenceQueries extends QueryModule {
     * differences (quantile lift). The mean-based z-test (q180) misses
     * effects that move the tails without moving the mean; QTE is the
     * standard companion readout. Arms are the q180/q60 hash split (pure
-    * function of user id), quantiles are Spark's exact `percentile` vs
-    * DuckDB's `quantile_cont` — same type-7 interpolation on the dyadic
-    * lattice (the q159 precedent); deltas subtract the already-6dp-
-    * rounded quantiles so they stay bit-stable. */
+    * function of user id); quantiles use the bounded-memory rank scan
+    * ([[graft.operators.DistributedScan.groupedQuantiles]] — purchase
+    * `value` is near-continuous and there are exactly TWO arms, so the
+    * buffered `percentile` aggregate would hold half the corpus per
+    * task at scale; round-12 migration) vs DuckDB's `quantile_cont` —
+    * same type-7 interpolation on the dyadic lattice (the q159
+    * precedent); deltas subtract the already-6dp-rounded quantiles so
+    * they stay bit-stable. */
   private def q227(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val arms = Tables.events(s, dir)
       .filter($"event_type" === "purchase")
       .withColumn("arm",
         when(CurationQueries.hashBucket("user_id") % 2 === 0, "A").otherwise("B"))
-    val q = arms.groupBy()
-      .agg(
-        sum(when($"arm" === "A", 1L).otherwise(0L)).as("n_a"),
-        sum(when($"arm" === "B", 1L).otherwise(0L)).as("n_b"),
-        round(expr("percentile(CASE WHEN arm = 'A' THEN value END, 0.25)"), 6).as("p25_a"),
-        round(expr("percentile(CASE WHEN arm = 'A' THEN value END, 0.5)"), 6).as("p50_a"),
-        round(expr("percentile(CASE WHEN arm = 'A' THEN value END, 0.75)"), 6).as("p75_a"),
-        round(expr("percentile(CASE WHEN arm = 'B' THEN value END, 0.25)"), 6).as("p25_b"),
-        round(expr("percentile(CASE WHEN arm = 'B' THEN value END, 0.5)"), 6).as("p50_b"),
-        round(expr("percentile(CASE WHEN arm = 'B' THEN value END, 0.75)"), 6).as("p75_b"))
-    q.select($"n_a", $"n_b", $"p25_a", $"p50_a", $"p75_a",
-      $"p25_b", $"p50_b", $"p75_b",
-      round($"p25_b" - $"p25_a", 6).as("qte_25"),
-      round($"p50_b" - $"p50_a", 6).as("qte_50"),
-      round($"p75_b" - $"p75_a", 6).as("qte_75"))
+    val qs = graft.operators.DistributedScan
+      .groupedQuantiles(arms, $"arm", $"value",
+        Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"))
+    def armRow(a: String, suffix: String) = qs.filter($"__g" === a)
+      .select(round($"p25", 6).as(s"p25_$suffix"),
+        round($"p50", 6).as(s"p50_$suffix"),
+        round($"p75", 6).as(s"p75_$suffix"))
+    // three 1-row frames: the broadcast-constant crossJoin case
+    Tables.events(s, dir).filter($"event_type" === "purchase")
+      .withColumn("arm",
+        when(CurationQueries.hashBucket("user_id") % 2 === 0, "A").otherwise("B"))
+      .groupBy()
+      .agg(sum(when($"arm" === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"arm" === "B", 1L).otherwise(0L)).as("n_b"))
+      .crossJoin(broadcast(armRow("A", "a")))
+      .crossJoin(broadcast(armRow("B", "b")))
+      .select($"n_a", $"n_b", $"p25_a", $"p50_a", $"p75_a",
+        $"p25_b", $"p50_b", $"p75_b",
+        round($"p25_b" - $"p25_a", 6).as("qte_25"),
+        round($"p50_b" - $"p50_a", 6).as("qte_50"),
+        round($"p75_b" - $"p75_a", 6).as("qte_75"))
   }
   private val q227Sql = {
     val bucket = CurationQueries.duckBucket("user_id")

@@ -144,21 +144,39 @@ object StatsQueries extends QueryModule {
       |  round(max(o_totalprice), 2) AS hi_price
       |FROM orders, b GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** q102: winsorized statistics — per-group p05/p95 found once with one
-    * buffered-percentile aggregate, rounded to 6dp so both engines clip
-    * against bit-identical fences, broadcast-joined back (the fence table
-    * is |groups| rows — always broadcastable), then every value clamped
-    * with greatest/least and re-aggregated through an exact DECIMAL sum.
-    * Two passes over the data by necessity (the fences are order
-    * statistics); both are single keyed shuffles with partial aggregation. */
+  /** q102: winsorized statistics — per-group p05/p95 fences, rounded to
+    * 6dp so both engines clip against bit-identical values,
+    * broadcast-joined back (the fence table is |groups| rows — always
+    * broadcastable), then every value clamped with greatest/least and
+    * re-aggregated through an exact DECIMAL sum.
+    *
+    * The fences are EXACT order statistics computed WITHOUT the buffered
+    * `percentile` aggregate (round-12 rewrite): that aggregate's state is
+    * a value→count map per group, which for a near-CONTINUOUS column like
+    * l_extendedprice is the whole group in one task's memory — with 3
+    * return flags that is both an OOM at corpus scale and a 3-task
+    * parallelism cap locally. Instead: (1) one map-side-combinable
+    * (group, value) count — the same pre-shrink the aggregate does
+    * internally, but distributed; (2) DistributedScan.prefixSums over
+    * (group, value) order gives each distinct value its global rank
+    * interval (unique key tuples by construction, bounded per-task
+    * memory); (3) per-group rank = global cum − the group's offset (a
+    * |groups|-row broadcast); (4) the two bracketing values per
+    * percentile are picked by rank-interval containment and linearly
+    * interpolated with the oracle's own formula (lower + frac·(upper −
+    * lower), quantile_cont semantics; the 6-dp round absorbs the
+    * float-form difference vs the old aggregate, as it always did).
+    * Locally ~0.8 s slower at sf0.1 (scan machinery vs a 3-task buffered
+    * sort) — accepted: the old shape does not survive any group size,
+    * the new one does. */
   private def q102(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
-    val fences = li.groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("f"))
-      .select($"l_returnflag",
-        round(element_at($"f", 1), 6).as("lo"),
-        round(element_at($"f", 2), 6).as("hi"))
+    val fences = graft.operators.DistributedScan
+      .groupedQuantiles(li, $"l_returnflag", $"l_extendedprice",
+        Seq(0.05, 0.95), Seq("lo0", "hi0"))
+      .select($"__g".as("l_returnflag"),
+        round($"lo0", 6).as("lo"), round($"hi0", 6).as("hi"))
     li.join(broadcast(fences), "l_returnflag")
       .withColumn("wv", greatest($"lo", least($"hi", $"l_extendedprice")))
       .groupBy($"l_returnflag")
@@ -217,20 +235,25 @@ object StatsQueries extends QueryModule {
     * heavy-tail-safe sibling (mean and stddev are themselves dragged by
     * the outliers they are meant to find; the median and the median
     * absolute deviation are not). Two percentile passes by necessity
-    * (MAD needs |v − med|), each a single grouped aggregate with the
-    * |groups|-row result broadcast back (the q102 fence pattern); medians
-    * are rounded to 6 dp before re-use so both engines deviate against
-    * bit-identical centers. Flag rule: 0.6745·|v−med| > 3.5·MAD, the
-    * standard modified z-score at 3.5. */
+    * (MAD needs |v − med|), each the bounded-memory rank scan
+    * ([[graft.operators.DistributedScan.groupedQuantiles]] — `value` is
+    * near-continuous, so the buffered `percentile` aggregate's
+    * value→count map would be the whole group in one task at corpus
+    * scale; round-12 migration), with the |groups|-row result broadcast
+    * back; medians are rounded to 6 dp before re-use so both engines
+    * deviate against bit-identical centers. Flag rule:
+    * 0.6745·|v−med| > 3.5·MAD, the standard modified z-score at 3.5. */
   private def q126(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir).select($"event_type", $"value")
-    val med = ev.groupBy($"event_type")
-      .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+    val med = graft.operators.DistributedScan
+      .groupedQuantiles(ev, $"event_type", $"value", Seq(0.5), Seq("m"))
+      .select($"__g".as("event_type"), round($"m", 6).as("med"))
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("adev", abs($"value" - $"med"))
-    val mad = dev.groupBy($"event_type")
-      .agg(round(expr("percentile(adev, 0.5D)"), 6).as("mad"))
+    val mad = graft.operators.DistributedScan
+      .groupedQuantiles(dev, $"event_type", $"adev", Seq(0.5), Seq("m"))
+      .select($"__g".as("event_type"), round($"m", 6).as("mad"))
     dev.join(broadcast(mad), "event_type")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
@@ -723,20 +746,26 @@ object StatsQueries extends QueryModule {
   /** q108: equi-depth (decile) histogram — the optimizer-statistics
     * companion to q98's equi-width bins. Deliberately NOT `ntile`: a
     * global ntile needs one total sort through a single window partition —
-    * the classic 100 TB anti-pattern — so the breaks come from one exact
-    * interpolated-percentile aggregate instead (constant-size output),
-    * rounded to 6dp so both engines bin against identical fences, then
-    * every row buckets by counting breaks strictly below it (ties go DOWN,
-    * the `x > b` rule, identical in both engines). Breaks attach via the
-    * q98 data-derived constant-key broadcast; binning is a 9-element
-    * filter per row — scan-bound, no sort anywhere. */
+    * the classic 100 TB anti-pattern. The breaks were an exact
+    * interpolated-percentile AGGREGATE until round 12 — constant-size
+    * OUTPUT, but its buffer is a value→count map of the whole
+    * near-continuous o_totalprice column in one task (the q102 hazard
+    * class) — so they now come from the bounded-memory rank scan
+    * ([[graft.operators.DistributedScan.groupedQuantiles]], constant
+    * group), rounded to 6dp so both engines bin against identical
+    * fences; then every row buckets by counting breaks strictly below it
+    * (ties go DOWN, the `x > b` rule, identical in both engines).
+    * Breaks attach via the q98 data-derived constant-key broadcast;
+    * binning is a 9-element filter per row — scan-bound, no data-sized
+    * sort anywhere. */
   private def q108(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val o = Tables.orders(s, dir).select($"o_totalprice")
-    val breaks = o.agg(expr(
-        "percentile(o_totalprice, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))")
-        .as("bk0"))
-      .select(expr("transform(bk0, b -> round(b, 6))").as("bks"))
+    val names = (1 to 9).map(i => s"b$i")
+    val breaks = graft.operators.DistributedScan
+      .groupedQuantiles(o.withColumn("g", lit(1)), $"g", $"o_totalprice",
+        (1 to 9).map(_ / 10.0), names)
+      .select(array(names.map(n => round(col(n), 6)): _*).as("bks"))
       .withColumn("one", pmod(element_at($"bks", 1).cast("long"), lit(1L)))
     o.withColumn("one", pmod($"o_totalprice".cast("long"), lit(1L)))
       .join(broadcast(breaks), "one")
