@@ -200,6 +200,53 @@ class AdversarialParitySpec extends SparkTestBase {
       got.zip(ref).find { case (a, b) => a != b }})")
   }
 
+  test("q63 decontamination: true 8-token contamination counts, a concat near-miss does not") {
+    // holdout docs are doc_id % 20 == 0; contaminated corpus docs embed
+    // EXACT 8-token holdout windows; doc 5 embeds a window whose
+    // empty-separator concatenation equals holdout 20's window but whose
+    // TOKENIZATION differs — the shingle identity is the token sequence
+    // (space-joined over a space-free vocab), so it must NOT count.
+    val h20 = Vector("x", "xx", "y", "yx", "xy", "xxx", "yy", "x", "xx", "y")
+    val h40 = Vector("yy", "x", "xx", "xy", "yx", "y", "x", "xxx", "yy", "xx")
+    val w20 = h20.slice(0, 8)
+    val nearMiss = Vector("xx", "x") ++ w20.drop(2) // ("x","xx") -> ("xx","x")
+    assert(nearMiss != w20 && nearMiss.mkString("") == w20.mkString(""),
+      "the near-miss must collide under an empty-separator join")
+    val rng = new scala.util.Random(0xDEC0DEL)
+    def noise(k: Int) = Vector.fill(k)(vocab(rng.nextInt(vocab.size)))
+    val docs: Seq[(Long, Vector[String])] = Seq(
+      20L -> h20, 40L -> h40,                       // holdout
+      1L -> (noise(3) ++ w20 ++ noise(2)),          // contaminated by 20
+      2L -> (noise(2) ++ h20.slice(2, 10)),         // contaminated by 20
+      3L -> (w20 ++ noise(1) ++ h40.slice(1, 9)),   // contaminated by 20 AND 40
+      5L -> (noise(2) ++ nearMiss ++ noise(2)),     // near-miss: must NOT count
+      6L -> noise(11), 7L -> noise(9))              // background corpus
+    val dir = tmpDir("graft-adv-decon")
+    docs.map { case (id, toks) =>
+      val text = toks.mkString(" ")
+      (id, text, "en", "s1", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // token-sequence reference (distinct 8-windows per doc, as WordShingles)
+    val holdGrams = docs.filter(_._1 % 20 == 0)
+      .map { case (id, t) => id -> tokenGrams(t, 8).distinct }
+    val ref = docs.filter(_._1 % 20 != 0)
+      .flatMap { case (id, t) =>
+        val gs = tokenGrams(t, 8).distinct
+        val sharedGrams = gs.filter(g => holdGrams.exists(_._2.contains(g)))
+        val sharedDocs = holdGrams.filter(_._2.exists(gs.contains)).map(_._1)
+        if (sharedGrams.isEmpty) None
+        else Some((id, sharedGrams.size.toLong, sharedDocs.distinct.size.toLong))
+      }.sortBy(_._1)
+    val got = SparkEntry.queries("q63_decontamination")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == ref, s"q63 hostile parity:\n got $got\n ref $ref")
+    assert(ref.map(_._1).toSet == Set(1L, 2L, 3L),
+      "exactly the truly contaminated docs — the near-miss doc 5 excluded")
+    assert(ref.find(_._1 == 3L).exists(_._3 == 2L),
+      "doc 3 must match BOTH holdout docs")
+  }
+
   // ---- fixed-point moment family at the magnitude edge -----------------
 
   private def writeLineitem(dir: String, rows: Seq[(Double, Double, Double)]): Unit =
