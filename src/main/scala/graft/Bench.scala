@@ -156,8 +156,15 @@ object Bench {
     // next to the repo docs, and the printed line degrades until it
     // provably fits: 2 dp -> 1 dp -> keep only the slowest entries (the
     // ones a perf reader actually needs) plus an explicit elision count.
+    // compact keys are the qNNN prefix; if two gates ever share one, the
+    // whole map falls back to full names rather than silently shadowing a
+    // duplicate JSON key in a consumer
+    val shortKeysUnique =
+      results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size
+    def shortKey(k: String): String =
+      if (shortKeysUnique) k.takeWhile(_ != '_') else k
     def entry(k: String, v: BigDecimal) =
-      "\"" + k.takeWhile(_ != '_') + "\":" + v
+      "\"" + shortKey(k) + "\":" + v
     def qsAt(dp: Int, rs: Seq[(String, Double)], extra: String = "") =
       rs.map { case (k, v) =>
         entry(k, BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP))
@@ -179,7 +186,7 @@ object Bench {
     // for every query is in bench_detail.json's "telemetry".
     def teleRow(k: String): String = {
       val (s0, j, g, h, r) = tele(k)
-      "\"" + k.takeWhile(_ != '_') + "\":[" +
+      "\"" + shortKey(k) + "\":[" +
         BigDecimal(s0).setScale(1, BigDecimal.RoundingMode.HALF_UP) +
         s",$j,$g,$h,$r]"
     }

@@ -136,9 +136,20 @@ object DistributedScan {
     *
     * NULL values are skipped, matching the aggregate. A group whose
     * values are ALL null vanishes from the output (the aggregate would
-    * emit a null quantile) — no in-repo caller groups null-only data.
+    * emit a null quantile) — a caller that must surface such groups
+    * left-joins from its group list (q227's arm rows do exactly that,
+    * so an empty arm yields NULL quantiles, not a vanished row).
     * Quantiles are returned UNROUNDED; callers round (every gate pins
     * 6 dp before reuse so both engines see bit-identical fences).
+    *
+    * GROUP CARDINALITY IS UNBOUNDED: the per-group offset table is
+    * itself computed with [[prefixSums]] (group keys are unique in the
+    * totals frame, so the total-order contract holds), never with a
+    * single-task `Window.orderBy(group)`, and the offsets join carries
+    * no broadcast hint — AQE broadcasts the offsets stage when its
+    * runtime size is small (the 2–5-group gates) and keeps a shuffled
+    * join when it is not (millions of per-domain groups at corpus
+    * scale). Nothing in the plan is sized by |groups| on one task.
     *
     * @param df    input frame
     * @param group grouping column (returned under its `out` name `__g`
@@ -159,11 +170,13 @@ object DistributedScan {
     val vc = df.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
     val cum = prefixSums(vc, Seq(col("__g"), col("__v")), Seq("__c"))
     // group totals come from the scan's own checkpointed output — no
-    // second pass over the raw data
-    val wF = Window.orderBy(col("__g"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs0 = cum.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
-      .withColumn("__off", coalesce(sum(col("__n")).over(wF), lit(0L)))
+    // second pass over the raw data; their exclusive prefix is a second
+    // (much smaller) two-level scan, so the offsets stay distributed at
+    // any group cardinality instead of sorting |groups| rows on one task
+    val totals = cum.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    val offs0 = prefixSums(totals, Seq(col("__g")), Seq("__n"))
+      .withColumn("__off", col("__n_cum") - col("__n"))
+      .drop("__n_cum")
     val offs = ps.indices.foldLeft(offs0) { (d, i) =>
       d.withColumn(s"__h$i", (col("__n") - 1).cast("double") * ps(i))
         .withColumn(s"__k$i", floor(col(s"__h$i")).cast("long") + 1)
@@ -179,7 +192,9 @@ object DistributedScan {
         min(when(hit(col(s"__k$i") + 1), col("__v"))).as(s"__y$i"),
         first(col(s"__h$i")).as(s"__hh$i")) // constant per group
     }
-    cum.join(broadcast(offs), "__g")
+    // no broadcast hint: AQE measures the offsets stage at runtime and
+    // broadcasts only when |groups| is actually small
+    cum.join(offs, "__g")
       .filter(anyHit)
       .groupBy(col("__g"))
       .agg(aggs.head, aggs.tail: _*)

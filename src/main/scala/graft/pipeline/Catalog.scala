@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions.{broadcast, ceil, col, count, lit, pmod, s
   * symbol cannot produce an oversized partition.
   */
 final class Catalog(spark: SparkSession, warehouseDir: String,
-                    names: TableNames = TableNames()) {
+                    names: TableNames = TableNames(),
+                    retainVersions: Int = 3) {
 
   def path(table: String): String = s"$warehouseDir/$table"
 
@@ -25,32 +26,79 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
 
   def read(table: String): DataFrame = {
     heal(table)
+    readDir(table, path(table))
+  }
+
+  private def readDir(table: String, dir: String): DataFrame =
     Schemas.of(table, names) match {
       case Some(schema) =>
         // Spark appends partition columns after the data columns even under
         // a user-specified schema; re-project to the declared DDL order so
         // readers see one stable schema regardless of physical layout.
-        spark.read.schema(schema).parquet(path(table))
+        spark.read.schema(schema).parquet(dir)
           .select(schema.fieldNames.map(col): _*)
-      case None => spark.read.parquet(path(table))
+      case None => spark.read.parquet(dir)
+    }
+
+  /** VERSIONED READS (the Delta `VERSION AS OF` analog on the rename-aside
+    * scheme): every swap-path commit (non-partitioned [[upsert]],
+    * [[compact]]) archives the outgoing table image as `<table>.v<N>`
+    * instead of deleting it, keeping the newest [[retainVersions]]
+    * snapshots. [[version]] numbers the LIVE image; `readAsOf(t, k)` for
+    * k < version reads snapshot `v<k>`, whose files are immutable from the
+    * moment they are archived — a reader pinned to k is byte-stable across
+    * any number of later upserts (CatalogUpsertSpec proves file-level
+    * identity). Reading a pruned (or never-committed) version fails
+    * loudly. In-place dynamic-partition overwrites do NOT version — file-
+    * granular history needs the manifest design, which is
+    * [[VersionedCatalog]]; this is the crash-safe rename-aside scheme's
+    * free by-product, matching what the reference pipeline actually uses
+    * Delta versions for (inspect the pre-merge image after a bad batch). */
+  def version(table: String): Long = {
+    heal(table)
+    archivedVersions(table).maxOption.getOrElse(0L) + 1L
+  }
+
+  def readAsOf(table: String, asOfVersion: Long): DataFrame = {
+    heal(table)
+    val cur = archivedVersions(table).maxOption.getOrElse(0L) + 1L
+    if (asOfVersion == cur) readDir(table, path(table))
+    else {
+      require(asOfVersion < cur,
+        s"table $table is at version $cur; version $asOfVersion does not exist yet")
+      val snap = new java.io.File(s"${path(table)}.v$asOfVersion")
+      require(snap.exists(),
+        s"version $asOfVersion of $table was pruned (retainVersions=$retainVersions) " +
+          "or predates the first swap commit")
+      readDir(table, snap.getPath)
     }
   }
 
-  /** Crash recovery for the non-partitioned upsert swap: the swap renames
-    * the live directory ASIDE (`<table>.old`) before promoting staging, so
-    * a crash at any point leaves a complete copy of the data on disk. If
-    * the live directory is missing but `.old` exists, restore it and drop
+  private def archivedVersions(table: String): Seq[Long] = {
+    val prefix = s"$table.v"
+    Option(new java.io.File(warehouseDir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(prefix))
+      .flatMap(n => n.stripPrefix(prefix).toLongOption).toSeq
+  }
+
+  /** Crash recovery for the swap: the live directory is renamed ASIDE (to
+    * its archive slot `<table>.v<N>`) before staging is promoted, so a
+    * crash at any point leaves a complete copy of the data on disk. A
+    * missing live directory next to archived snapshots means the swap died
+    * between its two renames — the HIGHEST archive is the set-aside live
+    * image (the rename to `v<N>` and the promotion of staging are the only
+    * two steps between which the live dir is absent): restore it and drop
     * whatever staging output the dead writer left behind. Runs on every
-    * read/exists/upsert so an interrupted writer never needs manual
-    * repair. */
+    * read/exists/version/upsert so an interrupted writer never needs
+    * manual repair. */
   private def heal(table: String): Unit = {
     val dir = new java.io.File(path(table))
-    val old = new java.io.File(path(table) + ".old")
-    if (!dir.exists() && old.exists()) {
+    if (!dir.exists()) archivedVersions(table).maxOption.foreach { v =>
+      val aside = new java.io.File(s"${path(table)}.v$v")
       val staging = new java.io.File(path(table) + ".staging")
       if (staging.exists()) delete(staging)
-      if (!old.renameTo(dir))
-        throw new java.io.IOException(s"cannot restore $table from ${old.getName}")
+      if (!aside.renameTo(dir))
+        throw new java.io.IOException(s"cannot restore $table from ${aside.getName}")
     }
   }
 
@@ -114,22 +162,26 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
   }
 
   /** Atomic-enough swap with no window where the data exists nowhere: set
-    * the live directory aside, promote staging, then drop the old copy. A
-    * crash between any two steps leaves either the original (heal restores
-    * it from `.old`) or the fully-written new table — never a lost table,
-    * which a delete-then-rename would have as its failure mode. */
+    * the live directory aside INTO ITS ARCHIVE SLOT (`<table>.v<N>` — the
+    * rename that used to target `.old` now IS the version archive), promote
+    * staging, then prune archives beyond [[retainVersions]]. A crash
+    * between any two steps leaves either the original (heal restores it
+    * from the highest archive) or the fully-written new table — never a
+    * lost table, which a delete-then-rename would have as its failure
+    * mode. */
   private def swapIn(staging: java.io.File, table: String): Unit = {
     val dir = new java.io.File(path(table))
-    val old = new java.io.File(path(table) + ".old")
-    if (old.exists()) delete(old) // leftover of a completed prior swap
-    if (!dir.renameTo(old))
+    val aside = new java.io.File(s"${path(table)}.v${version(table)}")
+    if (!dir.renameTo(aside))
       throw new java.io.IOException(s"cannot set aside $dir for swap")
     crashHook() // a simulated crash leaves on-disk state exactly as a real one
     if (!staging.renameTo(dir)) {
       heal(table) // restore the original before failing
       throw new java.io.IOException(s"staging rename failed for $table; original restored")
     }
-    delete(old)
+    archivedVersions(table).sorted.dropRight(retainVersions).foreach { v =>
+      delete(new java.io.File(s"${path(table)}.v$v"))
+    }
   }
 
   /** OPTIMIZE-style compaction: rewrite the table into

@@ -327,14 +327,14 @@ object EvalMetricsQueries extends QueryModule {
   private def q246(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
-    val means = Tables.orders(s, dir)
-      .select($"o_orderkey", $"o_totalprice")
-      // the ×B explode multiplies whatever parallelism the scan produced;
-      // a single-file input would otherwise expand 40× on ONE task
-      // (measured 15 s -> 2 s at sf0.1). One cheap shuffle of the n base
-      // rows buys full-width expansion — the same reasoning as sizing
-      // maxPartitionBytes on a cluster.
-      .repartition($"o_orderkey")
+    // the ×40 explode multiplies whatever parallelism the scan produced;
+    // a single-file input would otherwise expand on ONE task (measured
+    // 15 s -> 2 s at sf0.1). Pinned-N, not bare repartition(key): a
+    // REPARTITION_BY_COL shuffle is AQE-coalescible and this frame is
+    // bytes-tiny — contract documented on the operator.
+    val means = graft.operators.PinnedExplode.pin(
+        Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice"),
+        $"o_orderkey")
       .select($"o_orderkey", $"o_totalprice",
         explode(sequence(lit(1L), lit(40L))).as("b"))
       .withColumn("u", (lit(1103515245L) *

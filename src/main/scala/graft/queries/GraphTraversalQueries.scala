@@ -44,17 +44,12 @@ object GraphTraversalQueries extends QueryModule {
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    li.groupBy($"l_orderkey")
-      .agg(collect_set($"l_partkey").as("ps"))
-      // pin the explode's parallelism: the grouped-arrays frame is
-      // BYTES-tiny, so AQE coalesces its exchange to ~1 partition and
-      // the ~12x row-multiplying combination explode (and the distinct's
-      // map-side partial agg) would serialize onto that one task — the
-      // q246 single-file trap in post-shuffle form. The repartition
-      // moves only the small grouped frame; at cluster scale the frame
-      // is large enough that AQE never over-coalesces and the exchange
-      // stays cheap relative to the explode it parallelizes.
-      .repartition(li.sparkSession.sparkContext.defaultParallelism,
+    // the grouped-arrays frame is bytes-tiny under a ~12× combination
+    // explode — the named AQE over-coalesce trap; contract documented on
+    // the operator
+    graft.operators.PinnedExplode.pin(
+        li.groupBy($"l_orderkey")
+          .agg(collect_set($"l_partkey").as("ps")),
         $"l_orderkey")
       .select(explode(expr("flatten(transform(ps, x -> " +
         "transform(filter(ps, y -> y != x), y -> " +

@@ -371,15 +371,20 @@ object InferenceQueries extends QueryModule {
       .select(round($"p25", 6).as(s"p25_$suffix"),
         round($"p50", 6).as(s"p50_$suffix"),
         round($"p75", 6).as(s"p75_$suffix"))
-    // three 1-row frames: the broadcast-constant crossJoin case
+    // three 1-row frames, LEFT-joined from the counts row: an empty arm
+    // (its group vanishes from groupedQuantiles) must surface as NULL
+    // quantiles like the oracle's quantile_cont over zero rows, not as a
+    // silently empty result (a crossJoin with an empty frame drops the
+    // counts row too — the one silent-row-drop path the operator's
+    // vanishing-group contract leaves to callers)
     Tables.events(s, dir).filter($"event_type" === "purchase")
       .withColumn("arm",
         when(CurationQueries.hashBucket("user_id") % 2 === 0, "A").otherwise("B"))
       .groupBy()
       .agg(sum(when($"arm" === "A", 1L).otherwise(0L)).as("n_a"),
         sum(when($"arm" === "B", 1L).otherwise(0L)).as("n_b"))
-      .crossJoin(broadcast(armRow("A", "a")))
-      .crossJoin(broadcast(armRow("B", "b")))
+      .join(broadcast(armRow("A", "a")), lit(true), "left")
+      .join(broadcast(armRow("B", "b")), lit(true), "left")
       .select($"n_a", $"n_b", $"p25_a", $"p50_a", $"p75_a",
         $"p25_b", $"p50_b", $"p75_b",
         round($"p25_b" - $"p25_a", 6).as("qte_25"),

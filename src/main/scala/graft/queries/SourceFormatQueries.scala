@@ -187,6 +187,11 @@ object SourceFormatQueries extends QueryModule {
           min($"d").as("min_d"), max($"d").as("max_d"))
         .select(lit(fmt).as("format"), col("*"))
         .localCheckpoint(true) // pin before the staging disappears
+    // same loud multiLine-trap guard as q342: an embedded newline would be
+    // written quoted-multiline and read back (no multiLine) as split rows —
+    // an opaque checksum mismatch instead of this contract violation
+    require(docs.filter($"payload".contains("\n")).isEmpty,
+      "q363: CSV staging requires newline-free fields (multiLine trap)")
     val staged = Seq(
       graft.pipeline.Staging.withStagedDir("graft_q363csv_") { st =>
         docs.write.mode("overwrite").option("header", "true").csv(st)

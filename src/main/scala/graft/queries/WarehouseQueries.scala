@@ -948,6 +948,81 @@ object WarehouseQueries extends QueryModule {
       |SELECT * FROM d WHERE change_type IS NOT NULL
       |ORDER BY custkey""".stripMargin
 
+  /** q364: CATALOG VERSIONED READ (`VERSION AS OF` on the MERGE-emulating
+    * [[graft.pipeline.Catalog]]) — the rename-aside swap now archives the
+    * outgoing table image instead of deleting it, and this gate puts that
+    * read path under the DuckDB hash: a throwaway warehouse takes two
+    * non-partitioned upserts of a per-customer aggregate (v1 = pre-1996
+    * orders; the incoming batch = 1996+ orders, which UPDATES colliding
+    * custkeys and INSERTS new ones), then BOTH versions are read back —
+    * v1 through `readAsOf` against the immutable archived snapshot, v2 as
+    * the live merge — and summarized one row per version. The oracle
+    * replays the v1 derivation and the MERGE semantics (incoming ∪ target
+    * anti incoming, the q13 contract) straight from `orders`: a versioned
+    * read that resolved the wrong snapshot, leaked post-merge rows into
+    * v1, or dropped unmatched target rows from v2 lands in the hash.
+    *
+    * Scale shape: two grouped aggregates to build the images, the
+    * upsert's anti-join (key-shuffled, partition-prunable at scale), and
+    * two 1-row summaries; versioning itself adds only directory renames —
+    * no data copy at any size. Cents are exact BIGINT (engine-wide money
+    * idiom). Result is pinned eagerly so the warehouse can be deleted. */
+  private def q364(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_q364_")
+    val cat = new graft.pipeline.Catalog(s, wh.toString)
+    val o = Tables.orders(s, dir)
+    val split = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    def img(pred: org.apache.spark.sql.Column): DataFrame =
+      o.filter(pred)
+        .groupBy($"o_custkey".as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    cat.upsert(img($"o_orderdate" < split), "cust_agg",
+      keys = Seq("custkey"), partitionBy = Seq.empty)
+    cat.upsert(img($"o_orderdate" >= split), "cust_agg",
+      keys = Seq("custkey"), partitionBy = Seq.empty)
+    def summarize(v: Long): DataFrame =
+      cat.readAsOf("cust_agg", v)
+        .agg(count(lit(1)).as("n_keys"),
+          sum($"n_orders").as("sum_orders"),
+          sum($"cents").as("sum_cents"))
+        .select(lit(v).as("version"), col("*"))
+    val out = summarize(1).unionAll(summarize(2)).orderBy($"version")
+      .localCheckpoint(true) // pin before the warehouse disappears
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(wh.toFile)
+    out
+  }
+  private val q364Sql =
+    """WITH v1 AS (SELECT o_custkey AS custkey,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1),
+      |inc AS (SELECT o_custkey AS custkey,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1),
+      |v2 AS (SELECT * FROM inc
+      |  UNION ALL
+      |  SELECT * FROM v1 t
+      |  WHERE NOT EXISTS (SELECT 1 FROM inc i WHERE i.custkey = t.custkey))
+      |SELECT CAST(1 AS BIGINT) AS version,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents FROM v1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+      |    CAST(sum(n_orders) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM v2
+      |ORDER BY version""".stripMargin
+
   /** q344: SCHEMA EVOLUTION on an appended parquet table — the add-a-
     * column migration every long-lived warehouse table survives: batch 1
     * lands per-customer 1994 order counts WITHOUT the revenue column,
@@ -1151,6 +1226,7 @@ object WarehouseQueries extends QueryModule {
     QueryDef("q313_takedown_cascade", q313, Some(q313Sql)),
     QueryDef("q317_bitemporal_asof", q317, Some(q317Sql)),
     QueryDef("q325_snapshot_diff_timetravel", q325, Some(q325Sql)),
+    QueryDef("q364_catalog_versioned_read", q364, Some(q364Sql)),
     QueryDef("q344_schema_evolution", q344, Some(q344Sql)),
     QueryDef("q264_changelog_apply_tws", q264, Some(q224Sql)),
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),

@@ -88,4 +88,34 @@ class GroupedQuantilesSpec extends SparkTestBase {
     assert(out("int") == ((10.0, 20.0, 30.0)))
     assert(!out.contains("allnull"), "an all-null group has no quantiles")
   }
+
+  test("1e5 groups: offsets are distributed, no group-sized single-task window") {
+    val n = 100000L
+    val df = spark.range(3 * n).select(
+      (col("id") % n).as("g"),
+      ((col("id") * 2654435761L) % 1000L).cast("double").as("v"))
+    val out = DistributedScan.groupedQuantiles(df, col("g"), col("v"),
+      Seq(0.5), Seq("m"))
+    val got = out.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == n, s"one row per group, got ${got.size}")
+    // spot-check the median against the three known values per group
+    Seq(0L, 1L, 12345L, 99999L).foreach { g =>
+      val vs = Seq(g, g + n, g + 2 * n)
+        .map(id => ((id * 2654435761L) % 1000L).toDouble).sorted
+      assert(got(g) == vs(1), s"group $g: got ${got(g)}, want ${vs(1)}")
+    }
+    // the scale contract: every unpartitioned window in the executed plan
+    // is the |shuffle-partitions|-row offsets frame (ordered by __pid) —
+    // nothing orders the |groups|-sized frame through one task. Stage
+    // bodies are expanded via PlanGuards (bare collect is AQE-vacuous).
+    val windows = graft.pipeline.PlanGuards
+      .flatten(out.queryExecution.executedPlan)
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    val unpartitioned = windows.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.nonEmpty, "expected the tiny __pid offsets windows")
+    unpartitioned.foreach { w =>
+      assert(w.orderSpec.forall(_.child.toString.contains("__pid")),
+        s"group-sized unpartitioned window in plan: ${w.orderSpec.mkString(",")}")
+    }
+  }
 }

@@ -116,7 +116,8 @@ class CatalogUpsertSpec extends SparkTestBase {
     }
     assert(crashed.getMessage == "simulated crash")
 
-    // next reader heals from .old: the ORIGINAL table is whole
+    // next reader heals from the set-aside archive slot: the ORIGINAL
+    // table is whole
     val healed = catalog.read(t)
     assert(healed.count() == 2)
     assert(healed.filter(col("symbol") === "AAA").head.getAs[Double]("close") == 10.0)
@@ -128,5 +129,56 @@ class CatalogUpsertSpec extends SparkTestBase {
     val out = catalog.read(t)
     assert(out.count() == 2)
     assert(out.filter(col("symbol") === "AAA").head.getAs[Double]("close") == 99.0)
+  }
+
+  test("versioned reads: a reader pinned to version k is byte-stable across upserts") {
+    val wh = tmpDir("graft-vread")
+    val catalog = new Catalog(spark, wh)
+    val t = Schemas.tables.bronze
+    def upsert(close: Double, day: String): Unit =
+      catalog.upsert(df(mkRow("AAA", day, close, "2026-01-02 00:00:00")),
+        t, keys = Seq("symbol", "date"), partitionBy = Seq.empty)
+
+    upsert(10.0, "2026-01-01")          // live = v1 (no archives yet)
+    assert(catalog.version(t) == 1)
+    upsert(20.0, "2026-01-01")          // archives v1, live = v2
+    assert(catalog.version(t) == 2)
+
+    // pin version 1 and fingerprint its files on disk
+    def snapFiles(): Map[String, (Long, Long)] = {
+      val d = new java.io.File(s"$wh/$t.v1")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val filesBefore = snapFiles()
+    val pinnedBefore = catalog.readAsOf(t, 1)
+      .select(col("symbol"), col("date"), col("close")).collect().toSeq
+
+    // two more concurrent-writer commits move the live table twice
+    upsert(30.0, "2026-01-01")          // archives v2, live = v3
+    upsert(40.0, "2026-01-02")          // archives v3, live = v4
+    assert(catalog.version(t) == 4)
+
+    // version 1 is byte-identical on disk and value-identical on read
+    assert(snapFiles() == filesBefore, "pinned snapshot files moved or rewrote")
+    assert(catalog.readAsOf(t, 1)
+      .select(col("symbol"), col("date"), col("close")).collect().toSeq == pinnedBefore)
+    assert(catalog.readAsOf(t, 1).head.getAs[Double]("close") == 10.0)
+    assert(catalog.readAsOf(t, 3).filter(col("date") === Date.valueOf("2026-01-01"))
+      .head.getAs[Double]("close") == 30.0)
+    // asOf the live version resolves the live image
+    assert(catalog.readAsOf(t, 4).count() == 2)
+
+    // past the retention horizon / into the future: loud, never silent
+    intercept[IllegalArgumentException] { catalog.readAsOf(t, 9) }
+    val tight = new Catalog(spark, tmpDir("graft-vread2"), retainVersions = 1)
+    tight.upsert(df(mkRow("AAA", "2026-01-01", 1.0, "2026-01-02 00:00:00")),
+      t, keys = Seq("symbol", "date"), partitionBy = Seq.empty)
+    tight.upsert(df(mkRow("AAA", "2026-01-01", 2.0, "2026-01-02 00:00:00")),
+      t, keys = Seq("symbol", "date"), partitionBy = Seq.empty)
+    tight.upsert(df(mkRow("AAA", "2026-01-01", 3.0, "2026-01-02 00:00:00")),
+      t, keys = Seq("symbol", "date"), partitionBy = Seq.empty)
+    assert(tight.readAsOf(t, 2).head.getAs[Double]("close") == 2.0) // retained
+    intercept[IllegalArgumentException] { tight.readAsOf(t, 1) }    // pruned
   }
 }

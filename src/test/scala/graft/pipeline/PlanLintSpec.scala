@@ -17,18 +17,22 @@ class PlanLintSpec extends AnyFunSuite {
     val root = java.nio.file.Paths.get("src")
     // built by concatenation so this file does not lint itself
     val banned = "executedPlan" + ".collect"
-    val offenders = java.nio.file.Files.walk(root).iterator()
-      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
     var bad = List.empty[String]
-    offenders.forEachRemaining { p =>
-      val s = p.toString
-      if (s.endsWith(".scala") && !s.endsWith("PlanGuards.scala") &&
-          !s.endsWith("PlanLintSpec.scala")) {
-        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        if (text.contains(banned))
-          bad ::= s
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator()
+      .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .forEachRemaining { p =>
+        val s = p.toString
+        if (s.endsWith(".scala") && !s.endsWith("PlanGuards.scala") &&
+            !s.endsWith("PlanLintSpec.scala")) {
+          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          // whitespace-normalized so a line-wrapped `executedPlan\n.collect`
+          // cannot evade the lint
+          if (text.replaceAll("\\s+", "").contains(banned))
+            bad ::= s
+        }
       }
-    }
+    finally walk.close()
     assert(bad.isEmpty,
       s"bare executed-plan collect (AQE-vacuous) in: ${bad.mkString(", ")} " +
         "- use PlanGuards.flatten/shuffleCount instead")

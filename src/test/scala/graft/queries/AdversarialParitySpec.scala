@@ -320,4 +320,179 @@ class AdversarialParitySpec extends SparkTestBase {
     // a 3-dp value: both engines would silently cent-quantize in lockstep
     expectRaise(Seq((1.234, 1.0, 0.05), (1.0, 1.0, 0.0)), "q89")
   }
+
+  // ---- round-13 targets: langid, Aho–Corasick, BPE train ---------------
+  // the same separator/Unicode/identity bug class, three more real paths
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String, String)]): Unit =
+    docs.map { case (id, text, lang) => (id, text, lang, "s1", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+  test("q23 lang-id matches a plain-Scala replay on a marker-ambiguous corpus") {
+    // hostile axes: markers SHARED across languages ('de','un' ∈ fr∩es;
+    // 'a' ∈ en-markers AND is a common article in es), tie rows that only
+    // the precedence cascade disambiguates, single-space-split hazards
+    // (double spaces -> empty tokens; an embedded TAB is NOT a separator),
+    // case sensitivity ('The' must not count), punctuation-glued markers
+    val docs: Seq[(Long, String, String)] = Seq(
+      (1L, "the a of and is", "en"),                  // clean en
+      (2L, "le la et de un", "fr"),                   // clean fr
+      (3L, "el los y de un", "es"),                   // clean es
+      (4L, "de un de un", "fr"),                      // fr/es TIE -> fr wins
+      (5L, "the le la", "en"),                        // en ties fr at 1? no: en=1, fr=2 -> fr
+      (6L, "the  the", "en"),                         // double space -> empty token
+      (7L, "the\tthe", "en"),                         // tab-joined: ONE token, no marker
+      (8L, "The Der Le", "en"),                       // case: all unknown
+      (9L, "the. de, und!", "de"),                    // punctuation-glued: unknown
+      (10L, "le la der die", "de"),                   // fr TIES de at 2: cascade checks fr first
+      (11L, "", "en"),                                // empty text
+      (12L, "y y y el", "es"),                        // es via 'y' repeats
+      (13L, "a a a", "es"))                           // 'a' is an EN marker: predicted en, labelled es
+    val dir = tmpDir("graft-adv-langid")
+    writeDocs(dir, docs)
+    def toks(t: String): Seq[String] = t.split(" ", -1).toSeq
+    val markers = Map(
+      "en" -> Set("the", "a", "of", "and", "is"),
+      "fr" -> Set("le", "la", "et", "de", "un"),
+      "es" -> Set("el", "los", "y", "de", "un"),
+      "de" -> Set("der", "die", "und", "das", "ein"))
+    def score(t: String, lang: String): Int = toks(t).count(markers(lang))
+    def predict(t: String): String = {
+      val (en, fr, es, de) =
+        (score(t, "en"), score(t, "fr"), score(t, "es"), score(t, "de"))
+      if (en >= (fr max es max de) && en > 0) "en"
+      else if (fr >= (es max de) && fr > 0) "fr"
+      else if (es >= de && es > 0) "es"
+      else if (de > 0) "de" else "unknown"
+    }
+    // hostility proofs: the corpus distinguishes the mutant tokenizers
+    assert(docs.exists { case (_, t, _) =>
+        predict(t) != predict(t.split("\\s+", -1).mkString(" ")) },
+      "a whitespace-regex tokenizer mutant must diverge on this corpus")
+    assert(docs.exists { case (_, t, _) => predict(t) != predict(t.toLowerCase) },
+      "a case-folding mutant must diverge on this corpus")
+    assert(predict(docs.find(_._1 == 10L).get._2) == "fr",
+      "doc 10 pins the cascade order: fr is checked before de")
+    val ref = docs.groupBy(d => (d._3, predict(d._2)))
+      .map { case ((lang, p), rows) => (lang, p, rows.size.toLong) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q23_lang_id")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == ref, s"q23 hostile parity:\n got $got\n ref $ref")
+  }
+
+  test("q310 Aho–Corasick matches brute-force overlapping counts on nested-pattern storms") {
+    // the gate's fixed dictionary has nested + self-overlapping patterns;
+    // this corpus maximizes the hazards: overlap chains ('a a a a a'),
+    // patterns glued without separators, matches at text start/end,
+    // a pattern equal to the whole text
+    val pats = Seq("table value", "a a", "fast table", "query key scan",
+      "a a a", "merge batch", "table", "stream stream", "slow fast",
+      "value fast")
+    val docs: Seq[(Long, String, String)] = Seq(
+      (1L, "a a a a a", "en"),                       // 'a a' x4 overlapping, 'a a a' x3
+      (2L, "tabletable table", "en"),                // glued: 'table' x3
+      (3L, "table value fast table value", "en"),    // overlapping dictionary entries
+      (4L, "stream stream stream", "en"),            // self-overlap x2
+      (5L, "table", "en"),                           // pattern == text
+      (6L, "slow fast table value fast", "en"),      // chained overlaps across patterns
+      (7L, "query key scans", "en"),                 // superstring still matches once
+      (8L, "no hits here", "en"))
+    val dir = tmpDir("graft-adv-aho")
+    writeDocs(dir, docs)
+    def overlapping(text: String, p: String): Long =
+      (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    def nonOverlapping(text: String, p: String): Long = {
+      var i = 0; var n = 0L
+      while ({ i = text.indexOf(p, i); i >= 0 }) { n += 1; i += p.length }
+      n
+    }
+    // hostility proof: an advance-by-length (non-overlapping) mutant
+    // undercounts on this corpus
+    assert(docs.exists { case (_, t, _) =>
+        pats.exists(p => overlapping(t, p) != nonOverlapping(t, p)) },
+      "corpus must separate overlapping from non-overlapping counting")
+    val ref = (for {
+      (id, text, _) <- docs
+      (p, pid) <- pats.zipWithIndex
+      n = overlapping(text, p) if n > 0
+    } yield (id, pid.toLong, p, n)).sortBy(r => (r._1, r._2))
+    val got = SparkEntry.queries("q310_multipattern_tag")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == ref, s"q310 hostile parity:\n got $got\n ref $ref")
+  }
+
+  test("q334 BPE training matches a from-scratch trainer on a merge-collision corpus") {
+    // hostile axes: a merged token that COLLIDES with a pre-existing
+    // token ('x'+'y' = 'xy', which the corpus already contains — rounds
+    // after the merge must conflate them, exactly as both engines do),
+    // tie-rich pair counts (the (cnt DESC, a, b) rule decides rounds),
+    // and adjacent self-pairs ('x x') that candidates must EXCLUDE
+    val rng = new scala.util.Random(0xB9E5EEDL)
+    val bpeVocab = Vector("x", "y", "xy", "z", "yx")
+    val fixed = Seq(
+      "x y x y x y",     // makes ('x','y') strong; merged 'xy' collides
+      "xy z xy z",       // pre-existing 'xy' tokens
+      "x x x x",         // self-pairs only: must contribute NO candidate
+      "y x y x",         // ('y','x') -> 'yx' collides with vocab 'yx'
+      "z x y z")
+    val docs: Seq[(Long, String, String)] =
+      (fixed ++ (1 to 40).map(_ =>
+        Seq.fill(2 + rng.nextInt(9))(bpeVocab(rng.nextInt(bpeVocab.size))).mkString(" ")))
+        .zipWithIndex.map { case (t, i) => ((i + 1).toLong, t, "en") }
+    val dir = tmpDir("graft-adv-bpe")
+    writeDocs(dir, docs)
+
+    // from-scratch incremental trainer (Sennrich): count a≠b adjacencies,
+    // adopt min by (-cnt, a, b), one left-to-right merge pass per round
+    def mergePass(w: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.size) {
+        if (i + 1 < w.size && w(i) == a && w(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += w(i); i += 1 }
+      }
+      out.result()
+    }
+    var state = docs.map(_._2.split(" ", -1).toVector)
+    val ref = Seq.newBuilder[(Long, String, String, Long, Long, Long)]
+    var round = 1
+    var done = false
+    while (round <= 10 && !done) {
+      val pairs = state.filter(_.size >= 2)
+        .flatMap(w => w.zip(w.tail)).filter { case (a, b) => a != b }
+      if (pairs.isEmpty) done = true
+      else {
+        val counts = pairs.groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        ref += ((round.toLong, a, b, cnt, counts.size.toLong, counts.values.sum))
+        state = state.map(mergePass(_, a, b))
+        round += 1
+      }
+    }
+    val refRules = ref.result()
+
+    // hostility proofs: (1) some adopted rule's concatenation collides
+    // with a base-vocab token; (2) some round is decided by the tie rule;
+    // (3) a mutant that admits self-pairs would adopt a different rule
+    assert(refRules.exists(r => bpeVocab.contains(r._2 + r._3)),
+      "corpus must force a merged-token/vocab collision")
+    val r1counts = docs.map(_._2.split(" ", -1).toVector).filter(_.size >= 2)
+      .flatMap(w => w.zip(w.tail)).filter { case (a, b) => a != b }
+      .groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+    assert({
+      val selfCounts = docs.map(_._2.split(" ", -1).toVector).filter(_.size >= 2)
+        .flatMap(w => w.zip(w.tail))
+        .groupBy(identity).map { case (p, o) => (p, o.size.toLong) }
+      selfCounts.minBy { case ((a, b), c) => (-c, a, b) } !=
+        r1counts.minBy { case ((a, b), c) => (-c, a, b) } ||
+        selfCounts.keySet.exists { case (a, b) => a == b }
+    }, "corpus must carry self-pairs the candidate filter has to exclude")
+
+    val got = SparkEntry.queries("q334_bpe_vocab_train")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == refRules, s"q334 hostile parity:\n got $got\n ref $refRules")
+  }
 }
