@@ -133,6 +133,29 @@ object GraphTraversalQueries extends QueryModule {
        |ORDER BY 1""".stripMargin
   }
 
+  /** The SPARSE co-purchase adjacency, symmetric: consecutive-linenumber
+    * part pairs within an order, both directions, simple (deduped) graph.
+    * Shared by the graph gates that need a degree-spread topology (the
+    * full per-order clique graph is too dense to have structure). The
+    * self-join is required — synthetic lineitem has duplicate (orderkey,
+    * linenumber) pairs, so a lag()-window pairing is NOT equivalent — and
+    * the dedup is canonicalized BEFORE the distinct so its exchange
+    * carries |adj| undirected pairs instead of 2|adj| directed rows (the
+    * join predicate guarantees u ≠ v, so the mirror can never collide). */
+  private def sparseSymEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
+    val und = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+      .select(least($"a.l_partkey", $"b.l_partkey").as("src"),
+        greatest($"a.l_partkey", $"b.l_partkey").as("dst"))
+      .distinct()
+    und.union(und.select($"dst", $"src"))
+  }
+
   /** q217: coreness (k-core number per vertex) of the co-purchase
     * ADJACENCY graph — the sparser consecutive-linenumber variant, whose
     * degree spread gives a 7..20 core spectrum (the full co-purchase
@@ -149,16 +172,7 @@ object GraphTraversalQueries extends QueryModule {
     * influence floors) where raw degree over-counts hub-adjacency. */
   private def q217(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
-    val adj = li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
-          $"a.l_partkey" =!= $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-    val edges = adj.select($"u".as("src"), $"v".as("dst"))
-      .union(adj.select($"v".as("src"), $"u".as("dst"))).distinct()
-    Graph.coreness(edges, maxRounds = 28)
+    Graph.coreness(sparseSymEdges(s, dir), maxRounds = 28)
       .select($"id".as("part_id"), $"coreness")
       .orderBy($"part_id")
   }
@@ -899,16 +913,7 @@ object GraphTraversalQueries extends QueryModule {
     * discipline on a graph. */
   private def q291(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
-    val adj = li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
-          $"a.l_partkey" =!= $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-    val edges = adj.select($"u".as("src"), $"v".as("dst"))
-      .union(adj.select($"v".as("src"), $"u".as("dst"))).distinct()
-      .localCheckpoint(true)
+    val edges = sparseSymEdges(s, dir).localCheckpoint(true)
     val deg = edges.groupBy($"src".as("id")).agg(count(lit(1)).as("d"))
     val cells = edges
       .join(deg.select($"id".as("src"), $"d".as("du")), "src")
@@ -1025,16 +1030,7 @@ object GraphTraversalQueries extends QueryModule {
     * transfers are the seed scalar and the one argmax row. */
   private def q268(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
-    val adj = li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
-          $"a.l_partkey" =!= $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-    val edges = adj.select($"u".as("src"), $"v".as("dst"))
-      .union(adj.select($"v".as("src"), $"u".as("dst"))).distinct()
-      .localCheckpoint(true)
+    val edges = sparseSymEdges(s, dir).localCheckpoint(true)
     val seedRow = edges.agg(min($"src")).collect().head
     if (seedRow.isNullAt(0))   // empty graph: empty result, not an NPE
       return Seq.empty[(Long, Long, Long, Long, Long)]
@@ -1100,19 +1096,10 @@ object GraphTraversalQueries extends QueryModule {
   private def q272(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val li = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_linenumber", $"l_partkey")
-    // the self-join is required (duplicate (orderkey, linenumber) pairs —
-    // see q250's note) and so is the DISTINCT: σ counts paths over the
-    // SIMPLE graph, so parallel edges would change the result
-    val adj = li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
-          $"a.l_partkey" =!= $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-    val edges = adj.select($"u".as("src"), $"v".as("dst"))
-      .union(adj.select($"v".as("src"), $"u".as("dst"))).distinct()
-      .localCheckpoint(true)
+    // σ counts paths over the SIMPLE symmetric graph — parallel edges
+    // would change the result, so the shared builder's dedup is load-
+    // bearing here
+    val edges = sparseSymEdges(s, dir).localCheckpoint(true)
     val f0 = edges.select($"src").distinct().orderBy($"src").limit(4)
       .select($"src".as("seed"), $"src".as("id"), lit(1L).as("sigma"))
       .localCheckpoint(true)
