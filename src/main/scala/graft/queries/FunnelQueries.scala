@@ -550,27 +550,17 @@ object FunnelQueries extends QueryModule {
         (unix_micros($"ts".cast("timestamp")) * 1000L).as("ts"),
         $"event_id")
       .as[(Long, Long, Long)]
-    val sink = "q285_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
-    val q = try {
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      graft.streaming.StreamingOps.rateLimitTws(ev)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    } finally prevProvider match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None => s.conf.unset(providerKey)
+    graft.streaming.StreamHarness.runChecked(
+        graft.streaming.StreamingOps.rateLimitTws(ev).toDF(),
+        "q285_sink_",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { q =>
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"q285 expects ONE data micro-batch (the in-batch sort then sees " +
+          s"each user's full history); got $dataBatches — raise maxFilesPerTrigger")
     }
-    q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 1,
-      s"q285 expects ONE data micro-batch (the in-batch sort then sees " +
-        s"each user's full history); got $dataBatches — raise maxFilesPerTrigger")
-    s.table(sink)
       .select($"user_id", $"n_events", $"n_admitted",
         ($"n_events" - $"n_admitted").as("n_rejected"))
       .orderBy($"user_id")

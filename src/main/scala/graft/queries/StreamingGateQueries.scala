@@ -19,6 +19,30 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * the single-batch AvailableNow run emits every pair. */
 object StreamingGateQueries extends QueryModule {
 
+  /** Stages an ordered micro-batch replay: ONE partitioned write (the
+    * per-batch `coalesce(1)` loop paid a full job per batch — 7 jobs for
+    * q337) and then per-batch file copies whose mtimes encode the replay
+    * order (FileStreamSource sorts by mtime; a silent setLastModified
+    * failure would scramble it, so it fails loudly). `ordCol` must take
+    * the values 0 until n and is dropped from the staged files by the
+    * partitioned write, exactly as the per-batch projection did. */
+  private def stageOrderedBatches(rows: DataFrame, staged: String,
+      ordCol: String, n: Int): Unit = {
+    rows.repartition(1).write.mode("overwrite")
+      .partitionBy(ordCol).parquet(s"$staged/parts")
+    (0 until n).foreach { o =>
+      val dir = new java.io.File(s"$staged/parts/$ordCol=$o")
+      val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      require(fs.nonEmpty,
+        s"staging: batch $o of $n is empty — the replay would skip it")
+      val dst = new java.io.File(staged, f"batch$o%04d.parquet")
+      java.nio.file.Files.copy(fs.head.toPath, dst.toPath)
+      require(dst.setLastModified(1000000L * (o + 1)),
+        s"staging: setLastModified failed on $dst — batch order would be undefined")
+    }
+  }
+
   /** q239: stream-stream interval join — every purchase paired with the
     * same user's clicks in the preceding hour (the online feature-join /
     * attribution shape). Both sides stream from the events file through
@@ -55,33 +79,15 @@ object StreamingGateQueries extends QueryModule {
       .select($"user_id".as("c_user"), $"event_id".as("click_event"),
         $"ets".as("cts"))
       .withWatermark("cts", "1 hour")
-    val sink = "q239_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // a stream-stream join instantiates FOUR state stores per shuffle
-    // partition (left/right × keyed/index); at the session's 32
-    // partitions that is 128 store lifecycles per micro-batch — pure
-    // fixed overhead at any input size. 8 partitions is still plenty of
-    // parallelism for the join itself; restore the session value after.
-    // CONCURRENCY NOTE: this mutates the SHARED session conf around
-    // start(). It is safe here because (a) StreamExecution snapshots the
-    // session conf into the query's own cloned session at start(), so the
-    // running stream never sees the restore, and (b) the gate runners
-    // (Verify/Bench/specs) plan queries single-threaded, so no
-    // concurrently-planned batch query can observe the temporary value.
-    // A multi-threaded caller would need its own session (s.newSession())
-    // around this gate instead.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      purchases.join(clicks,
+    // partition per micro-batch — pure fixed overhead at any input size;
+    // width, log placement, and the shared-conf scoping all live in the
+    // one harness (see graft.streaming.StreamHarness)
+    graft.streaming.StreamHarness.runToTable(
+        purchases.join(clicks,
           $"user_id" === $"c_user" &&
-            $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" <= $"pts")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    s.table(sink)
+            $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" <= $"pts"),
+        "q239_sink_", OutputMode.Append(), noDataBatches = false)
       .select($"purchase_event", $"click_event", $"user_id",
         unix_micros($"pts").as("purchase_ts_us"),
         unix_micros($"cts").as("click_ts_us"))
@@ -126,28 +132,17 @@ object StreamingGateQueries extends QueryModule {
           org.apache.spark.sql.types.LongType)
           timestamp_micros(expr("ts div 1000"))
         else $"ts".cast("timestamp")).as("ets"))
-    val sink = "q247_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // same shared-conf mutation pattern as q239 — see the concurrency
-    // note there (safe under start()-time conf cloning + the gates'
-    // single-threaded planning)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      src.withWatermark("ets", "1 minute")
-        .groupBy(window($"ets", "1 minute"), $"event_type")
-        .agg(count(lit(1)).as("n"),
-          sum($"value".cast(dec)).as("sum_v"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Update())
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 1,
-      s"q247 expects ONE data micro-batch (Update-mode last emission per " +
-        s"window is then the final state); got $dataBatches")
-    s.table(sink)
+    graft.streaming.StreamHarness.runChecked(
+        src.withWatermark("ets", "1 minute")
+          .groupBy(window($"ets", "1 minute"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(dec)).as("sum_v")),
+        "q247_sink_", OutputMode.Update(), noDataBatches = false) { q =>
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"q247 expects ONE data micro-batch (Update-mode last emission per " +
+          s"window is then the final state); got $dataBatches")
+    }
       .select(unix_micros($"window.start").as("window_start_us"),
         $"event_type", $"n",
         round($"sum_v".cast("double") / $"n", 4).as("avg_value"))
@@ -181,23 +176,13 @@ object StreamingGateQueries extends QueryModule {
       if (f.isDirectory) path
       else s"$dir/[${path.split('/').last.head}]${path.split('/').last.tail}"
     }
-    val sink = "q249_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // shared-conf mutation: see q239's concurrency note
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1000000")
-        .parquet(streamPath)
-        .select($"user_id", $"event_type")
-        .dropDuplicates("user_id", "event_type")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    s.table(sink)
+    graft.streaming.StreamHarness.runToTable(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1000000")
+          .parquet(streamPath)
+          .select($"user_id", $"event_type")
+          .dropDuplicates("user_id", "event_type"),
+        "q249_sink_", OutputMode.Append(), noDataBatches = false)
       .select($"user_id", $"event_type")
       .orderBy($"user_id", $"event_type")
   }
@@ -243,21 +228,11 @@ object StreamingGateQueries extends QueryModule {
           org.apache.spark.sql.types.LongType)
           timestamp_micros(expr("ts div 1000"))
         else $"ts".cast("timestamp")).as("ets"))
-    val sink = "q297_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // shared-conf mutation: see q239's concurrency note
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      src.withWatermark("ets", "0 seconds")
-        .groupBy($"user_id", session_window($"ets", "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n_events"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    s.table(sink)
+    graft.streaming.StreamHarness.runToTable(
+        src.withWatermark("ets", "0 seconds")
+          .groupBy($"user_id", session_window($"ets", "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events")),
+        "q297_sink_", OutputMode.Append())
       .select($"user_id",
         unix_micros($"sw.start").as("session_start_us"),
         (unix_micros($"sw.end") - unix_micros($"sw.start") - gapUs)
@@ -325,22 +300,12 @@ object StreamingGateQueries extends QueryModule {
       .select($"user_id".as("c_user"), $"event_id".as("click_event"),
         $"ets".as("cts"))
       .withWatermark("cts", "1 hour")
-    val sink = "q298_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // shared-conf mutation: see q239's concurrency note
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      purchases.join(clicks,
+    graft.streaming.StreamHarness.runToTable(
+        purchases.join(clicks,
           $"user_id" === $"c_user" &&
             $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" <= $"pts",
-          "leftOuter")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    s.table(sink)
+          "leftOuter"),
+        "q298_sink_", OutputMode.Append())
       .select($"purchase_event", $"click_event", $"user_id",
         unix_micros($"pts").as("purchase_ts_us"),
         unix_micros($"cts").as("click_ts_us"))
@@ -399,26 +364,18 @@ object StreamingGateQueries extends QueryModule {
       .option("maxFilesPerTrigger", "1000000")
       .parquet(streamPath)
       .select($"user_id", $"event_type", $"value")
-    val sink = "q312_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      src.join(broadcast(dim), $"user_id" === $"c_custkey")
-        .groupBy($"nation")
-        .agg(count(lit(1)).as("n_events"),
-          sum($"value".cast(dec)).as("sum_v"),
-          count(when($"event_type" === "purchase", 1)).as("n_purchases"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Update())
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 1,
-      s"q312 expects ONE data micro-batch (Update-mode last emission is " +
-        s"then the final state); got $dataBatches")
-    s.table(sink)
+    graft.streaming.StreamHarness.runChecked(
+        src.join(broadcast(dim), $"user_id" === $"c_custkey")
+          .groupBy($"nation")
+          .agg(count(lit(1)).as("n_events"),
+            sum($"value".cast(dec)).as("sum_v"),
+            count(when($"event_type" === "purchase", 1)).as("n_purchases")),
+        "q312_sink_", OutputMode.Update(), noDataBatches = false) { q =>
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"q312 expects ONE data micro-batch (Update-mode last emission is " +
+          s"then the final state); got $dataBatches")
+    }
       .select($"nation", $"n_events",
         round($"sum_v".cast("double"), 2).as("sum_value"), $"n_purchases")
       .orderBy($"nation")
@@ -488,24 +445,14 @@ object StreamingGateQueries extends QueryModule {
       .select($"user_id".as("c_user"), $"event_id".as("click_event"),
         $"ets".as("cts"))
       .withWatermark("cts", "1 hour")
-    val sink = "q326_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // shared-conf mutation: see q239's concurrency note
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      purchases.join(clicks,
+    graft.streaming.StreamHarness.runToTable(
+        purchases.join(clicks,
           $"user_id" === $"c_user" &&
             $"cts" >= $"pts" - expr("INTERVAL 1 HOUR") && $"cts" <= $"pts")
-        .groupBy(window($"pts", "1 hour").as("w"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum($"click_event").as("click_sum"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    s.table(sink)
+          .groupBy(window($"pts", "1 hour").as("w"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum($"click_event").as("click_sum")),
+        "q326_sink_", OutputMode.Append())
       .select(unix_micros($"w.start").as("window_start_us"),
         $"n_pairs", $"click_sum")
       .orderBy($"window_start_us")
@@ -576,38 +523,19 @@ object StreamingGateQueries extends QueryModule {
       .agg(min($"tsu").as("tsu"))
     val staged = java.nio.file.Files
       .createTempDirectory("graft_q329_").toString
-    (0 to 2).foreach { b =>
-      val part = s"$staged/part$b"
-      keyrows.filter($"b" === b).select($"user_id", $"event_type", $"tsu")
-        .coalesce(1).write.mode("overwrite").parquet(part)
-      val f = new java.io.File(part).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(staged, f"batch$b%04d.parquet")
-      java.nio.file.Files.copy(f.toPath, dst.toPath)
-      // mtime IS the batch order (FileStreamSource sorts by it) — a
-      // silent setLastModified failure would scramble batch replay
-      require(dst.setLastModified(1000000L * (b + 1)),
-        s"q329: setLastModified failed on $dst — batch order would be undefined")
-    }
+    stageOrderedBatches(
+      keyrows.select($"user_id", $"event_type", $"tsu", $"b"),
+      staged, "b", 3)
     val schema = s.read.parquet(s"$staged/batch0000.parquet").schema
-    val sink = "q329_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // shared-conf mutation: see q239's concurrency note
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+    val out = graft.streaming.StreamHarness.runToTable(
       s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$staged/[b]atch*.parquet")
         .select($"user_id", $"event_type",
           timestamp_micros($"tsu").as("ets"))
         .withWatermark("ets", "1 hour")
-        .dropDuplicatesWithinWatermark("user_id", "event_type")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
+        .dropDuplicatesWithinWatermark("user_id", "event_type"),
+      "q329_sink_", OutputMode.Append(), noDataBatches = false)
     // the memory sink retains the results — drop the throwaway staging
     // tree so repeated gate runs don't accumulate parquet dirs (q325's
     // discipline)
@@ -616,7 +544,7 @@ object StreamingGateQueries extends QueryModule {
       f.delete(): Unit
     }
     rm(new java.io.File(staged))
-    s.table(sink)
+    out
       .select($"user_id", $"event_type", unix_micros($"ets").as("ts_us"))
       .orderBy($"user_id", $"event_type", $"ts_us")
   }
@@ -685,24 +613,14 @@ object StreamingGateQueries extends QueryModule {
           org.apache.spark.sql.types.LongType)
           timestamp_micros(expr("ts div 1000"))
         else $"ts".cast("timestamp")).as("ets"))
-    val sink = "q333_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // shared-conf mutation: see q239's concurrency note
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      src.withWatermark("ets", "1 hour")
-        .groupBy(window($"ets", "5 minutes").as("w5"))
-        .agg(count(lit(1)).as("n5"))
-        .groupBy(window(window_time($"w5"), "1 hour").as("w60"))
-        .agg(sum($"n5").as("n_purchases"), max($"n5").as("max_bucket"),
-          count(lit(1)).as("n_buckets"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
-    s.table(sink)
+    graft.streaming.StreamHarness.runToTable(
+        src.withWatermark("ets", "1 hour")
+          .groupBy(window($"ets", "5 minutes").as("w5"))
+          .agg(count(lit(1)).as("n5"))
+          .groupBy(window(window_time($"w5"), "1 hour").as("w60"))
+          .agg(sum($"n5").as("n_purchases"), max($"n5").as("max_bucket"),
+            count(lit(1)).as("n_buckets")),
+        "q333_sink_", OutputMode.Append())
       .select(unix_micros($"w60.start").as("window_start_us"),
         $"n_purchases", $"max_bucket", $"n_buckets")
       .orderBy($"window_start_us")
@@ -761,23 +679,11 @@ object StreamingGateQueries extends QueryModule {
       .agg(min($"tsu").as("tsu"))
     val staged = java.nio.file.Files
       .createTempDirectory("graft_q336_").toString
-    (0 to 2).foreach { b =>
-      val part = s"$staged/part$b"
-      keyrows.filter($"b" === b).select($"user_id", $"event_type", $"tsu")
-        .coalesce(1).write.mode("overwrite").parquet(part)
-      val f = new java.io.File(part).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(staged, f"batch$b%04d.parquet")
-      java.nio.file.Files.copy(f.toPath, dst.toPath)
-      require(dst.setLastModified(1000000L * (b + 1)),
-        s"q336: setLastModified failed on $dst — batch order would be undefined")
-    }
+    stageOrderedBatches(
+      keyrows.select($"user_id", $"event_type", $"tsu", $"b"),
+      staged, "b", 3)
     val schema = s.read.parquet(s"$staged/batch0000.parquet").schema
-    val sink = "q336_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // shared-conf mutation: see q239's concurrency note
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+    val out = graft.streaming.StreamHarness.runToTable(
       s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$staged/[b]atch*.parquet")
@@ -788,19 +694,14 @@ object StreamingGateQueries extends QueryModule {
         .groupBy(window($"ets", "6 hours").as("w6"))
         .agg(count(lit(1)).as("n_rows"),
           sum(when($"event_type" === "purchase", 1L).otherwise(0L))
-            .as("n_purchases"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
+            .as("n_purchases")),
+      "q336_sink_", OutputMode.Append())
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
     rm(new java.io.File(staged))
-    s.table(sink)
+    out
       .select(unix_micros($"w6.start").as("window_start_us"),
         $"n_rows", $"n_purchases")
       .orderBy($"window_start_us")
@@ -904,43 +805,25 @@ object StreamingGateQueries extends QueryModule {
     }
     val staged = java.nio.file.Files
       .createTempDirectory("graft_q337_").toString
-    (0 to 6).foreach { o =>
-      val part = s"$staged/part$o"
-      rows.filter($"ord" === o).select($"user_id", $"tsm")
-        .coalesce(1).write.mode("overwrite").parquet(part)
-      val f = new java.io.File(part).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(staged, f"batch$o%04d.parquet")
-      java.nio.file.Files.copy(f.toPath, dst.toPath)
-      require(dst.setLastModified(1000000L * (o + 1)),
-        s"q337: setLastModified failed on $dst — batch order would be undefined")
-    }
+    stageOrderedBatches(rows.select($"user_id", $"tsm", $"ord"),
+      staged, "ord", 7)
     val schema = s.read.parquet(s"$staged/batch0000.parquet").schema
-    val sink = "q337_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // shared-conf mutation: see q239's concurrency note
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val events = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(s"$staged/[b]atch*.parquet")
-        .select($"user_id", timestamp_millis($"tsm").as("ts"),
-          lit("e").as("event_type"), lit(0.0).as("value"))
-        .as[graft.streaming.StreamingOps.Event]
+    val events = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/[b]atch*.parquet")
+      .select($"user_id", timestamp_millis($"tsm").as("ts"),
+        lit("e").as("event_type"), lit(0.0).as("value"))
+      .as[graft.streaming.StreamingOps.Event]
+    val out = graft.streaming.StreamHarness.runToTable(
       graft.streaming.StreamingOps.sessionize(events, gapSeconds = 3L * 86400L)
-        .toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow())
-        .start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
+        .toDF(),
+      "q337_sink_", OutputMode.Append())
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
       f.delete(): Unit
     }
     rm(new java.io.File(staged))
-    s.table(sink)
+    out
       .select($"user_id", unix_millis($"session_start").as("start_ms"),
         unix_millis($"session_end").as("end_ms"), $"n_events")
       .orderBy($"user_id", $"start_ms")

@@ -643,18 +643,16 @@ object WarehouseQueries extends QueryModule {
         $"value".as("amount"))
       .where($"op".isNotNull)
       .as[graft.streaming.StreamingOps.CdcOp]
-    val sink = "q233_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = graft.streaming.StreamingOps.applyChangelog(ops)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 1,
-      s"q233 expects ONE data micro-batch (last-emission-per-key needs no " +
-        s"batch bookkeeping then); got $dataBatches — raise maxFilesPerTrigger")
-    s.table(sink)
+    graft.streaming.StreamHarness.runChecked(
+        graft.streaming.StreamingOps.applyChangelog(ops).toDF(),
+        "q233_sink_",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        noDataBatches = false) { q =>
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"q233 expects ONE data micro-batch (last-emission-per-key needs no " +
+          s"batch bookkeeping then); got $dataBatches — raise maxFilesPerTrigger")
+    }
       .filter($"exists")
       .select($"user_id", $"plan", round($"amount", 2).as("amount"),
         $"n_live_ops")
@@ -691,27 +689,17 @@ object WarehouseQueries extends QueryModule {
         $"value".as("amount"))
       .where($"op".isNotNull)
       .as[graft.streaming.StreamingOps.CdcOp]
-    val sink = "q264_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(providerKey)
-    val q = try {
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      graft.streaming.StreamingOps.applyChangelogTws(ops)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-    } finally prevProvider match {
-      case Some(v) => s.conf.set(providerKey, v)
-      case None => s.conf.unset(providerKey)
+    graft.streaming.StreamHarness.runChecked(
+        graft.streaming.StreamingOps.applyChangelogTws(ops).toDF(),
+        "q264_sink_",
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        extraConfs = Map("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")) { q =>
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches == 1,
+        s"q264 expects ONE data micro-batch (last-emission-per-key needs no " +
+          s"batch bookkeeping then); got $dataBatches — raise maxFilesPerTrigger")
     }
-    q.awaitTermination()
-    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-    require(dataBatches == 1,
-      s"q264 expects ONE data micro-batch (last-emission-per-key needs no " +
-        s"batch bookkeeping then); got $dataBatches — raise maxFilesPerTrigger")
-    s.table(sink)
       .filter($"exists")
       .select($"user_id", $"plan", round($"amount", 2).as("amount"),
         $"n_live_ops")
