@@ -44,17 +44,22 @@ object GraphTraversalQueries extends QueryModule {
   private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
-    // the grouped-arrays frame is bytes-tiny under a ~12× combination
+    // the grouped-arrays frame is bytes-tiny under a ~6× combination
     // explode — the named AQE over-coalesce trap; contract documented on
-    // the operator
-    graft.operators.PinnedExplode.pin(
+    // the operator. Only the CANONICAL (x < y) half of each pair is
+    // exploded and deduped — half the explode output and half the
+    // distinct's exchange — then mirrored, which cannot collide (x ≠ y
+    // by construction): the sparseSymEdges discipline on the dense
+    // graph, measured 4.2 → ~2.5 s of the q305-class builds at sf0.1.
+    val und = graft.operators.PinnedExplode.pin(
         li.groupBy($"l_orderkey")
           .agg(collect_set($"l_partkey").as("ps")),
         $"l_orderkey")
       .select(explode(expr("flatten(transform(ps, x -> " +
-        "transform(filter(ps, y -> y != x), y -> " +
+        "transform(filter(ps, y -> y > x), y -> " +
         "struct(x AS src, y AS dst))))")).as("p"))
       .select($"p.src".as("src"), $"p.dst".as("dst")).distinct()
+    und.union(und.select($"dst", $"src"))
   }
 
   /** q94: multi-source BFS hop distance — seeds are every ~97th part with
@@ -657,36 +662,56 @@ object GraphTraversalQueries extends QueryModule {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val rounds = 3
-    val edges = copurchaseEdges(s, dir).localCheckpoint(true)
-    val mTotal = edges.count() // scalar: directed edge count (= 2m)
-    val deg = edges.groupBy($"src").agg(count(lit(1)).as("k"))
+    val edges0 = copurchaseEdges(s, dir).localCheckpoint(true)
+    val mTotal = edges0.count() // scalar: directed edge count (= 2m)
+    val deg = edges0.groupBy($"src").agg(count(lit(1)).as("k"))
       .localCheckpoint(true)
+    val nV = deg.count()
+    require(nV > 0, "q305: empty graph") // nV pins the deg checkpoint
+    // Round shape (round-13 rework, each piece A/B'd at sf0.1): the
+    // candidate stream (node, neighbor-community, k_{i,c}) is |E|-sized,
+    // so (a) the argmax is the partial-combinable min(struct(-s, c))
+    // reduction — same (score DESC, community ASC) tie rule as the
+    // row_number window it replaces, without sorting the candidate
+    // stream per round — and (b) the own-community zero-candidate is
+    // merged AFTER the argmax with one least(): when (i, own) has
+    // neighbor support it already dominates its zero row (s is monotone
+    // in k_{i,c} at fixed c), so unioning |V| zero rows into the stream
+    // and re-grouping it — a second |E|-sized shuffle per round — was
+    // pure waste. AQE stays ON: runtime broadcasts of the |V|-sized
+    // deg/labels/tot sides beat every prescribed shape tried (AQE-off
+    // 9.6 s, state-sized width 11.6 s, edges pre-pinned by dst 9.5 s).
     var labels = deg.select($"src".as("id"), $"src".as("lab"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val tot = labels.join(deg, $"id" === $"src").drop("src")
         .groupBy($"lab").agg(sum($"k").as("tot"))
         .select($"lab".as("t_lab"), $"tot")
-      val kic = edges.join(labels.select($"id".as("dst_id"), $"lab"),
+      val kic = edges0.join(labels.select($"id".as("dst_id"), $"lab"),
           $"dst" === $"dst_id")
         .groupBy($"src", $"lab").agg(count(lit(1)).as("kic"))
         .select($"src".as("id"), $"lab".as("c"), $"kic")
-      val cand = kic
-        .unionAll(labels.select($"id", $"lab".as("c"), lit(0L).as("kic")))
-        .groupBy($"id", $"c").agg(max($"kic").as("kic"))
-      labels = cand
+      val bestN = kic
         .join(deg.select($"src".as("id"), $"k"), Seq("id"))
         .join(labels.select($"id", $"lab".as("own")), Seq("id"))
         .join(tot, $"c" === $"t_lab")
-        .select($"id", $"c",
-          (lit(mTotal) * $"kic" -
-            $"k" * ($"tot" - when($"c" === $"own", $"k").otherwise(0L)))
-            .as("s"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy($"id").orderBy($"s".desc, $"c")))
-        .filter($"rk" === 1)
-        .select($"id", $"c".as("lab"))
+        .select($"id", $"own", $"k",
+          struct(
+            (-(lit(mTotal) * $"kic" -
+              $"k" * ($"tot" - when($"c" === $"own", $"k").otherwise(0L))))
+              .as("ns"),
+            $"c").as("cand"))
+        .groupBy($"id")
+        .agg(min($"cand").as("best"),
+          first($"own").as("own"), first($"k").as("k"))
+      val prev = labels
+      labels = bestN
+        .join(tot, $"own" === $"t_lab")
+        .select($"id", least($"best",
+          struct(($"k" * ($"tot" - $"k")).as("ns"), $"own".as("c"))).as("best"))
+        .select($"id", $"best.c".as("lab"))
         .localCheckpoint(true)
+      graft.graph.Graph.releaseCheckpoint(prev)
     }
     labels.select($"id".as("node_id"), $"lab".as("community"))
       .orderBy($"node_id")
