@@ -181,4 +181,30 @@ class CatalogUpsertSpec extends SparkTestBase {
     assert(tight.readAsOf(t, 2).head.getAs[Double]("close") == 2.0) // retained
     intercept[IllegalArgumentException] { tight.readAsOf(t, 1) }    // pruned
   }
+
+  test("heal restores from the HIGHEST archive when a swap dies with older archives present") {
+    // the recovery case versioning introduced: before round 13 at most
+    // one set-aside copy existed; now heal must pick the newest archive
+    // (the interrupted swap's set-aside), never an older retained version
+    val wh = tmpDir("graft-vheal")
+    val catalog = new Catalog(spark, wh)
+    val t = Schemas.tables.bronze
+    def upsert(close: Double): Unit =
+      catalog.upsert(df(mkRow("AAA", "2026-01-01", close, "2026-01-02 00:00:00")),
+        t, keys = Seq("symbol", "date"), partitionBy = Seq.empty)
+    upsert(1.0)                          // live v1
+    upsert(2.0)                          // archives v1, live v2
+    catalog.crashHook = () => throw new RuntimeException("simulated crash")
+    intercept[RuntimeException] { upsert(3.0) } // dies with v2 set aside
+    catalog.crashHook = () => ()
+    // heal: live dir missing, archives {v1, v2} -> restore v2, not v1
+    assert(catalog.read(t).head.getAs[Double]("close") == 2.0)
+    assert(catalog.version(t) == 2)
+    assert(catalog.readAsOf(t, 1).head.getAs[Double]("close") == 1.0)
+    // retry applies normally on the healed table
+    upsert(3.0)
+    assert(catalog.version(t) == 3)
+    assert(catalog.readAsOf(t, 2).head.getAs[Double]("close") == 2.0)
+    assert(catalog.read(t).head.getAs[Double]("close") == 3.0)
+  }
 }
