@@ -458,6 +458,10 @@ object Graph {
       val eOut = e0.repartition(parts, $"src").sortWithinPartitions($"src")
         .localCheckpoint(true)
       releaseCheckpoint(e0) // both pinned orientations are materialized
+      var round = 0
+      var converged = false
+      var changed = nV // round-0 frontier: everything
+      try {
       // merge an update stream into the estimate table, flagging movers.
       // upd arrives hash-partitioned by id (agg output / aligned with the
       // checkpointed cur), so the merge join never exchanges cur
@@ -486,9 +490,6 @@ object Graph {
           .groupBy($"src".as("id"))
           .agg(org.apache.spark.sql.graft.hindex.hIndex($"nc").as("h")))
       }
-      var round = 0
-      var converged = false
-      var changed = nV // round-0 frontier: everything
       while (round < maxRounds && !converged) {
         // ONE round AND one job per materialization. The round-12
         // fused-pair trick does NOT carry over: a frontier round
@@ -514,8 +515,12 @@ object Graph {
         // skipped vertex was skipped BECAUSE its inputs were unchanged
         converged = changed == 0L
       }
-      releaseCheckpoint(eIn)
-      releaseCheckpoint(eOut)
+      } finally {
+        // release the |E|-sized pinned orientations even when a round
+        // throws — a leak here degrades every later gate in the session
+        releaseCheckpoint(eIn)
+        releaseCheckpoint(eOut)
+      }
       require(converged,
         s"coreness did not converge within $maxRounds rounds — raise the " +
           "bound; truncating would report inflated core numbers")

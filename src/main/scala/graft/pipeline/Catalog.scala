@@ -93,12 +93,20 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
     * manual repair. */
   private def heal(table: String): Unit = {
     val dir = new java.io.File(path(table))
-    if (!dir.exists()) archivedVersions(table).maxOption.foreach { v =>
-      val aside = new java.io.File(s"${path(table)}.v$v")
-      val staging = new java.io.File(path(table) + ".staging")
-      if (staging.exists()) delete(staging)
-      if (!aside.renameTo(dir))
-        throw new java.io.IOException(s"cannot restore $table from ${aside.getName}")
+    if (!dir.exists()) {
+      // legacy set-aside name from before the versioned scheme: a
+      // warehouse that crashed mid-swap under the old Catalog must heal
+      // after an upgrade, not strand its data in `.old`
+      val legacy = new java.io.File(path(table) + ".old")
+      val aside = archivedVersions(table).maxOption
+        .map(v => new java.io.File(s"${path(table)}.v$v"))
+        .orElse(Option(legacy).filter(_.exists()))
+      aside.foreach { a =>
+        val staging = new java.io.File(path(table) + ".staging")
+        if (staging.exists()) delete(staging)
+        if (!a.renameTo(dir))
+          throw new java.io.IOException(s"cannot restore $table from ${a.getName}")
+      }
     }
   }
 

@@ -652,15 +652,16 @@ object GraphTraversalQueries extends QueryModule {
     * bounded-rounds discipline; synchronous updates can oscillate, which
     * is WHY the gate pins a fixed round count rather than "until
     * converged"). Candidates are each node's neighbor communities plus
-    * its own (score 0 neighbors-in-own case handled by the max-merge).
+    * its own (the zero-support own-community case merges in after the
+    * argmax — see the round-shape note in the body).
     *
     * Scale shape per round: community mass = one grouped sum; k_{i,c} =
     * one edges⋈labels grouped count (shuffle on src — the canonical
-    * bucketing key); argmax = per-node window over candidate communities
-    * (bounded by degree). Labels localCheckpoint-pin per round. */
+    * bucketing key); argmax = one partial-combinable min-struct
+    * reduction per node (no candidate-stream sort). Labels
+    * localCheckpoint-pin per round, superseded rounds released. */
   private def q305(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val rounds = 3
     val edges0 = copurchaseEdges(s, dir).localCheckpoint(true)
     val mTotal = edges0.count() // scalar: directed edge count (= 2m)

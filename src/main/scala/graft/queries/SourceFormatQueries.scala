@@ -52,8 +52,13 @@ object SourceFormatQueries extends QueryModule {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", advCol.as("payload"), $"source", $"n_chars")
-    require(docs.filter($"payload".contains("\n")).isEmpty,
-      "q342: CSV staging requires newline-free fields (multiLine trap)")
+      // loud multiLine-trap guard, folded INTO the write projection: an
+      // embedded newline aborts the staging write itself (no separate
+      // guard scan — the pre-r13 `require(filter...isEmpty)` cost a full
+      // extra pass of documents per run)
+      .withColumn("payload", when($"payload".contains("\n"),
+        raise_error(lit("q342: CSV staging requires newline-free fields " +
+          "(multiLine trap)"))).otherwise($"payload"))
     graft.pipeline.Staging.withStagedDir("graft_q342_") { staged =>
       docs.write.mode("overwrite").option("header", "true").csv(staged)
       val back = s.read.option("header", "true")
@@ -187,14 +192,16 @@ object SourceFormatQueries extends QueryModule {
           min($"d").as("min_d"), max($"d").as("max_d"))
         .select(lit(fmt).as("format"), col("*"))
         .localCheckpoint(true) // pin before the staging disappears
-    // same loud multiLine-trap guard as q342: an embedded newline would be
-    // written quoted-multiline and read back (no multiLine) as split rows —
-    // an opaque checksum mismatch instead of this contract violation
-    require(docs.filter($"payload".contains("\n")).isEmpty,
-      "q363: CSV staging requires newline-free fields (multiLine trap)")
+    // same multiLine-trap guard as q342, folded into the CSV branch's
+    // write projection: an embedded newline would be written
+    // quoted-multiline and read back (no multiLine) as split records —
+    // the write aborts loudly instead, at zero extra scans
+    val csvDocs = docs.withColumn("payload", when($"payload".contains("\n"),
+      raise_error(lit("q363: CSV staging requires newline-free fields " +
+        "(multiLine trap)"))).otherwise($"payload"))
     val staged = Seq(
       graft.pipeline.Staging.withStagedDir("graft_q363csv_") { st =>
-        docs.write.mode("overwrite").option("header", "true").csv(st)
+        csvDocs.write.mode("overwrite").option("header", "true").csv(st)
         audit("csv", s.read.option("header", "true")
           .option("inferSchema", "true").csv(st))
       },

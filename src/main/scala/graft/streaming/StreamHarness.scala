@@ -75,6 +75,12 @@ object StreamHarness {
     val s = pipeline.sparkSession
     val sink = sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", "")
     val ck = new java.io.File(ckRoot, s"graft_ckpt_$sink")
+    val owned = Set("spark.sql.shuffle.partitions",
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    require(extraConfs.keySet.intersect(owned).isEmpty,
+      s"StreamHarness owns ${owned.mkString(", ")} — set them through the " +
+        "parts / noDataBatches parameters, not extraConfs (a map entry " +
+        "would be silently overwritten)")
     val confs = extraConfs +
       ("spark.sql.shuffle.partitions" -> parts.toString) +
       ("spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString)

@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 /** One-off probe: per-round wall + changed-count for the q217 coreness
   * loop at SPARK_GRAFT_SF_DIR, to attribute the gate's wall between
   * round count, per-round stage floor, and data work. Not part of any
-  * gate; run manually while tuning. */
+  * gate; run manually while tuning. MIRRORS [[graft.graph.Graph.coreness]]
+  * (merge/fullStep/deltaStep and the full/delta threshold) — when the
+  * production loop changes, change this in lockstep or the probe
+  * attributes a shape that no longer ships. */
 object CorenessProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,13 +25,14 @@ object CorenessProbe {
     val s = spark
     val li = graft.Tables.lineitem(s, sfDir)
       .select($"l_orderkey", $"l_linenumber", $"l_partkey")
-    val adj = li.as("a").join(li.as("b"),
+    val und = li.as("a").join(li.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" &&
           $"b.l_linenumber" === $"a.l_linenumber" + 1 &&
           $"a.l_partkey" =!= $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-    val edges = adj.select($"u".as("src"), $"v".as("dst"))
-      .union(adj.select($"v".as("src"), $"u".as("dst"))).distinct()
+      .select(least($"a.l_partkey", $"b.l_partkey").as("src"),
+        greatest($"a.l_partkey", $"b.l_partkey").as("dst"))
+      .distinct()
+    val edges = und.union(und.select($"dst", $"src"))
 
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = {
@@ -72,12 +76,12 @@ object CorenessProbe {
     var round = 0
     var changed = nV
     while (round < 28 && changed != 0L) {
-      val kind = if (changed * 8 >= nV) "full " else "delta"
+      val kind = if (changed * 64 >= nV) "full " else "delta"
       val prev = c
-      c = (if (changed * 8 >= nV) fullStep(c) else deltaStep(c)).localCheckpoint(true)
-      graft.graph.Graph.releaseCheckpoint(prev)
+      c = (if (changed * 64 >= nV) fullStep(c) else deltaStep(c)).localCheckpoint(false)
       val tC = System.nanoTime()
-      changed = c.filter($"chg").count()
+      changed = c.filter($"chg").count() // materializes the lazy checkpoint
+      graft.graph.Graph.releaseCheckpoint(prev)
       round += 1
       val t1 = System.nanoTime()
       println(f"[probe] round $round%2d $kind chk ${(tC - t0) / 1e9}%.3f s " +

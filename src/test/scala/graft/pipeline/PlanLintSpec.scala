@@ -34,7 +34,9 @@ class PlanLintSpec extends AnyFunSuite {
       }
     finally walk.close()
     assert(bad.isEmpty,
-      s"bare executed-plan collect (AQE-vacuous) in: ${bad.mkString(", ")} " +
+      s"bare executed-plan collect* (AQE-vacuous; the normalized match " +
+        s"also catches collectFirst/collectLeaves and comment mentions — " +
+        s"all equally banned or misleading) in: ${bad.mkString(", ")} " +
         "- use PlanGuards.flatten/shuffleCount instead")
   }
 }
