@@ -142,14 +142,16 @@ object DistributedScan {
     * Quantiles are returned UNROUNDED; callers round (every gate pins
     * 6 dp before reuse so both engines see bit-identical fences).
     *
-    * GROUP CARDINALITY IS UNBOUNDED: the per-group offset table is
-    * itself computed with [[prefixSums]] (group keys are unique in the
-    * totals frame, so the total-order contract holds), never with a
-    * single-task `Window.orderBy(group)`, and the offsets join carries
-    * no broadcast hint — AQE broadcasts the offsets stage when its
-    * runtime size is small (the 2–5-group gates) and keeps a shuffled
-    * join when it is not (millions of per-domain groups at corpus
-    * scale). Nothing in the plan is sized by |groups| on one task.
+    * GROUP CARDINALITY IS UNBOUNDED: the offsets path is chosen by a
+    * MEASURED group count. At ≤10⁴ groups the offset table is the
+    * tiny-table case — an unpartitioned |groups|-row window plus an
+    * explicit broadcast (the 2–5-group gates' zero-extra-shuffle
+    * shape); above it the offsets are computed with [[prefixSums]]
+    * itself (group keys are unique in the totals frame, so the scan's
+    * total-order contract holds) and the join stays shuffled — at
+    * millions of per-domain groups nothing in the plan is sized by
+    * |groups| on one task. GroupedQuantilesSpec proves the large-path
+    * plan at 10⁵ synthetic groups.
     *
     * @param df    input frame
     * @param group grouping column (returned under its `out` name `__g`
@@ -170,13 +172,27 @@ object DistributedScan {
     val vc = df.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
     val cum = prefixSums(vc, Seq(col("__g"), col("__v")), Seq("__c"))
     // group totals come from the scan's own checkpointed output — no
-    // second pass over the raw data; their exclusive prefix is a second
-    // (much smaller) two-level scan, so the offsets stay distributed at
-    // any group cardinality instead of sorting |groups| rows on one task
+    // second pass over the raw data. The offsets path is chosen by a
+    // MEASURED group count (one cheap aggregate over the checkpointed
+    // scan): at small cardinality the |groups|-row frame is the
+    // tiny-table case where an unpartitioned window and a broadcast are
+    // the RIGHT tools (routing 3-row offsets through the two-level scan
+    // and letting AQE pre-shuffle the cum side cost the q102-class
+    // gates ~2 s of pure job floor on the round-13 artifact); past the
+    // bound the offsets go through [[prefixSums]] and the join stays
+    // shuffled — nothing is ever sized by |groups| on one task.
     val totals = cum.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
-    val offs0 = prefixSums(totals, Seq(col("__g")), Seq("__n"))
-      .withColumn("__off", col("__n_cum") - col("__n"))
-      .drop("__n_cum")
+    val nGroups = totals.count()
+    val smallGroups = nGroups <= 10000 // ~1 MB of offsets: safe to broadcast
+    val offs0 =
+      if (smallGroups) {
+        val wF = Window.orderBy(col("__g"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        totals.withColumn("__off", coalesce(sum(col("__n")).over(wF), lit(0L)))
+      } else
+        prefixSums(totals, Seq(col("__g")), Seq("__n"))
+          .withColumn("__off", col("__n_cum") - col("__n"))
+          .drop("__n_cum")
     val offs = ps.indices.foldLeft(offs0) { (d, i) =>
       d.withColumn(s"__h$i", (col("__n") - 1).cast("double") * ps(i))
         .withColumn(s"__k$i", floor(col(s"__h$i")).cast("long") + 1)
@@ -192,9 +208,11 @@ object DistributedScan {
         min(when(hit(col(s"__k$i") + 1), col("__v"))).as(s"__y$i"),
         first(col(s"__h$i")).as(s"__hh$i")) // constant per group
     }
-    // no broadcast hint: AQE measures the offsets stage at runtime and
-    // broadcasts only when |groups| is actually small
-    cum.join(offs, "__g")
+    // small cardinality: explicit broadcast, so the |distinct values|
+    // frame joins map-side with no exchange at all (AQE's runtime
+    // broadcast decision still pre-plans — and pre-writes — the big
+    // side's shuffle); large cardinality: shuffled join
+    cum.join(if (smallGroups) broadcast(offs) else offs, "__g")
       .filter(anyHit)
       .groupBy(col("__g"))
       .agg(aggs.head, aggs.tail: _*)
