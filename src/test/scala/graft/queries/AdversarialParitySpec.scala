@@ -423,6 +423,42 @@ class AdversarialParitySpec extends SparkTestBase {
     assert(got == ref, s"q310 hostile parity:\n got $got\n ref $ref")
   }
 
+  test("q24 fingerprints match a plain-Scala replay on a whitespace-hostile corpus") {
+    // the rolling hash folds TOKEN LENGTHS — the separator bug class in
+    // its purest form: a double space contributes an EMPTY token (length
+    // 0, still one fold step), a tab glues two words into one longer
+    // token, trailing spaces append empty steps. A \s+-splitting or
+    // trimming mutant silently folds a different sequence
+    val docs: Seq[(Long, String, String)] = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha  beta", "en"),          // empty token: one extra 0-length step
+      (3L, "alpha beta ", "en"),          // trailing empty token
+      (4L, "alpha\tbeta gamma", "en"),    // tab: ONE 10-char token, not two
+      (5L, "ALPHA Beta", "en"),           // md5 is over lowered tokens
+      (6L, "", "en"))                     // empty text: [""] — a single 0-length step
+    val dir = tmpDir("graft-adv-fp")
+    writeDocs(dir, docs)
+    def toks(t: String): Seq[String] = t.split(" ", -1).toSeq
+    def rollFp(t: String): Long =
+      toks(t).foldLeft(7L)((acc, w) => (acc * 1000003L + w.length) % 2147483647L)
+    def contentMd5(t: String): String =
+      md5hex(toks(t).map(_.toLowerCase).mkString(" "))
+    // hostility proofs: both mutant tokenizations fold different sequences
+    assert(docs.exists { case (_, t, _) =>
+        rollFp(t) != toks(t).filter(_.nonEmpty).foldLeft(7L)(
+          (acc, w) => (acc * 1000003L + w.length) % 2147483647L) },
+      "an empty-token-dropping mutant must diverge on this corpus")
+    assert(docs.exists { case (_, t, _) =>
+        toks(t).map(_.length) !=
+          t.split("\\s+", -1).toSeq.map(_.length) },
+      "a whitespace-regex mutant must fold a different length sequence")
+    val ref = docs.map { case (id, t, _) => (id, contentMd5(t), rollFp(t)) }
+      .sortBy(_._1)
+    val got = SparkEntry.queries("q24_fingerprint")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == ref, s"q24 hostile parity:\n got $got\n ref $ref")
+  }
+
   test("q334 BPE training matches a from-scratch trainer on a merge-collision corpus") {
     // hostile axes: a merged token that COLLIDES with a pre-existing
     // token ('x'+'y' = 'xy', which the corpus already contains — rounds
