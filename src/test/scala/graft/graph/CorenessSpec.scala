@@ -101,4 +101,45 @@ class CorenessSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
+
+  test("the pinned layout holds: shuffle volume is two edge passes, never per-round") {
+    // a K40 clique (dense: |E| >> |V|) with a 40-node path hanging off
+    // (the path's 1-core peels inward ~one step per round, forcing ~20
+    // rounds). The round-13 contract is that the |E|-sized adjacency is
+    // exchanged exactly TWICE (the two pinned orientations) no matter
+    // how many rounds run — full rounds exchange the state table into
+    // the pinned layout and partial-combined histogram buffers back,
+    // both |V|-sized. A regression that re-exchanges edges per round
+    // (dropping the pin, the sort, or the map-side partial aggregate)
+    // adds >= |E| records per round and blows the budget.
+    val clique = for (a <- 1L to 40L; b <- (a + 1) to 40L) yield (a, b)
+    val path = (40L until 80L).map(i => (i, i + 1))
+    val edges = sym((clique ++ path): _*)
+    val dirE = 2L * (clique.size + path.size) // 1640 directed edges
+    val nV = 81L
+    val maxRounds = 40
+    val sc = spark.sparkContext
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) { recs.addAndGet(m.shuffleWriteMetrics.recordsWritten); () }
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val got = Graph.coreness(edges, maxRounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(1L) == 39L && got(80L) == 1L, "sanity: clique 39-core, path tail 1-core")
+      org.apache.spark.graft.BusDrain.drain(sc)
+      // budget: the two pins + a generous per-round state allowance
+      // (estimate exchange + agg buffers + frontier frames, all <= a few
+      // |V|); a per-round edge exchange would add >= dirE * rounds/2
+      val budget = 2 * dirE + maxRounds.toLong * 6 * nV
+      assert(recs.get() <= budget,
+        s"shuffle records ${recs.get()} exceed the pinned-layout budget " +
+          s"$budget — an |E|-sized frame is being exchanged per round")
+    } finally sc.removeSparkListener(listener)
+  }
 }
