@@ -142,27 +142,48 @@ object DistributedScan {
     * Quantiles are returned UNROUNDED; callers round (every gate pins
     * 6 dp before reuse so both engines see bit-identical fences).
     *
-    * GROUP CARDINALITY IS UNBOUNDED: the offsets path is chosen by a
-    * MEASURED group count. At ≤10⁴ groups the offset table is the
-    * tiny-table case — an unpartitioned |groups|-row window plus an
-    * explicit broadcast (the 2–5-group gates' zero-extra-shuffle
-    * shape); above it the offsets are computed with [[prefixSums]]
-    * itself (group keys are unique in the totals frame, so the scan's
+    * GROUP CARDINALITY IS UNBOUNDED: at ≤10⁴ groups the offset table
+    * is the tiny-table case — an unpartitioned |groups|-row window
+    * plus an explicit broadcast (the 2–5-group gates' zero-extra-
+    * shuffle shape); above it the offsets are computed with
+    * [[prefixSums]] itself (group keys are unique in the totals
+    * frame, so the scan's
     * total-order contract holds) and the join stays shuffled — at
     * millions of per-domain groups nothing in the plan is sized by
     * |groups| on one task. GroupedQuantilesSpec proves the large-path
     * plan at 10⁵ synthetic groups.
     *
-    * @param df    input frame
-    * @param group grouping column (returned under its `out` name `__g`
-    *              — callers rename)
-    * @param value value column (numeric; cast to double)
-    * @param ps    quantile fractions in [0, 1]
-    * @param out   one output column name per fraction
+    * HOW THE PATH IS CHOSEN: `maxGroups` is a caller-asserted
+    * cardinality bound, the same contract as `broadcast()` — the gates
+    * that use this operator group by enum-like domains (return flags,
+    * event types, experiment arms, a constant) whose bound is a data-
+    * model fact, and passing it makes the whole operator a single
+    * action-free plan. When the bound is unknown (`None`), the count
+    * is MEASURED with one cheap aggregate over the checkpointed scan —
+    * correct for any cardinality, but the dedicated decision action
+    * costs a scheduling round-trip plus the lazy-checkpoint
+    * materialization pass before the main job (the round-13 q102
+    * driver regression, 3.2 → 4.8 s, was exactly this floor paid once
+    * per invocation). An overstated `Some(n)` only misroutes to the
+    * shuffled large path (perf, never correctness); an UNDERstated
+    * bound on truly huge groups would broadcast a data-sized offsets
+    * frame — the same failure mode as a wrong `broadcast()` hint, and
+    * loud (broadcast size cap), not silent.
+    *
+    * @param df        input frame
+    * @param group     grouping column (returned under its `out` name
+    *                  `__g` — callers rename)
+    * @param value     value column (numeric; cast to double)
+    * @param ps        quantile fractions in [0, 1]
+    * @param out       one output column name per fraction
+    * @param maxGroups caller-asserted upper bound on the group
+    *                  cardinality (a domain fact, e.g. 3 return
+    *                  flags); `None` = measure it with one aggregate
     * @return one row per group: (`__g`, out…)
     */
   def groupedQuantiles(df0: DataFrame, group: Column, value: Column,
-      ps: Seq[Double], out: Seq[String]): DataFrame = {
+      ps: Seq[Double], out: Seq[String],
+      maxGroups: Option[Long] = None): DataFrame = {
     require(ps.nonEmpty && ps.size == out.size,
       "groupedQuantiles: one output name per fraction")
     require(ps.forall(p => p >= 0.0 && p <= 1.0),
@@ -172,18 +193,23 @@ object DistributedScan {
     val vc = df.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
     val cum = prefixSums(vc, Seq(col("__g"), col("__v")), Seq("__c"))
     // group totals come from the scan's own checkpointed output — no
-    // second pass over the raw data. The offsets path is chosen by a
-    // MEASURED group count (one cheap aggregate over the checkpointed
-    // scan): at small cardinality the |groups|-row frame is the
-    // tiny-table case where an unpartitioned window and a broadcast are
-    // the RIGHT tools (routing 3-row offsets through the two-level scan
-    // and letting AQE pre-shuffle the cum side cost the q102-class
-    // gates ~2 s of pure job floor on the round-13 artifact); past the
-    // bound the offsets go through [[prefixSums]] and the join stays
-    // shuffled — nothing is ever sized by |groups| on one task.
+    // second pass over the raw data. The offsets path: at small
+    // cardinality the |groups|-row frame is the tiny-table case where
+    // an unpartitioned window and a broadcast are the RIGHT tools
+    // (routing 3-row offsets through the two-level scan and letting
+    // AQE pre-shuffle the cum side cost the q102-class gates ~2 s of
+    // pure job floor on the round-13 artifact); past the bound the
+    // offsets go through [[prefixSums]] and the join stays shuffled —
+    // nothing is ever sized by |groups| on one task. The bound check
+    // is the caller's asserted domain fact when given (zero extra
+    // actions — the whole operator is one plan) and a measured
+    // totals.count() otherwise (see the Scaladoc for the cost of that
+    // decision action).
     val totals = cum.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
-    val nGroups = totals.count()
-    val smallGroups = nGroups <= 10000 // ~1 MB of offsets: safe to broadcast
+    val smallBound = 10000L // ~1 MB of offsets: safe to broadcast
+    maxGroups.foreach(n => require(n > 0,
+      s"groupedQuantiles: maxGroups must be positive, got $n"))
+    val smallGroups = maxGroups.getOrElse(totals.count()) <= smallBound
     val offs0 =
       if (smallGroups) {
         val wF = Window.orderBy(col("__g"))

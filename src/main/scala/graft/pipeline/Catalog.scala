@@ -93,11 +93,22 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
     * manual repair. */
   private def heal(table: String): Unit = {
     val dir = new java.io.File(path(table))
-    if (!dir.exists()) {
+    val legacy = new java.io.File(path(table) + ".old")
+    if (dir.exists()) {
+      // live dir + '.old' coexisting means the '.old' is a COMPLETED
+      // old-scheme swap's leftover (the pre-versioning swapIn only
+      // deleted it on the NEXT swap), not a crash image. Left alone it
+      // would linger forever — and if the live dir were ever lost with
+      // no v<N> archives, heal would silently restore that stale
+      // pre-upgrade image as live. Delete it here (every swap routes
+      // through heal via version(), so the first new-scheme commit
+      // retires it); after this, only a genuine old-scheme crash image
+      // (live dir absent) can ever be restored from '.old'.
+      if (legacy.exists()) delete(legacy)
+    } else {
       // legacy set-aside name from before the versioned scheme: a
       // warehouse that crashed mid-swap under the old Catalog must heal
       // after an upgrade, not strand its data in `.old`
-      val legacy = new java.io.File(path(table) + ".old")
       val aside = archivedVersions(table).maxOption
         .map(v => new java.io.File(s"${path(table)}.v$v"))
         .orElse(Option(legacy).filter(_.exists()))

@@ -667,8 +667,11 @@ object GraphTraversalQueries extends QueryModule {
     val mTotal = edges0.count() // scalar: directed edge count (= 2m)
     val deg = edges0.groupBy($"src").agg(count(lit(1)).as("k"))
       .localCheckpoint(true)
-    val nV = deg.count()
-    require(nV > 0, "q305: empty graph") // nV pins the deg checkpoint
+    // the count's real job is pinning the deg checkpoint; an empty
+    // graph is a valid input and yields an empty labeling (the q268
+    // convention across the graph gates — empty result, not a throw)
+    if (deg.count() == 0)
+      return s.emptyDataset[(Long, Long)].toDF("node_id", "community")
     // Round shape (round-13 rework, each piece A/B'd at sf0.1): the
     // candidate stream (node, neighbor-community, k_{i,c}) is |E|-sized,
     // so (a) the argmax is the partial-combinable min(struct(-s, c))

@@ -366,7 +366,8 @@ object InferenceQueries extends QueryModule {
         when(CurationQueries.hashBucket("user_id") % 2 === 0, "A").otherwise("B"))
     val qs = graft.operators.DistributedScan
       .groupedQuantiles(arms, $"arm", $"value",
-        Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"))
+        Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"),
+        maxGroups = Some(2)) // domain fact: arm ∈ {A, B}
     def armRow(a: String, suffix: String) = qs.filter($"__g" === a)
       .select(round($"p25", 6).as(s"p25_$suffix"),
         round($"p50", 6).as(s"p50_$suffix"),

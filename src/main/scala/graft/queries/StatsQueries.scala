@@ -174,7 +174,11 @@ object StatsQueries extends QueryModule {
     val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
     val fences = graft.operators.DistributedScan
       .groupedQuantiles(li, $"l_returnflag", $"l_extendedprice",
-        Seq(0.05, 0.95), Seq("lo0", "hi0"))
+        Seq(0.05, 0.95), Seq("lo0", "hi0"),
+        // domain fact: l_returnflag ∈ {A, N, R} — the asserted bound
+        // makes the operator a single action-free plan (no decision
+        // count; the round-13 driver regression was that action)
+        maxGroups = Some(3))
       .select($"__g".as("l_returnflag"),
         round($"lo0", 6).as("lo"), round($"hi0", 6).as("hi"))
     li.join(broadcast(fences), "l_returnflag")
@@ -247,12 +251,16 @@ object StatsQueries extends QueryModule {
     import s.implicits._
     val ev = Tables.events(s, dir).select($"event_type", $"value")
     val med = graft.operators.DistributedScan
-      .groupedQuantiles(ev, $"event_type", $"value", Seq(0.5), Seq("m"))
+      // domain fact: event_type is a small closed enum (view/click/
+      // purchase/…) — far under the bound at any corpus size
+      .groupedQuantiles(ev, $"event_type", $"value", Seq(0.5), Seq("m"),
+        maxGroups = Some(100))
       .select($"__g".as("event_type"), round($"m", 6).as("med"))
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("adev", abs($"value" - $"med"))
     val mad = graft.operators.DistributedScan
-      .groupedQuantiles(dev, $"event_type", $"adev", Seq(0.5), Seq("m"))
+      .groupedQuantiles(dev, $"event_type", $"adev", Seq(0.5), Seq("m"),
+        maxGroups = Some(100))
       .select($"__g".as("event_type"), round($"m", 6).as("mad"))
     dev.join(broadcast(mad), "event_type")
       .groupBy($"event_type")
@@ -764,7 +772,7 @@ object StatsQueries extends QueryModule {
     val names = (1 to 9).map(i => s"b$i")
     val breaks = graft.operators.DistributedScan
       .groupedQuantiles(o.withColumn("g", lit(1)), $"g", $"o_totalprice",
-        (1 to 9).map(_ / 10.0), names)
+        (1 to 9).map(_ / 10.0), names, maxGroups = Some(1)) // constant group
       .select(array(names.map(n => round(col(n), 6)): _*).as("bks"))
       .withColumn("one", pmod(element_at($"bks", 1).cast("long"), lit(1L)))
     o.withColumn("one", pmod($"o_totalprice".cast("long"), lit(1L)))

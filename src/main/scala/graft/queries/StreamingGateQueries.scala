@@ -34,8 +34,15 @@ object StreamingGateQueries extends QueryModule {
       val dir = new java.io.File(s"$staged/parts/$ordCol=$o")
       val fs = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".parquet"))
-      require(fs.nonEmpty,
-        s"staging: batch $o of $n is empty — the replay would skip it")
+      // exactly one file per partition: repartition(1) guarantees it
+      // today, but a session conf like spark.sql.files.maxRecordsPerFile
+      // (or a future writer change) could split the partition — copying
+      // only fs.head would then silently drop rows from the replay, so
+      // multi-file partitions must fail loudly at staging time
+      require(fs.length == 1,
+        s"staging: batch $o of $n has ${fs.length} files — the replay " +
+          "copies exactly one; an empty batch would be skipped, a split " +
+          "batch silently truncated")
       val dst = new java.io.File(staged, f"batch$o%04d.parquet")
       java.nio.file.Files.copy(fs.head.toPath, dst.toPath)
       require(dst.setLastModified(1000000L * (o + 1)),

@@ -89,6 +89,56 @@ class GroupedQuantilesSpec extends SparkTestBase {
     assert(!out.contains("allnull"), "an all-null group has no quantiles")
   }
 
+  test("caller-asserted bound: no decision action at construction, paths agree") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 9.0),
+      ("b", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    // the measured default pays a dedicated decision action per
+    // invocation (the round-13 q102 driver regression). Construction is
+    // never fully job-free — the lazy localCheckpoint's toRdd under AQE
+    // materializes the upstream shuffle stages either way — so the
+    // pinned contract is RELATIVE: the hinted call must run strictly
+    // fewer construction-time jobs than the measured call (it drops the
+    // decision count and its post-checkpoint aggregate stages)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    def constructionJobs(build: => org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, Int) = {
+      jobs = 0
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val d = build
+        org.apache.spark.graft.BusDrain.drain(spark.sparkContext)
+        (d, jobs)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (hinted, hJobs) = constructionJobs(DistributedScan.groupedQuantiles(
+      df, $"g", $"v", Seq(0.25, 0.5), Seq("q25", "q50"), maxGroups = Some(2)))
+    val (measuredDf, mJobs) = constructionJobs(DistributedScan.groupedQuantiles(
+      df, $"g", $"v", Seq(0.25, 0.5), Seq("q25", "q50")))
+    assert(hJobs < mJobs,
+      s"hinted construction ran $hJobs job(s) vs measured $mJobs — the " +
+        "asserted bound must remove the dedicated decision action")
+    // all three routes — hinted-small, hinted-large (shuffled offsets),
+    // measured — produce identical numbers on the same data
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+    val small = snap(hinted)
+    val large = snap(DistributedScan.groupedQuantiles(
+      df, $"g", $"v", Seq(0.25, 0.5), Seq("q25", "q50"),
+      maxGroups = Some(1000000)))
+    val measured = snap(measuredDf)
+    assert(small == large && small == measured,
+      s"path divergence: small=$small large=$large measured=$measured")
+    assertThrows[IllegalArgumentException] {
+      DistributedScan.groupedQuantiles(
+        df, $"g", $"v", Seq(0.5), Seq("m"), maxGroups = Some(0))
+    }
+  }
+
   test("1e5 groups: offsets are distributed, no group-sized single-task window") {
     val n = 100000L
     val df = spark.range(3 * n).select(

@@ -207,4 +207,39 @@ class CatalogUpsertSpec extends SparkTestBase {
     assert(catalog.readAsOf(t, 2).head.getAs[Double]("close") == 2.0)
     assert(catalog.read(t).head.getAs[Double]("close") == 3.0)
   }
+
+  test("a stale legacy '.old' next to a LIVE table is retired, a crash image is restored") {
+    // pre-versioning swapIn left its set-aside in '<table>.old' until the
+    // NEXT swap deleted it, so an upgraded warehouse can carry a stale
+    // '.old' from a COMPLETED old-scheme swap. Left in place it would
+    // linger forever — and if the live dir were ever lost with no v<N>
+    // archives, heal would silently resurrect that pre-upgrade image as
+    // live. Contract: live dir present -> the '.old' is stale, retire it
+    // on first contact; live dir absent -> the '.old' is a genuine
+    // old-scheme crash image, restore it.
+    val wh = tmpDir("graft-legacy")
+    val catalog = new Catalog(spark, wh)
+    val t = Schemas.tables.bronze
+    def upsert(close: Double): Unit =
+      catalog.upsert(df(mkRow("AAA", "2026-01-01", close, "2026-01-02 00:00:00")),
+        t, keys = Seq("symbol", "date"), partitionBy = Seq.empty)
+    // live table + a fabricated stale legacy image beside it
+    upsert(2.0)
+    val legacy = new java.io.File(s"$wh/$t.old")
+    df(mkRow("AAA", "2026-01-01", 1.0, "2026-01-01 00:00:00"))
+      .write.parquet(legacy.getPath)
+    assert(legacy.exists())
+    // any healed operation retires the stale image; live data untouched
+    assert(catalog.read(t).head.getAs[Double]("close") == 2.0)
+    assert(!legacy.exists(), "stale legacy '.old' must be deleted, not kept")
+    // the genuine old-scheme crash shape still heals: live dir gone, no
+    // archives, '.old' holds the data -> restore it as live
+    val wh2 = tmpDir("graft-legacy-crash")
+    val catalog2 = new Catalog(spark, wh2)
+    df(mkRow("AAA", "2026-01-01", 5.0, "2026-01-01 00:00:00"))
+      .write.parquet(s"$wh2/$t.old")
+    assert(catalog2.exists(t))
+    assert(catalog2.read(t).head.getAs[Double]("close") == 5.0)
+    assert(!new java.io.File(s"$wh2/$t.old").exists())
+  }
 }
