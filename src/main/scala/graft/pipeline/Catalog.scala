@@ -30,15 +30,20 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
   }
 
   private def readDir(table: String, dir: String): DataFrame =
+    readDirs(table, dir, Seq(dir))
+
+  private def readDirs(table: String, basePath: String, dirs: Seq[String]): DataFrame = {
+    val reader = spark.read.option("basePath", basePath)
     Schemas.of(table, names) match {
       case Some(schema) =>
         // Spark appends partition columns after the data columns even under
         // a user-specified schema; re-project to the declared DDL order so
         // readers see one stable schema regardless of physical layout.
-        spark.read.schema(schema).parquet(dir)
+        reader.schema(schema).parquet(dirs: _*)
           .select(schema.fieldNames.map(col): _*)
-      case None => spark.read.parquet(dir)
+      case None => reader.parquet(dirs: _*)
     }
+  }
 
   /** VERSIONED READS (the Delta `VERSION AS OF` analog on the rename-aside
     * scheme): every swap-path commit (non-partitioned [[upsert]],
@@ -56,21 +61,69 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
     * Delta versions for (inspect the pre-merge image after a bad batch). */
   def version(table: String): Long = {
     heal(table)
-    archivedVersions(table).maxOption.getOrElse(0L) + 1L
+    (archivedVersions(table) ++ committedPartitionArchives(table))
+      .maxOption.getOrElse(0L) + 1L
   }
 
   def readAsOf(table: String, asOfVersion: Long): DataFrame = {
     heal(table)
-    val cur = archivedVersions(table).maxOption.getOrElse(0L) + 1L
-    if (asOfVersion == cur) readDir(table, path(table))
+    if (committedPartitionArchives(table).nonEmpty)
+      readAsOfPartitioned(table, asOfVersion)
     else {
-      require(asOfVersion < cur,
-        s"table $table is at version $cur; version $asOfVersion does not exist yet")
-      val snap = new java.io.File(s"${path(table)}.v$asOfVersion")
-      require(snap.exists(),
-        s"version $asOfVersion of $table was pruned (retainVersions=$retainVersions) " +
-          "or predates the first swap commit")
-      readDir(table, snap.getPath)
+      val cur = archivedVersions(table).maxOption.getOrElse(0L) + 1L
+      if (asOfVersion == cur) readDir(table, path(table))
+      else {
+        require(asOfVersion < cur,
+          s"table $table is at version $cur; version $asOfVersion does not exist yet")
+        val snap = new java.io.File(s"${path(table)}.v$asOfVersion")
+        require(snap.exists(),
+          s"version $asOfVersion of $table was pruned (retainVersions=$retainVersions) " +
+            "or predates the first swap commit")
+        readDir(table, snap.getPath)
+      }
+    }
+  }
+
+  /** Versioned read on the PARTITIONED upsert path: version k of every
+    * partition is resolved to a directory — the live one if no commit
+    * after k touched it, else the pre-image from `<table>.pv<j>` for the
+    * SMALLEST j ≥ k that archived it (the partition was unchanged between
+    * k and j by construction); a partition first created after k is
+    * absent. One parquet read per distinct root (live + each contributing
+    * archive, each with its own basePath so partition columns recover),
+    * unioned by name — at most retainVersions+1 scans of METADATA, and
+    * data files are shared, never copied. */
+  private def readAsOfPartitioned(table: String, k: Long): DataFrame = {
+    val cur = committedPartitionArchives(table).maxOption.getOrElse(0L) + 1L
+    if (k == cur) readDir(table, path(table))
+    else {
+      require(k >= 1 && k < cur,
+        s"table $table is at version $cur; version $k does not exist yet")
+      val have = committedPartitionArchives(table).toSet
+      val needed = (k until cur)
+      require(needed.forall(have.contains),
+        s"version $k of $table was pruned (retainVersions=$retainVersions): " +
+          s"archives ${needed.filterNot(have.contains).mkString(",")} are gone")
+      // dir -> Some(root) (contributing image) | None (absent at k)
+      var m: Map[String, Option[String]] =
+        partitionDirs(new java.io.File(path(table)))
+          .map(d => d -> Option(path(table))).toMap
+      needed.sorted(Ordering[Long].reverse).foreach { j =>
+        val pv = archiveDir(table, j)
+        val fresh = readLines(new java.io.File(pv, "_fresh")).toSet
+        readLines(new java.io.File(pv, "_touched")).foreach { d =>
+          if (new java.io.File(pv, d).exists()) m += d -> Some(pv.getPath)
+          else if (fresh.contains(d)) m += d -> None
+        }
+      }
+      // NOTE the .toSeq: collect on the Map would re-key by root and
+      // silently keep ONE partition per root
+      val byRoot = m.toSeq.collect { case (d, Some(root)) => (root, d) }
+        .groupBy(_._1).map { case (root, ds) =>
+          readDirs(table, root, ds.map(_._2).sorted.map(d => s"$root/$d"))
+        }
+      require(byRoot.nonEmpty, s"version $k of $table resolved to no partitions")
+      byRoot.reduce(_.unionByName(_))
     }
   }
 
@@ -92,6 +145,8 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
     * read/exists/version/upsert so an interrupted writer never needs
     * manual repair. */
   private def heal(table: String): Unit = {
+    pheal(table) // partitioned-path rollback first: it never touches a
+                 // committed archive, and the swap heal below is disjoint
     val dir = new java.io.File(path(table))
     val legacy = new java.io.File(path(table) + ".old")
     if (dir.exists()) {
@@ -160,16 +215,19 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
         val target = read(table).filter(col(p).isin(touched: _*))
         val staged = incoming.unionByName(
           target.join(incoming.select(keys.map(incoming(_)): _*).distinct(), keys, "left_anti"))
-        // Overwrite is lazy per-partition, but the staged plan reads the
-        // very files being replaced — materialize to staging first.
-        val stagingDir = path(table) + ".staging"
-        staged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(stagingDir)
-        spark.read.schema(staged.schema).parquet(stagingDir)
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(partitionBy: _*)
-          .parquet(path(table))
-        delete(new java.io.File(stagingDir))
+        // The staged plan reads the very files being replaced, so the
+        // merge is materialized to staging first — and then PROMOTED BY
+        // RENAME, never rewritten: the pre-round-14 flow re-wrote the
+        // staged bytes a second time through a dynamic-partition
+        // overwrite (a full extra data pass) and left no history. The
+        // rename commit is the same cost as the non-partitioned swap
+        // (directory moves) and makes the touched partitions' outgoing
+        // images the version-N archive for free — Delta-style time
+        // travel on the partitioned path (see [[commitPartitioned]]).
+        val stagingDir = new java.io.File(path(table) + ".staging")
+        staged.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+          .parquet(stagingDir.getPath)
+        commitPartitioned(table, stagingDir)
       case None =>
         val target = read(table)
         val staged = incoming.unionByName(
@@ -201,6 +259,137 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
     archivedVersions(table).sorted.dropRight(retainVersions).foreach { v =>
       delete(new java.io.File(s"${path(table)}.v$v"))
     }
+  }
+
+  // ---- partitioned versioning (the Delta-bronze time-travel analog) ----
+  //
+  // The non-partitioned swap versions whole-table images; an in-place
+  // dynamic-partition overwrite cannot (it mutates the live dir). The
+  // partitioned upsert therefore commits BY RENAME at top-level-partition
+  // granularity: the outgoing image of every touched partition directory
+  // is renamed into the archive `<table>.pv<N>/<dir>` and the staged
+  // replacement renamed into the live table. Untouched partitions are
+  // never moved or rewritten, so version N's archive holds exactly the
+  // partitions version N changed — file-granular history with zero data
+  // copy, the reference's Delta MERGE history on its partitioned bronze
+  // (reference notebooks/bronze/01_ingest_bronze.py:85-107) re-expressed
+  // as directory generations.
+  //
+  // Commit protocol (every step crash-safe; [[pheal]] is the recovery):
+  //   1. `_touched` (all staged partition dir names) and `_fresh` (the
+  //      subset with no live pre-image) are written DURABLY into the new
+  //      archive before anything moves — with them a dead writer's
+  //      half-commit is mechanically reversible;
+  //   2. every touched live dir renames into the archive (pre-images);
+  //   3. every staged dir renames into the live table;
+  //   4. `_committed` marker (atomic create) seals version N;
+  //   5. archives beyond [[retainVersions]] prune.
+  // A crash before 4 leaves no `_committed`: pheal restores archived
+  // pre-images, deletes uncommitted fresh partitions, and drops the
+  // half-archive — the table is bit-exactly at version N−1 again.
+  // Because step 2 fully precedes step 3, a touched dir absent from the
+  // half-archive can only be the UNMOVED original (or a fresh one listed
+  // in `_fresh`), so rollback never guesses.
+  private def archiveDir(table: String, n: Long) =
+    new java.io.File(s"${path(table)}.pv$n")
+
+  private def partitionArchives(table: String): Seq[Long] = {
+    val prefix = s"$table.pv"
+    Option(new java.io.File(warehouseDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .flatMap(f => f.getName.stripPrefix(prefix).toLongOption).toSeq
+  }
+
+  private def committedPartitionArchives(table: String): Seq[Long] =
+    partitionArchives(table)
+      .filter(n => new java.io.File(archiveDir(table, n), "_committed").exists())
+
+  private def partitionDirs(root: java.io.File): Seq[String] =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.contains("="))
+      .map(_.getName).toSeq.sorted
+
+  private def readLines(f: java.io.File): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(f.toPath))
+      .linesIterator.filter(_.nonEmpty).toSeq
+
+  private def writeLinesAtomic(f: java.io.File, lines: Seq[String]): Unit = {
+    val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, lines.mkString("\n").getBytes)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Roll back any UNCOMMITTED partition archive (a writer that died
+    * mid-[[commitPartitioned]]): restore archived pre-images, delete
+    * fresh partitions the dead writer had already promoted, drop the
+    * half-archive and its staging. Committed archives are immutable and
+    * never touched. */
+  private def pheal(table: String): Unit =
+    partitionArchives(table).sorted(Ordering[Long].reverse).foreach { n =>
+      val pv = archiveDir(table, n)
+      if (!new java.io.File(pv, "_committed").exists()) {
+        val touchedF = new java.io.File(pv, "_touched")
+        if (touchedF.exists()) {
+          val fresh = {
+            val f = new java.io.File(pv, "_fresh")
+            if (f.exists()) readLines(f).toSet else Set.empty[String]
+          }
+          readLines(touchedF).foreach { d =>
+            val live = new java.io.File(path(table), d)
+            val arch = new java.io.File(pv, d)
+            if (arch.exists()) {
+              // pre-image archived: whatever sits live for d is the dead
+              // writer's promotion (or nothing) — replace with the original
+              if (live.exists()) delete(live)
+              if (!arch.renameTo(live))
+                throw new java.io.IOException(
+                  s"cannot roll back $table/$d from ${pv.getName}")
+            } else if (fresh.contains(d)) {
+              // no pre-image ever existed: drop the uncommitted partition
+              if (live.exists()) delete(live)
+            }
+            // else: archive rename for d never ran, so (step order) no
+            // promotion ran either — the live dir IS the original; keep it
+          }
+        }
+        delete(pv)
+        val staging = new java.io.File(path(table) + ".staging")
+        if (staging.exists()) delete(staging)
+      }
+    }
+
+  /** Steps 1-5 of the partitioned commit protocol above: `staging` holds
+    * the fully-written merged content of every touched partition. */
+  private def commitPartitioned(table: String, staging: java.io.File): Unit = {
+    val live = new java.io.File(path(table))
+    val touched = partitionDirs(staging)
+    require(touched.nonEmpty,
+      s"partitioned commit for $table found no partition dirs in staging")
+    val n = committedPartitionArchives(table).maxOption.getOrElse(0L) + 1L
+    val pv = archiveDir(table, n)
+    if (!pv.mkdirs())
+      throw new java.io.IOException(s"cannot create archive ${pv.getName}")
+    val fresh = touched.filterNot(d => new java.io.File(live, d).exists())
+    writeLinesAtomic(new java.io.File(pv, "_touched"), touched)
+    writeLinesAtomic(new java.io.File(pv, "_fresh"), fresh)
+    touched.foreach { d =>
+      val src = new java.io.File(live, d)
+      if (src.exists() && !src.renameTo(new java.io.File(pv, d)))
+        throw new java.io.IOException(s"cannot archive $table/$d to ${pv.getName}")
+    }
+    crashHook() // worst window: pre-images aside, nothing promoted yet
+    touched.foreach { d =>
+      val dst = new java.io.File(live, d)
+      if (dst.exists()) delete(dst) // a retried promotion after a crash
+      if (!new java.io.File(staging, d).renameTo(dst))
+        throw new java.io.IOException(s"cannot promote $table/$d from staging")
+    }
+    if (!new java.io.File(pv, "_committed").createNewFile())
+      throw new java.io.IOException(s"cannot seal ${pv.getName}")
+    delete(staging)
+    committedPartitionArchives(table).sorted.dropRight(retainVersions)
+      .foreach(v => delete(archiveDir(table, v)))
   }
 
   /** OPTIMIZE-style compaction: rewrite the table into

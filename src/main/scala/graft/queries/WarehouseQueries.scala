@@ -985,6 +985,92 @@ object WarehouseQueries extends QueryModule {
     rm(wh.toFile)
     out
   }
+  /** q365: PARTITIONED VERSIONED READ — the Delta-bronze time-travel
+    * analog on the dynamic-partition upsert path (the reference MERGEs
+    * into a symbol-partitioned Delta bronze and can read any prior
+    * version; reference notebooks/bronze/01_ingest_bronze.py:85-107).
+    * A throwaway warehouse publishes a status-partitioned per-customer
+    * aggregate (v1 = pre-1996 orders, all statuses), then upserts a
+    * batch restricted to status 'O' (1996+ orders) — touching exactly
+    * ONE partition. Both versions are read back — v1 partly through the
+    * `pv1` pre-image archive (status O) and partly through the live
+    * directories the commit never moved (F, P), v2 as the live table —
+    * and summarized per (version, status). The oracle replays both
+    * derivations and the MERGE semantics from `orders`: a versioned
+    * read that resolved a partition to the wrong generation, leaked
+    * merged rows into v1, or lost an untouched partition lands in the
+    * hash.
+    *
+    * Scale shape: the upsert reads/merges/promotes ONLY the touched
+    * partition (the q13 contract), versioning adds directory renames —
+    * no data copy at any size — and the versioned read is one metadata
+    * scan per contributing root (≤ retainVersions+1), with data files
+    * shared between versions, never duplicated. */
+  private def q365(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_cat_q365_")
+    val cat = new graft.pipeline.Catalog(s, wh.toString)
+    val o = Tables.orders(s, dir)
+    val split = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+    def img(d: DataFrame): DataFrame =
+      d.groupBy($"o_orderstatus".as("status"), $"o_custkey".as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(org.apache.spark.sql.functions.round($"o_totalprice" * 100)
+            .cast("long")).as("cents"))
+    cat.upsert(img(o.filter($"o_orderdate" < split)), "status_agg",
+      keys = Seq("status", "custkey"), partitionBy = Seq("status"))
+    cat.upsert(
+      img(o.filter($"o_orderdate" >= split && $"o_orderstatus" === "O")),
+      "status_agg", keys = Seq("status", "custkey"), partitionBy = Seq("status"))
+    def summarize(v: Long): DataFrame =
+      cat.readAsOf("status_agg", v)
+        .groupBy($"status")
+        .agg(count(lit(1)).as("n_keys"),
+          sum($"n_orders").as("sum_orders"),
+          sum($"cents").as("sum_cents"))
+        .select(lit(v).as("version"), col("*"))
+    val out = summarize(1).unionAll(summarize(2))
+      .orderBy($"version", $"status")
+      .localCheckpoint(true) // pin before the warehouse disappears
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(wh.toFile)
+    out
+  }
+  private val q365Sql =
+    """WITH v1 AS (SELECT o_orderstatus AS status, o_custkey AS custkey,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1, 2),
+      |inc AS (SELECT o_orderstatus AS status, o_custkey AS custkey,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderstatus = 'O' GROUP BY 1, 2),
+      |v2 AS (SELECT * FROM inc
+      |  UNION ALL
+      |  SELECT * FROM v1 t
+      |  WHERE NOT EXISTS (SELECT 1 FROM inc i
+      |    WHERE i.status = t.status AND i.custkey = t.custkey)),
+      |s1 AS (SELECT CAST(1 AS BIGINT) AS version, status,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents
+      |  FROM v1 GROUP BY 2),
+      |s2 AS (SELECT CAST(2 AS BIGINT) AS version, status,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(n_orders) AS BIGINT) AS sum_orders,
+      |    CAST(sum(cents) AS BIGINT) AS sum_cents
+      |  FROM v2 GROUP BY 2)
+      |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      |ORDER BY version, status""".stripMargin
+
   private val q364Sql =
     """WITH v1 AS (SELECT o_custkey AS custkey,
       |    CAST(count(*) AS BIGINT) AS n_orders,
@@ -1215,6 +1301,7 @@ object WarehouseQueries extends QueryModule {
     QueryDef("q317_bitemporal_asof", q317, Some(q317Sql)),
     QueryDef("q325_snapshot_diff_timetravel", q325, Some(q325Sql)),
     QueryDef("q364_catalog_versioned_read", q364, Some(q364Sql)),
+    QueryDef("q365_partitioned_versioned_read", q365, Some(q365Sql)),
     QueryDef("q344_schema_evolution", q344, Some(q344Sql)),
     QueryDef("q264_changelog_apply_tws", q264, Some(q224Sql)),
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),

@@ -208,6 +208,89 @@ class CatalogUpsertSpec extends SparkTestBase {
     assert(catalog.read(t).head.getAs[Double]("close") == 3.0)
   }
 
+  test("PARTITIONED versioned reads: per-partition time travel, untouched files shared") {
+    val wh = tmpDir("graft-pvread")
+    val catalog = new Catalog(spark, wh)
+    val t = Schemas.tables.bronze
+    def up(rows: Row*): Unit =
+      catalog.upsert(df(rows: _*), t, keys = Seq("symbol", "date"),
+        partitionBy = Seq("symbol"))
+    // v1: AAA=10, BBB=20, DDD=40 (DDD is never touched again — every
+    // versioned read must carry MULTIPLE untouched live partitions, the
+    // shape that catches a per-root collapse in the dir grouping).
+    // v2 touches only AAA (update + new date). v3 touches BBB (update)
+    // and creates CCC.
+    up(mkRow("AAA", "2026-01-01", 10.0, "2026-01-02 00:00:00"),
+      mkRow("BBB", "2026-01-01", 20.0, "2026-01-02 00:00:00"),
+      mkRow("DDD", "2026-01-01", 40.0, "2026-01-02 00:00:00"))
+    up(mkRow("AAA", "2026-01-01", 11.0, "2026-01-03 00:00:00"),
+      mkRow("AAA", "2026-01-02", 12.0, "2026-01-03 00:00:00"))
+    up(mkRow("BBB", "2026-01-01", 21.0, "2026-01-04 00:00:00"),
+      mkRow("CCC", "2026-01-01", 30.0, "2026-01-04 00:00:00"))
+    assert(catalog.version(t) == 3)
+    def snap(v: Long): Map[(String, String), Double] =
+      catalog.readAsOf(t, v).collect()
+        .map(r => (r.getAs[String]("symbol"),
+          r.getAs[Date]("date").toString) -> r.getAs[Double]("close")).toMap
+    assert(snap(1) == Map(("AAA", "2026-01-01") -> 10.0, ("BBB", "2026-01-01") -> 20.0,
+      ("DDD", "2026-01-01") -> 40.0))
+    assert(snap(2) == Map(("AAA", "2026-01-01") -> 11.0, ("AAA", "2026-01-02") -> 12.0,
+      ("BBB", "2026-01-01") -> 20.0, ("DDD", "2026-01-01") -> 40.0),
+      "v2: BBB/DDD still live originals, CCC absent")
+    assert(snap(3) == Map(("AAA", "2026-01-01") -> 11.0, ("AAA", "2026-01-02") -> 12.0,
+      ("BBB", "2026-01-01") -> 21.0, ("CCC", "2026-01-01") -> 30.0,
+      ("DDD", "2026-01-01") -> 40.0))
+    // the archives hold exactly the touched partitions — history with no
+    // data copy: pv1 archived v1-AAA (touched by v2), pv2 archived v2-BBB
+    assert(new java.io.File(s"$wh/$t.pv1/symbol=AAA").exists())
+    assert(!new java.io.File(s"$wh/$t.pv1/symbol=BBB").exists())
+    assert(new java.io.File(s"$wh/$t.pv2/symbol=BBB").exists())
+    // reading a version never blocks pruned-forward reads of live
+    assert(catalog.read(t).count() == 5)
+  }
+
+  test("a crash mid-partitioned-commit rolls back bit-exactly; retry lands") {
+    val wh = tmpDir("graft-pvcrash")
+    val catalog = new Catalog(spark, wh)
+    val t = Schemas.tables.bronze
+    def up(rows: Row*): Unit =
+      catalog.upsert(df(rows: _*), t, keys = Seq("symbol", "date"),
+        partitionBy = Seq("symbol"))
+    up(mkRow("AAA", "2026-01-01", 10.0, "2026-01-02 00:00:00"),
+      mkRow("BBB", "2026-01-01", 20.0, "2026-01-02 00:00:00"))
+    def files(sym: String): Map[String, Long] = {
+      val d = new java.io.File(s"$wh/$t/symbol=$sym")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = (files("AAA"), files("BBB"))
+    // die in the worst window: pre-images archived, nothing promoted,
+    // a brand-new CCC partition staged
+    catalog.crashHook = () => throw new RuntimeException("simulated crash")
+    intercept[RuntimeException] {
+      up(mkRow("AAA", "2026-01-01", 11.0, "2026-01-03 00:00:00"),
+        mkRow("CCC", "2026-01-01", 30.0, "2026-01-03 00:00:00"))
+    }
+    catalog.crashHook = () => ()
+    // heal: table is bit-exactly at v1 (same file names AND mtimes),
+    // the half-archive and staging are gone, version unmoved
+    assert(catalog.version(t) == 1)
+    assert((files("AAA"), files("BBB")) == before)
+    assert(!new java.io.File(s"$wh/$t/symbol=CCC").exists())
+    assert(!new java.io.File(s"$wh/$t.pv1").exists())
+    assert(!new java.io.File(s"$wh/$t.staging").exists())
+    // retry applies normally and the pre-image is versioned
+    up(mkRow("AAA", "2026-01-01", 11.0, "2026-01-03 00:00:00"),
+      mkRow("CCC", "2026-01-01", 30.0, "2026-01-03 00:00:00"))
+    assert(catalog.version(t) == 2)
+    assert(catalog.readAsOf(t, 1).count() == 2)
+    assert(catalog.read(t).count() == 3)
+    val v1 = catalog.readAsOf(t, 1).collect()
+      .map(r => r.getAs[String]("symbol") -> r.getAs[Double]("close")).toMap
+    assert(v1 == Map("AAA" -> 10.0, "BBB" -> 20.0))
+  }
+
   test("a stale legacy '.old' next to a LIVE table is retired, a crash image is restored") {
     // pre-versioning swapIn left its set-aside in '<table>.old' until the
     // NEXT swap deleted it, so an upgraded warehouse can carry a stale
