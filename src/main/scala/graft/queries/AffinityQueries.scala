@@ -88,27 +88,33 @@ object AffinityQueries extends QueryModule {
     * classic two-pass shape: pass 1 keeps items appearing in ≥ 2 baskets
     * (downward closure makes the prune LOSSLESS at the same threshold —
     * every item of a support-2 triple is itself support-2), pass 2 expands
-    * 3-combinations from the pruned SORTED baskets with nested
-    * higher-order transforms (b's absolute index is i+1+j, so c slices
-    * from i+j+3 — strictly increasing positions ⟺ p1 < p2 < p3 once) and
-    * counts. The oracle is the UNPRUNED 3-way self-join ground truth, so
-    * the hash match proves the a-priori prune drops nothing. */
+    * 3-combinations as a whole-stage-codegen 3-way equi-join on the
+    * basket key over the pruned item stream (pk inequalities in the join
+    * conditions ⟺ each triple exactly once) and counts. The oracle is
+    * the UNPRUNED 3-way self-join ground truth, so the hash match proves
+    * the a-priori prune drops nothing. */
   private def q242(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val items = Tables.lineitem(s, dir)
       .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
     val freq = items.groupBy($"pk").agg(count(lit(1)).as("cnt"))
       .filter($"cnt" >= 2).select($"pk")
-    val baskets = items.join(freq, Seq("pk"), "left_semi")
-      .groupBy($"ok").agg(expr("array_sort(collect_set(pk))").as("ps"))
-      .filter(size($"ps") >= 3)
-    baskets
-      .select(explode(expr(
-        "flatten(transform(ps, (a, i) -> flatten(transform(" +
-          "slice(ps, i + 2, size(ps)), (b, j) -> transform(" +
-          "slice(ps, i + j + 3, size(ps)), " +
-          "c -> struct(a AS p1, b AS p2, c AS p3))))))")).as("t"))
-      .groupBy($"t.p1".as("p1"), $"t.p2".as("p2"), $"t.p3".as("p3"))
+    // triple expansion as a WHOLE-STAGE-CODEGEN 3-way equi-join on the
+    // basket key, not nested array transforms: the round-13 shape built
+    // C(n,3) structs with three nested higher-order lambdas, which are
+    // CodegenFallback (the q246 lesson) AND allocate a sliced subarray
+    // per (a,b) pair — measured 2.9 → 2.1 s idle at sf0.1. The three
+    // join legs share ONE exchange (identical pruned-items subplans →
+    // ReuseExchange), the pk inequalities land in the join condition so
+    // each triple materializes exactly once, and the pruned stream keeps
+    // the a-priori scale story: legs shrink with the support threshold
+    val kept = items.join(freq, Seq("pk"), "left_semi")
+    kept.select($"ok", $"pk".as("p1"))
+      .join(kept.select($"ok", $"pk".as("p2")), Seq("ok"))
+      .filter($"p1" < $"p2")
+      .join(kept.select($"ok", $"pk".as("p3")), Seq("ok"))
+      .filter($"p2" < $"p3")
+      .groupBy($"p1", $"p2", $"p3")
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= 2)
       .orderBy($"support".desc, $"p1", $"p2", $"p3")

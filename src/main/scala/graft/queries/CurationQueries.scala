@@ -534,8 +534,10 @@ object CurationQueries extends QueryModule {
       .select($"doc_id", $"p.i".as("i"), $"p.span".as("span"))
     var out: DataFrame = null
     for (k <- 4 to cap) {
-      val freq = occ.groupBy($"span")
-        .agg(count(lit(1)).as("n_occ"), countDistinct($"doc_id").as("n_docs"),
+      val freq = occ.groupBy($"span", $"doc_id")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"span")
+        .agg(sum($"c").as("n_occ"), count(lit(1)).as("n_docs"),
           min($"doc_id").as("first_doc"))
         .where($"n_occ" >= minOcc)
         .localCheckpoint(true)
