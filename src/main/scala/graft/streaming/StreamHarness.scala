@@ -30,8 +30,39 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   *    single-threaded, so no concurrently-planned batch query can
   *    observe the temporary value. A multi-threaded caller needs its
   *    own session (s.newSession()) around the gate instead.
+  *
+  * == Production posture (config, no code changes) ==
+  *
+  * Two session confs re-deploy the harness contract outside the gate
+  * environment:
+  *
+  *  - `spark.graft.streaming.width`: overrides every gate's width
+  *    argument. The gate default (2) is the measured LOCAL floor — state
+  *    stores are pure fixed cost at gate state sizes; at production
+  *    volume the state must spread, so size this like any stateful
+  *    job's `spark.sql.shuffle.partitions`: max concurrent state ÷
+  *    target per-task state (and note a stream-stream join opens FOUR
+  *    stores per partition per micro-batch — width is the multiplier on
+  *    both parallelism AND store-commit overhead).
+  *  - `spark.graft.streaming.checkpointRoot`: where the offset WAL,
+  *    commit log, and state store files live. Unset, a bounded replay
+  *    gate uses tmpfs and DELETES the checkpoint after the run (the
+  *    memory sink holds the result; durability ends with the gate).
+  *    SET, the harness treats the location as DURABLE: it is the
+  *    exactly-once contract across restarts, so the harness never
+  *    deletes it — the per-micro-batch fsyncs into it are the feature,
+  *    point it at storage that survives the driver (HDFS/object store),
+  *    and resume = start the same query with the same checkpoint dir.
   */
 object StreamHarness {
+
+  /** Session-conf override for every gate's width argument (production
+    * re-width without code changes). */
+  val widthConf = "spark.graft.streaming.width"
+
+  /** Session-conf override for the checkpoint location; setting it also
+    * marks the checkpoint DURABLE (never deleted by the harness). */
+  val ckRootConf = "spark.graft.streaming.checkpointRoot"
 
   private def ckRoot: String = {
     val shm = new java.io.File("/dev/shm")
@@ -74,7 +105,13 @@ object StreamHarness {
       check: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val s = pipeline.sparkSession
     val sink = sinkPrefix + java.util.UUID.randomUUID().toString.replace("-", "")
-    val ck = new java.io.File(ckRoot, s"graft_ckpt_$sink")
+    // config-driven production posture (see object doc): a configured
+    // width overrides the gate's measured-floor argument, a configured
+    // checkpoint root is a DURABLE location the harness must not delete
+    val width = s.conf.getOption(widthConf).map(_.toInt).getOrElse(parts)
+    require(width > 0, s"$widthConf must be positive, got $width")
+    val durableRoot = s.conf.getOption(ckRootConf)
+    val ck = new java.io.File(durableRoot.getOrElse(ckRoot), s"graft_ckpt_$sink")
     val owned = Set("spark.sql.shuffle.partitions",
       "spark.sql.streaming.noDataMicroBatches.enabled")
     require(extraConfs.keySet.intersect(owned).isEmpty,
@@ -82,7 +119,7 @@ object StreamHarness {
         "parts / noDataBatches parameters, not extraConfs (a map entry " +
         "would be silently overwritten)")
     val confs = extraConfs +
-      ("spark.sql.shuffle.partitions" -> parts.toString) +
+      ("spark.sql.shuffle.partitions" -> width.toString) +
       ("spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString)
     val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
     val q = try {
@@ -95,7 +132,8 @@ object StreamHarness {
       case (k, None) => s.conf.unset(k)
     }
     try q.awaitTermination()
-    finally rm(ck) // the memory sink holds the results; the logs are spent
+    finally if (durableRoot.isEmpty)
+      rm(ck) // the memory sink holds the results; the logs are spent
     check(q)
     s.table(sink)
   }

@@ -53,6 +53,38 @@ class StreamHarnessSpec extends SparkTestBase {
       "an extra conf that was unset before must be unset after")
   }
 
+  test("production confs: width override wins, durable checkpoint root survives the run") {
+    val dir = stageEvents()
+    val ckHome = tmpDir("graft-harness-durable")
+    try {
+      spark.conf.set(StreamHarness.widthConf, "5")
+      spark.conf.set(StreamHarness.ckRootConf, ckHome)
+      val got = StreamHarness.runToTable(
+        src(dir).groupBy($"k").agg(sum($"v").as("sv")),
+        "harness_spec_w_", OutputMode.Update(), parts = 2)
+      assert(got.count() == 50)
+      // the checkpoint landed under the configured root and was RETAINED
+      // (it is the exactly-once contract there, not gate scratch) — and
+      // its state layout proves the configured width overrode parts = 2
+      val cks = new java.io.File(ckHome).listFiles()
+        .filter(_.getName.startsWith("graft_ckpt_harness_spec_w_"))
+      assert(cks.length == 1, "durable checkpoint dir must survive the run")
+      val stateParts = new java.io.File(cks.head, "state/0").listFiles()
+        .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+      assert(stateParts.length == 5,
+        s"state store dirs ${stateParts.length} — configured width must win over parts")
+    } finally {
+      spark.conf.unset(StreamHarness.widthConf)
+      spark.conf.unset(StreamHarness.ckRootConf)
+    }
+    // and with the confs unset the tmpfs default still cleans up (the
+    // original gate posture): nothing to assert beyond a green run
+    val got2 = StreamHarness.runToTable(
+      src(dir).groupBy($"k").agg(sum($"v").as("sv")),
+      "harness_spec_w2_", OutputMode.Update(), parts = 2)
+    assert(got2.count() == 50)
+  }
+
   test("eager emitters: dedup result is identical with and without the no-data batch") {
     val dir = stageEvents()
     def run(noData: Boolean) = StreamHarness.runToTable(
