@@ -1071,6 +1071,109 @@ object WarehouseQueries extends QueryModule {
       |SELECT * FROM s1 UNION ALL SELECT * FROM s2
       |ORDER BY version, status""".stripMargin
 
+  /** q366: Z-ORDER CLUSTERING and its measured skipping win — the
+    * multi-dimensional layout optimization (Delta/Iceberg `OPTIMIZE
+    * ZORDER BY`) as a first-class, hash-gated operator. Orders are
+    * bucketed on two independent dimensions (customer, total price in
+    * exact cents) into 8-bit grids, laid out into 64 equal "files" two
+    * ways — linearly (sorted by customer, the single-column layout a
+    * partitioned warehouse gets for free) and by the Morton-interleaved
+    * z-value ([[graft.operators.ZOrder]]) — and a quarter-domain 2-d box
+    * query is planned against each layout's per-file min/max stats. The
+    * gate emits, per layout, the file count, the files a min/max-pruning
+    * scan must read, and the true row count in the box (identical across
+    * layouts — the selection is layout-invariant, only the I/O differs).
+    * The oracle replays bucketing (integer division), the unrolled
+    * interleave (shifts/masks — bit-exact in both engines), the
+    * row_number file assignment, and the overlap test.
+    *
+    * Scale shape: file ids come from [[graft.operators.DistributedScan
+    * .rowNumbers]] (range-repartition + per-partition sums — no global
+    * single-task window at any size); buckets and z-values are unrolled
+    * codegen column arithmetic (no UDF, no lambda); stats attach via the
+    * q98 data-derived constant-key broadcast. The measured point IS the
+    * 100 TB story: the z layout bounds BOTH dimensions per file, so box
+    * selectivity turns into file skipping, where the linear layout scans
+    * every file for any predicate on the second dimension. */
+  private def q366(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bits = 8
+    val o = Tables.orders(s, dir).select($"o_orderkey".as("ok"),
+      $"o_custkey".as("ck"),
+      org.apache.spark.sql.functions.round($"o_totalprice" * 100)
+        .cast("long").as("cents"))
+    val st = o.agg(min($"ck").as("cklo"), max($"ck").as("ckhi"),
+        min($"cents").as("clo"), max($"cents").as("chi"),
+        count(lit(1)).as("n"))
+      .withColumn("one", pmod($"n", lit(1L)))
+    val b = o.withColumn("one", pmod($"ok", lit(1L)))
+      .join(broadcast(st), "one")
+      .select($"ok", $"n",
+        graft.operators.ZOrder.bucket($"ck", $"cklo", $"ckhi", bits).as("xb"),
+        graft.operators.ZOrder.bucket($"cents", $"clo", $"chi", bits).as("yb"))
+      .withColumn("zv", graft.operators.ZOrder.interleave2($"xb", $"yb", bits))
+      .withColumn("rpf",
+        (($"n" + 63L - pmod($"n" + 63L, lit(64L))) / lit(64L)).cast("long"))
+    val (lo, hi) = (64L, 127L)
+    def layout(name: String,
+        order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val rn = graft.operators.DistributedScan.rowNumbers(b, order, "rn")
+        .withColumn("f",
+          (($"rn" - 1L - pmod($"rn" - 1L, $"rpf")) / $"rpf").cast("long"))
+      rn.groupBy($"f")
+        .agg(min($"xb").as("x0"), max($"xb").as("x1"),
+          min($"yb").as("y0"), max($"yb").as("y1"),
+          sum(($"xb".between(lo, hi) && $"yb".between(lo, hi)).cast("long"))
+            .as("inbox"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(($"x0" <= hi && $"x1" >= lo && $"y0" <= hi && $"y1" >= lo)
+            .cast("long")).as("files_scanned"),
+          sum($"inbox").as("rows_in_box"))
+        .select(lit(name).as("layout"), col("*"))
+    }
+    layout("linear", Seq($"xb", $"ok"))
+      .unionAll(layout("zorder", Seq($"zv", $"ok")))
+      .orderBy($"layout")
+  }
+  private val q366Sql = {
+    val bits = 8
+    val inter = (0 until bits).flatMap(i => Seq(
+      s"(((xb >> $i) & 1) << ${2 * i})",
+      s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+    s"""WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |st AS (SELECT min(ck) AS cklo, max(ck) AS ckhi, min(cents) AS clo,
+      |    max(cents) AS chi, CAST(count(*) AS BIGINT) AS n FROM o),
+      |b0 AS (SELECT ok, n, ((ck - cklo) * 256) // (ckhi - cklo + 1) AS xb,
+      |    ((cents - clo) * 256) // (chi - clo + 1) AS yb FROM o, st),
+      |b AS (SELECT ok, n, xb, yb, $inter AS zv,
+      |    (n + 63) // 64 AS rpf FROM b0),
+      |fz AS (SELECT xb, yb, rpf,
+      |    row_number() OVER (ORDER BY zv, ok) AS rn FROM b),
+      |fl AS (SELECT xb, yb, rpf,
+      |    row_number() OVER (ORDER BY xb, ok) AS rn FROM b),
+      |az AS (SELECT (rn - 1) // rpf AS f, min(xb) AS x0, max(xb) AS x1,
+      |    min(yb) AS y0, max(yb) AS y1,
+      |    CAST(sum(CASE WHEN xb BETWEEN 64 AND 127
+      |      AND yb BETWEEN 64 AND 127 THEN 1 ELSE 0 END) AS BIGINT) AS inbox
+      |  FROM fz GROUP BY 1),
+      |al AS (SELECT (rn - 1) // rpf AS f, min(xb) AS x0, max(xb) AS x1,
+      |    min(yb) AS y0, max(yb) AS y1,
+      |    CAST(sum(CASE WHEN xb BETWEEN 64 AND 127
+      |      AND yb BETWEEN 64 AND 127 THEN 1 ELSE 0 END) AS BIGINT) AS inbox
+      |  FROM fl GROUP BY 1)
+      |SELECT 'linear' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(CASE WHEN x0 <= 127 AND x1 >= 64 AND y0 <= 127 AND y1 >= 64
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+      |  CAST(sum(inbox) AS BIGINT) AS rows_in_box FROM al
+      |UNION ALL
+      |SELECT 'zorder', CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN x0 <= 127 AND x1 >= 64 AND y0 <= 127 AND y1 >= 64
+      |    THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(inbox) AS BIGINT) FROM az
+      |ORDER BY layout""".stripMargin
+  }
+
   private val q364Sql =
     """WITH v1 AS (SELECT o_custkey AS custkey,
       |    CAST(count(*) AS BIGINT) AS n_orders,
@@ -1302,6 +1405,7 @@ object WarehouseQueries extends QueryModule {
     QueryDef("q325_snapshot_diff_timetravel", q325, Some(q325Sql)),
     QueryDef("q364_catalog_versioned_read", q364, Some(q364Sql)),
     QueryDef("q365_partitioned_versioned_read", q365, Some(q365Sql)),
+    QueryDef("q366_zorder_skipping", q366, Some(q366Sql)),
     QueryDef("q344_schema_evolution", q344, Some(q344Sql)),
     QueryDef("q264_changelog_apply_tws", q264, Some(q224Sql)),
     QueryDef("q74_scd2_history", q74, Some(q74Sql)),
