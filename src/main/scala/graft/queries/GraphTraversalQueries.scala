@@ -238,12 +238,15 @@ object GraphTraversalQueries extends QueryModule {
     val pairs = e.join(deg.filter($"deg".between(2, 64)), $"dst" === $"w")
       .groupBy($"w").agg(array_sort(collect_list($"src")).as("ns"),
         first($"deg").as("deg"))
-      .select(explode(expr(
-        "flatten(transform(ns, (x, i) -> " +
-          "transform(slice(ns, i + 2, size(ns)), y -> " +
-          "struct(x AS u, y AS v))))")).as("p"),
-        (lit(1.0) / log($"deg".cast("double"))).as("wgt"))
-      .select($"p.u".as("u"), $"p.v".as("v"), $"wgt")
+      // two codegen generators instead of one nested higher-order
+      // transform (CodegenFallback + per-(x,i) struct allocations — the
+      // q242 lesson): posexplode picks u with its index, a plain slice
+      // explode yields every later v; both Generates stay inside
+      // whole-stage codegen and the deg<=64 cap bounds the carried array
+      .select($"ns", $"deg", posexplode($"ns").as(Seq("i", "u")))
+      .select($"u", $"deg",
+        explode(expr("slice(ns, i + 2, size(ns))")).as("v"))
+      .select($"u", $"v", (lit(1.0) / log($"deg".cast("double"))).as("wgt"))
     pairs.groupBy($"u", $"v")
       .agg(round(sum($"wgt"), 6).as("aa6"),
         count(lit(1)).as("common"))

@@ -825,12 +825,19 @@ object TextDedupQueries extends QueryModule {
           lit(" has length >= 2^20 chars; the 7-digit position "),
           lit("encoding would overflow - widen it before fingerprinting")))
           .cast("boolean")))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(text) - ${k - 1}), " +
-          s"i -> struct(i AS pos, substring(text, i, $k) AS g))")).as("x"))
-      .select(col("doc_id"), col("x.pos").as("pos"),
-        concat(md5(col("x.g")),
-          lpad((lit(1048576) - col("x.pos")).cast("string"), 7, "0"))
+      // explode a plain int sequence and take the substring in the
+      // projection AFTER the generate: the former shape built an
+      // L-sized array of (pos, gram) STRUCTS with a higher-order
+      // transform lambda — CodegenFallback (the q246/q242 lesson) plus
+      // a struct allocation per character position. Measured NEUTRAL at
+      // sf0.1 (4.8 s both ways — this kernel is md5-bound, not
+      // lambda-bound); kept because it deletes the interpreted lambda
+      // and the per-position struct from the hot path for free
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        concat(md5(expr(s"substring(text, pos, $k)")),
+          lpad((lit(1048576) - col("pos")).cast("string"), 7, "0"))
           .as("key"))
     val wFrame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
