@@ -190,6 +190,29 @@ class ScaleShapeSpec extends SparkTestBase {
       s"nested-loop fallback in plan:\n$plan")
   }
 
+  test("q242 triple-join legs share one pruned-items exchange (round-14 shape)") {
+    // the rewrite from nested CodegenFallback transforms to a 3-way
+    // equi-join is only shuffle-neutral because the three identical
+    // pruned-item legs dedupe via exchange reuse — pin that, and pin
+    // that the expansion stayed lambda-free (no ArrayTransform)
+    val df = SparkEntry.queries("q242_apriori_triples")(spark, dir)
+    df.collect() // AQE: reuse is only visible in the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"the three pruned-item legs must share an exchange:\n$plan")
+    assert(!plan.contains("transform("),
+      s"interpreted array lambda back in the triple expansion:\n$plan")
+  }
+
+  test("q338 span counts plan without an Expand (two-phase, round-14 shape)") {
+    // count + countDistinct in one aggregate plans an Expand that
+    // doubles the heaviest span-string exchange — the two-phase
+    // (span, doc_id) pre-aggregation must keep it out of the plan
+    val plan = SparkEntry.queries("q338_maximal_spans")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"countDistinct Expand regressed:\n$plan")
+  }
+
   test("q192 bridge scans lineitem once and broadcasts the part dimension") {
     val plan = SparkEntry.queries("q192_price_volume_bridge")(spark, dir)
       .queryExecution.executedPlan.toString
