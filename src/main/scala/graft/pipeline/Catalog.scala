@@ -437,7 +437,14 @@ final class Catalog(spark: SparkSession, warehouseDir: String,
     val staging = new java.io.File(path(table) + ".staging")
     reshaped.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionBy: _*).parquet(staging.getPath)
-    swapIn(staging, table)
+    // a PARTITIONED table commits through the partitioned protocol, so
+    // compaction preserves per-partition history exactly like an upsert
+    // (pre-images archive to pv<N>, readAsOf keeps working) — routing it
+    // through the whole-table swap would write a `.v<N>` archive the
+    // partitioned readAsOf dispatcher never consults, silently breaking
+    // version numbering for any table that mixes upserts and compaction
+    if (partitionBy.nonEmpty) commitPartitioned(table, staging)
+    else swapIn(staging, table)
   }
 
   private def delete(f: java.io.File): Unit = {

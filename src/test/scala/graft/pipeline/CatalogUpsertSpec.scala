@@ -291,6 +291,35 @@ class CatalogUpsertSpec extends SparkTestBase {
     assert(v1 == Map("AAA" -> 10.0, "BBB" -> 20.0))
   }
 
+  test("partitioned compaction is a versioned commit: history survives the rewrite") {
+    // mixing upserts and compaction must keep ONE version scheme — the
+    // old compact wrote a whole-table .v<N> archive the partitioned
+    // readAsOf dispatcher never consults, silently breaking numbering
+    val wh = tmpDir("graft-pvcompact")
+    val catalog = new Catalog(spark, wh)
+    val t = Schemas.tables.bronze
+    def up(rows: Row*): Unit =
+      catalog.upsert(df(rows: _*), t, keys = Seq("symbol", "date"),
+        partitionBy = Seq("symbol"))
+    up(mkRow("AAA", "2026-01-01", 10.0, "2026-01-02 00:00:00"),
+      mkRow("BBB", "2026-01-01", 20.0, "2026-01-02 00:00:00"))
+    up(mkRow("AAA", "2026-01-01", 11.0, "2026-01-03 00:00:00"))
+    catalog.compact(t, partitionBy = Seq("symbol"))
+    assert(catalog.version(t) == 3, "compaction must commit a version")
+    def snap(v: Long): Map[String, Double] =
+      catalog.readAsOf(t, v).collect()
+        .map(r => r.getAs[String]("symbol") -> r.getAs[Double]("close")).toMap
+    assert(snap(1) == Map("AAA" -> 10.0, "BBB" -> 20.0))
+    assert(snap(2) == Map("AAA" -> 11.0, "BBB" -> 20.0))
+    assert(snap(3) == Map("AAA" -> 11.0, "BBB" -> 20.0),
+      "compaction preserves rows — v3 == v2 content in fewer files")
+    // a further upsert versions on top of the compacted image
+    up(mkRow("BBB", "2026-01-01", 21.0, "2026-01-04 00:00:00"))
+    assert(catalog.version(t) == 4)
+    assert(snap(3) == Map("AAA" -> 11.0, "BBB" -> 20.0))
+    assert(snap(4) == Map("AAA" -> 11.0, "BBB" -> 21.0))
+  }
+
   test("a stale legacy '.old' next to a LIVE table is retired, a crash image is restored") {
     // pre-versioning swapIn left its set-aside in '<table>.old' until the
     // NEXT swap deleted it, so an upgraded warehouse can carry a stale
