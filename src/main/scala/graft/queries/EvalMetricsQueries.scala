@@ -253,9 +253,14 @@ object EvalMetricsQueries extends QueryModule {
   private def q238(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    // the indexed frame has THREE consumers (the draw stream, the join
+    // side, and the n count); without its own pin each one replays the
+    // scan's window + offsets join, so the plan carried the rowNumbers
+    // subtree twice. Lazy checkpoint: the n aggregate (always the first
+    // action) materializes the blocks while doing useful work.
     val base = graft.operators.DistributedScan.rowNumbers(
       Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice"),
-      Seq($"o_orderkey"), "i")
+      Seq($"o_orderkey"), "i").localCheckpoint(false)
     val n = base.agg(count(lit(1)).as("n"))
     // seed folds into [0, 2^31) BEFORE the LCG multiply so a·s never
     // exceeds int64 at any n (2654435761 is the Knuth golden-ratio

@@ -429,14 +429,18 @@ object GraphTraversalQueries extends QueryModule {
     var h = e.select($"c").distinct().select($"c", lit(1000000L).as("h"))
     var a: DataFrame = null
     for (_ <- 1 to hitsRounds) {
+      // LAZY pin: the max-collect on the next line is always the first
+      // consumer and materializes the blocks inside its own job — the
+      // eager checkpoint paid a dedicated materialization job per
+      // half-round for the same pinning (the q303 lesson)
       val araw = e.join(h, "c").groupBy($"su").agg(sum($"h").as("ar"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // coalesce: an empty edge list must yield empty hub/authority
       // frames, not an NPE off the null max (the q217 empty-graph lesson)
       val ma = araw.agg(coalesce(max($"ar"), lit(1L))).collect().head.getLong(0)
       a = araw.select($"su", expr(s"ar * 1000000 div $ma").as("a"))
       val hraw = e.join(a, "su").groupBy($"c").agg(sum($"a").as("hr"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val mh = hraw.agg(coalesce(max($"hr"), lit(1L))).collect().head.getLong(0)
       h = hraw.select($"c", expr(s"hr * 1000000 div $mh").as("h"))
     }
@@ -607,7 +611,11 @@ object GraphTraversalQueries extends QueryModule {
           s"(((walk_id * 1000003 + $t * 10007 + v * 29) % 2147483647)" +
             " * 48271 % 2147483647) % deg"))
         .select($"walk_id", $"a_dst".as("v"))
-        .localCheckpoint(true)
+        // LAZY pin: the next round's broadcast build (or the final union)
+        // is always the first consumer and materializes the blocks while
+        // doing useful work — an eager checkpoint here paid a dedicated
+        // job per round for the same placement guarantee
+        .localCheckpoint(false)
       parts += cur.select($"walk_id", lit(t.toLong).as("step"),
         $"v".as("node"))
     }
@@ -666,7 +674,8 @@ object GraphTraversalQueries extends QueryModule {
   private def q305(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rounds = 3
-    val edges0 = copurchaseEdges(s, dir).localCheckpoint(true)
+    // lazy pin: the mTotal count materializes the blocks in its own job
+    val edges0 = copurchaseEdges(s, dir).localCheckpoint(false)
     val mTotal = edges0.count() // scalar: directed edge count (= 2m)
     val deg = edges0.groupBy($"src").agg(count(lit(1)).as("k"))
       .localCheckpoint(true)
@@ -1062,7 +1071,8 @@ object GraphTraversalQueries extends QueryModule {
     * transfers are the seed scalar and the one argmax row. */
   private def q268(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val edges = sparseSymEdges(s, dir).localCheckpoint(true)
+    // lazy pin: the seed argmin materializes the blocks in its own job
+    val edges = sparseSymEdges(s, dir).localCheckpoint(false)
     val seedRow = edges.agg(min($"src")).collect().head
     if (seedRow.isNullAt(0))   // empty graph: empty result, not an NPE
       return Seq.empty[(Long, Long, Long, Long, Long)]

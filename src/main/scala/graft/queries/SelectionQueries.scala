@@ -146,8 +146,12 @@ object SelectionQueries extends QueryModule {
       if (top.nonEmpty) {
         val (pick, gain) = (top.head.getLong(0), top.head.getLong(1))
         val newCov = sh.filter($"doc_id" === pick).select($"shingle")
+        // LAZY pin: the covered_cum count on the next line is always the
+        // first consumer and materializes the blocks inside its own job —
+        // the eager checkpoint paid a dedicated materialization job per
+        // round for the same pinning (the coreness/q303 discipline)
         covered = (if (covered == null) newCov else covered.union(newCov))
-          .distinct().localCheckpoint(true)
+          .distinct().localCheckpoint(false)
         picks += ((r.toLong, pick, gain, covered.count()))
       }
     }

@@ -900,7 +900,8 @@ object VectorQueries extends QueryModule {
   private def q281(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val n = normed(s, dir).localCheckpoint(true)
+    // lazy pin: the qid argmin materializes the blocks in its own job
+    val n = normed(s, dir).localCheckpoint(false)
     val qidRow = n.agg(min($"vec_id")).collect().head
     if (qidRow.isNullAt(0))   // empty corpus: empty result, not an NPE
       return Seq.empty[(Long, Long, Double, Double)]
