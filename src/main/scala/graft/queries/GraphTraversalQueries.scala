@@ -429,18 +429,19 @@ object GraphTraversalQueries extends QueryModule {
     var h = e.select($"c").distinct().select($"c", lit(1000000L).as("h"))
     var a: DataFrame = null
     for (_ <- 1 to hitsRounds) {
-      // LAZY pin: the max-collect on the next line is always the first
-      // consumer and materializes the blocks inside its own job — the
-      // eager checkpoint paid a dedicated materialization job per
-      // half-round for the same pinning (the q303 lesson)
+      // EAGER pin, kept after a measured round trip: lazy (materialized
+      // by the max-collect) saved 6 jobs and read better at sf0.1, but
+      // ~15% slower at ×10 (8.45/8.31 s vs 6.65/7.55 s warm) — the next
+      // half-round's join plans against an unmaterialized checkpoint
+      // (no stats for AQE). Scale wins; see SCALE.md §Round 14 resumed.
       val araw = e.join(h, "c").groupBy($"su").agg(sum($"h").as("ar"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       // coalesce: an empty edge list must yield empty hub/authority
       // frames, not an NPE off the null max (the q217 empty-graph lesson)
       val ma = araw.agg(coalesce(max($"ar"), lit(1L))).collect().head.getLong(0)
       a = araw.select($"su", expr(s"ar * 1000000 div $ma").as("a"))
       val hraw = e.join(a, "su").groupBy($"c").agg(sum($"a").as("hr"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
       val mh = hraw.agg(coalesce(max($"hr"), lit(1L))).collect().head.getLong(0)
       h = hraw.select($"c", expr(s"hr * 1000000 div $mh").as("h"))
     }
@@ -611,11 +612,14 @@ object GraphTraversalQueries extends QueryModule {
           s"(((walk_id * 1000003 + $t * 10007 + v * 29) % 2147483647)" +
             " * 48271 % 2147483647) % deg"))
         .select($"walk_id", $"a_dst".as("v"))
-        // LAZY pin: the next round's broadcast build (or the final union)
-        // is always the first consumer and materializes the blocks while
-        // doing useful work — an eager checkpoint here paid a dedicated
-        // job per round for the same placement guarantee
-        .localCheckpoint(false)
+        // EAGER pin, kept after a measured round trip: a lazy pin
+        // (materialized by the next round's broadcast build) read 25-30%
+        // faster at sf0.1 (28→20 jobs) but consistently ~20% SLOWER at
+        // ×10 (warm 23.0/23.2 s vs 18.6/19.1 s) — the next round plans
+        // against an unmaterialized checkpoint, losing the exact stats
+        // the eager pin hands AQE (the pageRank round-fusion lesson).
+        // Scale wins over the local job floor.
+        .localCheckpoint(true)
       parts += cur.select($"walk_id", lit(t.toLong).as("step"),
         $"v".as("node"))
     }

@@ -146,12 +146,13 @@ object SelectionQueries extends QueryModule {
       if (top.nonEmpty) {
         val (pick, gain) = (top.head.getLong(0), top.head.getLong(1))
         val newCov = sh.filter($"doc_id" === pick).select($"shingle")
-        // LAZY pin: the covered_cum count on the next line is always the
-        // first consumer and materializes the blocks inside its own job —
-        // the eager checkpoint paid a dedicated materialization job per
-        // round for the same pinning (the coreness/q303 discipline)
+        // EAGER pin, kept after a measured round trip: lazy (the
+        // covered_cum count materializes) saved 8 jobs, wall-neutral at
+        // sf0.1, but slightly slower at ×10 (medians 6.6 vs 6.0 s warm)
+        // — the next round's anti-join plans against an unmaterialized
+        // checkpoint. Scale wins; see SCALE.md §Round 14 resumed.
         covered = (if (covered == null) newCov else covered.union(newCov))
-          .distinct().localCheckpoint(false)
+          .distinct().localCheckpoint(true)
         picks += ((r.toLong, pick, gain, covered.count()))
       }
     }
