@@ -107,7 +107,7 @@ object Graph {
     // state-sized shuffle scope over the rounds (see
     // [[withStateSizedShuffle]]); the |V| probe is one approximate
     // stats job over the checkpointed edge list
-    withStateSizedShuffle(s,
+    val out = withStateSizedShuffle(s,
         e.agg(approx_count_distinct($"dst").as("v")).collect()(0).getLong(0)) {
       var h = 1
       var exhausted = false
@@ -136,6 +136,13 @@ object Graph {
       }
       dist
     }
+    // the returned frame is a union of flat checkpoint scans (dist0 +
+    // per-round fresh); the edge pin only ever feeds the loop's probe
+    // joins, whose outputs are all eagerly materialized — release it so
+    // a long-lived session doesn't carry one dead |E|-sized pin per
+    // sweep (round-15, guide §5: unpersist when done)
+    releaseCheckpoint(e)
+    out
   }
 
   /** PageRank with exact integer arithmetic: ranks are scaled by 1e9 and
@@ -169,7 +176,7 @@ object Graph {
     // in one plan (AQE loses per-round stats and stops broadcasting the
     // rank side), and the sized scope cut the per-round exchange cost
     // ~30% at gate scale (1.74 → 1.26 s)
-    withStateSizedShuffle(s, nodes.count()) {
+    val out = withStateSizedShuffle(s, nodes.count()) {
       var rank = nodes.select($"id", lit(scale).as("r"))
       for (i <- 1 to iters) {
         val contrib = e.join(rank, e("src") === rank("id"))
@@ -186,6 +193,12 @@ object Graph {
       }
       rank.select($"id", $"r".as("rank_scaled"))
     }
+    // with >= 1 round run, the result scans only the final round's
+    // checkpoint — the edge and node pins are dead; release them
+    // (round-15, guide §5). At iters == 0 the result IS a plan over
+    // `nodes`, so the pins must stay.
+    if (iters > 0) { releaseCheckpoint(e); releaseCheckpoint(nodes) }
+    out
   }
 
   /** Weighted single-source (multi-source) shortest paths via bounded
@@ -247,7 +260,7 @@ object Graph {
     // union shape at session defaults; deeper fusion measured SLOWER —
     // AQE loses per-round stats). Intermediates are never observed by
     // the oracle, which replays only the final round.
-    withStateSizedShuffle(s, nV) {
+    val out = withStateSizedShuffle(s, nV) {
       var dist = sources.select($"id", lit(0L).as("dist")).localCheckpoint(true)
       var r = 0
       while (r < rounds) {
@@ -264,6 +277,11 @@ object Graph {
       }
       dist
     }
+    // the result is the final round's flat checkpoint scan (rounds = 0:
+    // the sources checkpoint) — both edge pins are dead at exit;
+    // release them (round-15, guide §5)
+    releaseCheckpoint(e0); releaseCheckpoint(e)
+    out
   }
 
   /** Personalized PageRank: identical integer recurrence to [[pageRank]]
@@ -293,7 +311,7 @@ object Graph {
     val scale = 1000000000L
     // per-iteration checkpoints + state-sized shuffle — same measured
     // rationale as [[pageRank]]
-    withStateSizedShuffle(s, nodes.count()) {
+    val out = withStateSizedShuffle(s, nodes.count()) {
       var rank = nodes.select($"id", ($"sd".cast("long") * scale).as("r"))
       for (i <- 1 to iters) {
         val contrib = e.join(rank, e("src") === rank("id"))
@@ -310,6 +328,9 @@ object Graph {
       }
       rank.select($"id", $"r".as("rank_scaled"))
     }
+    // same release argument as [[pageRank]] (round-15, guide §5)
+    if (iters > 0) { releaseCheckpoint(e); releaseCheckpoint(nodes) }
+    out
   }
 
   /** Temporal earliest-arrival reachability: edges carry a validity time
@@ -370,7 +391,7 @@ object Graph {
         .groupBy($"id").agg(min($"arrive").as("arrive"))
     // batch-2 rounds under the state-sized shuffle scope — same
     // measured rationale as ssspWeighted
-    withStateSizedShuffle(s, nV) {
+    val out = withStateSizedShuffle(s, nV) {
       var arr = sources.select($"id", lit(0L).as("arrive")).localCheckpoint(true)
       var r = 0
       while (r < rounds) {
@@ -384,6 +405,9 @@ object Graph {
       }
       arr
     }
+    // same release argument as [[ssspWeighted]] (round-15, guide §5)
+    releaseCheckpoint(e0); releaseCheckpoint(e)
+    out
   }
 
   /** Coreness (k-core number) of every vertex via iterated neighborhood

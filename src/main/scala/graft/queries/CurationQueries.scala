@@ -568,6 +568,10 @@ object CurationQueries extends QueryModule {
         $"n_occ", $"n_docs", $"first_doc")
       out = if (out == null) tagged else out.unionByName(tagged)
     }
+    // freq/next pins feed the (deferred) anti-joins in the output and
+    // must stay; the token table's last consumer was round 6's eager
+    // `next` checkpoint — release it (round-15, guide §5)
+    graft.graph.Graph.releaseCheckpoint(toks)
     out.orderBy($"k", $"span")
   }
   private val q338Sql = {

@@ -428,7 +428,12 @@ object GraphTraversalQueries extends QueryModule {
       .localCheckpoint(true)
     var h = e.select($"c").distinct().select($"c", lit(1000000L).as("h"))
     var a: DataFrame = null
-    for (_ <- 1 to hitsRounds) {
+    // superseded-state release (round-15, guide §5): only the LAST
+    // round's araw/hraw feed the output (a and h are projections of
+    // them); an intermediate half-round's pin is dead as soon as the
+    // next half-round's eager checkpoint has consumed it
+    var prevHraw: DataFrame = null
+    for (r <- 1 to hitsRounds) {
       // EAGER pin, kept after a measured round trip: lazy (materialized
       // by the max-collect) saved 6 jobs and read better at sf0.1, but
       // ~15% slower at ×10 (8.45/8.31 s vs 6.65/7.55 s warm) — the next
@@ -436,15 +441,24 @@ object GraphTraversalQueries extends QueryModule {
       // (no stats for AQE). Scale wins; see SCALE.md §Round 14 resumed.
       val araw = e.join(h, "c").groupBy($"su").agg(sum($"h").as("ar"))
         .localCheckpoint(true)
+      // araw (eager) has consumed h — the previous round's hraw is dead
+      if (prevHraw != null) graft.graph.Graph.releaseCheckpoint(prevHraw)
       // coalesce: an empty edge list must yield empty hub/authority
       // frames, not an NPE off the null max (the q217 empty-graph lesson)
       val ma = araw.agg(coalesce(max($"ar"), lit(1L))).collect().head.getLong(0)
       a = araw.select($"su", expr(s"ar * 1000000 div $ma").as("a"))
       val hraw = e.join(a, "su").groupBy($"c").agg(sum($"a").as("hr"))
         .localCheckpoint(true)
+      // hraw (eager) has consumed a; araw only feeds the OUTPUT on the
+      // final round
+      if (r < hitsRounds) graft.graph.Graph.releaseCheckpoint(araw)
       val mh = hraw.agg(coalesce(max($"hr"), lit(1L))).collect().head.getLong(0)
       h = hraw.select($"c", expr(s"hr * 1000000 div $mh").as("h"))
+      prevHraw = hraw
     }
+    // the output is projections of the final araw/hraw only — the edge
+    // pin is dead once the last half-round has materialized
+    graft.graph.Graph.releaseCheckpoint(e)
     h.select($"c".as("node_id"), lit("hub").as("kind"), $"h".as("score"))
       .union(a.select($"su".as("node_id"), lit("authority").as("kind"),
         $"a".as("score")))
@@ -604,6 +618,9 @@ object GraphTraversalQueries extends QueryModule {
     var cur = edges.select($"src").filter($"src" % 97 === 0).distinct()
       .select($"src".as("walk_id"), $"src".as("v"))
       .localCheckpoint(true)
+    // adjDeg and cur0 (both eager) are the only consumers of the edge
+    // pin — it is dead from here (round-15, guide §5)
+    graft.graph.Graph.releaseCheckpoint(edges)
     val parts = Seq.newBuilder[DataFrame]
     parts += cur.select($"walk_id", lit(0L).as("step"), $"v".as("node"))
     for (t <- 1 to steps) {
@@ -623,6 +640,10 @@ object GraphTraversalQueries extends QueryModule {
       parts += cur.select($"walk_id", lit(t.toLong).as("step"),
         $"v".as("node"))
     }
+    // every per-step cur pin feeds the output union and must stay; the
+    // adjacency pin's last consumer was round 8's (eager) checkpoint —
+    // release it before returning (round-15, guide §5)
+    graft.graph.Graph.releaseCheckpoint(adjDeg)
     parts.result().reduce(_ unionAll _).orderBy($"walk_id", $"step")
   }
   private val q303Sql = {
@@ -733,6 +754,11 @@ object GraphTraversalQueries extends QueryModule {
         .localCheckpoint(true)
       graft.graph.Graph.releaseCheckpoint(prev)
     }
+    // the result scans only the final round's labels checkpoint; the
+    // |E| edge pin and the degree pin are dead once round 3 has
+    // materialized — release them in-gate (round-15, guide §5)
+    graft.graph.Graph.releaseCheckpoint(edges0)
+    graft.graph.Graph.releaseCheckpoint(deg)
     labels.select($"id".as("node_id"), $"lab".as("community"))
       .orderBy($"node_id")
   }
@@ -820,16 +846,29 @@ object GraphTraversalQueries extends QueryModule {
         lit(r.toLong).as("round"))
       out += covered.select($"v".as("node"), lit("covered").as("status"),
         lit(r.toLong).as("round"))
+      // superseded-state release (round-15, guide §5): each replacement
+      // checkpoint is EAGER, so the frame it supersedes is dead the
+      // moment the assignment returns — the loops' existing discipline,
+      // previously missing here (the gate carried every round's active
+      // and edge frame to the end of the query)
+      val prevActive = active
       active = active.join(mis, Seq("v"), "leftanti")
         .join(covered, Seq("v"), "leftanti").localCheckpoint(true)
+      graft.graph.Graph.releaseCheckpoint(prevActive)
       if (r < rounds) {
         val removedSrc = mis.select($"v".as("src"))
           .unionAll(covered.select($"v".as("src")))
+        val prevEr = er
         er = er.join(removedSrc, Seq("src"), "leftanti")
           .join(removedSrc.select($"src".as("dst")), Seq("dst"), "leftanti")
           .localCheckpoint(true)
+        graft.graph.Graph.releaseCheckpoint(prevEr)
       }
     }
+    // the final round's restricted edge frame feeds nothing in the
+    // output (statuses come from the mis/covered/active checkpoints) —
+    // release it too
+    graft.graph.Graph.releaseCheckpoint(er)
     // survivors: round 0 = "not yet decided after 3 rounds"
     out += active.select($"v".as("node"), lit("active").as("status"),
       lit(0L).as("round"))
@@ -1075,21 +1114,36 @@ object GraphTraversalQueries extends QueryModule {
     * transfers are the seed scalar and the one argmax row. */
   private def q268(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // COLLECT-TERMINATED gate: both sweeps reduce to driver scalars and
+    // the returned frame is a local Seq, so EVERY pin this gate creates
+    // (the edge pin + both sweeps' per-level dist stacks) is dead at
+    // return. Snapshot the persistent-RDD set at entry and free the
+    // delta before returning (round-15, guide §5) — previously the gate
+    // left 15 residual pins per execution for the session to carry.
+    val pinned0 = s.sparkContext.getPersistentRDDs.keySet
+    def releaseGatePins(): Unit =
+      s.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+        if (!pinned0.contains(id)) r.unpersist(blocking = false)
+      }
     // lazy pin: the seed argmin materializes the blocks in its own job
     val edges = sparseSymEdges(s, dir).localCheckpoint(false)
     val seedRow = edges.agg(min($"src")).collect().head
-    if (seedRow.isNullAt(0))   // empty graph: empty result, not an NPE
+    if (seedRow.isNullAt(0)) {  // empty graph: empty result, not an NPE
+      releaseGatePins()
       return Seq.empty[(Long, Long, Long, Long, Long)]
         .toDF("seed_id", "far1_id", "ecc1", "far2_id", "pseudo_diameter")
+    }
     val seed = seedRow.getLong(0)
     val b1 = Graph.bfsHops(edges, Seq(seed).toDF("id"), pdHops)
     val far1Row = b1.orderBy($"hop".desc, $"id").limit(1).collect().head
     val (far1, ecc1) = (far1Row.getLong(0), far1Row.getInt(1))
     val b2 = Graph.bfsHops(edges, Seq(far1).toDF("id"), pdHops)
     val far2Row = b2.orderBy($"hop".desc, $"id").limit(1).collect().head
-    Seq((seed, far1, ecc1.toLong, far2Row.getLong(0),
+    val out = Seq((seed, far1, ecc1.toLong, far2Row.getLong(0),
         far2Row.getInt(1).toLong))
       .toDF("seed_id", "far1_id", "ecc1", "far2_id", "pseudo_diameter")
+    releaseGatePins()
+    out
   }
   private val q268Sql =
     s"""WITH RECURSIVE adj AS (
@@ -1166,8 +1220,14 @@ object GraphTraversalQueries extends QueryModule {
           .join(visited, Seq("seed", "id"), "left_anti")
           .localCheckpoint(true)
         layers += fh
+        // the union replacement is eager, so the superseded visited
+        // frame is dead now (round-15, guide §5)
+        val prevVisited = visited
         visited = visited.union(fh.select($"seed", $"id")).localCheckpoint(true)
+        Graph.releaseCheckpoint(prevVisited)
       }
+      // the anti-join filter has no consumer past the forward sweep
+      Graph.releaseCheckpoint(visited)
       // backward: φ from the horizon inward; interior stress accumulates
       var phi = layers(stHops).select($"seed", $"id", lit(0L).as("phi"))
       var stress: DataFrame = null
@@ -1182,6 +1242,11 @@ object GraphTraversalQueries extends QueryModule {
         stress = if (stress == null) part else stress.union(part)
         phi = phiH.select($"seed", $"id", $"phi")
       }
+      // the result unions projections of the (eager) phiH checkpoints
+      // only — the edge pin, the seed frame and every σ layer are dead
+      // once the backward sweep has materialized (round-15, guide §5)
+      layers.foreach(Graph.releaseCheckpoint)
+      Graph.releaseCheckpoint(edges)
       stress.groupBy($"id".as("part_id")).agg(sum($"sp").as("stress"))
         .filter($"stress" > 0)
         .orderBy($"stress".desc, $"part_id").limit(20)
