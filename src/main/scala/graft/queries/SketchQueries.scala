@@ -198,13 +198,21 @@ object SketchQueries extends QueryModule {
       .filter(size($"w") >= 2)
       .select(explode(expr("transform(sequence(1, size(w) - 1), " +
         "i -> array_join(slice(w, i, 2), chr(31)))")).as("t"))
-    val rows = keys.select($"t",
+    // Round-15 (guide §2.3 "aggregate before you shuffle", applied to the
+    // hash kernel): count per DISTINCT bigram first, then hash only the
+    // ~10^3 distinct keys ×4 rows instead of every occurrence ×4 — the
+    // sketch cell count(*) over occurrences equals sum(per-key count)
+    // over distinct keys landing in the cell, bit-identically, and the
+    // md5 kernel (the gate's dominant per-row cost) shrinks from 4·N to
+    // 4·|distinct|. The same grouped count is the exact top-10 baseline.
+    val cnt = keys.groupBy($"t").agg(count(lit(1)).as("true_cnt"))
+    val rows = cnt.select($"t", $"true_cnt",
         explode(array((0 until 4).map(lit): _*)).as("j"))
-      .select($"j", (hexCol(concat($"j".cast("string"), $"t"), 1, 8)
-        % wBuckets).as("bkt"))
-    val sketch = rows.groupBy($"j", $"bkt").agg(count(lit(1)).as("c"))
-    val top = keys.groupBy($"t").agg(count(lit(1)).as("true_cnt"))
-      .orderBy($"true_cnt".desc, $"t").limit(10)
+      .select($"true_cnt", $"j",
+        (hexCol(concat($"j".cast("string"), $"t"), 1, 8)
+          % wBuckets).as("bkt"))
+    val sketch = rows.groupBy($"j", $"bkt").agg(sum($"true_cnt").as("c"))
+    val top = cnt.orderBy($"true_cnt".desc, $"t").limit(10)
     val probes = top.select($"t", $"true_cnt",
         explode(array((0 until 4).map(lit): _*)).as("j"))
       .select($"t", $"true_cnt", $"j",
