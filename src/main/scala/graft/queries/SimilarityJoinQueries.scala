@@ -24,8 +24,9 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale: candidates shuffle on the PREFIX shingle key only — rare
   * shingles by construction, so bucket fan-out is bounded where the
-  * naive join's is head-heavy; verification joins the (small) candidate
-  * pair list back to the shingle table twice, keyed (doc, shingle).
+  * naive join's is head-heavy; verification attaches a per-doc shingle
+  * synopsis (count + array) to each side of the candidate pair and
+  * intersects in codegen — no row expansion, no re-aggregate.
   */
 object SimilarityJoinQueries extends QueryModule {
 
@@ -53,17 +54,34 @@ object SimilarityJoinQueries extends QueryModule {
     // prefix length p = n − ceil(tNum·n/tDen) + 1, all in integers
     val prefix = ranked
       .where($"rn" <= $"n_sh" - expr(s"($tNum * n_sh + $tDen - 1) div $tDen") + 1)
-      .select($"doc_id", $"shingle", $"n_sh")
+      .select($"doc_id", $"shingle")
+    // Candidates carry ONLY the pair key (guide §2.3 — na/nb are
+    // functionally dependent on the ids and re-attach from the synopsis
+    // below, so the dedup exchange ships two longs per pair, not four).
     val cand = prefix.as("a").join(prefix.as("b"),
         $"a.shingle" === $"b.shingle" && $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.n_sh".as("na"), $"b.n_sh".as("nb"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
+    // Round-15 verification rework (guide §2.3/§2.4): the old path joined
+    // every candidate pair back to the shingle relation TWICE — an
+    // |pairs|·|avg set| row expansion through two exchanges plus a
+    // |pairs|-group re-aggregate. Verification needs each doc's shingle
+    // SET once, so build a per-doc synopsis (n, shingle array) with one
+    // grouped collect and compute the intersection per pair in codegen
+    // (array_intersect is set-semantics, exact on this set relation —
+    // the input contract above). The synopsis is |docs| rows: AQE
+    // broadcasts it at gate scale; at cluster scale the same plan hash-
+    // joins on the id with the pair stream, still with no row expansion
+    // and no re-aggregate. inter casts to long: the declared schema.
+    val docsets = base.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), collect_list($"shingle").as("arr"))
     cand
-      .join(base.select($"doc_id".as("doc_a"), $"shingle").hint("shuffle_hash"), Seq("doc_a"))
-      .join(base.select($"doc_id".as("doc_b"), $"shingle").hint("shuffle_hash"), Seq("doc_b", "shingle"))
-      .groupBy($"doc_a", $"doc_b", $"na", $"nb")
-      .agg(count(lit(1)).as("inter"))
+      .join(docsets.select($"doc_id".as("doc_a"),
+        $"n".as("na"), $"arr".as("arr_a")), Seq("doc_a"))
+      .join(docsets.select($"doc_id".as("doc_b"),
+        $"n".as("nb"), $"arr".as("arr_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", $"na", $"nb",
+        size(array_intersect($"arr_a", $"arr_b")).cast("long").as("inter"))
       .where($"inter" * tDen >= ($"na" + $"nb" - $"inter") * tNum)
   }
 
