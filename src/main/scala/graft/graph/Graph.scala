@@ -482,14 +482,6 @@ object Graph {
       val eOut = e0.repartition(parts, $"src").sortWithinPartitions($"src")
         .localCheckpoint(true)
       releaseCheckpoint(e0) // both pinned orientations are materialized
-      // re-pin the round-0 estimates INTO the loop layout: c was built
-      // (and its defining count taken — parts depends on nV) under the
-      // SESSION shuffle width, so without this one state-sized exchange
-      // the first full-step merge would re-exchange cur — the only
-      // round that contradicted the merge-join no-exchange contract
-      val c0 = c
-      c = c.repartition(parts, $"id").localCheckpoint(true)
-      releaseCheckpoint(c0)
       var round = 0
       var converged = false
       var changed = nV // round-0 frontier: everything
