@@ -260,7 +260,7 @@ object EvalMetricsQueries extends QueryModule {
     // action) materializes the blocks while doing useful work.
     val base = graft.operators.DistributedScan.rowNumbers(
       Tables.orders(s, dir).select($"o_orderkey", $"o_totalprice"),
-      Seq($"o_orderkey"), "i").localCheckpoint(false)
+      Seq($"o_orderkey"), "i")
     val n = base.agg(count(lit(1)).as("n"))
     // seed folds into [0, 2^31) BEFORE the LCG multiply so a·s never
     // exceeds int64 at any n (2654435761 is the Knuth golden-ratio
